@@ -1,0 +1,75 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion with the `noop` sink (full plan runs,
+rows are consumed, nothing is collected to the driver — the honest way to
+time a distributed plan).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+
+from mergeextractor_spark.registry import load_all  # noqa: E402
+from mergeextractor_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "extract_section_pipeline",  # flagship: chunk→score→rank→assemble
+    "join_deal_filing",          # equi join
+    "join_anti_incremental",     # anti join
+    "agg_org_topk",              # explode + count + top-k
+    "rank_hybrid_top1",          # window top-1
+    "window_chunk_follow",       # window frame
+    "agg_concat_section",        # ordered string agg
+    "date_window",               # date battery
+    "dedup_exact",               # hash dedup
+    "dedup_minhash_lsh",         # minhash + LSH + verify
+    "ann_bruteforce_topk",       # vector search
+    "text_quality_score",        # text analysis battery
+    "events_tumbling_counts",    # windowed agg (streaming twin)
+    "events_sessionize",         # sessionization
+    "json_extract_hits",         # json path
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    reg = load_all()
+    spark = get_spark("bench")
+
+    timings: dict[str, float] = {}
+    for key in HEADLINE:
+        q = reg[key]
+        df = q.spark(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()  # warm (plan + IO cache)
+        t0 = time.time()
+        df = q.spark(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[key] = round(time.time() - t0, 3)
+        print(f"  {key}: {timings[key]}s", file=sys.stderr, flush=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

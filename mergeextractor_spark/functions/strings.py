@@ -1,0 +1,134 @@
+"""Scalar string battery (SURVEY §2.7) as native Column functions.
+
+Every helper compiles to JVM-side Catalyst expressions (whole-stage
+codegen) — no Python UDFs — so they vectorize and survive a 100 TB scan.
+Reference citations per function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def strip_parens(c: Column) -> Column:
+    """Remove parenthesized content + trim. Ref: CrawlerSupport.py:188-190."""
+    return F.trim(F.regexp_replace(c, r"\(.*?\)", ""))
+
+
+def drop_last_word(c: Column) -> Column:
+    """Drop the last whitespace-separated word. Ref: Processor.py:30-41."""
+    words = F.split(F.trim(c), r"\s+")
+    n = F.size(words)
+    return F.when(n <= 1, F.trim(c)).otherwise(F.array_join(F.slice(words, 1, n - 1), " "))
+
+
+def first_token(c: Column) -> Column:
+    """First word, minus domain suffix. Ref: ChunkProcessor.py:414."""
+    return F.element_at(F.split(F.element_at(F.split(F.lower(F.trim(c)), r"\s+"), 1), r"\."), 1)
+
+
+def replace_dash(c: Column) -> Column:
+    """Hyphen → space. Ref: CrawlerSupport.py:426-429."""
+    return F.regexp_replace(c, "-", " ")
+
+
+def lstrip_zeros(c: Column) -> Column:
+    """Strip leading zeros (CIK normalization). Ref: CrawlerSupport.py:342."""
+    return F.regexp_replace(c, "^0+", "")
+
+
+def regex_extract_cik(c: Column) -> Column:
+    """Extract the CIK digits from '(CIK 0001234)'. Ref: CrawlerSupport.py:152."""
+    return F.regexp_extract(c, r"\(CIK (\d+)\)", 1)
+
+
+def build_filing_url(cik: Column, adsh: Column) -> Column:
+    """EDGAR archive URL assembly. Ref: CrawlerSupport.py:345-349."""
+    return F.concat(
+        F.lit("https://www.sec.gov/Archives/edgar/data/"),
+        cik,
+        F.lit("/"),
+        F.regexp_replace(adsh, "-", ""),
+        F.lit("/"),
+        adsh,
+        F.lit(".txt"),
+    )
+
+
+def urlencode_spaces(c: Column) -> Column:
+    """Spaces → %20 for query-string building. Ref: CrawlerSupport.py:116."""
+    return F.regexp_replace(c, " ", "%20")
+
+
+def drop_page_numbers(c: Column) -> Column:
+    """Remove standalone page-number lines. Ref: Processor.py:122-125."""
+    return F.regexp_replace(c, r"(?m)^\s*\d+\s*$", "")
+
+
+def collapse_newlines(c: Column) -> Column:
+    """Collapse runs of blank lines to one blank line. Ref: Processor.py:127-128."""
+    return F.regexp_replace(c, r"\n\s*\n+", "\n\n")
+
+
+def strip_toc_phrases(c: Column) -> Column:
+    """Remove 'table of contents' phrases. Ref: Processor.py:149-150."""
+    return F.regexp_replace(c, r"(?i)\btable\s*of\s*contents?\b|tableofcontents?", "")
+
+
+def truncate_content(c: Column, limit: int = 450_000) -> Column:
+    """Cap content length. Ref: Processor.py:178-181."""
+    return F.substring(c, 1, limit)
+
+
+def html_to_text(c: Column) -> Column:
+    """HTML → text, re-expressed as a native regex chain (the reference uses
+    lxml row-at-a-time; ref Processor.py:95-130 and the improved
+    tools/patchabbrev.py:48-85). Block-level closing tags become newlines,
+    all other tags are stripped, common entities decoded, page-number lines
+    and blank-line runs collapsed. Pure Catalyst expressions → codegen.
+    """
+    t = F.regexp_replace(c, r"(?is)<(script|style)[^>]*>.*?</\1>", " ")
+    t = F.regexp_replace(
+        t, r"(?i)</(p|div|li|h[1-6]|blockquote|tr|table|ul|ol)>|<br\s*/?>", "\n"
+    )
+    t = F.regexp_replace(t, r"<[^>]+>", " ")
+    for ent, rep in [
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&apos;", "'"),
+    ]:
+        t = F.regexp_replace(t, ent, rep)
+    t = F.regexp_replace(t, r"[ \t]+", " ")
+    t = drop_page_numbers(t)
+    t = collapse_newlines(t)
+    return F.trim(t)
+
+
+def normalize_quotes(c: Column) -> Column:
+    """Unicode quote folding via a static char map (the reference computes it
+    dynamically from unicodedata categories — tools/patchabbrev.py:87-107;
+    collapsed here to a translate() over the chars that matter)."""
+    singles = "‘’‚‛‹›ʼ"
+    doubles = "“”„‟«»"
+    return F.translate(c, singles + doubles, "'" * len(singles) + '"' * len(doubles))
+
+
+def mojibake_repair(c: Column) -> Column:
+    """cp1252 mojibake repair: stray C1 control chars \u0091-\u0097/\u0085 to
+    proper Unicode punctuation, NBSP to space. Ref: tools/patchabbrev.py:25-33,
+    53-56. translate() is a single codegen'd pass."""
+    src_chars = "\u0091\u0092\u0093\u0094\u0096\u0097\u0085\u00a0"
+    dst_chars = "\u2018\u2019\u201c\u201d\u2013\u2014\u2026 "
+    return F.translate(c, src_chars, dst_chars)
+
+
+def word_boundary_pattern(name: Column) -> Column:
+    """Build a \\b<literal>\\b regex from a (lowercased) name, escaping regex
+    metachars. Used by filter_company_presence (ref Processor.py:181-186)."""
+    escaped = F.regexp_replace(name, r"([\\.\[\]\{\}\(\)\*\+\?\^\$\|])", r"\\$1")
+    return F.concat(F.lit(r"\b"), escaped, F.lit(r"\b"))

@@ -1,0 +1,303 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact hash, MinHash+LSH, SimHash, n-gram Jaccard (the embedding-cosine
+near-dup variant lives in vector_queries.py).
+
+Everything here is native Spark SQL — hashes are md5-based so the DuckDB
+oracle computes bit-identical values (Spark's murmur `hash()` and DuckDB's
+`hash()` differ, so md5 hex strings are the portable currency; lexicographic
+min over fixed-width hex == numeric min).
+
+Scale posture (100 TB): every pipeline below is
+scan → explode(shingles) → groupBy(doc) [map-side partial min] →
+explode(bands) → groupBy(band,bucket) self-join on bucket — shuffles are
+on compact (hash, id) rows, never on document text. Candidate
+verification re-joins shingles only for candidate pairs (semi-join
+pushdown), which is the standard way this stays sub-quadratic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import t, r4
+
+N_HASHES = 6  # minhash signature length
+BAND_SIZE = 2  # rows per LSH band → 3 bands
+
+
+def words(col: Column) -> Column:
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda x: x != "")
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array; whole doc if shorter than n words."""
+    ws = words(col)
+    k = F.size(ws)
+    grams = F.transform(
+        F.sequence(F.lit(1), k - (n - 1)),
+        lambda i: F.array_join(F.slice(ws, i, n), " "),
+    )
+    return F.when(k >= n, grams).otherwise(F.array(F.array_join(ws, " ")))
+
+
+_SHINGLE_CTE = r"""
+    words AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, unnest(
+        CASE WHEN len(ws) >= 3
+             THEN list_transform(generate_series(1, len(ws) - 2),
+                                 i -> array_to_string(list_slice(ws, i, i + 2), ' '))
+             ELSE [array_to_string(ws, ' ')] END) AS shingle
+      FROM words
+    )
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash, min(doc_id) AS rep_doc_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    doc="Exact dedup: group by content hash, keep the smallest id as the "
+    "canonical representative. One shuffle on the 32-byte hash (never on "
+    "text); at 100 TB hash in the map stage, shuffle only (hash, id).",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "documents")
+        .select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("rep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def _minhash_agg_cols():
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"m{j}")
+        for j in range(N_HASHES)
+    ]
+
+
+def _minhash_sql_cols() -> str:
+    return ", ".join(
+        f"min(md5('{j}|' || shingle)) AS m{j}" for j in range(N_HASHES)
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    sig AS (
+      SELECT doc_id, {_minhash_sql_cols()} FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, md5(m0 || m1) AS bucket FROM sig
+      UNION ALL SELECT doc_id, 1 AS band, md5(m2 || m3) AS bucket FROM sig
+      UNION ALL SELECT doc_id, 2 AS band, md5(m4 || m5) AS bucket FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    verified AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS common
+      FROM cand c
+      JOIN sh s1 ON s1.doc_id = c.doc_a
+      JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.shingle = s1.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT v.doc_a, v.doc_b,
+           round(v.common::DOUBLE / (na.n + nb.n - v.common), 4) AS jaccard
+    FROM verified v
+    JOIN sizes na ON na.doc_id = v.doc_a
+    JOIN sizes nb ON nb.doc_id = v.doc_b
+    WHERE v.common::DOUBLE / (na.n + nb.n - v.common) >= 0.2
+    """,
+    doc=f"MinHash+LSH near-dup: word-3-gram shingles → {N_HASHES}-hash "
+    f"signature (md5 family) → {N_HASHES // BAND_SIZE} bands of {BAND_SIZE} "
+    "→ bucket-join for candidates → exact-Jaccard verification ≥ 0.2. "
+    "The banding join is the only quadratic-risk step and it only compares "
+    "within buckets; shuffles carry (doc_id, hash) pairs, never text.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle"))
+        .distinct()
+    )
+    sh.cache()
+    sig = sh.groupBy("doc_id").agg(*_minhash_agg_cols())
+    bands = None
+    for band in range(N_HASHES // BAND_SIZE):
+        cols = [F.col(f"m{band * BAND_SIZE + i}") for i in range(BAND_SIZE)]
+        piece = sig.select(
+            "doc_id", F.lit(band).alias("band"), F.md5(F.concat(*cols)).alias("bucket")
+        )
+        bands = piece if bands is None else bands.unionByName(piece)
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    s1 = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    s2 = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    verified = (
+        cand.join(s1, "doc_a").join(s2, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        verified.join(na, "doc_a").join(nb, "doc_b")
+        .filter(jac >= 0.2)
+        .select("doc_a", "doc_b", r4(jac).alias("jaccard"))
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    langs AS (SELECT doc_id, lang FROM documents),
+    inter AS (
+      SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, count(*) AS common
+      FROM sh s1
+      JOIN langs l1 ON l1.doc_id = s1.doc_id
+      JOIN sh s2 ON s2.shingle = s1.shingle AND s1.doc_id < s2.doc_id
+      JOIN langs l2 ON l2.doc_id = s2.doc_id AND l2.lang = l1.lang
+      GROUP BY s1.doc_id, s2.doc_id
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(i.common::DOUBLE / (na.n + nb.n - i.common), 4) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.doc_a
+    JOIN sizes nb ON nb.doc_id = i.doc_b
+    WHERE i.common::DOUBLE / (na.n + nb.n - i.common) >= 0.4
+    """,
+    doc="Exact n-gram Jaccard similarity join, blocked by lang (the "
+    "blocking key stands in for any cheap partition key; at 100 TB block "
+    "by minhash band instead — see dedup_minhash_lsh). Inverted-index "
+    "join on shingle → pair counts → Jaccard ≥ 0.4.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    sh = d.select("doc_id", "lang", F.explode(shingles(F.col("text"))).alias("shingle")).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    s1 = sh.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"), "shingle")
+    s2 = sh.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"), "shingle")
+    inter = (
+        s1.join(s2, "shingle")
+        .filter((F.col("doc_a") < F.col("doc_b")) & (F.col("lang_a") == F.col("lang_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        inter.join(na, "doc_a").join(nb, "doc_b")
+        .filter(jac >= 0.4)
+        .select("doc_a", "doc_b", r4(jac).alias("jaccard"))
+    )
+
+
+def _simhash_bit_exprs(engine: str) -> list[str]:
+    """Per-bit contribution expressions over a token's md5 hex (bit i := top
+    bit of hex nibble i). Portable: strpos/instr over a hex alphabet."""
+    out = []
+    for i in range(16):
+        if engine == "duckdb":
+            nib = f"(strpos('0123456789abcdef', substr(md5(tok), {i + 1}, 1)) - 1)"
+        else:
+            nib = f"(instr('0123456789abcdef', substr(md5(tok), {i + 1}, 1)) - 1)"
+        out.append(f"sum(CASE WHEN {nib} >= 8 THEN 1 ELSE -1 END)")
+    return out
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok
+      FROM documents
+    ),
+    bits AS (
+      SELECT doc_id,
+             {", ".join(f"{e} AS s{i}" for i, e in enumerate(_simhash_bit_exprs("duckdb")))}
+      FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id,
+           ({" + ".join(f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16))})::BIGINT AS simhash
+    FROM bits
+    """,
+    doc="16-bit SimHash per document: for each bit, majority vote of token "
+    "hash bits (md5 nibble top-bits → ±1, summed per doc). Near-dup pairs "
+    "are then hamming-distance joins on the compact signature (bit_count "
+    "of xor). Map + one groupBy; signatures are 8 bytes regardless of "
+    "document size.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(words(F.col("text"))).alias("tok")).distinct()
+    bit_exprs = [F.expr(e).alias(f"s{i}") for i, e in enumerate(_simhash_bit_exprs("spark"))]
+    bits = toks.groupBy("doc_id").agg(*bit_exprs)
+    sim = None
+    for i in range(16):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return bits.select("doc_id", sim.cast("bigint").alias("simhash"))
+
+
+@register(
+    "dedup_simhash_neardup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok
+      FROM documents
+    ),
+    bits AS (
+      SELECT doc_id,
+             {", ".join(f"{e} AS s{i}" for i, e in enumerate(_simhash_bit_exprs("duckdb")))}
+      FROM toks GROUP BY doc_id
+    ),
+    sig AS (
+      SELECT doc_id,
+             ({" + ".join(f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16))})::BIGINT AS simhash
+      FROM bits
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    """,
+    doc="SimHash near-dup pairs: hamming(xor) ≤ 2 over 16-bit signatures. "
+    "Pairwise over signatures only (8-byte rows); at 100 TB block by "
+    "signature bands (split the 64-bit hash into 4 × 16-bit keys, "
+    "candidates must share one) to avoid the quadratic self-join.",
+)
+def dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = dedup_simhash(spark, sf_dir)
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .filter(hamming <= 2)
+        .select("doc_a", "doc_b", hamming.cast("bigint").alias("hamming"))
+    )

@@ -1,0 +1,113 @@
+"""Batch-equivalent forms of the streaming extension (SURVEY §2.9) over the
+`events` table: tumbling-window aggregation and gap sessionization. The
+actual Structured Streaming jobs (readStream + watermark) live in
+streaming/events.py and are pytest-verified; these batch twins are the
+DuckDB-checkable semantics.
+
+Window starts are emitted as epoch seconds (integers) so the oracle never
+touches timezone-dependent timestamp formatting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import t, r4
+
+WINDOW_SEC = 300
+SESSION_GAP_SEC = 1800
+
+
+@register(
+    "events_tumbling_counts",
+    oracle=f"""
+    SELECT CAST(floor(epoch(ts) / {WINDOW_SEC}) * {WINDOW_SEC} AS BIGINT) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling 5-minute window counts per event_type — the batch twin of "
+    "streaming/events.py (readStream + watermark + window()). groupBy on "
+    "(window, type): one shuffle, partial aggregation map-side; identical "
+    "plan shape in streaming micro-batches.",
+)
+def events_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    win = (F.floor(F.unix_timestamp("ts") / WINDOW_SEC) * WINDOW_SEC).cast("bigint")
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(win.alias("window_start"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), r4(F.sum("value")).alias("total_value"))
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             lag(CAST(floor(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS prev_es
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id,
+             CASE WHEN prev_es IS NULL OR es - prev_es > {SESSION_GAP_SEC} THEN 1 ELSE 0 END AS new_sess
+      FROM ordered
+    )
+    SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
+    FROM flagged GROUP BY user_id
+    """,
+    doc="Gap-based sessionization (30-min gap): lag over (user, time) → "
+    "new-session flags → session count per user. In streaming this is "
+    "session_window(ts, gap); batch twin uses the classic lag+cumsum "
+    "shape. One shuffle on user_id.",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    es = F.unix_timestamp("ts")
+    w = W.partitionBy("user_id").orderBy(es, F.col("event_id"))
+    flagged = (
+        t(spark, sf_dir, "events")
+        .withColumn("prev_es", F.lag(es).over(w))
+        .withColumn(
+            "new_sess",
+            F.when(F.col("prev_es").isNull() | (es - F.col("prev_es") > SESSION_GAP_SEC), 1).otherwise(0),
+        )
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_sess").cast("bigint").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type",
+    doc="Exact distinct-count per group (oracle-checkable; the 100 TB path "
+    "is approx_count_distinct / HLL — exposed as events_approx_distinct "
+    "with a rows-only check since sketches differ across engines).",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "events_approx_distinct",
+    oracle=None,  # sketch values are engine-specific → rows-only check
+    doc="approx_count_distinct (HyperLogLog++) per event_type — the scale "
+    "path for distinct counting: no exact-distinct shuffle explosion, "
+    "mergeable sketches. Rows-only check (sketch estimates are "
+    "engine-specific by design).",
+)
+def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+    )

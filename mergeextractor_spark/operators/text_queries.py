@@ -1,0 +1,258 @@
+"""Text-analysis operators for a training-data pipeline, plus the
+order-sensitive text set-ops from SURVEY §2.6/§2.8.
+
+All of these run on the `documents` fixture and are native Column
+expressions (no Python in the hot path): at 100 TB each is a single
+codegen'd scan stage, with at most one shuffle where a groupBy/window
+is semantically required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import t, r4
+
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "that", "for", "it"]
+_STOP_SQL = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+
+def _tokens(col):
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda x: x != "")
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang,
+           round(len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''),
+                                 x -> x IN ({_STOP_SQL})))::DOUBLE /
+                 greatest(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')), 1), 4) AS en_ratio,
+           CASE WHEN len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''),
+                                     x -> x IN ({_STOP_SQL})))::DOUBLE /
+                     greatest(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')), 1) > 0.05
+                THEN 'en' ELSE 'other' END AS pred_lang
+    FROM documents
+    """,
+    doc="Language-ID heuristic: stopword-hit ratio over whitespace tokens "
+    "(n-gram-free stand-in; the lang column is ground truth for eval). "
+    "Pure array expressions — one scan, zero shuffles.",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens(F.col("text"))
+    hits = F.filter(toks, lambda x: x.isin(EN_STOPWORDS))
+    ratio = F.size(hits).cast("double") / F.greatest(F.size(toks), F.lit(1))
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        r4(ratio).alias("en_ratio"),
+        F.when(ratio > 0.05, "en").otherwise("other").alias("pred_lang"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars_actual,
+           len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS n_tokens,
+           round(CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE / length(text)
+                 END, 4) AS punct_ratio,
+           round(len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''),
+                                 x -> x IN ({_STOP_SQL})))::DOUBLE /
+                 greatest(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')), 1), 4) AS stopword_ratio,
+           round(least(length(text) / 1000.0, 1.0) * 0.5 +
+                 (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE / length(text)
+                        END) * 0.5, 4) AS quality
+    FROM documents
+    """,
+    doc="Document quality scoring: length, token count, punctuation ratio, "
+    "stopword ratio, composite score — the C4/Gopher-style filters as one "
+    "codegen stage.",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    txt = F.col("text")
+    n_chars = F.length(txt)
+    toks = _tokens(txt)
+    stop_hits = F.filter(toks, lambda x: x.isin(EN_STOPWORDS))
+    punct_ratio = F.when(n_chars == 0, F.lit(0.0)).otherwise(
+        (n_chars - F.length(F.regexp_replace(txt, "[^a-zA-Z0-9 ]", ""))).cast("double") / n_chars
+    )
+    stop_ratio = F.size(stop_hits).cast("double") / F.greatest(F.size(toks), F.lit(1))
+    quality = F.least(n_chars / 1000.0, F.lit(1.0)) * 0.5 + (1.0 - punct_ratio) * 0.5
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars_actual"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        r4(punct_ratio).alias("punct_ratio"),
+        r4(stop_ratio).alias("stopword_ratio"),
+        r4(quality).alias("quality"),
+    )
+
+
+@register(
+    "text_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe_ish_tokens
+    FROM documents
+    """,
+    doc="Token counting: whitespace tokens + a BPE-ish regex tokenizer "
+    "(letters-run | digit | punct), both native regexp_extract_all.",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ws = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0)
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(ws).cast("long").alias("ws_tokens"),
+        F.size(bpe).cast("long").alias("bpe_ish_tokens"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=r"""
+    SELECT doc_id, md5(lower(regexp_replace(text, '[^A-Za-z0-9]+', '', 'g'))) AS fingerprint
+    FROM documents
+    """,
+    doc="Document fingerprint: md5 over alphanumeric-normalized text (the "
+    "rolling-hash winnowing variant lives in operators/dedup.py minhash).",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    norm = F.lower(F.regexp_replace(F.col("text"), "[^A-Za-z0-9]+", ""))
+    return t(spark, sf_dir, "documents").select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+@register(
+    "set_distinct_lines",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(substr(text, 1, 300), ' ')) AS line,
+             generate_subscripts(string_split(substr(text, 1, 300), ' '), 1) AS pos
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, line, pos,
+             row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn
+      FROM toks
+    )
+    SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS deduped
+    FROM ranked
+    WHERE rn = 1 OR line = ''
+    GROUP BY doc_id
+    """,
+    doc="Order-preserving de-dup of text lines, blanks kept (ref "
+    "ChunkProcessor.py:240-255 unique_lines set). Spark has no row order, "
+    "so 'first occurrence' is explicit: posexplode → row_number per "
+    "(doc, line) by position → keep rn=1 → re-concat ordered.",
+)
+def set_distinct_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(F.split(F.substring("text", 1, 300), " ")).alias("pos", "line")
+    )
+    w = W.partitionBy("doc_id", "line").orderBy("pos")
+    kept = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) | (F.col("line") == ""))
+    )
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos").alias("p"), F.col("line").alias("s")))),
+                lambda x: x["s"],
+            ),
+            "\n",
+        ).alias("deduped")
+    )
+
+
+@register(
+    "chunk_fixed",
+    oracle="""
+    SELECT doc_id, i AS chunk_idx, substr(text, i * 150 + 1, 200) AS chunk
+    FROM (
+      SELECT doc_id, text,
+             unnest(generate_series(0, greatest(length(text) - 1, 0) // 150)) AS i
+      FROM documents
+    )
+    """,
+    doc="Fixed-size sliding chunker (size 200, stride 150) as pure SQL — "
+    "sequence+explode+substring, the scale path for chunking (ref "
+    "ChunkProcessor.py:195-231 uses a recursive splitter; that "
+    "langchain-parity variant is the UDF in operators/chunking.py with "
+    "golden tests). One scan, no shuffle; rows fan out ~len/stride.",
+)
+def chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    size, stride = 200, 150
+    n_minus1 = F.floor(F.greatest(F.length("text") - 1, F.lit(0)) / stride).cast("int")
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text", F.explode(F.sequence(F.lit(0), n_minus1)).alias("i"))
+        .select(
+            "doc_id",
+            F.col("i").cast("long").alias("chunk_idx"),
+            F.expr(f"substr(text, i * {stride} + 1, {size})").alias("chunk"),
+        )
+    )
+
+
+@register(
+    "ner_orgs_regex",
+    oracle=r"""
+    SELECT org, count(*) AS cnt FROM (
+      SELECT unnest(regexp_extract_all(text, 'co ([a-z]+ [a-z]+) inc', 1)) AS org
+      FROM documents
+    )
+    GROUP BY org ORDER BY cnt DESC, org LIMIT 10
+    """,
+    doc="Deterministic NER stand-in (ref ChunkProcessor.py:331-334 uses "
+    "spaCy ORG NER; FIXTURES.md §2.7 regex-NER): pattern-bounded entity "
+    "extraction + top-10 frequency. spaCy pluggable via mapInPandas behind "
+    "a flag (operators/enrich.py), never on the oracle path.",
+)
+def ner_orgs_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ents = F.regexp_extract_all(F.col("text"), F.lit(r"co ([a-z]+ [a-z]+) inc"), 1)
+    return (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(ents).alias("org"))
+        .groupBy("org")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("org"))
+        .limit(10)
+    )
+
+
+@register(
+    "fuzzy_ratio",
+    oracle="""
+    SELECT a.n_nationkey AS left_key, b.n_nationkey AS right_key,
+           round(100.0 * (1.0 - levenshtein(lower(a.n_name), lower(b.n_name))::DOUBLE /
+                 greatest(length(a.n_name), length(b.n_name), 1)), 4) AS ratio
+    FROM nation a JOIN nation b ON a.n_nationkey <> b.n_nationkey
+    """,
+    doc="Normalized Levenshtein similarity (ref ChunkProcessor.py:63-71 "
+    "rapidfuzz fuzz.ratio>85; rapidfuzz uses indel distance — we document "
+    "the divergence and use classic Levenshtein, native on both engines; "
+    "the exact indel variant is the pandas-UDF in functions/fuzzy.py).",
+)
+def fuzzy_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = t(spark, sf_dir, "nation")
+    a, b = n.alias("a"), n.alias("b")
+    ratio = 100.0 * (
+        1.0
+        - F.levenshtein(F.lower("a.n_name"), F.lower("b.n_name")).cast("double")
+        / F.greatest(F.length("a.n_name"), F.length("b.n_name"), F.lit(1))
+    )
+    return (
+        a.join(F.broadcast(b), F.col("a.n_nationkey") != F.col("b.n_nationkey"))
+        .select(
+            F.col("a.n_nationkey").alias("left_key"),
+            F.col("b.n_nationkey").alias("right_key"),
+            r4(ratio).alias("ratio"),
+        )
+    )

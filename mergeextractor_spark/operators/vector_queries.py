@@ -1,0 +1,260 @@
+"""Vector / embedding operators (SURVEY §2.7 math_cosine_sim, §2.4
+agg_vector_mean, §2.8 query_embed_build) + ANN similarity search over the
+`embeddings` fixture (engine extension for training-data pipelines).
+
+Cosine math stays in native array expressions (`zip_with` + `aggregate`,
+all JVM-side); the numpy pandas-UDF fast path for very wide vectors lives
+in functions/vectors.py. Oracle twins compute the same double-precision
+math via unnest in DuckDB; outputs rounded to 4 decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import t, r4
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2norm(a) * l2norm(b))
+
+
+_COS_PAIRS_CTE = """
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {qid}),
+    pairs AS (
+      SELECT e.vec_id, CAST(unnest(e.embedding) AS DOUBLE) AS x, CAST(unnest(q.qe) AS DOUBLE) AS y
+      FROM embeddings e CROSS JOIN q
+    ),
+    cos AS (
+      SELECT vec_id, sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS c
+      FROM pairs GROUP BY vec_id
+    )
+"""
+
+
+@register(
+    "math_cosine_sim",
+    oracle=_COS_PAIRS_CTE.format(qid=0)
+    + """
+    SELECT vec_id, round(c, 4) AS cos FROM cos
+    """,
+    doc="Cosine similarity of every embedding vs the query vector (vec_id 0), "
+    "ref ChunkProcessor.py:270-306. The 1-row query side is broadcast; the "
+    "scan side never shuffles — at 100 TB this is a map-only stage.",
+)
+def math_cosine_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    return (
+        e.crossJoin(F.broadcast(q))
+        .select("vec_id", r4(cosine(F.col("embedding"), F.col("qe"))).alias("cos"))
+    )
+
+
+@register(
+    "agg_vector_mean",
+    oracle="""
+    SELECT label, pos, round(avg(v), 4) AS mean_v FROM (
+      SELECT label, generate_subscripts(embedding, 1) AS pos, CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    )
+    GROUP BY label, pos
+    """,
+    doc="Elementwise mean over embedding sets per label (ref "
+    "createqueryembed.py:476-502 contrastive mean). Row-form (label, pos, v) "
+    "→ one groupBy shuffle with map-side partial avg; scales to any "
+    "dimension without driver-side arrays.",
+)
+def agg_vector_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "embeddings")
+        .select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .select("label", (F.col("pos0") + 1).cast("bigint").alias("pos"), F.col("v").cast("double").alias("v"))
+        .groupBy("label", "pos")
+        .agg(r4(F.avg("v")).alias("mean_v"))
+    )
+
+
+@register(
+    "query_embed_build",
+    oracle="""
+    WITH parts AS (
+      SELECT generate_subscripts(embedding, 1) AS pos, CAST(unnest(embedding) AS DOUBLE) AS v, label, vec_id
+      FROM embeddings
+    ),
+    instr AS (SELECT pos, v AS iv FROM parts WHERE vec_id = 0),
+    pos_mean AS (SELECT pos, avg(v) AS pv FROM parts WHERE label >= 8 GROUP BY pos),
+    neg_mean AS (SELECT pos, avg(v) AS nv FROM parts WHERE label < 2 GROUP BY pos),
+    combined AS (
+      SELECT i.pos, i.iv + p.pv - 1.5 * n.nv AS c
+      FROM instr i JOIN pos_mean p USING (pos) JOIN neg_mean n USING (pos)
+    ),
+    nrm AS (SELECT sqrt(sum(c * c)) AS nn FROM combined)
+    SELECT pos, round(c / nn, 4) AS qv FROM combined CROSS JOIN nrm
+    """,
+    doc="Offline contrastive query-vector build: instr + mean(pos) − "
+    "1.5·mean(neg), L2-normalized (ref createqueryembed.py:461-528, formula "
+    "at 501-502). Row-form pipeline: two partial-agg means + broadcast-size "
+    "join + global norm.",
+)
+def query_embed_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    parts = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos0", "v")
+    ).select("vec_id", "label", (F.col("pos0") + 1).cast("bigint").alias("pos"), F.col("v").cast("double").alias("v"))
+    instr = parts.filter(F.col("vec_id") == 0).select("pos", F.col("v").alias("iv"))
+    pos_mean = parts.filter(F.col("label") >= 8).groupBy("pos").agg(F.avg("v").alias("pv"))
+    neg_mean = parts.filter(F.col("label") < 2).groupBy("pos").agg(F.avg("v").alias("nv"))
+    combined = (
+        instr.join(pos_mean, "pos").join(neg_mean, "pos")
+        .select("pos", (F.col("iv") + F.col("pv") - 1.5 * F.col("nv")).alias("c"))
+    )
+    nrm = combined.agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nn"))
+    return combined.crossJoin(F.broadcast(nrm)).select("pos", r4(F.col("c") / F.col("nn")).alias("qv"))
+
+
+_ANN_ORACLE = """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+    pairs AS (
+      SELECT q.qid, e.vec_id, CAST(unnest(e.embedding) AS DOUBLE) AS x, CAST(unnest(q.qe) AS DOUBLE) AS y
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.qid
+    ),
+    cos AS (
+      SELECT qid, vec_id, sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS c
+      FROM pairs GROUP BY qid, vec_id
+    ),
+    ranked AS (
+      SELECT qid, vec_id, c, row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rn
+      FROM cos
+    )
+    SELECT qid AS query_id, vec_id AS neighbor_id, round(c, 4) AS cos, rn AS rank
+    FROM ranked WHERE rn <= 5
+"""
+
+
+@register(
+    "ann_bruteforce_topk",
+    oracle=_ANN_ORACLE,
+    doc="Brute-force cosine top-5 neighbors for each of 10 query vectors — "
+    "the exact-ANN baseline. Query side broadcasts (tiny); candidate scan "
+    "is map-only; per-query top-k via window. At 100 TB swap the window "
+    "for TakeOrdered per query or the LSH-bucketed variant below.",
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cosine(F.col("embedding"), F.col("qe")).alias("c"))
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("c"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            r4(F.col("c")).alias("cos"),
+            F.col("rn").cast("bigint").alias("rank"),
+        )
+    )
+
+
+@register(
+    "ann_lsh_buckets",
+    oracle="""
+    WITH planes AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id < 4),
+    pairs AS (
+      SELECT e.vec_id, p.pid, CAST(unnest(e.embedding) AS DOUBLE) AS x, CAST(unnest(p.pe) AS DOUBLE) AS y
+      FROM embeddings e CROSS JOIN planes p
+    ),
+    dots AS (
+      SELECT vec_id, pid, sum(x * y) AS d FROM pairs GROUP BY vec_id, pid
+    ),
+    sig AS (
+      SELECT vec_id, string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, '' ORDER BY pid) AS bucket
+      FROM dots GROUP BY vec_id
+    )
+    SELECT bucket, count(*) AS n_vectors, min(vec_id) AS min_vec_id
+    FROM sig GROUP BY bucket
+    """,
+    doc="Random-hyperplane LSH bucketing (sign of dot with 4 deterministic "
+    "'planes' = embeddings 0-3): the scale path for ANN — candidates only "
+    "compare within a bucket, turning O(N·Q) into O(N·Q/2^b). Returns "
+    "bucket histogram; the search itself joins on bucket then ranks.",
+)
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    planes = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("pid"), F.col("embedding").alias("pe")
+    )
+    dots = (
+        e.crossJoin(F.broadcast(planes))
+        .select("vec_id", "pid", dot(F.col("embedding"), F.col("pe")).alias("d"))
+    )
+    bit = F.when(F.col("d") >= 0, "1").otherwise("0")
+    sig = (
+        dots.withColumn("bit", bit)
+        .groupBy("vec_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("pid").alias("p"), F.col("bit").alias("b")))),
+                    lambda x: x["b"],
+                ),
+                "",
+            ).alias("bucket")
+        )
+    )
+    return sig.groupBy("bucket").agg(
+        F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id")
+    )
+
+
+@register(
+    "dedup_embedding_neardup",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             CAST(unnest(a.embedding) AS DOUBLE) AS x, CAST(unnest(b.embedding) AS DOUBLE) AS y
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id AND a.label = b.label
+    ),
+    cos AS (
+      SELECT va, vb, sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS c
+      FROM pairs GROUP BY va, vb
+    )
+    SELECT va AS vec_a, vb AS vec_b, round(c, 4) AS cos
+    FROM cos WHERE c > 0.8
+    """,
+    doc="Embedding-cosine near-duplicate pairs, blocked by label so the "
+    "pair space stays linear-ish (at 100 TB: block by LSH bucket instead — "
+    "same plan shape, join key = bucket). Threshold 0.8.",
+)
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("va"), F.col("label").alias("la"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vb"), F.col("label").alias("lb"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, (F.col("va") < F.col("vb")) & (F.col("la") == F.col("lb")))
+        .select("va", "vb", cosine(F.col("ea"), F.col("eb")).alias("c"))
+        .filter(F.col("c") > 0.8)
+        .select(F.col("va").alias("vec_a"), F.col("vb").alias("vec_b"), r4(F.col("c")).alias("cos"))
+    )
