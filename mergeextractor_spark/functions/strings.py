@@ -127,8 +127,13 @@ def mojibake_repair(c: Column) -> Column:
     return F.translate(c, src_chars, dst_chars)
 
 
-def word_boundary_pattern(name: Column) -> Column:
+def word_boundary_pattern(name: Column, flex_whitespace: bool = False) -> Column:
     """Build a \\b<literal>\\b regex from a (lowercased) name, escaping regex
-    metachars. Used by filter_company_presence (ref Processor.py:181-186)."""
+    metachars. Used by filter_company_presence (ref Processor.py:181-186).
+    ``flex_whitespace`` lets spaces in the name match any whitespace run —
+    filings wrap prose at terminal width, so a multi-word name can straddle
+    a line break."""
     escaped = F.regexp_replace(name, r"([\\.\[\]\{\}\(\)\*\+\?\^\$\|])", r"\\$1")
+    if flex_whitespace:
+        escaped = F.regexp_replace(escaped, r"\s+", r"\\s+")
     return F.concat(F.lit(r"\b"), escaped, F.lit(r"\b"))

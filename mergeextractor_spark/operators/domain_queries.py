@@ -1,0 +1,169 @@
+"""Domain-pipeline operators registered for the driver (SURVEY §2.1 scan,
+§2.8 chunking/cascade/fuzzy/LLM, §3 lifecycles).
+
+UDF-bound keys (chunker, cascade, fuzzy partial, LLM mocks, full
+pipelines) have no SQL twin → rows-only checks, as SURVEY §5 specifies;
+``scan_csv_deals`` gets a read_csv oracle. Domain fixtures live in-repo
+(tests/fixtures) because they model the reference's deal/filing data
+shapes, which the driver's TPC-H-ish tables don't carry.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import t, r4
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_DEALS_CSV = os.path.join(_REPO, "tests", "fixtures", "deals.csv")
+
+
+def _filings_df(spark: SparkSession) -> DataFrame:
+    import sys
+
+    tests_dir = os.path.join(_REPO, "tests")
+    if tests_dir not in sys.path:
+        sys.path.insert(0, tests_dir)
+    from fixtures.filings import build_filings
+
+    from ..schemas import FILING_DOCUMENTS
+
+    return spark.createDataFrame(build_filings(), schema=FILING_DOCUMENTS)
+
+
+def _deals_df(spark: SparkSession) -> DataFrame:
+    from ..sources.csv_deals import scan_csv_deals
+
+    return scan_csv_deals(spark, _DEALS_CSV)
+
+
+@register(
+    "scan_csv_deals",
+    oracle=f"""
+    SELECT main_index, announcement_date, company_a, company_b
+    FROM read_csv('{_DEALS_CSV}', header=false,
+                  columns={{'main_index': 'BIGINT', 'announcement_date': 'VARCHAR',
+                            'company_a': 'VARCHAR', 'company_b': 'VARCHAR'}})
+    """,
+    doc="Header-less positional CSV scan with explicit schema (ref "
+    "config.py:22-27; row-position key made explicit).",
+)
+def scan_csv_deals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _deals_df(spark)
+
+
+@register(
+    "chunk_split_overlap",
+    oracle=None,  # recursive-splitter UDF → rows-only; SQL twin is chunk_fixed
+    doc="Reference-parity recursive chunker (2048/400, langchain separator "
+    "hierarchy — ref ChunkProcessor.py:195-231) over the documents fixture; "
+    "returns (doc_id, chunk_idx, chunk_len). Arrow-batched UDF, fans out "
+    "inside the scan stage.",
+)
+def chunk_split_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .chunking import chunk_documents
+
+    chunks = chunk_documents(t(spark, sf_dir, "documents"), text_col="text")
+    return chunks.select(
+        "doc_id", "chunk_idx", F.length("chunk").cast("long").alias("chunk_len")
+    )
+
+
+@register(
+    "header_cascade",
+    oracle=None,  # UDF cascade → rows-only
+    doc="3-stage header cascade over the filing fixtures (ref "
+    "ChunkProcessor.py:34-169): chunk → native 'background' prefilter → "
+    "cascade UDF → passage rows.",
+)
+def header_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .cascade import filter_background_chunks
+    from .chunking import chunk_documents
+
+    filings = _filings_df(spark)
+    chunks = chunk_documents(
+        filings.select("main_index", "content"), text_col="content", id_cols=["main_index"]
+    )
+    hits = filter_background_chunks(chunks)
+    return hits.select(
+        "main_index", "chunk_idx", F.length("passage").cast("long").alias("passage_len")
+    )
+
+
+@register(
+    "fuzzy_partial_ratio",
+    oracle=None,  # sliding-window alignment → rows-only
+    doc="rapidfuzz-compatible partial_ratio>45 fuzzy theta-join of nation "
+    "names against region names (ref CrawlerSupport.py:143-154 entity "
+    "matching at >90; the threshold is scaled to the synthetic NATION_N/"
+    "REGION_N fixture names). Pandas UDF over a broadcast cross join.",
+)
+def fuzzy_partial_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.fuzzy import fuzz_partial_ratio_udf
+
+    n = t(spark, sf_dir, "nation").select(F.col("n_name").alias("name_a"))
+    r = t(spark, sf_dir, "region").select(F.col("r_name").alias("name_b"))
+    scored = n.crossJoin(F.broadcast(r)).withColumn(
+        "partial", r4(fuzz_partial_ratio_udf(F.lower("name_a"), F.lower("name_b")))
+    )
+    return scored.filter(F.col("partial") > 45.0)
+
+
+@register(
+    "llm_classify_doc",
+    oracle=None,  # mock LLM → rows-only
+    doc="LLMFunctionCall classification stage with the deterministic mock "
+    "client (ref Processor.py:309-395, schema config.py:109-138): "
+    "(main_index, has_section, match_header, confidence).",
+)
+def llm_classify_doc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm import llm_classify_doc
+
+    out = llm_classify_doc(_filings_df(spark), text_col="content")
+    return out.select("main_index", "has_section", "match_header", r4(F.col("confidence")).alias("confidence"))
+
+
+@register(
+    "llm_extract_initiator",
+    oracle=None,  # mock LLM → rows-only
+    doc="LLMFunctionCall initiator extraction with enum validation (ref "
+    "InitiatorIdentifier.py:71-83, schema config.py:167-208).",
+)
+def llm_extract_initiator_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.filing_pipeline import identifier_pipeline, separator_pipeline
+
+    sections = separator_pipeline(_filings_df(spark))
+    return identifier_pipeline(sections)
+
+
+@register(
+    "pipeline_crawler",
+    oracle=None,  # composed UDF pipeline → rows-only
+    doc="Crawler lifecycle end-to-end on fixtures (SURVEY §3.1): anti-join "
+    "→ date window → presence filter (strip-parens + hyphen retry, "
+    "whitespace-flexible) → chunk → cascade → deterministic first match.",
+)
+def pipeline_crawler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.filing_pipeline import crawler_pipeline
+
+    return crawler_pipeline(_deals_df(spark), _filings_df(spark))
+
+
+@register(
+    "pipeline_separator",
+    oracle=None,  # composed UDF pipeline → rows-only
+    doc="Separator lifecycle end-to-end on fixtures (SURVEY §3.2): chunk → "
+    "cascade → deterministic rank → winner+11 assembly → line dedup → "
+    "company-token check → abbreviation enrichment.",
+)
+def pipeline_separator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.filing_pipeline import separator_pipeline
+
+    out = separator_pipeline(_filings_df(spark))
+    return out.select(
+        "main_index", "company_a", "company_b", F.length("content").cast("long").alias("content_len")
+    )

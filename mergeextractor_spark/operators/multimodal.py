@@ -1,0 +1,123 @@
+"""Multimodal column plumbing (engine extension for training-data
+pipelines): image/audio/video as opaque ``binary`` columns with typed
+metadata, processed by Arrow-batched ``mapInPandas`` stages.
+
+The decode kernels themselves are STUBBED (this container has no
+image/audio libraries): ``decode_image`` raises NotImplementedError
+unless handed a codec, and the default test codec is a deterministic
+fake that parses our synthetic header. The Spark-side plumbing — schema,
+batch iteration, partition sizing, UDF signatures — is real and tested;
+swapping in Pillow/ffmpeg is a one-line codec injection per executor.
+
+Scale notes: binary payloads never shuffle — metadata extraction runs
+map-side and only the (id, metadata/features) projection moves. Partition
+sizing for 100 TB of blobs comes from spark.sql.files.maxPartitionBytes,
+not row counts.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("mime", T.StringType()),
+    ]
+)
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+# Synthetic payload format for tests: b"FAKEIMG" + width(u32) + height(u32) + pixels
+FAKE_MAGIC = b"FAKEIMG"
+
+
+def encode_fake_image(width: int, height: int, fill: int = 0) -> bytes:
+    return FAKE_MAGIC + struct.pack("<II", width, height) + bytes([fill % 256]) * (width * height)
+
+
+def fake_image_codec(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in decoder: parses the synthetic header."""
+    if not payload or not payload.startswith(FAKE_MAGIC):
+        raise ValueError("not a FAKEIMG payload")
+    w, h = struct.unpack_from("<II", payload, len(FAKE_MAGIC))
+    return w, h
+
+
+def decode_image(payload: bytes, codec: Callable[[bytes], tuple[int, int]] | None = None):
+    """Decode stub: real deployments inject a Pillow/libvips codec here."""
+    if codec is None:
+        raise NotImplementedError(
+            "image decoding requires an injected codec (Pillow/libvips not in this environment)"
+        )
+    return codec(payload)
+
+
+def image_metadata(
+    media: DataFrame, codec: Callable[[bytes], tuple[int, int]] = fake_image_codec
+) -> DataFrame:
+    """binary images → (media_id, width, height, n_bytes) via mapInPandas.
+    Batches iterate Arrow record batches; payload bytes never leave the
+    executor after this projection."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    w, h = decode_image(bytes(payload), codec)
+                except Exception:
+                    w = h = -1
+                rows.append(
+                    {"media_id": mid, "width": w, "height": h, "n_bytes": len(payload)}
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "width", "height", "n_bytes"])
+
+    return media.filter(F.col("kind") == "image").select("media_id", "payload").mapInPandas(
+        _run, IMAGE_META_SCHEMA
+    )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """Frame-sampling plumbing: 1 video row → N frame rows (UDTF shape).
+    The stub 'frame' is a byte slice; a real ffmpeg codec keeps the exact
+    same signature and fan-out."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload)
+                for i, start in enumerate(range(0, len(data), every_n_bytes)):
+                    rows.append(
+                        {"media_id": mid, "frame_idx": i, "frame": data[start : start + every_n_bytes]}
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
+
+    return media.filter(F.col("kind") == "video").select("media_id", "payload").mapInPandas(
+        _run, FRAME_SCHEMA
+    )

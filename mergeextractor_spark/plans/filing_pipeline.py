@@ -1,0 +1,219 @@
+"""Domain-exact end-to-end pipelines mirroring the reference's three
+lifecycles (SURVEY §3) over local fixtures — no network, no ML models.
+
+crawler  (§3.1): deals → anti-join done → date window → join candidate
+                 filings → company-presence filter → chunk → cascade →
+                 deterministic first-match → crawler output rows
+separator(§3.2): documents → chunk → cascade → hybrid rank (deterministic
+                 stand-ins) → winner + 11 following chunks → line dedup →
+                 company-token check → abbreviation enrichment → sections
+identifier(§3.3): sections → LLMFunctionCall (mock) → typed initiator rows
+
+The reference's racy "first match wins" (Processor.py:277-281) becomes a
+total order (earliest url, then chunk) — reproducible by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.dates import date_window_lb, date_window_ub
+from ..functions.strings import strip_parens, word_boundary_pattern
+from ..operators.cascade import filter_background_chunks
+from ..operators.chunking import chunk_documents
+from ..operators.enrich import (
+    FOLLOW_CHUNKS,
+    company_tokens_present,
+    find_definition_paragraphs,
+    merger_header,
+    normalize_lines,
+    top_orgs,
+)
+from ..operators.llm import llm_extract_initiator
+
+DATE_MARGIN = 4  # months, ref crawl.py:6
+
+
+def crawler_pipeline(deals: DataFrame, filings: DataFrame, done: DataFrame | None = None) -> DataFrame:
+    """deals + candidate filing documents → accepted (main_index, url) rows
+    (output.csv semantics, CrawlerHandler.py:21-49).
+
+    ``filings``: (main_index, url, content) candidate documents per deal.
+    """
+    todo = deals
+    if done is not None:
+        todo = deals.join(done.select("main_index"), "main_index", "left_anti")
+
+    d = F.to_date("announcement_date", "M/d/yyyy")
+    windowed = todo.select(
+        "main_index",
+        "announcement_date",
+        "company_a",
+        "company_b",
+        F.date_format(date_window_lb(d, DATE_MARGIN), "yyyy-MM-dd").alias("date_lb"),
+        F.date_format(date_window_ub(d, DATE_MARGIN), "yyyy-MM-dd").alias("date_ub"),
+    )
+
+    cand = windowed.join(filings.select("main_index", "url", "content"), "main_index")
+
+    # Company-presence filter over the 11k header prefix (Processor.py:154-187),
+    # with the hyphen→space retry folded in as a disjunction (O5 ordering:
+    # this cheap native filter runs before the chunking UDF).
+    prefix = F.lower(F.substring("content", 1, 11000))
+    # Parenthesized alternate names are stripped before matching, as the
+    # reference does everywhere it searches (Processor.py:45).
+    na = strip_parens(F.lower("company_a"))
+    nb = strip_parens(F.lower("company_b"))
+    pa = word_boundary_pattern(na, flex_whitespace=True)
+    pb = word_boundary_pattern(nb, flex_whitespace=True)
+    pa2 = word_boundary_pattern(F.regexp_replace(na, "-", " "), flex_whitespace=True)
+    pb2 = word_boundary_pattern(F.regexp_replace(nb, "-", " "), flex_whitespace=True)
+    direct = F.rlike(prefix, pa) & F.rlike(prefix, pb)
+    retry = F.rlike(F.regexp_replace(prefix, "-", " "), pa2) & F.rlike(
+        F.regexp_replace(prefix, "-", " "), pb2
+    )
+    present = cand.filter(direct | retry)
+
+    chunks = chunk_documents(
+        present.select("main_index", "url", "content"),
+        text_col="content",
+        id_cols=["main_index", "url"],
+    )
+    hits = filter_background_chunks(chunks)
+
+    # Deterministic first-match: smallest (url, chunk_idx) per deal replaces
+    # the reference's shared-flag race (Processor.py:277-281 → SURVEY §4 O6).
+    w = W.partitionBy("main_index").orderBy("url", "chunk_idx")
+    winners = hits.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+
+    return (
+        winners.join(deals, "main_index")
+        .select(
+            "main_index",
+            "announcement_date",
+            F.col("company_a").alias("tmanames"),
+            F.col("company_b").alias("amanames"),
+            "url",
+        )
+    )
+
+
+def separator_pipeline(documents: DataFrame, done: DataFrame | None = None) -> DataFrame:
+    """Accepted documents → extracted sections (SeperatorHandler semantics).
+
+    ``documents``: (main_index, company_a, company_b, url, content).
+    Ranking uses the deterministic stand-in score (token overlap with the
+    phrase vocabulary — FIXTURES.md §2.7) in place of embed+rerank; the
+    pluggable pandas-UDF scorers drop in via operators/llm.py's pattern.
+    """
+    if done is not None:
+        documents = documents.join(done.select("main_index"), "main_index", "left_anti")
+
+    chunks = chunk_documents(
+        documents.select("main_index", "content"),
+        text_col="content",
+        id_cols=["main_index"],
+    ).cache()
+
+    hits = filter_background_chunks(chunks)
+
+    # Deterministic hybrid stand-in: passage length as relevance, earliest
+    # chunk as tiebreak (single-candidate case short-circuits identically —
+    # ChunkProcessor.py:383-389).
+    w = W.partitionBy("main_index").orderBy(F.desc(F.length("passage")), F.asc("chunk_idx"))
+    best = (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("main_index", F.col("chunk_idx").alias("best_idx"), "passage")
+    )
+
+    # Winner passage + the 11 following chunks (ChunkProcessor.py:407).
+    follow = chunks.alias("c").join(
+        best.alias("b"),
+        (F.col("c.main_index") == F.col("b.main_index"))
+        & (F.col("c.chunk_idx") > F.col("b.best_idx"))
+        & (F.col("c.chunk_idx") <= F.col("b.best_idx") + FOLLOW_CHUNKS),
+    )
+    tail = follow.groupBy(F.col("b.main_index").alias("main_index")).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("c.chunk_idx").alias("p"), F.col("c.chunk").alias("s")))
+                ),
+                lambda x: x["s"],
+            ),
+            "\n",
+        ).alias("tail_text")
+    )
+    assembled = best.join(tail, "main_index", "left").select(
+        "main_index",
+        F.concat(F.col("passage"), F.lit("\n"), F.coalesce(F.col("tail_text"), F.lit(""))).alias("raw_section"),
+    )
+    deduped = normalize_lines(assembled, "raw_section", "section")
+
+    names = documents.select("main_index", "company_a", "company_b")
+    secs = deduped.join(names, "main_index")
+
+    ok = company_tokens_present(F.col("section"), F.col("company_a"), F.col("company_b"))
+    direct = secs.filter(ok).select(
+        "main_index",
+        "company_a",
+        "company_b",
+        F.concat(merger_header(F.col("company_a"), F.col("company_b")), F.col("section")).alias("content"),
+    )
+
+    # Abbreviation enrichment path (ChunkProcessor.py:331-370): top-5 ORGs →
+    # defining paragraphs → preamble + header + passage.
+    needs = secs.filter(~ok)
+    orgs = top_orgs(needs, "main_index", "section", k=5)
+    defs = find_definition_paragraphs(orgs, chunks, org_col="org", id_col="main_index")
+    def_text = (
+        defs.groupBy("main_index")
+        .agg(
+            F.concat(
+                F.lit("Here are some potentially useful abbreviation definitions that could help with analyzing the 'Background' section:\n"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct(F.col("org").alias("o"), F.col("definition").alias("d")))),
+                        lambda x: F.concat(
+                            F.lit("\nPassage that defines the abbreviation '"),
+                            x["o"],
+                            F.lit("':\n"),
+                            x["d"],
+                            F.lit("\n"),
+                        ),
+                    ),
+                    "",
+                ),
+            ).alias("preamble")
+        )
+    )
+    enriched = (
+        needs.join(def_text, "main_index", "left")
+        .select(
+            "main_index",
+            "company_a",
+            "company_b",
+            F.concat(
+                F.coalesce(F.concat(F.col("preamble"), F.lit("\n")), F.lit("")),
+                merger_header(F.col("company_a"), F.col("company_b")),
+                F.lit("\n"),
+                F.col("section"),
+            ).alias("content"),
+        )
+    )
+    return direct.unionByName(enriched)
+
+
+def identifier_pipeline(sections: DataFrame) -> DataFrame:
+    """Extracted sections → initiator rows (outputUnion.csv semantics,
+    InitiatorIdentifier.py:26-50)."""
+    out = llm_extract_initiator(sections, text_col="content")
+    return out.select(
+        "main_index",
+        "initiator",
+        "date_of_initiation",
+        "type_of_initiation",
+        F.col("stated_reasons").alias("reason"),
+    )

@@ -54,6 +54,7 @@ def load_all() -> dict[str, Query]:
         vector_queries,
         dedup,
         streaming_queries,
+        domain_queries,
     )
     from .plans import extract_pipeline  # noqa: F401
 

@@ -1,0 +1,81 @@
+"""Structured Streaming over the events table (SURVEY §2.9 — an extension,
+not reference parity: the reference is batch with resume-by-anti-join).
+
+The batch twins in operators/streaming_queries.py are the oracle-checked
+semantics; these jobs run the same logical plans as micro-batches with
+watermarked state. Tests drive them with ``availableNow`` over the parquet
+fixture and compare against the batch twin.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # raw nanos (nanosAsLong read)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (nanos ts → timestamp, same exact
+    integer conversion as the batch loader). The file-stream source needs a
+    directory; the fixture is a single file, so it is symlinked into a
+    scratch dir (a real deployment points at the landing directory)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.isfile(src):
+        stream_dir = os.path.join(
+            tempfile.gettempdir(), f"events_stream_{abs(hash(sf_dir))}"
+        )
+        os.makedirs(stream_dir, exist_ok=True)
+        link = os.path.join(stream_dir, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(src, link)
+        src = stream_dir
+    raw = spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(src)
+    return raw.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+
+
+def tumbling_counts(events: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling-window counts per event_type — the streaming
+    form of events_tumbling_counts. Late rows beyond the watermark are
+    dropped; state is bounded by watermark horizon × window count."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Drive a streaming plan to completion over the currently-available
+    input (availableNow trigger + memory sink) and return the result as a
+    batch DataFrame. This is the local-test harness; production would use
+    a real sink + checkpointLocation."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete" if stream_df.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")

@@ -1,0 +1,37 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from mergeextractor_spark.session import get_spark
+
+    s = get_spark("tests")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def filings_df(spark):
+    from fixtures.filings import build_filings
+    from mergeextractor_spark.schemas import FILING_DOCUMENTS
+
+    return spark.createDataFrame(build_filings(), schema=FILING_DOCUMENTS)
+
+
+@pytest.fixture(scope="session")
+def deals_df(spark):
+    from mergeextractor_spark.sources.csv_deals import scan_csv_deals
+
+    return scan_csv_deals(spark, os.path.join(REPO, "tests", "fixtures", "deals.csv"))

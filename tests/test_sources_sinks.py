@@ -1,0 +1,65 @@
+import pytest
+from pyspark.sql import functions as F
+
+from mergeextractor_spark.sources.sinks import (
+    scan_kv_point,
+    sink_csv_ordered,
+    sink_fs_dump,
+    sink_kv_store,
+    update_kv_partition,
+    with_bucket,
+)
+
+
+def test_scan_csv_deals(deals_df):
+    rows = {r.main_index: r for r in deals_df.collect()}
+    assert len(rows) == 6
+    assert rows[0].company_a == "Alpha Data Systems Inc"
+    assert rows[1].company_a == "CyBear Inc(Andryx Corp)"  # quoted comma-free parens
+    assert rows[2].announcement_date == "12/30/2004"
+
+
+def test_kv_store_roundtrip_and_pruning(spark, filings_df, tmp_path):
+    path = str(tmp_path / "kv")
+    # spread across buckets by shifting indexes
+    df = filings_df.withColumn("main_index", F.col("main_index") + 199)
+    sink_kv_store(df, path, mode="overwrite")
+    got = scan_kv_point(spark, path, 199 + 5)
+    rows = got.collect()
+    assert len(rows) == 1 and rows[0].company_a == "Quantisys Materials Inc"
+    # partition pruning visible in the plan: only bucket=2 survives
+    plan = got.queryExecution if False else got._jdf.queryExecution().executedPlan().toString()
+    assert "bucket" in plan
+
+
+def test_kv_update_partition(spark, filings_df, tmp_path):
+    path = str(tmp_path / "kv2")
+    sink_kv_store(filings_df, path, mode="overwrite")
+    patched = filings_df.filter(F.col("main_index") == 0).withColumn(
+        "content", F.lit("patched")
+    )
+    update_kv_partition(patched, path)
+    back = spark.read.parquet(path)
+    # bucket 0 replaced wholesale (all six fixtures live in bucket 0),
+    # mirroring overwrite-partition semantics
+    assert {r.content for r in back.collect()} == {"patched"}
+
+
+def test_csv_ordered_sink(spark, deals_df, tmp_path):
+    path = str(tmp_path / "out_csv")
+    sink_csv_ordered(deals_df, path)
+    back = spark.read.option("header", True).csv(path)
+    idx = [int(r.main_index) for r in back.collect()]
+    assert idx == sorted(idx)
+
+
+def test_fs_dump(spark, filings_df, tmp_path):
+    path = str(tmp_path / "dump")
+    sink_fs_dump(filings_df, path)
+    back = spark.read.text(path)
+    assert back.filter(F.col("value").startswith("FILE: 0_Alpha Data Systems Inc")).count() == 1
+
+
+def test_with_bucket_values(filings_df):
+    b = with_bucket(filings_df.withColumn("main_index", F.col("main_index") + 250))
+    assert {r.bucket for r in b.select("bucket").collect()} == {2}
