@@ -130,9 +130,10 @@ def _minhash_sql_cols() -> str:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
-    sh = (
-        d.select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle"))
-        .distinct()
+    # array_distinct BEFORE the explode: per-doc dedup is a map-side array
+    # op, so no shuffle is spent making (doc_id, shingle) unique.
+    sh = d.select(
+        "doc_id", F.explode(F.array_distinct(shingles(F.col("text")))).alias("shingle")
     )
     sh.cache()
     sig = sh.groupBy("doc_id").agg(*_minhash_agg_cols())
@@ -154,8 +155,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     s1 = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     s2 = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # Candidate pairs are tiny after banding — broadcast them so the
+    # shingle table is probed map-side instead of shuffled twice.
     verified = (
-        cand.join(s1, "doc_a").join(s2, ["doc_b", "shingle"])
+        s1.join(F.broadcast(cand), "doc_a")
+        .join(s2, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("common"))
     )
@@ -163,7 +167,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))
     return (
-        verified.join(na, "doc_a").join(nb, "doc_b")
+        verified.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
         .filter(jac >= 0.2)
         .select("doc_a", "doc_b", r4(jac).alias("jaccard"))
     )

@@ -1,0 +1,128 @@
+"""Registered queries for the ML-adjacent operator surface (SURVEY §2.8):
+embed_text, rerank_crossencoder (oracle-paired — the overlap stand-in is
+SQL-expressible), str_normalize_unicode, abbrev_enrich, and the KV-sink
+roundtrip.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import unicodedata
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import register
+from ._util import t, r4
+
+RERANK_QUERY = "events leading up to the merger agreement between the companies"
+
+
+@register(
+    "embed_text",
+    oracle=None,  # hash-embedder UDF → rows-only (vector parity via stats)
+    doc="Pluggable text-embedding stage with the deterministic hash-embedder "
+    "stand-in (ref ChunkProcessor.py:233-238; model swap = one callable). "
+    "Returns per-doc vector stats so the rows-only check still pins shape.",
+)
+def embed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.embedding import EMBED_DIM, embed_text_udf
+
+    udf = embed_text_udf()
+    out = t(spark, sf_dir, "documents").select(
+        "doc_id", udf(F.col("text")).alias("vec")
+    )
+    return out.select(
+        "doc_id",
+        F.size("vec").alias("dim"),
+        r4(F.aggregate("vec", F.lit(0.0), lambda a, v: a + v.cast("double") * v.cast("double"))).alias("sq_norm"),
+    )
+
+
+@register(
+    "rerank_crossencoder",
+    oracle=f"""
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-(len(list_intersect(
+             list_distinct(list_filter(string_split(lower('{RERANK_QUERY}'), ' '), x -> x <> '')),
+             list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))
+           )) - 2.0))), 4) AS rerank
+    FROM documents
+    """,
+    doc="Reranker stage with the deterministic overlap-sigmoid stand-in "
+    "(ref ChunkProcessor.py:308-317 CrossEncoder + sigmoid). The stand-in "
+    "is SQL-expressible, so this UDF-shaped operator still gets a value "
+    "oracle — the real model drops into the same pandas UDF.",
+)
+def rerank_crossencoder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.embedding import rerank_udf
+
+    udf = rerank_udf(RERANK_QUERY)
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", r4(udf(F.col("text"))).alias("rerank")
+    )
+
+
+@register(
+    "str_normalize_unicode",
+    oracle=None,  # NFKC has no DuckDB twin (only NFC) → rows-only
+    doc="NFKC normalize + ASCII fold (ref Processor.py:132-152). No native "
+    "Spark/DuckDB NFKC — Arrow-batched pandas UDF; rows-only check.",
+)
+def str_normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf(T.StringType())
+    def nfkc_fold(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                unicodedata.normalize("NFKC", t or "").encode("ascii", "ignore").decode("ascii")
+                for t in texts
+            ]
+        )
+
+    raw = F.concat(F.lit("ﬁ "), F.substring("text", 1, 60), F.lit("™"))
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", nfkc_fold(raw).alias("folded")
+    )
+
+
+@register(
+    "abbrev_enrich",
+    oracle=None,  # composed UDF pipeline → rows-only
+    doc="Abbreviation enrichment composition (ref ChunkProcessor.py:331-370): "
+    "regex-NER top-5 ORGs → definition-paragraph theta join → formatted "
+    "preamble rows (main_index, org, definition).",
+)
+def abbrev_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .chunking import chunk_documents
+    from .domain_queries import _filings_df
+    from .enrich import find_definition_paragraphs, top_orgs
+
+    filings = _filings_df(spark)
+    chunks = chunk_documents(
+        filings.select("main_index", "content"), text_col="content", id_cols=["main_index"]
+    )
+    orgs = top_orgs(
+        filings.select("main_index", "content"), "main_index", "content", k=5
+    ).select("main_index", "org")
+    defs = find_definition_paragraphs(orgs, chunks, org_col="org", id_col="main_index")
+    return defs.select("main_index", "org", F.length("definition").cast("long").alias("definition_len"))
+
+
+@register(
+    "sink_kv_roundtrip",
+    oracle=None,  # side-effecting sink → rows-only roundtrip
+    doc="Bucketed KV-store write→point-read roundtrip (ref Mongo sharding "
+    "DatabaseHandler.py:24-34 → partitionBy('bucket') parquet; the read is "
+    "partition-pruned).",
+)
+def sink_kv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.sinks import scan_kv_point, sink_kv_store
+    from .domain_queries import _filings_df
+
+    path = os.path.join(tempfile.mkdtemp(prefix="kvq_"), "store")
+    sink_kv_store(_filings_df(spark).withColumn("main_index", F.col("main_index") + 250), path, mode="overwrite")
+    got = scan_kv_point(spark, path, 255)
+    return got.select("main_index", "company_a", "bucket")

@@ -55,6 +55,7 @@ def load_all() -> dict[str, Query]:
         dedup,
         streaming_queries,
         domain_queries,
+        mlops_queries,
     )
     from .plans import extract_pipeline  # noqa: F401
 
