@@ -56,6 +56,7 @@ def load_all() -> dict[str, Query]:
         streaming_queries,
         domain_queries,
         mlops_queries,
+        parity_queries,
     )
     from .plans import extract_pipeline  # noqa: F401
 

@@ -1,0 +1,53 @@
+import time
+
+from pyspark.sql import functions as F
+
+from mergeextractor_spark.sources.http import TokenBucket, edgar_fts_params, fetch_stage
+
+
+def test_token_bucket_rate():
+    bucket = TokenBucket(rate=50.0, capacity=1.0)
+    t0 = time.monotonic()
+    for _ in range(6):
+        bucket.wait()
+    elapsed = time.monotonic() - t0
+    # 6 requests at 50/s with capacity 1 → ≥ ~0.1s (5 refills)
+    assert elapsed >= 0.08
+
+
+def test_fetch_stage_injected_fetcher(spark):
+    urls = spark.createDataFrame([(f"https://example.invalid/{i}",) for i in range(5)], "url string")
+
+    def fake(url):
+        return 200, f"body-of-{url.rsplit('/', 1)[-1]}"
+
+    out = fetch_stage(urls, global_rate=1000.0, fetcher=fake).collect()
+    assert len(out) == 5
+    assert all(r.status == 200 for r in out)
+    assert {r.body for r in out} == {f"body-of-{i}" for i in range(5)}
+
+
+def test_fetch_stage_failure_rows(spark):
+    urls = spark.createDataFrame([("https://example.invalid/x",)], "url string")
+
+    def boom(url):
+        raise RuntimeError("nope")
+
+    # fetcher exceptions inside mapInPandas would kill the task; the
+    # contract is that fetchers return coded failures instead — mirror the
+    # default fetcher's behavior with a wrapping fake
+    def coded(url):
+        try:
+            return boom(url)
+        except Exception as exc:
+            return -1, str(exc)
+
+    out = fetch_stage(urls, global_rate=1000.0, fetcher=coded).collect()
+    assert out[0].status == -1 and "nope" in out[0].body
+
+
+def test_edgar_params_pushdown_by_construction():
+    url = edgar_fts_params("CyBear Inc", "2001-06-01", "2002-02-01", ["PREM14A", "S-4"])
+    assert "CyBear%20Inc" in url
+    assert "startdt=2001-06-01" in url and "enddt=2002-02-01" in url
+    assert "forms=PREM14A%2CS-4" in url
