@@ -32,7 +32,10 @@ HEADLINE = [
     "date_window",               # date battery
     "dedup_exact",               # hash dedup
     "dedup_minhash_lsh",         # minhash + LSH + verify
-    "ann_bruteforce_topk",       # vector search
+    "dedup_simhash",             # simhash signatures
+    "ann_bruteforce_topk",       # vector search (exact baseline)
+    "ann_ivf_topk",              # vector search (cell probing)
+    "agg_salted_skew",           # two-phase skew-resistant agg
     "text_quality_score",        # text analysis battery
     "events_tumbling_counts",    # windowed agg (streaming twin)
     "events_sessionize",         # sessionization

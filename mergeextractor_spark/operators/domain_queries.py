@@ -22,9 +22,15 @@ _REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__
 _DEALS_CSV = os.path.join(_REPO, "tests", "fixtures", "deals.csv")
 
 
+_DF_CACHE: dict = {}
+
+
 def _filings_df(spark: SparkSession) -> DataFrame:
     import sys
 
+    key = ("filings", id(spark))
+    if key in _DF_CACHE:
+        return _DF_CACHE[key]
     tests_dir = os.path.join(_REPO, "tests")
     if tests_dir not in sys.path:
         sys.path.insert(0, tests_dir)
@@ -32,7 +38,23 @@ def _filings_df(spark: SparkSession) -> DataFrame:
 
     from ..schemas import FILING_DOCUMENTS
 
-    return spark.createDataFrame(build_filings(), schema=FILING_DOCUMENTS)
+    df = spark.createDataFrame(build_filings(), schema=FILING_DOCUMENTS)
+    _DF_CACHE[key] = df
+    return df
+
+
+def _sections_df(spark: SparkSession) -> DataFrame:
+    """Separator output over the fixture filings, cached: three contract
+    keys (pipeline_separator, llm_extract_initiator, sink_csv_union) need
+    it, and rebuilding the UDF pipeline per key triples the gate's cost."""
+    key = ("sections", id(spark))
+    if key in _DF_CACHE:
+        return _DF_CACHE[key]
+    from ..plans.filing_pipeline import separator_pipeline
+
+    df = separator_pipeline(_filings_df(spark)).cache()
+    _DF_CACHE[key] = df
+    return df
 
 
 def _deals_df(spark: SparkSession) -> DataFrame:
@@ -134,10 +156,9 @@ def llm_classify_doc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "InitiatorIdentifier.py:71-83, schema config.py:167-208).",
 )
 def llm_extract_initiator_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..plans.filing_pipeline import identifier_pipeline, separator_pipeline
+    from ..plans.filing_pipeline import identifier_pipeline
 
-    sections = separator_pipeline(_filings_df(spark))
-    return identifier_pipeline(sections)
+    return identifier_pipeline(_sections_df(spark))
 
 
 @register(
@@ -161,9 +182,7 @@ def pipeline_crawler(spark: SparkSession, sf_dir: str) -> DataFrame:
     "company-token check → abbreviation enrichment.",
 )
 def pipeline_separator(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..plans.filing_pipeline import separator_pipeline
-
-    out = separator_pipeline(_filings_df(spark))
+    out = _sections_df(spark)
     return out.select(
         "main_index", "company_a", "company_b", F.length("content").cast("long").alias("content_len")
     )

@@ -119,11 +119,11 @@ def sink_csv_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     "read back.",
 )
 def sink_csv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..plans.filing_pipeline import identifier_pipeline, separator_pipeline
+    from ..plans.filing_pipeline import identifier_pipeline
     from ..sources.sinks import sink_csv_ordered
-    from .domain_queries import _filings_df
+    from .domain_queries import _sections_df
 
-    out = identifier_pipeline(separator_pipeline(_filings_df(spark)))
+    out = identifier_pipeline(_sections_df(spark))
     path = os.path.join(tempfile.mkdtemp(prefix="csvu_"), "union")
     sink_csv_ordered(out, path)
     back = spark.read.option("header", True).csv(path)

@@ -57,6 +57,7 @@ def load_all() -> dict[str, Query]:
         domain_queries,
         mlops_queries,
         parity_queries,
+        scale_queries,
     )
     from .plans import extract_pipeline  # noqa: F401
 
