@@ -23,6 +23,47 @@ def drop_last_word(c: Column) -> Column:
     return F.when(n <= 1, F.trim(c)).otherwise(F.array_join(F.slice(words, 1, n - 1), " "))
 
 
+MERGE_WORDS = ["net", "com", "org", "co"]
+
+
+def company_loose_name(c: Column) -> Column:
+    """The reference's loose-match name builder (Processor.py:30-64):
+    strip parenthesized content, split on whitespace/underscore, merge the
+    FIRST domain-like token ('net','com','org','co') with its successor as
+    'tok.next' (one merge only, never the last word), then drop a trailing
+    '& X' pair or the last word. Pure array expressions with indexed
+    lambdas — no UDF."""
+    clean = F.trim(F.regexp_replace(c, r"\(.*?\)", ""))
+    words = F.split(clean, r"[\s_]+")
+    n = F.size(words)
+    pos = F.array_min(
+        F.filter(
+            F.transform(
+                words,
+                lambda w, i: F.when(F.lower(w).isin(MERGE_WORDS) & (i < n - 1), i),
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    head = F.when(pos > 0, F.slice(words, 1, pos)).otherwise(F.array().cast("array<string>"))
+    mid = F.array(
+        F.concat(F.element_at(words, pos + 1), F.lit("."), F.element_at(words, pos + 2))
+    )
+    tail_len = n - (pos + 2)
+    tail = F.when(tail_len > 0, F.slice(words, pos + 3, tail_len)).otherwise(
+        F.array().cast("array<string>")
+    )
+    merged = F.when(pos.isNotNull(), F.concat(head, mid, tail)).otherwise(words)
+    m = F.size(merged)
+    dropped = F.when(
+        m > 1,
+        F.when(F.element_at(merged, m - 1) == "&", F.slice(merged, 1, m - 2)).otherwise(
+            F.slice(merged, 1, m - 1)
+        ),
+    ).otherwise(merged)
+    return F.array_join(dropped, " ")
+
+
 def first_token(c: Column) -> Column:
     """First word, minus domain suffix. Ref: ChunkProcessor.py:414."""
     return F.element_at(F.split(F.element_at(F.split(F.lower(F.trim(c)), r"\s+"), 1), r"\."), 1)

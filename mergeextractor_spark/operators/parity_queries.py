@@ -354,6 +354,91 @@ def str_html_to_text_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "str_company_loose",
+    oracle=r"""
+    WITH raw AS (
+      SELECT n_nationkey,
+             CASE n_nationkey % 4
+               WHEN 0 THEN n_name || ' Inc'
+               WHEN 1 THEN 'Net ' || n_name || ' Group'
+               WHEN 2 THEN n_name || ' (old name) & Partners'
+               ELSE n_name || '_Holdings Co'
+             END AS name
+      FROM nation
+    ),
+    w AS (
+      SELECT n_nationkey, name,
+             string_split_regex(trim(regexp_replace(name, '\(.*?\)', '', 'g')), '[\s_]+') AS words
+      FROM raw
+    ),
+    p AS (
+      SELECT *, list_min(list_filter(
+               list_transform(words, (x, i) -> CASE WHEN lower(x) IN ('net','com','org','co') AND i < len(words) THEN i END),
+               v -> v IS NOT NULL)) AS pos
+      FROM w
+    ),
+    m AS (
+      SELECT n_nationkey,
+             CASE WHEN pos IS NOT NULL
+                  THEN list_concat(list_concat(words[1:pos-1], [words[pos] || '.' || words[pos+1]]), words[pos+2:])
+                  ELSE words END AS merged
+      FROM p
+    )
+    SELECT n_nationkey,
+           array_to_string(
+             CASE WHEN len(merged) > 1
+                  THEN CASE WHEN merged[len(merged)-1] = '&'
+                            THEN merged[1:len(merged)-2]
+                            ELSE merged[1:len(merged)-1] END
+                  ELSE merged END, ' ') AS loose_name
+    FROM m
+    """,
+    doc="Loose-match company-name builder (ref Processor.py:30-64): strip "
+    "parens, merge the first domain-like token with its successor, drop a "
+    "trailing '& X' pair or last word. Indexed array lambdas on both "
+    "engines — no UDF.",
+)
+def str_company_loose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.strings import company_loose_name
+
+    raw = (
+        F.when(F.col("n_nationkey") % 4 == 0, F.concat(F.col("n_name"), F.lit(" Inc")))
+        .when(F.col("n_nationkey") % 4 == 1, F.concat(F.lit("Net "), F.col("n_name"), F.lit(" Group")))
+        .when(F.col("n_nationkey") % 4 == 2, F.concat(F.col("n_name"), F.lit(" (old name) & Partners")))
+        .otherwise(F.concat(F.col("n_name"), F.lit("_Holdings Co")))
+    )
+    return t(spark, sf_dir, "nation").select(
+        "n_nationkey", company_loose_name(raw).alias("loose_name")
+    )
+
+
+@register(
+    "str_mojibake_repair",
+    oracle="""
+    SELECT doc_id,
+           translate(chr(145) || substr(text, 1, 40) || chr(148) || chr(150) || chr(160),
+                     chr(145) || chr(146) || chr(147) || chr(148) || chr(150) || chr(151) || chr(133) || chr(160),
+                     chr(8216) || chr(8217) || chr(8220) || chr(8221) || chr(8211) || chr(8212) || chr(8230) || ' ') AS repaired
+    FROM documents
+    """,
+    doc="cp1252 mojibake repair: stray C1 controls → proper punctuation, "
+    "NBSP → space (ref tools/patchabbrev.py:25-33,53-56). Single "
+    "translate() pass on both engines.",
+)
+def str_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.strings import mojibake_repair
+
+    raw = F.concat(
+        F.lit("\u0091"),
+        F.substring("text", 1, 40),
+        F.lit("\u0094\u0096\u00a0"),
+    )
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", mojibake_repair(raw).alias("repaired")
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.8
 
