@@ -40,6 +40,10 @@ HEADLINE = [
     "events_tumbling_counts",    # windowed agg (streaming twin)
     "events_sessionize",         # sessionization
     "json_extract_hits",         # json path
+    "olap_pricing_summary",      # TPC-H Q1 shape
+    "olap_nation_revenue",       # TPC-H Q5 shape (5-way join)
+    "join_asof",                 # as-of join (window formulation)
+    "join_range_interval",       # bucketed range join
 ]
 
 

@@ -1,0 +1,300 @@
+"""Classic OLAP surface over the TPC-H-ish fixtures: pricing-summary /
+top-N / multi-way-join aggregations, rollup/cube/pivot, exact
+percentiles, as-of join, bucketed range join. All oracle-paired.
+
+These round out "a user of the reference could run every query they run
+today, and the analytics around them": the reference is an ETL pipeline,
+but its outputs land in exactly this kind of star-schema analysis.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import t, r4
+
+
+@register(
+    "olap_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 4) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: scan-side date filter + two-key groupBy with six "
+    "aggregates. Partial aggregation map-side; one shuffle on the tiny "
+    "group key space.",
+)
+def olap_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.to_date("l_shipdate") <= F.lit("2000-09-02").cast("date")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        r4(F.sum("l_quantity")).alias("sum_qty"),
+        r4(F.sum("l_extendedprice")).alias("sum_base_price"),
+        r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_price"),
+        r4(F.avg("l_quantity")).alias("avg_qty"),
+        r4(F.avg("l_discount")).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "olap_top_revenue_orders",
+    oracle="""
+    SELECT o.o_orderkey, strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS orderdate,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: dim-filtered 3-way join + grouped revenue + "
+    "top-10 (TakeOrderedAndProject — no global sort). Customer dim "
+    "broadcasts; ties broken by orderkey.",
+)
+def olap_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "olap_nation_revenue",
+    oracle="""
+    SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5 shape: 5-way join with the local-supplier predicate "
+    "(s_nationkey = c_nationkey). Small dims broadcast; the fact-fact "
+    "join shuffles on orderkey only.",
+)
+def olap_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP hierarchy totals (flag → flag×status → grand total) — one "
+    "pass, Spark expands grouping sets internally.",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(r4(F.sum("l_quantity")).alias("sum_qty"), F.count("*").alias("n"))
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE over both group keys (all 2^2 grouping sets).",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(r4(F.sum("l_quantity")).alias("sum_qty"))
+    )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS qty_O,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Pivot on linestatus with an explicit value list (no extra pass to "
+    "discover values — required at scale).",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("l_quantity"))
+    )
+    return out.select(
+        "l_returnflag", r4(F.col("O")).alias("qty_O"), r4(F.col("F")).alias("qty_F")
+    )
+
+
+@register(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact continuous percentiles per group (Spark percentile ≡ DuckDB "
+    "quantile_cont, linear interpolation). The 100 TB path is "
+    "percentile_approx (t-digest-style sketch) — exposed rows-only since "
+    "sketches differ across engines.",
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            r4(F.percentile("l_extendedprice", F.lit(0.5))).alias("p50"),
+            r4(F.percentile("l_extendedprice", F.lit(0.95))).alias("p95"),
+        )
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, event_id, event_type, es,
+             last_value(CASE WHEN event_type = 'purchase' THEN es END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY es, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_purchase_es
+      FROM e
+    )
+    SELECT user_id, event_id, es, prev_purchase_es
+    FROM marked WHERE event_type = 'click'
+    """,
+    doc="As-of join without a join: for each click, the user's most recent "
+    "prior purchase timestamp, via last_value(IGNORE NULLS) over a "
+    "union-ordered window (the scalable formulation — one shuffle on "
+    "user_id, no range join, no per-group pandas). DuckDB's native ASOF "
+    "JOIN gives the same answer; the window form is what survives 100 TB.",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("es"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("es", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prev = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("es")), ignorenulls=True
+    ).over(w)
+    return (
+        e.withColumn("prev_purchase_es", prev)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", "event_id", "es", "prev_purchase_es")
+    )
+
+
+@register(
+    "join_range_interval",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+    ),
+    b AS (
+      SELECT event_id, es, es // 60 AS bucket FROM e
+    ),
+    cand AS (
+      SELECT a.event_id, a.es, x.es AS other_es
+      FROM b a
+      JOIN (SELECT event_id, es, unnest([es // 60, es // 60 - 1]) AS bucket FROM e) x
+        ON x.bucket = a.bucket AND x.event_id <> a.event_id
+      WHERE x.es >= a.es AND x.es < a.es + 60
+    )
+    SELECT e.event_id, count(c.other_es) AS n_following_60s
+    FROM e LEFT JOIN cand c ON c.event_id = e.event_id
+    GROUP BY e.event_id
+    """,
+    doc="Interval/range join via minute-bucketing: each event counts other "
+    "events starting within its next 60 s. The right side registers under "
+    "its own bucket AND the previous one, so an equi join on bucket + a "
+    "residual filter replaces the quadratic inequality join — the standard "
+    "range-join decomposition (one shuffle on the bucket key, candidate "
+    "set bounded by bucket width).",
+)
+def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select(
+        "event_id", F.unix_timestamp("ts").alias("es")
+    )
+    a = e.select("event_id", "es", (F.col("es") / 60).cast("long").alias("bucket"))
+    x = (
+        e.select(
+            F.col("event_id").alias("x_id"),
+            F.col("es").alias("x_es"),
+            F.explode(
+                F.array((F.col("es") / 60).cast("long"), (F.col("es") / 60).cast("long") - 1)
+            ).alias("bucket"),
+        )
+    )
+    cand = (
+        a.join(x, "bucket")
+        .filter(
+            (F.col("x_id") != F.col("event_id"))
+            & (F.col("x_es") >= F.col("es"))
+            & (F.col("x_es") < F.col("es") + 60)
+        )
+        .groupBy("event_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        e.join(cand, "event_id", "left")
+        .select("event_id", F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("n_following_60s"))
+    )

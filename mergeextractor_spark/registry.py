@@ -58,6 +58,7 @@ def load_all() -> dict[str, Query]:
         mlops_queries,
         parity_queries,
         scale_queries,
+        olap_queries,
     )
     from .plans import extract_pipeline  # noqa: F401
 
