@@ -199,6 +199,23 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_percentile_approx",
+    oracle=None,  # sketch estimates are engine-specific → rows-only
+    doc="approx_percentile per group — the 100 TB quantile path (mergeable "
+    "sketch, no full sort). Rows-only: estimates differ across engines by "
+    "design; the exact twin agg_percentile carries the value oracle.",
+)
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(1000)).alias("p50_approx"),
+        )
+    )
+
+
+@register(
     "join_asof",
     oracle="""
     WITH e AS (
