@@ -130,6 +130,54 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_winnow_fingerprint",
+    oracle=r"""
+    WITH grams AS (
+      SELECT doc_id, i AS pos,
+             min(substr(md5(substr(norm, i, 8)), 1, 8)) AS gh
+      FROM (
+        SELECT doc_id, lower(regexp_replace(text, '[^A-Za-z0-9]+', '', 'g')) AS norm,
+               unnest(generate_series(1, greatest(length(lower(regexp_replace(text, '[^A-Za-z0-9]+', '', 'g'))) - 7, 1))) AS i
+        FROM documents
+      )
+      GROUP BY doc_id, i
+    ),
+    winnowed AS (
+      SELECT doc_id,
+             min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS w
+      FROM grams
+    )
+    SELECT doc_id, count(DISTINCT w) AS n_fingerprints, min(w) AS min_fingerprint
+    FROM winnowed GROUP BY doc_id
+    """,
+    doc="Winnowing rolling-hash fingerprint: char 8-grams over normalized "
+    "text → md5-prefix hash per position → min over each 4-gram window → "
+    "distinct mins are the document's fingerprints (the standard local "
+    "fingerprinting scheme for plagiarism/near-dup detection). Returns "
+    "per-doc fingerprint count + min; all native (sequence/substr/window), "
+    "one shuffle on doc_id.",
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    norm = F.lower(F.regexp_replace(F.col("text"), "[^A-Za-z0-9]+", ""))
+    d = t(spark, sf_dir, "documents").select("doc_id", norm.alias("norm"))
+    grams = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.greatest(F.length("norm") - 7, F.lit(1)))).alias("pos"),
+        "norm",
+    ).select(
+        "doc_id",
+        "pos",
+        F.substring(F.md5(F.expr("substr(norm, pos, 8)")), 1, 8).alias("gh"),
+    )
+    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    winnowed = grams.select("doc_id", F.min("gh").over(w).alias("w"))
+    return winnowed.groupBy("doc_id").agg(
+        F.countDistinct("w").alias("n_fingerprints"), F.min("w").alias("min_fingerprint")
+    )
+
+
+@register(
     "set_distinct_lines",
     oracle=r"""
     WITH toks AS (
