@@ -10,8 +10,6 @@ deterministic regex stand-in (capitalized multi-word phrases via
 
 from __future__ import annotations
 
-import re
-
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 

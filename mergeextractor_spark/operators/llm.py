@@ -18,11 +18,11 @@ from collections.abc import Callable
 from dataclasses import dataclass
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .cascade import START_PHRASES, two_pass_passage
+from .cascade import two_pass_passage
 
 # Typed outputs of the two reference tool schemas.
 CLASSIFY_SCHEMA = T.StructType(

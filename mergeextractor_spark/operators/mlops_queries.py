@@ -29,7 +29,7 @@ RERANK_QUERY = "events leading up to the merger agreement between the companies"
     "Returns per-doc vector stats so the rows-only check still pins shape.",
 )
 def embed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.embedding import EMBED_DIM, embed_text_udf
+    from ..functions.embedding import embed_text_udf
 
     udf = embed_text_udf()
     out = t(spark, sf_dir, "documents").select(

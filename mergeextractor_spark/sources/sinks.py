@@ -9,8 +9,6 @@ a single partition column and Catalyst prunes it (O3). The "update" site
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 

@@ -1,0 +1,31 @@
+"""Driver-contract regression guards."""
+
+import importlib.util
+
+
+def _load_entry():
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_entry_returns_rows(spark):
+    mod = _load_entry()
+    df = mod.entry(spark)
+    assert df.count() > 0
+    assert df.schema.simpleString().startswith("struct<doc_id:bigint")
+
+
+def test_every_oracle_key_has_a_query(spark):
+    mod = _load_entry()
+    qs, osql = mod.queries(), mod.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert len(qs) >= 100
+    # every callable takes (spark, sf_dir)
+    import inspect
+
+    for fn in qs.values():
+        assert len(inspect.signature(fn).parameters) == 2

@@ -1,7 +1,5 @@
 import time
 
-from pyspark.sql import functions as F
-
 from mergeextractor_spark.sources.http import TokenBucket, edgar_fts_params, fetch_stage
 
 

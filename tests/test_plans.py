@@ -1,8 +1,6 @@
 """Physical-plan regression guards (PERFORMANCE.md audit as assertions):
 if a future change loses pushdown, pruning, or a broadcast, these fail."""
 
-import pytest
-
 from mergeextractor_spark.registry import load_all
 
 SF = "/root/testdata/sf0.001"

@@ -1,5 +1,3 @@
-from pyspark.sql import functions as F
-
 from mergeextractor_spark.streaming.events import read_events_stream
 from mergeextractor_spark.streaming.stateful import stateful_dedup
 

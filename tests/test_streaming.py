@@ -1,6 +1,4 @@
 import pytest
-from pyspark.sql import functions as F
-
 from mergeextractor_spark.streaming.events import (
     read_events_stream,
     run_available_now,
