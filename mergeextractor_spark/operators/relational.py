@@ -178,27 +178,49 @@ def join_deal_filing(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE 100.0 * (1.0 - levenshtein(a.n_name, b.n_name)::DOUBLE /
           greatest(length(a.n_name), length(b.n_name), 1)) > 40.0
     """,
-    doc="Fuzzy similarity theta-join (ref CrawlerSupport.py:143-154, "
-    "rapidfuzz partial_ratio>90 → here normalized-Levenshtein>40, native "
-    "levenshtein() on both engines). The small side broadcasts "
-    "(BroadcastNestedLoopJoin); at scale, block first (token-set or "
-    "length band) before the quadratic compare.",
+    doc="Fuzzy similarity join (ref CrawlerSupport.py:143-154, rapidfuzz "
+    "partial_ratio>90 → here normalized-Levenshtein>40, native "
+    "levenshtein() on both engines), blocked by LOSSLESS length bands "
+    "per SURVEY §2.3: sim > 40 ⟹ edit distance < 0.6·max_len ⟹ "
+    "min_len > 0.4·max_len ⟹ length ratio < 2.5, so both strings land "
+    "in the same or adjacent log₂.₅(length) band. One side keeps its "
+    "band, the other probes band±1, and the join is a hash equi-join on "
+    "the band key instead of an all-pairs BNLJ — identical result set "
+    "(the oracle keeps the naive theta-join form to prove it).",
 )
 def join_fuzzy_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = t(spark, sf_dir, "nation")
-    a = n.alias("a")
-    b = n.alias("b")
+    band = F.floor(
+        F.log(2.5, F.greatest(F.length("n_name"), F.lit(1)).cast("double"))
+    )
+    a = n.select(
+        F.col("n_nationkey").alias("ka"), F.col("n_name").alias("na"), band.alias("band")
+    )
+    b = n.select(
+        F.col("n_nationkey").alias("kb"),
+        F.col("n_name").alias("nb"),
+        F.explode(F.array(band - 1, band, band + 1)).alias("band"),
+    )
+    # Cheap lossless prefilters first (length ratio, key order), the O(len²)
+    # levenshtein only on surviving band-mates.
     sim = 100.0 * (
         1.0
-        - F.levenshtein(F.col("a.n_name"), F.col("b.n_name")).cast("double")
-        / F.greatest(F.length("a.n_name"), F.length("b.n_name"), F.lit(1))
+        - F.levenshtein(F.col("na"), F.col("nb")).cast("double")
+        / F.greatest(F.length("na"), F.length("nb"), F.lit(1))
     )
     return (
-        a.join(F.broadcast(b), F.col("a.n_nationkey") < F.col("b.n_nationkey"))
+        a.join(b, "band")
+        .filter(
+            (F.col("ka") < F.col("kb"))
+            & (
+                F.least(F.length("na"), F.length("nb"))
+                > 0.4 * F.greatest(F.length("na"), F.length("nb"), F.lit(1))
+            )
+        )
         .filter(sim > 40.0)
         .select(
-            F.col("a.n_nationkey").alias("left_key"),
-            F.col("b.n_nationkey").alias("right_key"),
+            F.col("ka").alias("left_key"),
+            F.col("kb").alias("right_key"),
             r4(sim).alias("sim"),
         )
     )

@@ -285,7 +285,7 @@ def json_parse_toolcall(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "json_extract_hits",
     oracle="""
-    SELECT event_type, count(*) AS n_hits, sum(k) AS k_total FROM (
+    SELECT event_type, count(*) AS n_hits, CAST(sum(k) AS BIGINT) AS k_total FROM (
       SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       FROM events
     ) WHERE k > 50

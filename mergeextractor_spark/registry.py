@@ -46,7 +46,14 @@ def register(key: str, oracle: str | None = None, doc: str = ""):
 
 
 def load_all() -> dict[str, Query]:
-    """Import every module that registers queries (idempotent)."""
+    """Import every module that registers queries (idempotent).
+
+    Returned order puts every oracle-paired key BEFORE the rows-only keys
+    (stable within each group): the driver walks this dict in order under a
+    wall-clock budget, and a hash-checked row is strictly stronger evidence
+    than a rows-only row, so the hard checks must never starve behind
+    mock-HTTP sources, sinks, and streaming keys.
+    """
     from .operators import (  # noqa: F401
         relational,
         scalar_queries,
@@ -62,4 +69,6 @@ def load_all() -> dict[str, Query]:
     )
     from .plans import extract_pipeline  # noqa: F401
 
-    return REGISTRY
+    return dict(
+        sorted(REGISTRY.items(), key=lambda kv: kv[1].oracle is None)
+    )

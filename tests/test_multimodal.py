@@ -1,12 +1,49 @@
+import struct
+import zlib
+
 import pytest
 
 from mergeextractor_spark.operators.multimodal import (
     MEDIA_SCHEMA,
     decode_image,
     encode_fake_image,
+    header_image_codec,
     image_metadata,
     sample_frames,
 )
+
+
+def make_png(width: int, height: int) -> bytes:
+    """A complete, valid grayscale PNG built with stdlib only."""
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x80" * width for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def make_gif(width: int, height: int) -> bytes:
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00\x3b"
+
+
+def make_jpeg(width: int, height: int) -> bytes:
+    """SOI + APP0 + SOF0 — enough of a JPEG for any header parser."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0_body = struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00"
+    sof0 = b"\xff\xc0" + struct.pack(">H", 2 + len(sof0_body)) + sof0_body
+    return b"\xff\xd8" + app0 + sof0
 
 
 @pytest.fixture(scope="module")
@@ -21,9 +58,24 @@ def media_df(spark):
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
-def test_decode_stub_requires_codec():
-    with pytest.raises(NotImplementedError):
-        decode_image(b"whatever", codec=None)
+def test_default_codec_parses_real_containers():
+    assert decode_image(make_png(320, 200)) == (320, 200)
+    assert decode_image(make_gif(13, 7)) == (13, 7)
+    assert decode_image(make_jpeg(640, 480)) == (640, 480)
+    assert header_image_codec(encode_fake_image(5, 6)) == (5, 6)  # fallback
+    with pytest.raises(ValueError):
+        decode_image(b"not an image at all")
+
+
+def test_image_metadata_on_real_images(spark):
+    rows = [
+        {"media_id": 10, "kind": "image", "payload": make_png(320, 200), "mime": "image/png"},
+        {"media_id": 11, "kind": "image", "payload": make_gif(13, 7), "mime": "image/gif"},
+        {"media_id": 12, "kind": "image", "payload": make_jpeg(640, 480), "mime": "image/jpeg"},
+    ]
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    out = {r.media_id: (r.width, r.height) for r in image_metadata(df).collect()}
+    assert out == {10: (320, 200), 11: (13, 7), 12: (640, 480)}
 
 
 def test_image_metadata(media_df):

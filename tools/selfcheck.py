@@ -20,6 +20,7 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 
 import duckdb  # noqa: E402
+import numpy as np  # noqa: E402
 
 from mergeextractor_spark.registry import load_all  # noqa: E402
 from mergeextractor_spark.session import get_spark  # noqa: E402
@@ -27,16 +28,30 @@ from mergeextractor_spark.sources.fixtures import TABLE_NAMES  # noqa: E402
 
 
 def norm_cell(v):
+    """Normalize a cell to a type-tagged string.
+
+    The driver hashes values after a pandas round-trip, so an int64 74539 and
+    a float64 74539.0 hash DIFFERENTLY even though Python's ``==`` treats them
+    as equal. Tagging the type keeps this mirror as strict as the driver
+    (round-1 lesson: DuckDB HUGEINT -> float64 slipped through an untagged
+    compare).
+    """
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    elif isinstance(v, np.generic):
+        v = v.item()
     if v is None:
-        return None
+        return "∅"
+    if isinstance(v, bool):
+        return f"b:{v}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return round(v, 4)
-    if isinstance(v, bool):
-        return bool(v)
+            return "f:nan"
+        return f"f:{round(v, 4)!r}"
     if isinstance(v, int):
-        return int(v)
+        return f"i:{v}"
+    if isinstance(v, list):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
     return str(v)
 
 
@@ -72,7 +87,10 @@ def main():
         try:
             sdf = q.spark(spark, args.sf)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            # Compare through the same pandas bridge the driver uses, so
+            # dtype drift (e.g. DuckDB HUGEINT -> float64) surfaces here too.
+            spdf = sdf.toPandas()
+            srows = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
         except Exception:
             n_fail += 1
             failures.append(key)
@@ -84,9 +102,9 @@ def main():
                 print(f"rows {key}: {len(srows)} rows (rows-only) [{time.time()-t0:.1f}s]")
             continue
         try:
-            od = con.execute(q.oracle)
-            ocols = [d[0] for d in od.description]
-            orows = od.fetchall()
+            opdf = con.execute(q.oracle).df()
+            ocols = list(opdf.columns)
+            orows = [tuple(r) for r in opdf.itertuples(index=False, name=None)]
         except Exception:
             n_fail += 1
             failures.append(key)
