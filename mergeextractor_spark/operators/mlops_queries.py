@@ -126,3 +126,30 @@ def sink_kv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink_kv_store(_filings_df(spark).withColumn("main_index", F.col("main_index") + 250), path, mode="overwrite")
     got = scan_kv_point(spark, path, 255)
     return got.select("main_index", "company_a", "bucket")
+
+
+@register(
+    "sink_kv_upsert",
+    oracle=None,  # side-effecting sink → rows-only roundtrip
+    doc="Row-level MERGE upsert into the bucketed store (ref "
+    "patchabbrev.py:224-229 Mongo update_one(upsert=True)): one matched "
+    "row replaced, one new row inserted, untouched rows intact; only the "
+    "affected bucket partitions are read or rewritten.",
+)
+def sink_kv_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.sinks import merge_kv_store, sink_kv_store
+    from .domain_queries import _filings_df
+
+    path = os.path.join(tempfile.mkdtemp(prefix="kvm_"), "store")
+    base = _filings_df(spark)
+    sink_kv_store(base, path, mode="overwrite")
+    updates = base.filter(F.col("main_index") == 0).withColumn(
+        "company_a", F.lit("Updated Alpha Holdings")
+    )
+    inserts = base.filter(F.col("main_index") == 1).withColumn("main_index", F.lit(999))
+    merge_kv_store(spark, updates.unionByName(inserts), path)
+    return (
+        spark.read.parquet(path)
+        .select("main_index", "company_a", "bucket")
+        .filter(F.col("main_index").isin(0, 1, 999))
+    )

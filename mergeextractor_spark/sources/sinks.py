@@ -37,9 +37,10 @@ def scan_kv_point(spark: SparkSession, path: str, main_index: int) -> DataFrame:
 
 
 def update_kv_partition(df: DataFrame, path: str) -> None:
-    """Keyed update (ref patchabbrev.py:224-229 update_one): overwrite only
-    the partitions present in ``df`` (dynamic partition overwrite — the
-    MERGE INTO stand-in without Delta on the classpath)."""
+    """Partition-wholesale update (ref patchabbrev.py:224-229 update_one):
+    overwrite only the partitions present in ``df`` (dynamic partition
+    overwrite). Correct when the caller rewrites whole buckets; for
+    row-level semantics use :func:`merge_kv_store`."""
     (
         with_bucket(df)
         .write.mode("overwrite")
@@ -47,6 +48,52 @@ def update_kv_partition(df: DataFrame, path: str) -> None:
         .partitionBy("bucket")
         .parquet(path)
     )
+
+
+def merge_kv_store(
+    spark: SparkSession, updates: DataFrame, path: str, key: str = "main_index"
+) -> None:
+    """Row-level upsert into the bucketed store — MERGE INTO semantics
+    (WHEN MATCHED → replace row, WHEN NOT MATCHED → insert) on plain
+    parquet, the exact behavior of the reference's Mongo ``update_one(...,
+    upsert=True)`` (patchabbrev.py:224-229) without Delta/Iceberg jars.
+
+    Plan: bucket the updates → list affected buckets (metadata-sized
+    driver collect, bounded by the partition count, same class as a
+    filesystem listing) → read ONLY those partitions (partition pruning) →
+    anti-join out the rows being replaced → union the updates → dynamic
+    partition overwrite of just the touched buckets. At 100 TB the read
+    and rewrite both touch |affected buckets| directories, never the full
+    table; the anti-join shuffles on ``key`` within those buckets only.
+
+    Single-writer assumption: without a transaction log there is no
+    concurrent-merge isolation (the reference's Mongo had per-document
+    atomicity; a production deployment wanting concurrent writers should
+    layer Delta/Iceberg on the same plan shape).
+    """
+    up = with_bucket(updates, key)
+    buckets = [r[0] for r in up.select("bucket").distinct().collect()]
+    if not buckets:
+        return
+    up = up.cache()  # read twice (anti-join + union); tiny vs the table
+    try:
+        target = spark.read.parquet(path).filter(F.col("bucket").isin(buckets))
+        kept = target.join(up.select(key), on=key, how="left_anti")
+        # Spark refuses to overwrite a path that feeds the plan being
+        # written; localCheckpoint materializes the touched buckets and
+        # truncates lineage so the dynamic overwrite is legal. (A real
+        # lakehouse write-temp-and-swap, or Delta, replaces this at very
+        # large |affected buckets|.)
+        merged = kept.unionByName(up).localCheckpoint(eager=True)
+    except Exception:
+        merged = up  # first write: store doesn't exist yet
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    up.unpersist()
 
 
 def sink_csv_ordered(df: DataFrame, path: str, order_col: str = "main_index") -> None:

@@ -47,3 +47,27 @@ def test_text_filter_pushed_to_scan(spark):
 def test_minhash_broadcasts_candidates(spark):
     plan = plan_of(spark, "dedup_minhash_lsh")
     assert "BroadcastHashJoin" in plan
+
+
+def test_simhash_neardup_is_banded_not_cartesian(spark):
+    # hamming<=2 pairs must come from the 4x4-bit band equi-join, never an
+    # all-pairs self-join (VERDICT r1 item 3)
+    plan = plan_of(spark, "dedup_simhash_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_entity_is_length_banded(spark):
+    # levenshtein compare only runs on log2.5-length-band mates; the join
+    # itself must be a hash equi-join on the band key (VERDICT r1 item 5)
+    plan = plan_of(spark, "join_fuzzy_entity")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_jaccard_df_caps_before_join(spark):
+    # the boilerplate-shingle filter must sit upstream of the self-join
+    # (VERDICT r1 item 4): window count over shingle -> filter <= cap
+    plan = plan_of(spark, "dedup_ngram_jaccard")
+    assert "CartesianProduct" not in plan
+    assert "_df" in plan or "df#" in plan.lower() or "window" in plan.lower()

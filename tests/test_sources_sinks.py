@@ -1,6 +1,7 @@
 from pyspark.sql import functions as F
 
 from mergeextractor_spark.sources.sinks import (
+    merge_kv_store,
     scan_kv_point,
     sink_csv_ordered,
     sink_fs_dump,
@@ -42,6 +43,38 @@ def test_kv_update_partition(spark, filings_df, tmp_path):
     # bucket 0 replaced wholesale (all six fixtures live in bucket 0),
     # mirroring overwrite-partition semantics
     assert {r.content for r in back.collect()} == {"patched"}
+
+
+def test_kv_merge_upsert_row_level(spark, filings_df, tmp_path):
+    """MERGE semantics on the plain-parquet store: matched row replaced,
+    new row inserted, every other row byte-identical — including rows in
+    the same bucket as the update (the row-level guarantee
+    update_kv_partition cannot give)."""
+    path = str(tmp_path / "kv3")
+    # spread fixtures over two buckets: 0..5 -> 0,50,100,150,200,250
+    base = filings_df.withColumn("main_index", F.col("main_index") * 50)
+    sink_kv_store(base, path, mode="overwrite")
+
+    updates = base.filter(F.col("main_index") == 0).withColumn(
+        "content", F.lit("patched-row")
+    )
+    inserts = base.filter(F.col("main_index") == 50).withColumn(
+        "main_index", F.lit(77)
+    )
+    merge_kv_store(spark, updates.unionByName(inserts), path)
+
+    back = {r.main_index: r for r in spark.read.parquet(path).collect()}
+    assert set(back) == {0, 50, 100, 150, 200, 250, 77}  # insert landed
+    assert back[0].content == "patched-row"  # matched row replaced
+    # row 50 shares bucket 0 with the patched row and must be untouched
+    assert back[50].content == back[77].content
+    assert back[50].content != "patched-row"
+
+
+def test_kv_merge_creates_store_when_missing(spark, filings_df, tmp_path):
+    path = str(tmp_path / "kv4")
+    merge_kv_store(spark, filings_df, path)
+    assert spark.read.parquet(path).count() == filings_df.count()
 
 
 def test_csv_ordered_sink(spark, deals_df, tmp_path):
