@@ -18,12 +18,15 @@ not row counts.
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Callable, Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from ..registry import register
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -49,6 +52,28 @@ FAKE_MAGIC = b"FAKEIMG"
 
 def encode_fake_image(width: int, height: int, fill: int = 0) -> bytes:
     return FAKE_MAGIC + struct.pack("<II", width, height) + bytes([fill % 256]) * (width * height)
+
+
+def encode_png(width: int, height: int, shade: int = 128) -> bytes:
+    """A complete, valid grayscale PNG (stdlib zlib only) — real container
+    bytes for exercising the metadata path without Pillow."""
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes([shade % 256]) * width for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
 
 
 def fake_image_codec(payload: bytes) -> tuple[int, int]:
@@ -153,4 +178,75 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
 
     return media.filter(F.col("kind") == "video").select("media_id", "payload").mapInPandas(
         _run, FRAME_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contract keys: the multimodal plumbing as registered rows-only queries.
+
+_MEDIA_CACHE: dict[int, DataFrame] = {}
+
+
+def _media_df(spark: SparkSession) -> DataFrame:
+    """Deterministic media fixture: real PNG containers + FAKEIMG payloads
+    + byte-stream 'videos'. Driver-side row build is fine — the payloads
+    are the fixture, not the data path (at scale these arrive as a binary
+    parquet/blob column)."""
+    if id(spark) in _MEDIA_CACHE:
+        return _MEDIA_CACHE[id(spark)]
+    rows = []
+    for i in range(8):
+        rows.append(
+            {
+                "media_id": i,
+                "kind": "image",
+                "payload": encode_png(16 + 8 * i, 9 + i, shade=i),
+                "mime": "image/png",
+            }
+        )
+        rows.append(
+            {
+                "media_id": 100 + i,
+                "kind": "image",
+                "payload": encode_fake_image(4 + i, 3 + i, fill=i),
+                "mime": "image/fake",
+            }
+        )
+        rows.append(
+            {
+                "media_id": 200 + i,
+                "kind": "video",
+                "payload": bytes(range(256)) * (i + 1),
+                "mime": "video/fake",
+            }
+        )
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA).coalesce(1)
+    _MEDIA_CACHE[id(spark)] = df
+    return df
+
+
+@register(
+    "multimodal_image_meta",
+    oracle=None,  # binary mapInPandas decode → rows-only
+    doc="Image metadata extraction over a binary media column: real PNG "
+    "headers + synthetic FAKEIMG payloads through the stdlib header codec "
+    "via Arrow-batched mapInPandas. Payload bytes never shuffle — only "
+    "the (media_id, width, height, n_bytes) projection leaves the map "
+    "stage.",
+)
+def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return image_metadata(_media_df(spark))
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=None,  # binary UDTF fan-out → rows-only
+    doc="Frame sampling over binary video payloads (1 row → N frames, "
+    "UDTF shape via mapInPandas); returns frame sizes so the rows-only "
+    "check pins the fan-out arithmetic.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = sample_frames(_media_df(spark), every_n_bytes=128)
+    return frames.select(
+        "media_id", "frame_idx", F.length("frame").cast("long").alias("frame_len")
     )

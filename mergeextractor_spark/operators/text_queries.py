@@ -304,3 +304,209 @@ def fuzzy_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(ratio).alias("ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data hygiene operators: PII scrubbing, repetition filtering,
+# deterministic splits, benchmark decontamination. All native expressions,
+# all oracle-paired; at 100 TB each is a scan stage plus at most the one
+# shuffle its semantics require.
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
+_PHONE_RE = r"\(\d{3}\) ?\d{3}-\d{4}|\b\d{3}-\d{3}-\d{4}\b"
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             'Contact u' || doc_id || '@mail' || (doc_id % 7) || '.com ph (555) 01'
+               || (doc_id % 10) || '-4821 ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+               || ' ' || substr(text, 1, 120) AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '{_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_SSN_RE}', '<SSN>', 'g'),
+             '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+    FROM seeded
+    """,
+    doc="PII redaction (emails, SSNs, US phone numbers → typed tags), the "
+    "standard pre-training hygiene pass. Inputs are seeded with synthetic "
+    "PII derived from doc_id so the regexes are genuinely exercised on "
+    "both engines. Pure regexp_replace chain — one codegen'd map stage, "
+    "no shuffle, no Python.",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    seeded = F.concat(
+        F.lit("Contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com ph (555) 01"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("-4821 ssn 123-45-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" "),
+        F.substring("text", 1, 120),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(seeded, _EMAIL_RE, "<EMAIL>"), _SSN_RE, "<SSN>"
+        ),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return d.select("doc_id", scrubbed.alias("scrubbed"))
+
+
+@register(
+    "text_repetition_ratio",
+    oracle=r"""
+    WITH ws AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+                                           i -> w[i] || ' ' || w[i+1])) AS g
+      FROM ws WHERE len(w) >= 2
+    )
+    SELECT doc_id,
+           round(1.0 - count(DISTINCT g)::DOUBLE / count(*), 4) AS dup_2gram_ratio
+    FROM grams GROUP BY doc_id
+    """,
+    doc="Gopher-style repetition filter signal: fraction of word-2-grams "
+    "that are duplicates within the document (0 = no repetition). "
+    "explode → one groupBy(doc_id) with count + count(distinct); at "
+    "100 TB the shuffle carries (doc_id, gram-hash)-sized rows only — "
+    "hash the gram in the map stage if grams are long.",
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    ws = _tokens(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 1),
+        lambda i: F.concat(F.element_at(ws, i), F.lit(" "), F.element_at(ws, i + 1)),
+    )
+    exploded = d.filter(F.size(ws) >= 2).select(
+        "doc_id", F.explode(grams).alias("g")
+    )
+    return exploded.groupBy("doc_id").agg(
+        r4(1.0 - F.countDistinct("g").cast("double") / F.count("*")).alias(
+            "dup_2gram_ratio"
+        )
+    )
+
+
+@register(
+    "sample_hash_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1) BETWEEN '0' AND 'b' THEN 'train'
+                WHEN substr(md5(doc_id::VARCHAR), 1, 1) IN ('c', 'd') THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    doc="Deterministic train/val/test assignment by content-independent "
+    "key hash (first md5 nibble: 12/16 train, 2/16 val, 2/16 test). The "
+    "reproducible way to split 100 TB — no sampling state, no shuffle, "
+    "stable under retries and re-runs, and any engine computes the same "
+    "assignment (md5 is the portable currency, as in the dedup family).",
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(nib.between("0", "b"), "train")
+        .when(nib.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    return t(spark, sf_dir, "documents").select("doc_id", split.alias("split"))
+
+
+_BENCH_SENTENCE = (
+    "the held out benchmark evaluation question appears verbatim in this "
+    "training document and must be flagged"
+)
+
+
+@register(
+    "contamination_ngram",
+    oracle=rf"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 50 = 0 THEN ' {_BENCH_SENTENCE}' ELSE '' END AS text
+      FROM documents
+    ),
+    ws AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+      FROM seeded
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(w) - 7),
+                                                    i -> array_to_string(list_slice(w, i, i + 7), ' '))) AS g
+      FROM ws WHERE len(w) >= 8
+    ),
+    bw AS (
+      SELECT list_filter(string_split_regex(lower('{_BENCH_SENTENCE}'), '\s+'), x -> x <> '') AS w
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(list_transform(generate_series(1, len(w) - 7),
+                                            i -> array_to_string(list_slice(w, i, i + 7), ' '))) AS g
+      FROM bw
+    )
+    SELECT g.doc_id, count(*) AS n_hits
+    FROM grams g JOIN bench b ON g.g = b.g
+    GROUP BY g.doc_id
+    """,
+    doc="Benchmark decontamination screen: flag training documents sharing "
+    "any 8-gram with a held-out benchmark set (a fixed benchmark sentence "
+    "here; a separate table in production — every 50th fixture doc is "
+    "seeded with it so the join genuinely fires). The benchmark gram set "
+    "is broadcast — the 100 TB side is scanned once, map-side hash probe, "
+    "one groupBy on the few contaminated (doc_id, gram) survivors.",
+)
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    seeded = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 50 == 0, F.lit(" " + _BENCH_SENTENCE)).otherwise(
+            F.lit("")
+        ),
+    )
+    ws = _tokens(seeded)
+    g = d.select("doc_id", ws.alias("w")).filter(F.size("w") >= 8).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 7),
+                    lambda i: F.array_join(F.slice(F.col("w"), i, 8), " "),
+                )
+            )
+        ).alias("g"),
+    )
+    bw = _tokens(F.lit(_BENCH_SENTENCE))
+    bench = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(bw) - 7),
+                        lambda i: F.array_join(F.slice(bw, i, 8), " "),
+                    )
+                )
+            ).alias("g")
+        )
+        .distinct()
+    )
+    return (
+        g.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )

@@ -66,6 +66,7 @@ def load_all() -> dict[str, Query]:
         parity_queries,
         scale_queries,
         olap_queries,
+        multimodal,
     )
     from .plans import extract_pipeline  # noqa: F401
 

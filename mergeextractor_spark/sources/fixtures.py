@@ -36,13 +36,13 @@ TABLE_NAMES = [
 _DF_MEMO: dict[tuple[int, str, str], DataFrame] = {}
 _TUNED: set[tuple[int, str]] = set()
 
-# Below this many bytes of parquet in sf_dir, size the shuffle down: the
-# driver hands queries an untuned session (often 200 shuffle partitions),
-# and at fixture scale 200-task shuffles are pure scheduler overhead. On a
-# real cluster the data blows past this threshold and the session keeps its
-# own sizing; AQE still coalesces either way.
+# Below this many bytes of parquet in sf_dir, size the shuffle to the
+# session's own parallelism: the driver hands queries an untuned session
+# (200 shuffle partitions by default), and at fixture scale a 200-task
+# shuffle is pure scheduler overhead while FEWER tasks than cores starves
+# CPU-bound stages. On a real cluster the data blows past this threshold
+# and the session keeps its own sizing; AQE still coalesces either way.
 _SMALL_DIR_BYTES = 512 * 1024 * 1024
-_SMALL_SHUFFLE_PARTITIONS = "16"
 
 
 def _tune_for_dir(spark: SparkSession, sf_dir: str) -> None:
@@ -63,9 +63,10 @@ def _tune_for_dir(spark: SparkSession, sf_dir: str) -> None:
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
         if total < _SMALL_DIR_BYTES:
-            spark.conf.set(
-                "spark.sql.shuffle.partitions", _SMALL_SHUFFLE_PARTITIONS
-            )
+            cores = max(8, spark.sparkContext.defaultParallelism)
+            current = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+            if current > cores:
+                spark.conf.set("spark.sql.shuffle.partitions", str(cores))
     except Exception:
         pass  # conf may be locked down; queries still run correctly
 
