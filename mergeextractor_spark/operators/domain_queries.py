@@ -38,9 +38,16 @@ def _filings_df(spark: SparkSession) -> DataFrame:
 
     from ..schemas import FILING_DOCUMENTS
 
-    # 6 fixture rows: one partition, or every pandas-UDF stage downstream
-    # spins up defaultParallelism Python workers for a handful of rows.
-    df = spark.createDataFrame(build_filings(), schema=FILING_DOCUMENTS).coalesce(1)
+    # Build through pandas/Arrow: a list-of-dicts createDataFrame becomes a
+    # Python RDD whose every downstream action pays defaultParallelism
+    # Python-worker round-trips (~4 s per action for 6 rows); the Arrow
+    # path lands the rows as JVM-local batches (~10 ms per action).
+    # coalesce(1) then keeps pandas-UDF stages to a single worker.
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame(build_filings()), schema=FILING_DOCUMENTS
+    ).coalesce(1)
     _DF_CACHE[key] = df
     return df
 

@@ -220,7 +220,9 @@ def _media_df(spark: SparkSession) -> DataFrame:
                 "mime": "video/fake",
             }
         )
-    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA).coalesce(1)
+    # pandas/Arrow build (not list-of-dicts): keeps the payload bytes as
+    # JVM-local batches instead of a Python RDD re-pickled on every action.
+    df = spark.createDataFrame(pd.DataFrame(rows), schema=MEDIA_SCHEMA).coalesce(1)
     _MEDIA_CACHE[id(spark)] = df
     return df
 

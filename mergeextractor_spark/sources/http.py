@@ -59,12 +59,20 @@ def fetch_stage(
     url_col: str = "url",
     timeout: float = 10.0,
     fetcher=None,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """URL DataFrame → (url, status, body). ``fetcher(url) -> (status,
     body)`` is injectable for tests; the default uses urllib and is only
-    exercised when explicitly pointed at a live endpoint."""
-    n_parts = max(urls.rdd.getNumPartitions(), 1)
-    per_partition_rate = max(global_rate / n_parts, 0.1)
+    exercised when explicitly pointed at a live endpoint.
+
+    ``n_partitions`` divides the global rate limit among concurrent
+    tasks. When omitted it falls back to the session's default
+    parallelism — deliberately NOT ``urls.rdd.getNumPartitions()``, which
+    silently converts the frame to an RDD (deoptimizing the plan) just to
+    read a number the caller usually knows."""
+    if n_partitions is None:
+        n_partitions = urls.sparkSession.sparkContext.defaultParallelism
+    per_partition_rate = max(global_rate / max(n_partitions, 1), 0.1)
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bucket = TokenBucket(per_partition_rate)
