@@ -385,3 +385,61 @@ def dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.select("doc_id").join(reps, "doc_id", "left").select(
         "doc_id", F.coalesce(F.col("rep"), F.col("doc_id")).alias("rep_doc_id")
     )
+
+
+_MINHASH_PAIRS_SQL = f"""
+    WITH {_SHINGLE_CTE},
+    sig AS (
+      SELECT doc_id, {_minhash_sql_cols()} FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, md5(m0 || m1) AS bucket FROM sig
+      UNION ALL SELECT doc_id, 1 AS band, md5(m2 || m3) AS bucket FROM sig
+      UNION ALL SELECT doc_id, 2 AS band, md5(m4 || m5) AS bucket FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    verified AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS common
+      FROM cand c
+      JOIN sh s1 ON s1.doc_id = c.doc_a
+      JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.shingle = s1.shingle
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    pairs AS (
+      SELECT v.doc_a, v.doc_b
+      FROM verified v
+      JOIN sizes na ON na.doc_id = v.doc_a
+      JOIN sizes nb ON nb.doc_id = v.doc_b
+      WHERE v.common::DOUBLE / (na.n + nb.n - v.common) >= 0.2
+    )
+"""
+
+
+@register(
+    "dedup_minhash_rep",
+    oracle=f"""
+    {_MINHASH_PAIRS_SQL}
+    SELECT d.doc_id, coalesce(min(p.doc_a), d.doc_id) AS rep_doc_id
+    FROM documents d LEFT JOIN pairs p ON p.doc_b = d.doc_id
+    GROUP BY d.doc_id
+    """,
+    doc="Keep-first canonical assignment over the verified MinHash pairs: "
+    "every document maps to the minimum doc_id it near-duplicates "
+    "(Jaccard ≥ 0.2), itself if unique — the form a dedup pipeline "
+    "actually consumes (filter rep_doc_id != doc_id to drop dups). "
+    "Output is linear in N regardless of cluster sizes; single-hop "
+    "assignment, like dedup_simhash_neardup.",
+)
+def dedup_minhash_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    reps = pairs.groupBy("doc_b").agg(F.min("doc_a").alias("rep"))
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    return (
+        docs.join(reps, docs.doc_id == reps.doc_b, "left")
+        .select("doc_id", F.coalesce(F.col("rep"), F.col("doc_id")).alias("rep_doc_id"))
+    )
