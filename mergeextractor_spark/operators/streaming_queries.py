@@ -111,3 +111,67 @@ def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.approx_count_distinct("user_id").alias("approx_users"))
     )
+
+
+SLIDE_SEC = 300
+SLIDE_WINDOW_SEC = 600
+
+
+@register(
+    "events_sliding_counts",
+    oracle=f"""
+    SELECT CAST(floor(epoch(ts) / {SLIDE_SEC}) * {SLIDE_SEC} - j * {SLIDE_SEC} AS BIGINT) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS total_value
+    FROM events, (SELECT unnest([0, 1]) AS j)
+    GROUP BY 1, 2
+    """,
+    doc="Sliding-window aggregation (10-min windows sliding every 5): each "
+    "event explodes into window/slide = 2 (window_start, row) pairs before "
+    "one (window, type) groupBy — exactly the expansion Spark's "
+    "window(ts, w, s) performs, written out so the oracle can mirror it. "
+    "Streaming form in streaming/events.py::sliding_counts (same plan + "
+    "watermark-bounded state); equivalence pytest-asserted.",
+)
+def events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    es = F.unix_timestamp("ts")
+    base = (F.floor(es / SLIDE_SEC) * SLIDE_SEC).cast("bigint")
+    exploded = t(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("j"),
+        base.alias("base"),
+    )
+    win = (F.col("base") - F.col("j") * SLIDE_SEC).cast("bigint")
+    return (
+        exploded.groupBy(win.alias("window_start"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), r4(F.sum("value")).alias("total_value"))
+    )
+
+
+@register(
+    "join_stream_static",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT event_type, substr(md5(event_type), 1, 4) AS type_code
+      FROM events
+    )
+    SELECT e.event_id, e.event_type, d.type_code
+    FROM events e JOIN dim d USING (event_type)
+    """,
+    doc="Stream-static enrichment join, batch twin: facts joined to a "
+    "small dimension (derived deterministically here; a real dim table in "
+    "production). The dimension broadcasts — in streaming the same plan "
+    "re-reads and re-broadcasts the static side each micro-batch "
+    "(streaming/events.py::enrich_with_static, equivalence "
+    "pytest-asserted).",
+)
+def join_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    dim = e.select(
+        "event_type", F.substring(F.md5("event_type"), 1, 4).alias("type_code")
+    ).distinct()
+    return e.join(F.broadcast(dim), "event_type").select(
+        "event_id", "event_type", "type_code"
+    )

@@ -65,17 +65,56 @@ def tumbling_counts(events: DataFrame, window: str = "5 minutes", watermark: str
     )
 
 
-def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+def run_available_now(
+    stream_df: DataFrame, query_name: str, output_mode: str | None = None
+) -> DataFrame:
     """Drive a streaming plan to completion over the currently-available
     input (availableNow trigger + memory sink) and return the result as a
     batch DataFrame. This is the local-test harness; production would use
-    a real sink + checkpointLocation."""
+    a real sink + checkpointLocation. ``output_mode`` defaults to
+    "complete" (right for aggregations); stateless plans (projections,
+    stream-static joins) must pass "append"."""
+    if output_mode is None:
+        output_mode = "complete" if stream_df.isStreaming else "append"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete" if stream_df.isStreaming else "append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked sliding-window counts (window > slide → each event lands
+    in window/slide overlapping windows). Streaming form of
+    events_sliding_counts; state is bounded by watermark horizon × number
+    of open windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def enrich_with_static(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static broadcast join: the canonical enrichment pattern (a
+    streaming fact joined to a slowly-changing dimension read as a batch
+    frame). No watermark needed — the static side is re-read per
+    micro-batch and broadcast."""
+    return events.join(F.broadcast(dim), "event_type").select(
+        "event_id", "event_type", "type_code"
+    )

@@ -34,3 +34,48 @@ def test_streaming_is_streaming(spark):
     events = read_events_stream(spark, SF)
     assert events.isStreaming
     assert tumbling_counts(events).isStreaming
+
+
+def test_sliding_stream_matches_batch_twin(spark):
+    from mergeextractor_spark.operators.streaming_queries import events_sliding_counts
+    from mergeextractor_spark.streaming.events import (
+        read_events_stream,
+        run_available_now,
+        sliding_counts,
+    )
+
+    events = read_events_stream(spark, SF)
+    got = run_available_now(sliding_counts(events), "stream_sliding")
+    s = {
+        (r.window_start, r.event_type): (r.n, round(r.total_value, 4))
+        for r in got.collect()
+    }
+    b = {
+        (r.window_start, r.event_type): (r.n, round(r.total_value, 4))
+        for r in events_sliding_counts(spark, SF).collect()
+    }
+    assert s == b
+
+
+def test_stream_static_join_matches_batch_twin(spark):
+    from pyspark.sql import functions as F
+
+    from mergeextractor_spark.operators.streaming_queries import join_stream_static
+    from mergeextractor_spark.sources.fixtures import table
+    from mergeextractor_spark.streaming.events import (
+        enrich_with_static,
+        read_events_stream,
+        run_available_now,
+    )
+
+    dim = (
+        table(spark, SF, "events")
+        .select("event_type", F.substring(F.md5("event_type"), 1, 4).alias("type_code"))
+        .distinct()
+    )
+    stream = enrich_with_static(read_events_stream(spark, SF), dim)
+    assert stream.isStreaming
+    got = run_available_now(stream, "stream_enriched", output_mode="append")
+    s = {(r.event_id, r.type_code) for r in got.collect()}
+    b = {(r.event_id, r.type_code) for r in join_stream_static(spark, SF).collect()}
+    assert s == b
