@@ -258,3 +258,47 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c") > 0.8)
         .select(F.col("va").alias("vec_a"), F.col("vb").alias("vec_b"), r4(F.col("c")).alias("cos"))
     )
+
+
+@register(
+    "vector_quantize_int8",
+    oracle="""
+    WITH scales AS (
+      SELECT vec_id, embedding,
+             greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0, 1e-12) AS scale
+      FROM embeddings
+    )
+    SELECT vec_id, idx - 1 AS idx,
+           CAST(floor(CAST(embedding[idx] AS DOUBLE) / scale + 0.5) AS INTEGER) AS q,
+           round(scale, 4) AS scale
+    FROM scales, unnest(generate_series(1, len(embedding))) AS t(idx)
+    """,
+    doc="Symmetric int8 quantization of the embedding column (per-vector "
+    "max-abs scale → values in [-127, 127]): the standard 4× storage/IO "
+    "cut for a 100 TB embedding store, with dot products computed in "
+    "int8 and rescaled. Pure map stage — per-vector scale is an array "
+    "fold, no shuffle. Quantized values use floor(x/scale + 0.5) on both "
+    "engines so rounding-mode conventions can't diverge; output is "
+    "exploded to (vec_id, idx, q) rows for hash-stable comparison.",
+)
+def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    absmax = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    scaled = e.select(
+        "vec_id",
+        "embedding",
+        F.greatest(absmax / 127.0, F.lit(1e-12)).alias("scale"),
+    )
+    exploded = scaled.select(
+        "vec_id",
+        "scale",
+        F.posexplode(F.col("embedding")).alias("idx", "x"),
+    )
+    return exploded.select(
+        "vec_id",
+        F.col("idx").cast("bigint").alias("idx"),
+        F.floor(F.col("x").cast("double") / F.col("scale") + 0.5).cast("int").alias("q"),
+        r4(F.col("scale")).alias("scale"),
+    )

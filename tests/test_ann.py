@@ -35,3 +35,32 @@ def test_ivf_no_cartesian_over_vectors(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_int8_quantization_preserves_cosine(spark):
+    """Reconstruction check: cosine similarity computed on dequantized
+    int8 vectors must track full-precision cosine within 2e-2 — the
+    accuracy contract that makes the 4x storage cut usable for retrieval."""
+    import math
+
+    from mergeextractor_spark.sources.fixtures import table
+
+    rows = table(spark, SF, "embeddings").filter("vec_id < 20").collect()
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
+
+    def quant(v):
+        scale = max(max(abs(x) for x in v) / 127.0, 1e-12)
+        return [math.floor(x / scale + 0.5) * scale for x in v]
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    ids = sorted(vecs)
+    for i in ids[:5]:
+        for j in ids:
+            if i < j:
+                exact = cos(vecs[i], vecs[j])
+                approx = cos(quant(vecs[i]), quant(vecs[j]))
+                assert abs(exact - approx) < 2e-2, (i, j, exact, approx)
