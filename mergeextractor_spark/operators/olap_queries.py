@@ -315,3 +315,37 @@ def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.join(cand, "event_id", "left")
         .select("event_id", F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("n_following_60s"))
     )
+
+
+@register(
+    "agg_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, round(l_quantity, 4) AS val FROM lineitem WHERE l_orderkey % 10 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', round(l_discount, 4) FROM lineitem WHERE l_orderkey % 10 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', round(l_tax, 4) FROM lineitem WHERE l_orderkey % 10 = 0
+    """,
+    doc="Wide→long unpivot (melt) of three measure columns into "
+    "(metric, val) rows — the inverse of agg_pivot, native "
+    "DataFrame.unpivot (Expand node: one map stage, 3× row fan-out, no "
+    "shuffle; the UNION ALL oracle is the portable SQL spelling).",
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 10 == 0)  # deterministic subset: gate compare cost, same semantics
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            r4(F.col("l_quantity")).alias("l_quantity"),
+            r4(F.col("l_discount")).alias("l_discount"),
+            r4(F.col("l_tax")).alias("l_tax"),
+        )
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_discount", "l_tax"],
+            "metric",
+            "val",
+        )
+    )

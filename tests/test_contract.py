@@ -29,3 +29,18 @@ def test_every_oracle_key_has_a_query(spark):
 
     for fn in qs.values():
         assert len(inspect.signature(fn).parameters) == 2
+
+
+def test_oracle_paired_keys_run_first():
+    """The driver walks queries() in order under a wall-clock budget; a
+    hash-checked key is stronger evidence than a rows-only key, so every
+    oracle-paired key must precede every rows-only key (round-1 lesson:
+    the driver's budget ran out mid-registry)."""
+    mod = _load_entry()
+    qs, osql = mod.queries(), mod.oracle_sql()
+    seen_rows_only = False
+    for key in qs:
+        if key in osql:
+            assert not seen_rows_only, f"oracle-paired {key!r} after a rows-only key"
+        else:
+            seen_rows_only = True
