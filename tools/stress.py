@@ -1,0 +1,171 @@
+"""Scale-behavior probe: replicate the sf0.1 fixtures K× in-flight and
+time the operators whose scaling story matters most. Nothing is written
+anywhere — replication is an explode over a sequence literal with ids
+re-keyed per copy, so shuffles and joins see genuinely distinct keys.
+
+Usage:
+    python tools/stress.py [--k 20] [--sf /root/testdata/sf0.1]
+
+This is evidence, not a contract: linear-ish wall growth and no
+candidate-space explosion at K× is what "survives a 100× scale-up"
+looks like locally.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from mergeextractor_spark.session import get_spark  # noqa: E402
+from mergeextractor_spark.sources.fixtures import table  # noqa: E402
+
+
+def replicate(df: DataFrame, key: str, k: int, stride: int) -> DataFrame:
+    """K copies with re-keyed ids: copy j shifts `key` by j*stride, text
+    columns are left identical (worst case for dedup: every cluster
+    grows K×)."""
+    return (
+        df.withColumn("_copy", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+        .withColumn(key, F.col(key) + F.col("_copy") * stride)
+        .drop("_copy")
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--k", type=int, default=20)
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+
+    spark = get_spark("stress")
+    spark.range(1).count()  # warm the JVM
+
+    docs = table(spark, args.sf, "documents")
+    n_docs = docs.count()
+    big_docs = replicate(docs, "doc_id", args.k, 1_000_000)
+
+    li = table(spark, args.sf, "lineitem")
+    big_li = replicate(li, "l_orderkey", args.k, 10_000_000)
+
+    emb = table(spark, args.sf, "embeddings")
+    big_emb = replicate(emb, "vec_id", args.k, 1_000_000)
+
+    probes = []
+
+    def probe(name, fn):
+        t0 = time.time()
+        n = fn()
+        dt = time.time() - t0
+        probes.append((name, n, dt))
+        print(f"{name:32s} {n:>12,} rows  {dt:7.2f}s", flush=True)
+
+    print(f"K={args.k}: documents {n_docs:,} -> {n_docs * args.k:,}", flush=True)
+
+    # dedup family: the candidate space must not explode with K
+    from mergeextractor_spark.operators.dedup import (  # noqa: E402
+        dedup_exact,  # noqa: F401  (imported for parity with the registry)
+    )
+
+    probe(
+        "exact dedup (groupBy md5)",
+        lambda: big_docs.select(F.md5("text").alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id"), F.count("*"))
+        .count(),
+    )
+
+    probe(
+        "token explode + groupBy(doc)",
+        lambda: big_docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*"))
+        .count(),
+    )
+
+    # OLAP: shuffle-heavy agg at K x 600k rows
+    probe(
+        "Q1-shape agg over lineitem",
+        lambda: big_li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity"), F.count("*"))
+        .count(),
+    )
+
+    # join: fact-fact equi join at K x
+    o = table(spark, args.sf, "orders")
+    big_o = replicate(o, "o_orderkey", args.k, 10_000_000)
+    probe(
+        "orders-lineitem join",
+        lambda: big_o.join(
+            big_li, big_o.o_orderkey == big_li.l_orderkey
+        ).count(),
+    )
+
+    # vector: brute-force cosine of 10 queries against K x 5000 vectors
+    from mergeextractor_spark.operators.vector_queries import cosine
+
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    probe(
+        "ANN brute-force 10 queries",
+        lambda: big_emb.crossJoin(F.broadcast(q))
+        .select(cosine(F.col("embedding"), F.col("qe")).alias("c"))
+        .filter(F.col("c") > 0.99)
+        .count(),
+    )
+
+    # The dup-heavy worst case, handled the canonical way: replication
+    # creates K exact copies of every doc, so near-dup candidate
+    # generation within identical-signature clusters would be Σc² —
+    # production runs EXACT dedup first, then near-dup over the unique
+    # survivors (whose count is independent of K).
+    from mergeextractor_spark.operators.dedup import (
+        _minhash_agg_cols,
+        shingles,
+    )
+
+    def exact_then_near():
+        uniq = (
+            big_docs.groupBy(F.md5("text").alias("h"))
+            .agg(F.min("doc_id").alias("doc_id"), F.first("text").alias("text"))
+        )
+        sh = uniq.select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles(F.col("text")))).alias("shingle"),
+        )
+        sig = sh.groupBy("doc_id").agg(*_minhash_agg_cols())
+        bands = None
+        for band in range(3):
+            piece = sig.select(
+                "doc_id",
+                F.lit(band).alias("band"),
+                F.md5(F.concat(F.col(f"m{band * 2}"), F.col(f"m{band * 2 + 1}"))).alias("bucket"),
+            )
+            bands = piece if bands is None else bands.unionByName(piece)
+        a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+        b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+        return (
+            a.join(b, ["band", "bucket"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+            .count()
+        )
+
+    probe("exact-dedup then minhash bands", exact_then_near)
+
+    total = sum(dt for _, _, dt in probes)
+    print(f"TOTAL {total:.1f}s at K={args.k}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
