@@ -135,16 +135,23 @@ def filter_min_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_anti_incremental",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderkey % 7 = 0)
     """,
     doc="Incremental-processing anti join: todo = all ⟕̸ done (ref "
     "CrawlerSupport.py:373-379 exists-check, re-expressed set-oriented). "
-    "At scale: shuffled hash anti-join on the key; AQE turns it into a "
-    "broadcast anti-join when `done` is small.",
+    "The done-set is a deterministic subset of orders so the survivor "
+    "side is non-trivial on the fixtures (every customer has SOME order, "
+    "so an unrestricted done-set gives an always-empty result — a green "
+    "row that proves nothing). At scale: shuffled hash anti-join on the "
+    "key; AQE turns it into a broadcast anti-join when `done` is small.",
 )
 def join_anti_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = t(spark, sf_dir, "customer")
-    done = t(spark, sf_dir, "orders").select("o_custkey")
+    done = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select("o_custkey")
+    )
     return customer.join(
         done, customer.c_custkey == done.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
@@ -261,24 +268,31 @@ def join_chunk_back(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_org_definition",
     oracle=r"""
-    SELECT r.r_name AS org, count(*) AS n_defining_docs
-    FROM region r JOIN documents d
-      ON regexp_matches(lower(d.text), '\b' || lower(r.r_name) || '\b')
-    GROUP BY r.r_name
+    WITH orgs AS (
+      SELECT unnest(['vector table', 'merge batch', 'stream window', 'spark value', 'hash join']) AS org
+    )
+    SELECT o.org, count(*) AS n_defining_docs
+    FROM orgs o JOIN documents d
+      ON regexp_matches(lower(d.text), '\b' || o.org || '\b')
+    GROUP BY o.org
     """,
-    doc="Theta join by regex containment: tiny org list × document text "
-    "(ref ChunkProcessor.py:257-268). Spark: BroadcastNestedLoopJoin — the "
-    "≤5-row side broadcasts so the scan side never shuffles.",
+    doc="Theta join by regex containment: a literal org catalog × document "
+    "text (ref ChunkProcessor.py:257-268 — the reference's catalog is a "
+    "literal phrase list too; region names never occur in the synthetic "
+    "corpus, so the catalog is drawn from its vocabulary to make the "
+    "containment genuinely fire). Spark: BroadcastNestedLoopJoin — the "
+    "5-row side broadcasts so the scan side never shuffles.",
 )
 def join_org_definition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    r = t(spark, sf_dir, "region")
+    ORGS = ["vector table", "merge batch", "stream window", "spark value", "hash join"]
     d = t(spark, sf_dir, "documents")
-    from ..functions.strings import word_boundary_pattern
-
-    cond = F.rlike(F.lower(d["text"]), word_boundary_pattern(F.lower(r["r_name"])))
+    orgs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(o) for o in ORGS])).alias("org")
+    )
+    cond = F.rlike(F.lower(d["text"]), F.concat(F.lit(r"\b"), orgs["org"], F.lit(r"\b")))
     return (
-        d.join(F.broadcast(r), cond)
-        .groupBy(F.col("r_name").alias("org"))
+        d.join(F.broadcast(orgs), cond)
+        .groupBy("org")
         .agg(F.count("*").alias("n_defining_docs"))
     )
 

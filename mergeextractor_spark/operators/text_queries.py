@@ -253,18 +253,21 @@ def chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ner_orgs_regex",
     oracle=r"""
     SELECT org, count(*) AS cnt FROM (
-      SELECT unnest(regexp_extract_all(text, 'co ([a-z]+ [a-z]+) inc', 1)) AS org
+      SELECT unnest(regexp_extract_all(text, 'query ([a-z]+ [a-z]+) table', 1)) AS org
       FROM documents
     )
     GROUP BY org ORDER BY cnt DESC, org LIMIT 10
     """,
     doc="Deterministic NER stand-in (ref ChunkProcessor.py:331-334 uses "
     "spaCy ORG NER; FIXTURES.md §2.7 regex-NER): pattern-bounded entity "
-    "extraction + top-10 frequency. spaCy pluggable via mapInPandas behind "
-    "a flag (operators/enrich.py), never on the oracle path.",
+    "extraction + top-10 frequency. The anchor words exist in the fixture "
+    "vocabulary so the extraction genuinely fires (~40 matches at sf0.01 "
+    "— an always-empty green row proves nothing). spaCy pluggable via "
+    "mapInPandas behind a flag (operators/enrich.py), never on the "
+    "oracle path.",
 )
 def ner_orgs_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ents = F.regexp_extract_all(F.col("text"), F.lit(r"co ([a-z]+ [a-z]+) inc"), 1)
+    ents = F.regexp_extract_all(F.col("text"), F.lit(r"query ([a-z]+ [a-z]+) table"), 1)
     return (
         t(spark, sf_dir, "documents")
         .select(F.explode(ents).alias("org"))

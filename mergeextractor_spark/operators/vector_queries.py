@@ -232,10 +232,17 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_embedding_neardup",
     oracle="""
-    WITH pairs AS (
+    WITH aug AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, label, list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.01)
+      FROM embeddings WHERE vec_id < 10
+    ),
+    pairs AS (
       SELECT a.vec_id AS va, b.vec_id AS vb,
-             CAST(unnest(a.embedding) AS DOUBLE) AS x, CAST(unnest(b.embedding) AS DOUBLE) AS y
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id AND a.label = b.label
+             unnest(a.embedding) AS x, unnest(b.embedding) AS y
+      FROM aug a JOIN aug b ON a.vec_id < b.vec_id AND a.label = b.label
     ),
     cos AS (
       SELECT va, vb, sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS c
@@ -246,12 +253,27 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Embedding-cosine near-duplicate pairs, blocked by label so the "
     "pair space stays linear-ish (at 100 TB: block by LSH bucket instead — "
-    "same plan shape, join key = bucket). Threshold 0.8.",
+    "same plan shape, join key = bucket). Threshold 0.8. The fixture's "
+    "random vectors have no organic near-dups (an always-empty result "
+    "proves nothing), so vecs 0-9 get deterministic perturbed clones "
+    "(+0.01 per coordinate, id+100000) on BOTH engines — the join must "
+    "recover exactly those ten clone pairs.",
 )
 def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("va"), F.col("label").alias("la"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vb"), F.col("label").alias("lb"), F.col("embedding").alias("eb"))
+    base = e.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    clones = e.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        "label",
+        F.transform("embedding", lambda x: x.cast("double") + 0.01).alias("embedding"),
+    )
+    aug = base.unionByName(clones)
+    a = aug.select(F.col("vec_id").alias("va"), F.col("label").alias("la"), F.col("embedding").alias("ea"))
+    b = aug.select(F.col("vec_id").alias("vb"), F.col("label").alias("lb"), F.col("embedding").alias("eb"))
     return (
         a.join(b, (F.col("va") < F.col("vb")) & (F.col("la") == F.col("lb")))
         .select("va", "vb", cosine(F.col("ea"), F.col("eb")).alias("c"))
