@@ -62,6 +62,10 @@ def _tune_for_dir(spark: SparkSession, sf_dir: str) -> None:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        # an untuned session collects our results through row-at-a-time
+        # toPandas; Arrow batches cut that bridge cost ~10x and the conf
+        # is runtime-settable
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
         if total < _SMALL_DIR_BYTES:
             cores = max(8, spark.sparkContext.defaultParallelism)
             current = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))

@@ -67,6 +67,13 @@ def main():
     ap.add_argument("--sf", default=os.environ.get("SELF_SF_DIR", "/root/testdata/sf0.01"))
     ap.add_argument("--keys", default="")
     ap.add_argument("-q", "--quiet", action="store_true")
+    ap.add_argument(
+        "--vanilla",
+        action="store_true",
+        help="use a bare untuned SparkSession (200 shuffle partitions, no "
+        "pre-set confs) — the closest mirror of the driver's own session; "
+        "queries must self-tune through fixtures.table()",
+    )
     args = ap.parse_args()
 
     reg = load_all()
@@ -78,7 +85,18 @@ def main():
             f"CREATE VIEW {name} AS SELECT * FROM '{args.sf}/{name}.parquet'"
         )
 
-    spark = get_spark("selfcheck")
+    if args.vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("selfcheck-vanilla")
+            .config("spark.ui.enabled", "false")
+            .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("selfcheck")
     n_pass = n_fail = n_rowsonly = 0
     failures = []
     for key in keys:
