@@ -175,3 +175,68 @@ def join_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.join(F.broadcast(dim), "event_type").select(
         "event_id", "event_type", "type_code"
     )
+
+
+@register(
+    "dedup_keep_latest",
+    oracle="""
+    SELECT user_id, event_type, event_id, round(value, 4) AS value FROM (
+      SELECT user_id, event_type, event_id, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    doc="CDC-style compaction: keep each key's latest record by event "
+    "time (ties broken by event_id so retries are deterministic) — the "
+    "standard upsert-log → current-state collapse. One window over the "
+    "key partitioning; at 100 TB this is the same shuffle a MERGE "
+    "shuffle-stage performs, and pairs with sink_kv_upsert for the "
+    "write side.",
+)
+def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", r4(F.col("value")).alias("value"))
+    )
+
+
+@register(
+    "profile_numeric",
+    oracle="""
+    SELECT 'l_quantity' AS col, round(min(l_quantity), 4) AS min_v, round(max(l_quantity), 4) AS max_v,
+           round(avg(l_quantity), 4) AS mean_v, round(stddev_samp(l_quantity), 4) AS std_v,
+           CAST(count(*) - count(l_quantity) AS BIGINT) AS n_null
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', round(min(l_discount), 4), round(max(l_discount), 4),
+           round(avg(l_discount), 4), round(stddev_samp(l_discount), 4),
+           CAST(count(*) - count(l_discount) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', round(min(l_tax), 4), round(max(l_tax), 4),
+           round(avg(l_tax), 4), round(stddev_samp(l_tax), 4),
+           CAST(count(*) - count(l_tax) AS BIGINT)
+    FROM lineitem
+    """,
+    doc="Column profiling (ANALYZE-style min/max/mean/stddev/null-count "
+    "per numeric column) — the data-quality pass every ingest runs "
+    "first. One scan, all aggregates computed together map-side "
+    "(unpivot + single groupBy); stddev is the sample form on both "
+    "engines.",
+)
+def profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    long = li.unpivot([], ["l_quantity", "l_discount", "l_tax"], "col", "v")
+    return long.groupBy("col").agg(
+        r4(F.min("v")).alias("min_v"),
+        r4(F.max("v")).alias("max_v"),
+        r4(F.avg("v")).alias("mean_v"),
+        r4(F.stddev_samp("v")).alias("std_v"),
+        (F.count(F.lit(1)) - F.count("v")).cast("bigint").alias("n_null"),
+    )

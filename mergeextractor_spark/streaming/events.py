@@ -118,3 +118,27 @@ def enrich_with_static(events: DataFrame, dim: DataFrame) -> DataFrame:
     return events.join(F.broadcast(dim), "event_type").select(
         "event_id", "event_type", "type_code"
     )
+
+
+def stream_upsert_to_kv(
+    events: DataFrame, path: str, key: str = "event_id", checkpoint: str | None = None
+):
+    """Streaming upsert sink: every micro-batch MERGEs into the bucketed
+    parquet store via foreachBatch + merge_kv_store — the production
+    pattern for maintaining current state from a change stream without a
+    lakehouse format. Returns the started StreamingQuery (availableNow)."""
+    from ..sources.sinks import merge_kv_store
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_kv_store(batch_df.sparkSession, batch_df, path, key=key)
+
+    writer = (
+        events.writeStream.foreachBatch(_merge)
+        .trigger(availableNow=True)
+        .outputMode("update")
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

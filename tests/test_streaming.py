@@ -79,3 +79,36 @@ def test_stream_static_join_matches_batch_twin(spark):
     s = {(r.event_id, r.type_code) for r in got.collect()}
     b = {(r.event_id, r.type_code) for r in join_stream_static(spark, SF).collect()}
     assert s == b
+
+
+def test_stream_upsert_foreachbatch(spark, tmp_path):
+    """foreachBatch + merge_kv_store: the streamed events land in the
+    bucketed store with MERGE semantics (latest write per key wins,
+    store readable mid-pipeline)."""
+    from pyspark.sql import functions as F
+
+    from mergeextractor_spark.streaming.events import (
+        read_events_stream,
+        stream_upsert_to_kv,
+    )
+
+    path = str(tmp_path / "kvstream")
+    events = read_events_stream(spark, SF).select(
+        F.col("event_id").alias("main_index"), "event_type", "value"
+    )
+    q = stream_upsert_to_kv(
+        events, path, key="main_index", checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+
+    back = spark.read.parquet(path)
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert back.count() == n_events  # every event upserted exactly once
+    assert back.select("main_index").distinct().count() == n_events
+
+    # a second run over the same input must be idempotent (MERGE, not append)
+    q2 = stream_upsert_to_kv(
+        events, path, key="main_index", checkpoint=str(tmp_path / "ckpt2")
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(path).count() == n_events
