@@ -71,3 +71,20 @@ def test_ngram_jaccard_df_caps_before_join(spark):
     plan = plan_of(spark, "dedup_ngram_jaccard")
     assert "CartesianProduct" not in plan
     assert "_df" in plan or "df#" in plan.lower() or "window" in plan.lower()
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    plan = plan_of(spark, "contamination_ngram")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hash_split_is_shuffle_free(spark):
+    # deterministic split assignment must stay a pure map stage
+    assert "Exchange" not in plan_of(spark, "sample_hash_split")
+
+
+def test_profile_numeric_single_scan(spark):
+    plan = plan_of(spark, "profile_numeric")
+    assert "Expand" in plan  # unpivot, not three scans unioned
+    assert plan.count("FileScan") <= 1
