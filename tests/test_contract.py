@@ -44,3 +44,21 @@ def test_oracle_paired_keys_run_first():
             assert not seen_rows_only, f"oracle-paired {key!r} after a rows-only key"
         else:
             seen_rows_only = True
+
+
+def test_sql_view_surface(spark):
+    """register_views exposes the pure-query surface as mx_<key> temp
+    views for SQL-first users; a view is lazy and queryable."""
+    from mergeextractor_spark.__main__ import register_views
+
+    n = register_views(spark, "/root/testdata/sf0.001")
+    assert n >= 90
+    got = spark.sql(
+        "SELECT count(*) AS n FROM mx_text_quality_score WHERE quality > 0"
+    ).collect()[0]["n"]
+    assert got > 0
+    joined = spark.sql(
+        """SELECT q.doc_id FROM mx_text_quality_score q
+           JOIN mx_sample_hash_split s USING (doc_id) WHERE s.split = 'train'"""
+    ).count()
+    assert joined > 0
