@@ -303,3 +303,42 @@ def json_extract_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n_hits"), F.sum("k").alias("k_total"))
     )
+
+
+@register(
+    "json_parse_corrupt_tolerant",
+    oracle="""
+    WITH seeded AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 100 = 0 THEN '{broken' || props ELSE props END AS props
+      FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_rows,
+           CAST(count(*) FILTER (WHERE json_valid(props)) AS BIGINT) AS n_parsed,
+           CAST(count(*) FILTER (WHERE NOT json_valid(props)) AS BIGINT) AS n_corrupt
+    FROM seeded
+    GROUP BY event_type
+    """,
+    doc="Corrupt-tolerant JSON ingestion: 1% of payloads are seeded with "
+    "broken JSON (deterministically, by event_id) and the parse must "
+    "degrade to NULL + a corrupt count rather than fail the job — "
+    "PERMISSIVE-mode semantics, the ingestion posture any 100 TB raw "
+    "feed needs. from_json returns NULL on malformed input; counts are "
+    "one groupBy.",
+)
+def json_parse_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seeded = F.when(
+        F.col("event_id") % 100 == 0, F.concat(F.lit("{broken"), F.col("props"))
+    ).otherwise(F.col("props"))
+    parsed = F.from_json(seeded, "struct<k:bigint>")
+    return (
+        t(spark, sf_dir, "events")
+        .select("event_type", parsed["k"].alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("k").cast("bigint").alias("n_parsed"),
+            (F.count("*") - F.count("k")).cast("bigint").alias("n_corrupt"),
+        )
+    )
