@@ -68,7 +68,7 @@ def load_all() -> dict[str, Query]:
         olap_queries,
         multimodal,
     )
-    from .plans import extract_pipeline  # noqa: F401
+    from .plans import extract_pipeline, curation_pipeline  # noqa: F401
 
     return dict(
         sorted(REGISTRY.items(), key=lambda kv: kv[1].oracle is None)
