@@ -37,15 +37,23 @@ def top_orgs(passages: DataFrame, id_col: str, text_col: str, k: int = 5) -> Dat
     return counts.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
-def normalize_lines(df: DataFrame, text_col: str, out_col: str) -> DataFrame:
+def normalize_lines(
+    df: DataFrame, text_col: str, out_col: str, key_cols: list[str] | None = None
+) -> DataFrame:
     """Order-preserving removal of duplicate (stripped) lines, blanks kept
     (ref ChunkProcessor.py:240-255 __normalize_chunks). posexplode → first
-    occurrence by position → ordered re-concat; all native."""
+    occurrence by position → ordered re-concat; all native.
+
+    ``key_cols``: columns identifying a row (e.g. the document id). When
+    given, the first-occurrence window partitions on them instead of on
+    the text column itself — same result, but the shuffle hashes small
+    keys instead of multi-KB section strings."""
     d = df.withColumn("_lines", F.split(F.col(text_col), "\n"))
     exploded = d.select(
         "*", F.posexplode("_lines").alias("_pos", "_line")
     ).withColumn("_key", F.trim(F.col("_line")))
-    w = W.partitionBy(text_col, "_key").orderBy("_pos")
+    part_cols = (key_cols if key_cols else [text_col]) + ["_key"]
+    w = W.partitionBy(*part_cols).orderBy("_pos")
     kept = exploded.withColumn("_rn", F.row_number().over(w)).filter(
         (F.col("_rn") == 1) | (F.col("_key") == "")
     )

@@ -145,3 +145,66 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt_from=F.col("event_id"),
     )
     return out.select("event_type", r4(F.col("total_value")).alias("total_value"), "n")
+
+
+N_CELLS_TRAINED = 16
+NPROBE_TRAINED = 8
+
+
+@register(
+    "ann_ivf_trained",
+    oracle=None,  # k-means codebook → engine-specific, rows-only + recall pytest
+    doc=f"IVF with a TRAINED codebook: k-means|| ({N_CELLS_TRAINED} cells, "
+    "fixed seed) over the embedding column via pyspark.ml, then the same "
+    f"cell-probe plan as ann_ivf_topk with nprobe={NPROBE_TRAINED}. "
+    "Honest caveat, asserted in tests/test_ann.py: the fixture vectors "
+    "are isotropic random, the worst case for IVF — with no cluster "
+    "structure recall tracks the scan fraction (measured 0.8 at "
+    f"{NPROBE_TRAINED}/{N_CELLS_TRAINED} cells). On real embedding "
+    "distributions (which cluster) the same plan gives high recall at "
+    "small scan fractions; nprobe is the recall/cost dial. Rows-only "
+    "check (codebooks are engine-specific by nature).",
+)
+def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = t(spark, sf_dir, "embeddings")
+    fe = e.select("vec_id", "embedding", array_to_vector("embedding").alias("features"))
+    model = KMeans(k=N_CELLS_TRAINED, seed=7, maxIter=10).fit(fe)
+    cents = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cdf = spark.createDataFrame(cents, ["cid", "ce"]).coalesce(1)
+    dots = (
+        e.crossJoin(F.broadcast(cdf))
+        .select("vec_id", "cid", dot(F.col("embedding"), F.col("ce")).alias("d"))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("d"), F.asc("cid"))
+    ranked = dots.withColumn("rn", F.row_number().over(w))
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cid")
+    qprobe = (
+        ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("rn") <= NPROBE_TRAINED))
+        .select(F.col("vec_id").alias("qid"), "cid")
+    )
+    cand = qprobe.join(assign, "cid").filter(F.col("vec_id") != F.col("qid")).select("qid", "vec_id")
+    qe = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    ce = e.select("vec_id", F.col("embedding").alias("c_emb"))
+    scored = (
+        cand.join(F.broadcast(qe), "qid")
+        .join(ce, "vec_id")
+        .select("qid", "vec_id", cosine(F.col("c_emb"), F.col("q_emb")).alias("c"))
+    )
+    w2 = W.partitionBy("qid").orderBy(F.desc("c"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            r4(F.col("c")).alias("cos"),
+            F.col("rn").cast("bigint").alias("rank"),
+        )
+    )

@@ -150,7 +150,9 @@ def separator_pipeline(documents: DataFrame, done: DataFrame | None = None) -> D
         "main_index",
         F.concat(F.col("passage"), F.lit("\n"), F.coalesce(F.col("tail_text"), F.lit(""))).alias("raw_section"),
     )
-    deduped = normalize_lines(assembled, "raw_section", "section")
+    deduped = normalize_lines(
+        assembled, "raw_section", "section", key_cols=["main_index"]
+    )
 
     names = documents.select("main_index", "company_a", "company_b")
     secs = deduped.join(names, "main_index")
