@@ -45,14 +45,69 @@ def register(key: str, oracle: str | None = None, doc: str = ""):
     return wrap
 
 
+# Keys that already hold a green hash-checked row in CORRECTNESS_r01/r02
+# (historical fact, frozen).  The driver's correctness gate walks the dict
+# returned by load_all() front-to-back under a wall-clock budget and in
+# round 2 demonstrably covered exactly the first 50 keys — so every
+# oracle-paired key that has NEVER had a driver row must sit in positions
+# 1..50 this round.  Rotation policy: never-checked oracle keys first
+# (flagships leading), then oracle keys added after the r02 snapshot, then
+# the already-green keys, then rows-only keys.
+_DRIVER_GREEN: frozenset[str] = frozenset({
+    # CORRECTNESS_r02.json (50 keys, all green)
+    "project_cols", "filter_index_range", "filter_token_floor",
+    "filter_company_presence", "filter_hyphen_retry", "filter_skip_terms",
+    "filter_min_length", "join_anti_incremental", "join_deal_filing",
+    "join_fuzzy_entity", "join_chunk_back", "join_org_definition",
+    "join_union_dedup", "agg_count_total", "agg_org_topk",
+    "agg_first_match", "agg_concat_section", "rank_hybrid_top1",
+    "window_chunk_follow", "sort_by_key", "set_union_hits",
+    "set_distinct_urls", "set_distinct_defs", "date_window",
+    "str_strip_parens", "str_drop_last_word", "str_first_token",
+    "str_replace_dash", "str_cik_battery", "str_urlencode",
+    "str_page_clean", "str_truncate", "str_html_to_text",
+    "str_normalize_quotes", "date_format_iso", "math_weighted_sum",
+    "math_sigmoid", "json_parse_toolcall", "json_extract_hits",
+    "json_parse_corrupt_tolerant", "text_lang_id", "text_quality_score",
+    "text_token_count", "text_fingerprint", "text_winnow_fingerprint",
+    "set_distinct_lines", "chunk_fixed", "ner_orgs_regex", "fuzzy_ratio",
+    "text_pii_scrub",
+})
+
+# Explicit front-of-window order for the 50 oracle keys with no driver row
+# in any round (VERDICT r2 "Next round" item 1).  Flagships first, then the
+# dedup/ANN/OLAP/streaming extension surface, then the §2 parity keys.
+_ROTATION_FIRST: tuple[str, ...] = (
+    "extract_section_pipeline", "curation_pipeline",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_rep",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_neardup",
+    "dedup_components", "dedup_embedding_neardup", "dedup_keep_latest",
+    "ann_bruteforce_topk", "ann_lsh_buckets", "ann_ivf_topk",
+    "math_cosine_sim", "agg_vector_mean", "query_embed_build",
+    "vector_quantize_int8", "rerank_crossencoder",
+    "text_repetition_ratio", "sample_hash_split", "contamination_ngram",
+    "agg_salted_skew", "olap_pricing_summary", "olap_top_revenue_orders",
+    "olap_nation_revenue", "agg_rollup", "agg_cube", "agg_pivot",
+    "agg_unpivot", "agg_percentile", "agg_count_distinct",
+    "join_asof", "join_range_interval", "profile_numeric",
+    "events_tumbling_counts", "events_sliding_counts", "events_sessionize",
+    "join_stream_static", "scan_csv_deals", "filter_exists_skip",
+    "str_regex_extract_cik", "str_lstrip_zeros", "str_build_url",
+    "str_drop_pagenums", "str_collapse_newlines", "str_strip_toc",
+    "str_html_to_text_v2", "str_company_loose", "str_mojibake_repair",
+)
+
+
 def load_all() -> dict[str, Query]:
     """Import every module that registers queries (idempotent).
 
-    Returned order puts every oracle-paired key BEFORE the rows-only keys
-    (stable within each group): the driver walks this dict in order under a
-    wall-clock budget, and a hash-checked row is strictly stronger evidence
-    than a rows-only row, so the hard checks must never starve behind
-    mock-HTTP sources, sinks, and streaming keys.
+    Returned order implements the gate-window rotation documented above:
+      1. oracle-paired keys never covered by a CORRECTNESS round, in
+         ``_ROTATION_FIRST`` order (flagships first);
+      2. oracle-paired keys registered after the r02 snapshot (neither
+         list knows them yet — they queue for the next rotation);
+      3. oracle-paired keys already green in r01/r02;
+      4. rows-only keys.
     """
     from .operators import (  # noqa: F401
         relational,
@@ -70,6 +125,16 @@ def load_all() -> dict[str, Query]:
     )
     from .plans import extract_pipeline, curation_pipeline  # noqa: F401
 
-    return dict(
-        sorted(REGISTRY.items(), key=lambda kv: kv[1].oracle is None)
-    )
+    first = {k: i for i, k in enumerate(_ROTATION_FIRST)}
+
+    def rank(kv: tuple[str, Query]) -> tuple[int, int]:
+        key, q = kv
+        if q.oracle is None:
+            return (3, 0)
+        if key in first:
+            return (0, first[key])
+        if key in _DRIVER_GREEN:
+            return (2, 0)
+        return (1, 0)  # new oracle key, queued for the next rotation
+
+    return dict(sorted(REGISTRY.items(), key=rank))
