@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..operators._util import t, r4
-from ..operators.dedup import N_HASHES, _minhash_agg_cols, shingles
+from ..operators.dedup import N_HASHES, minhash_pairs_df
 from ..operators.text_queries import EN_STOPWORDS, _STOP_SQL
 from ..registry import register
 
@@ -163,44 +163,10 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_rep")
     )
 
-    # minhash near-dup keep-first over the exact-dedup survivors
-    sh = uniq.select(
-        "doc_id", F.explode(F.array_distinct(shingles(F.col("text")))).alias("shingle")
-    )
-    sig = sh.groupBy("doc_id").agg(*_minhash_agg_cols())
-    bands = None
-    for band in range(N_HASHES // 2):
-        cols = [F.col(f"m{band * 2 + i}") for i in range(2)]
-        piece = sig.select(
-            "doc_id", F.lit(band).alias("band"), F.md5(F.concat(*cols)).alias("bucket")
-        )
-        bands = piece if bands is None else bands.unionByName(piece)
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
-    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
-    cand = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    s1 = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    s2 = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    verified = (
-        s1.join(F.broadcast(cand), "doc_a")
-        .join(s2, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("common"))
-    )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))
-    pairs = (
-        verified.join(F.broadcast(na), "doc_a")
-        .join(F.broadcast(nb), "doc_b")
-        .filter(jac >= JACCARD_MIN)
-        .select("doc_a", "doc_b")
-    )
+    # minhash near-dup keep-first over the exact-dedup survivors; the shared
+    # pair pipeline is hint-free (AQE picks the join strategy — a forced
+    # broadcast of the candidate set caps at executor memory, VERDICT r2).
+    pairs = minhash_pairs_df(uniq, threshold=JACCARD_MIN).select("doc_a", "doc_b")
     reps = pairs.groupBy("doc_b").agg(F.min("doc_a").alias("rep"))
     survivors = (
         uniq.join(reps, uniq.doc_id == reps.doc_b, "left")

@@ -44,9 +44,15 @@ def test_text_filter_pushed_to_scan(spark):
     assert "RLIKE(lower(substring(text" in plan
 
 
-def test_minhash_broadcasts_candidates(spark):
+def test_minhash_verify_join_unhinted(spark):
+    # VERDICT r2 item 2: no forced broadcast of the candidate/size tables —
+    # they are O(N)+ on dup-heavy corpora, so AQE must be free to pick a
+    # shuffle join. The plan must be adaptive and never degrade to an
+    # all-pairs form.
     plan = plan_of(spark, "dedup_minhash_lsh")
-    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "AdaptiveSparkPlan" in plan
 
 
 def test_simhash_neardup_is_banded_not_cartesian(spark):

@@ -163,6 +163,87 @@ def main() -> None:
 
     probe("exact-dedup then minhash bands", exact_then_near)
 
+    # VERDICT r2 item 2 evidence: the full verify join (candidates x
+    # shingles, exact Jaccard) must complete with broadcast joins disabled
+    # entirely — i.e. the shuffle-join path AQE falls back to when the
+    # candidate set outgrows executor memory on a real corpus.
+    from mergeextractor_spark.operators.dedup import minhash_pairs_df
+
+    def verify_join_no_broadcast():
+        uniq = (
+            big_docs.groupBy(F.md5("text").alias("h"))
+            .agg(F.min("doc_id").alias("doc_id"), F.first("text").alias("text"))
+        )
+        thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            return minhash_pairs_df(uniq).count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+
+    probe("minhash verify join, broadcast OFF", verify_join_no_broadcast)
+
+    # VERDICT r2 item 4 evidence: candidate volume of the simhash band join
+    # with the 16-bit key alone vs the 28-bit compound key (band value +
+    # 12-bit sub-block of the remaining 48 bits). Same recall (double
+    # pigeonhole for hamming<=3); the compound key must cut the join output.
+    from mergeextractor_spark.operators.dedup import _simhash64_exprs
+
+    def simhash_candidates(compound: bool):
+        uniq = (
+            big_docs.groupBy(F.md5("text").alias("h"))
+            .agg(F.min("doc_id").alias("doc_id"), F.first("text").alias("text"))
+        )
+        toks = uniq.select(
+            "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+        ).filter(F.col("tok") != "").distinct()
+        bit_exprs = [
+            F.expr(e.split(" AS ")[0]).alias(e.split(" AS ")[1])
+            for e in _simhash64_exprs("spark")
+        ]
+        bits = toks.groupBy("doc_id").agg(*bit_exprs)
+        packs = []
+        for k in range(4):
+            term = None
+            for i in range(16):
+                piece = F.when(F.col(f"s{k}_{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+                term = piece if term is None else term + piece
+            packs.append(term.cast("bigint").alias(f"b{k}"))
+        sig = bits.select("doc_id", *packs)
+        entries = []
+        for k in range(4):
+            others = [o for o in range(4) if o != k]
+            rem48 = (
+                F.shiftleft(F.col(f"b{others[0]}"), 32)
+                .bitwiseOR(F.shiftleft(F.col(f"b{others[1]}"), 16))
+                .bitwiseOR(F.col(f"b{others[2]}"))
+            )
+            subs = range(4) if compound else [0]
+            for j in subs:
+                sv = (
+                    F.shiftright(rem48, 12 * j).bitwiseAND(F.lit(0xFFF))
+                    if compound else F.lit(0)
+                )
+                entries.append(
+                    F.struct(
+                        F.lit(k).alias("band"), F.lit(j).alias("sub"),
+                        F.col(f"b{k}").alias("bv"), sv.alias("sv"),
+                    )
+                )
+        bands = sig.select("doc_id", F.explode(F.array(*entries)).alias("e")).select(
+            "doc_id", "e.band", "e.sub", "e.bv", "e.sv"
+        )
+        a = bands.select(F.col("doc_id").alias("doc_a"), "band", "sub", "bv", "sv")
+        b = bands.select(F.col("doc_id").alias("doc_b"), "band", "sub", "bv", "sv")
+        return (
+            a.join(b, ["band", "sub", "bv", "sv"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .count()
+        )
+
+    probe("simhash cand, 16-bit band key", lambda: simhash_candidates(False))
+    probe("simhash cand, 28-bit compound", lambda: simhash_candidates(True))
+
     total = sum(dt for _, _, dt in probes)
     print(f"TOTAL {total:.1f}s at K={args.k}", flush=True)
 
