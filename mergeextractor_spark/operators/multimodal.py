@@ -18,6 +18,7 @@ not row counts.
 from __future__ import annotations
 
 import struct
+import weakref
 import zlib
 from collections.abc import Callable, Iterator
 
@@ -184,7 +185,11 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Contract keys: the multimodal plumbing as registered rows-only queries.
 
-_MEDIA_CACHE: dict[int, DataFrame] = {}
+# Weak-keyed on the session object itself — id(spark) could alias a new
+# session onto a dead one's DataFrames after GC address reuse (ADVICE r2).
+_MEDIA_CACHE: "weakref.WeakKeyDictionary[SparkSession, DataFrame]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _media_df(spark: SparkSession) -> DataFrame:
@@ -192,8 +197,8 @@ def _media_df(spark: SparkSession) -> DataFrame:
     + byte-stream 'videos'. Driver-side row build is fine — the payloads
     are the fixture, not the data path (at scale these arrive as a binary
     parquet/blob column)."""
-    if id(spark) in _MEDIA_CACHE:
-        return _MEDIA_CACHE[id(spark)]
+    if spark in _MEDIA_CACHE:
+        return _MEDIA_CACHE[spark]
     rows = []
     for i in range(8):
         rows.append(
@@ -223,7 +228,7 @@ def _media_df(spark: SparkSession) -> DataFrame:
     # pandas/Arrow build (not list-of-dicts): keeps the payload bytes as
     # JVM-local batches instead of a Python RDD re-pickled on every action.
     df = spark.createDataFrame(pd.DataFrame(rows), schema=MEDIA_SCHEMA).coalesce(1)
-    _MEDIA_CACHE[id(spark)] = df
+    _MEDIA_CACHE[spark] = df
     return df
 
 

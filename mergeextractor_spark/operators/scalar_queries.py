@@ -315,17 +315,29 @@ def json_extract_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            count(*) AS n_rows,
-           CAST(count(*) FILTER (WHERE json_valid(props)) AS BIGINT) AS n_parsed,
-           CAST(count(*) FILTER (WHERE NOT json_valid(props)) AS BIGINT) AS n_corrupt
-    FROM seeded
+           CAST(count(*) FILTER (WHERE usable) AS BIGINT) AS n_parsed,
+           CAST(count(*) FILTER (WHERE NOT usable) AS BIGINT) AS n_corrupt
+    FROM (
+      SELECT event_type,
+             -- CASE defers json_extract until json_valid holds (json_extract
+             -- raises on malformed input even under an AND guard)
+             CASE WHEN json_valid(props)
+                  THEN json_type(json_extract(props, '$.k')) IN ('BIGINT', 'UBIGINT')
+                       AND try_cast(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+                  ELSE FALSE END AS usable
+      FROM seeded
+    )
     GROUP BY event_type
     """,
     doc="Corrupt-tolerant JSON ingestion: 1% of payloads are seeded with "
     "broken JSON (deterministically, by event_id) and the parse must "
     "degrade to NULL + a corrupt count rather than fail the job — "
     "PERMISSIVE-mode semantics, the ingestion posture any 100 TB raw "
-    "feed needs. from_json returns NULL on malformed input; counts are "
-    "one groupBy.",
+    "feed needs. n_parsed counts rows yielding a USABLE integer `k` on "
+    "both engines (Spark: from_json struct field non-null; DuckDB: valid "
+    "JSON whose $.k is a JSON integer) — same predicate either side, so "
+    "invalid JSON, missing k, null k, and non-integer k all agree "
+    "(ADVICE r2: the previous oracle counted json_valid instead).",
 )
 def json_parse_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeded = F.when(

@@ -13,6 +13,7 @@ correctness gate calls these loaders hundreds of times.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -30,11 +31,14 @@ TABLE_NAMES = [
     "embeddings",
 ]
 
-# (id(spark), sf_dir, name) -> DataFrame. Sessions are few and long-lived;
-# entries are plain logical plans (no pinned executor memory), so an
-# unbounded dict is fine.
-_DF_MEMO: dict[tuple[int, str, str], DataFrame] = {}
-_TUNED: set[tuple[int, str]] = set()
+# session -> {(sf_dir, name) -> DataFrame}. Weak-keyed on the session
+# object itself: keying on id(spark) could alias a new session onto a
+# dead one's entries after GC reuses the address (ADVICE r2). Entries are
+# plain logical plans (no pinned executor memory) and die with the session.
+_DF_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+_TUNED: "weakref.WeakKeyDictionary[SparkSession, set[str]]" = weakref.WeakKeyDictionary()
 
 # Below this many bytes of parquet in sf_dir, size the shuffle to the
 # session's own parallelism: the driver hands queries an untuned session
@@ -46,10 +50,10 @@ _SMALL_DIR_BYTES = 512 * 1024 * 1024
 
 
 def _tune_for_dir(spark: SparkSession, sf_dir: str) -> None:
-    key = (id(spark), sf_dir)
-    if key in _TUNED:
+    tuned = _TUNED.setdefault(spark, set())
+    if sf_dir in tuned:
         return
-    _TUNED.add(key)
+    tuned.add(sf_dir)
     try:
         total = sum(
             os.path.getsize(os.path.join(sf_dir, f))
@@ -78,8 +82,9 @@ def _tune_for_dir(spark: SparkSession, sf_dir: str) -> None:
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown fixture table {name!r}")
-    memo_key = (id(spark), sf_dir, name)
-    hit = _DF_MEMO.get(memo_key)
+    memo = _DF_MEMO.setdefault(spark, {})
+    memo_key = (sf_dir, name)
+    hit = memo.get(memo_key)
     if hit is not None:
         return hit
     path = os.path.join(sf_dir, f"{name}.parquet")
@@ -99,8 +104,8 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
             )
-        _DF_MEMO[memo_key] = df
+        memo[memo_key] = df
         return df
     df = spark.read.parquet(path)
-    _DF_MEMO[memo_key] = df
+    memo[memo_key] = df
     return df

@@ -76,7 +76,15 @@ def merge_kv_store(
     if not buckets:
         return
     up = up.cache()  # read twice (anti-join + union); tiny vs the table
-    try:
+    # Only the store-missing case may fall back to a plain first write
+    # (ADVICE r2: a bare except here turned ANY transient failure into
+    # "first write", silently dropping the kept rows of touched buckets).
+    # Existence is checked through the Hadoop FS API so the same code holds
+    # for hdfs://, s3a://, and local paths; every other error propagates.
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
         target = spark.read.parquet(path).filter(F.col("bucket").isin(buckets))
         kept = target.join(up.select(key), on=key, how="left_anti")
         # Spark refuses to overwrite a path that feeds the plan being
@@ -85,7 +93,7 @@ def merge_kv_store(
         # lakehouse write-temp-and-swap, or Delta, replaces this at very
         # large |affected buckets|.)
         merged = kept.unionByName(up).localCheckpoint(eager=True)
-    except Exception:
+    else:
         merged = up  # first write: store doesn't exist yet
     (
         merged.write.mode("overwrite")
