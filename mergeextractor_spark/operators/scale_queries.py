@@ -70,15 +70,29 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.crossJoin(F.broadcast(cents))
         .select("vec_id", "cid", dot(F.col("embedding"), F.col("ce")).alias("d"))
     )
-    w = W.partitionBy("vec_id").orderBy(F.desc("d"), F.asc("cid"))
-    ranked = dots.withColumn("rn", F.row_number().over(w))
-    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cid")
+    # Cell assignment as an ALGEBRAIC aggregate, not a row_number window:
+    # max_by with a (d, -cid) tie-break is map-side combinable, so the full
+    # N×C dot table never sorts and the shuffle carries one row per vector
+    # (r2 ran a full-table window here — the sort dominated the query).
+    assign = dots.groupBy("vec_id").agg(
+        F.expr("max_by(cid, struct(d, -cid))").alias("cid")
+    )
+    # query probes need top-NPROBE cells for the N_QUERIES query vectors
+    # only — filter BEFORE the window so it sorts N_QUERIES×C rows, not N×C
+    wq = W.partitionBy("vec_id").orderBy(F.desc("d"), F.asc("cid"))
     qprobe = (
-        ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("rn") <= NPROBE))
+        dots.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= NPROBE)
         .select(F.col("vec_id").alias("qid"), "cid")
     )
     cand = qprobe.join(assign, "cid").filter(F.col("vec_id") != F.col("qid")).select("qid", "vec_id")
-    qe = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb"))
+    # broadcast ONLY the query vectors (r2 bench regression: broadcasting
+    # the full embedding table as the query side cost ~0.25 s/run at sf0.1
+    # and would be a multi-GB broadcast at corpus scale)
+    qe = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
     ce = e.select("vec_id", F.col("embedding").alias("c_emb"))
     scored = (
         cand.join(F.broadcast(qe), "qid")
@@ -180,11 +194,16 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.crossJoin(F.broadcast(cdf))
         .select("vec_id", "cid", dot(F.col("embedding"), F.col("ce")).alias("d"))
     )
-    w = W.partitionBy("vec_id").orderBy(F.desc("d"), F.asc("cid"))
-    ranked = dots.withColumn("rn", F.row_number().over(w))
-    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cid")
+    # same shape as ann_ivf_topk: algebraic max_by for assignment, window
+    # only over the filtered query rows
+    assign = dots.groupBy("vec_id").agg(
+        F.expr("max_by(cid, struct(d, -cid))").alias("cid")
+    )
+    wq = W.partitionBy("vec_id").orderBy(F.desc("d"), F.asc("cid"))
     qprobe = (
-        ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("rn") <= NPROBE_TRAINED))
+        dots.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= NPROBE_TRAINED)
         .select(F.col("vec_id").alias("qid"), "cid")
     )
     cand = qprobe.join(assign, "cid").filter(F.col("vec_id") != F.col("qid")).select("qid", "vec_id")
