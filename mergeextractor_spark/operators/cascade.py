@@ -210,3 +210,58 @@ def filter_background_chunks(chunks: DataFrame, chunk_col: str = "chunk") -> Dat
         .withColumn("passage", cascade_passage_udf(F.col(chunk_col)))
         .filter(F.col("passage").isNotNull())
     )
+
+
+def chunk_and_cascade(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_cols: list[str] | None = None,
+    chunk_size: int | None = None,
+    chunk_overlap: int | None = None,
+) -> DataFrame:
+    """Fused chunk + cascade: ONE ``mapInPandas`` pass emitting every chunk
+    of every document together with its cascade passage (NULL when the
+    cascade rejects).
+
+    Equivalent to ``chunk_documents`` followed by the cascade UDF, minus a
+    full Arrow round-trip of the chunk text (chunks serialized out of the
+    chunker UDF and back into the cascade UDF — VERDICT r2 item 6). The
+    native 'background' prefilter runs as the same cheap substring test in
+    Python, so the cascade still only executes on plausible chunks.
+    Pipelines that need both the chunk set and the cascade hits (crawler /
+    separator, plans/filing_pipeline.py) read both from this single output:
+    ``passage IS NOT NULL`` selects the hits.
+    """
+    from .chunking import CHUNK_OVERLAP, CHUNK_SIZE, split_text
+
+    id_cols = id_cols or ["doc_id"]
+    size = chunk_size or CHUNK_SIZE
+    overlap = chunk_overlap or CHUNK_OVERLAP
+    out_schema = T.StructType(
+        [docs.schema[c] for c in id_cols]
+        + [
+            T.StructField("chunk_idx", T.IntegerType()),
+            T.StructField("chunk", T.StringType()),
+            T.StructField("passage", T.StringType()),
+        ]
+    )
+    cols = [f.name for f in out_schema.fields]
+
+    def gen(batches):
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in cols}
+            for row in pdf.to_dict("records"):
+                text = row[text_col] or ""
+                for i, c in enumerate(split_text(text, size, overlap)):
+                    passage = (
+                        two_pass_passage(c) if "background" in c.lower() else None
+                    )
+                    for ic in id_cols:
+                        out[ic].append(row[ic])
+                    out["chunk_idx"].append(i)
+                    out["chunk"].append(c)
+                    out["passage"].append(passage)
+            if out["chunk"]:
+                yield pd.DataFrame(out)
+
+    return docs.select(*id_cols, text_col).mapInPandas(gen, schema=out_schema)

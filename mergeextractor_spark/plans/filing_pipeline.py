@@ -20,8 +20,7 @@ from pyspark.sql import functions as F
 
 from ..functions.dates import date_window_lb, date_window_ub
 from ..functions.strings import strip_parens, word_boundary_pattern
-from ..operators.cascade import filter_background_chunks
-from ..operators.chunking import chunk_documents
+from ..operators.cascade import chunk_and_cascade
 from ..operators.enrich import (
     FOLLOW_CHUNKS,
     company_tokens_present,
@@ -75,12 +74,14 @@ def crawler_pipeline(deals: DataFrame, filings: DataFrame, done: DataFrame | Non
     )
     present = cand.filter(direct | retry)
 
-    chunks = chunk_documents(
+    # fused chunk+cascade: one mapInPandas pass, no second Arrow round-trip
+    # of chunk text (VERDICT r2 item 6)
+    fused = chunk_and_cascade(
         present.select("main_index", "url", "content"),
         text_col="content",
         id_cols=["main_index", "url"],
     )
-    hits = filter_background_chunks(chunks)
+    hits = fused.filter(F.col("passage").isNotNull())
 
     # Deterministic first-match: smallest (url, chunk_idx) per deal replaces
     # the reference's shared-flag race (Processor.py:277-281 → SURVEY §4 O6).
@@ -110,13 +111,15 @@ def separator_pipeline(documents: DataFrame, done: DataFrame | None = None) -> D
     if done is not None:
         documents = documents.join(done.select("main_index"), "main_index", "left_anti")
 
-    chunks = chunk_documents(
+    # fused chunk+cascade, cached once: the chunk set (follow-join, abbrev
+    # definitions) and the cascade hits both read this single UDF output
+    fused = chunk_and_cascade(
         documents.select("main_index", "content"),
         text_col="content",
         id_cols=["main_index"],
     ).cache()
-
-    hits = filter_background_chunks(chunks)
+    chunks = fused.select("main_index", "chunk_idx", "chunk")
+    hits = fused.filter(F.col("passage").isNotNull())
 
     # Deterministic hybrid stand-in: passage length as relevance, earliest
     # chunk as tiebreak (single-candidate case short-circuits identically —

@@ -14,6 +14,12 @@ os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
 SF_SMOKE = "/root/testdata/sf0.001"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: opt-in tests needing real models/libraries (skipped in the sandbox)"
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     from mergeextractor_spark.session import get_spark
