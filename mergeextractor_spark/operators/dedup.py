@@ -117,6 +117,18 @@ _LIVE_SHINGLE_CACHE: list[DataFrame] = []
 
 
 def _cache_shingles(sh: DataFrame) -> DataFrame:
+    # Re-invocations over the same source produce an EQUAL plan in a new
+    # DataFrame object; returning the already-cached one keeps the cache
+    # warm across calls (repeat benchmarks, rep/components composing over
+    # pairs) without Spark's "already cached" double-registration.
+    for prev in _LIVE_SHINGLE_CACHE:
+        try:
+            if prev._jdf.queryExecution().analyzed().sameResult(
+                sh._jdf.queryExecution().analyzed()
+            ):
+                return prev
+        except Exception:
+            break  # dead session etc. — fall through and replace
     while _LIVE_SHINGLE_CACHE:
         prev = _LIVE_SHINGLE_CACHE.pop()
         try:

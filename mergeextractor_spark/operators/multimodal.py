@@ -182,6 +182,108 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     )
 
 
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+# Synthetic audio payload: b"FAKEAUD" + channels(u16) + rate(u32) + bits(u16)
+# + n_frames(u32) — the audio twin of FAKEIMG.
+FAKE_AUDIO_MAGIC = b"FAKEAUD"
+
+
+def encode_fake_audio(channels: int, rate: int, bits: int, n_frames: int) -> bytes:
+    return FAKE_AUDIO_MAGIC + struct.pack("<HIHI", channels, rate, bits, n_frames)
+
+
+def encode_wav(n_frames: int, sample_rate: int = 16000, channels: int = 1, tone: int = 0) -> bytes:
+    """A complete, valid 16-bit PCM WAV container (stdlib ``wave`` only) —
+    real audio bytes for exercising the metadata path without ffmpeg."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        frame = struct.pack("<h", (tone % 128) * 256) * channels
+        w.writeframes(frame * n_frames)
+    return buf.getvalue()
+
+
+def wav_header_codec(payload: bytes) -> tuple[int, int, int, int]:
+    """(channels, sample_rate, bits_per_sample, n_frames) from RIFF/WAVE
+    chunk headers — pure stdlib struct walk, no sample decode (the audio
+    twin of header_image_codec). Falls back to the FAKEAUD header so
+    fixture payloads flow through the same default."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        channels = rate = bits = None
+        data_bytes = 0
+        i = 12
+        while i + 8 <= len(payload):
+            tag = payload[i : i + 4]
+            size = struct.unpack_from("<I", payload, i + 4)[0]
+            if tag == b"fmt " and i + 24 <= len(payload):
+                _, channels, rate = struct.unpack_from("<HHI", payload, i + 8)
+                bits = struct.unpack_from("<H", payload, i + 22)[0]
+            elif tag == b"data":
+                data_bytes = size
+            i += 8 + size + (size % 2)  # chunks are word-aligned
+        if channels is None:
+            raise ValueError("WAV without fmt chunk")
+        n_frames = data_bytes // max(channels * (bits // 8), 1)
+        return channels, rate, bits, n_frames
+    if payload.startswith(FAKE_AUDIO_MAGIC):
+        channels, rate, bits, n_frames = struct.unpack_from(
+            "<HIHI", payload, len(FAKE_AUDIO_MAGIC)
+        )
+        return channels, rate, bits, n_frames
+    raise ValueError("not a WAV or FAKEAUD payload")
+
+
+def audio_metadata(
+    media: DataFrame,
+    codec: Callable[[bytes], tuple[int, int, int, int]] = wav_header_codec,
+) -> DataFrame:
+    """binary audio → (media_id, channels, sample_rate, bits_per_sample,
+    duration_ms, n_bytes) via mapInPandas; payloads never shuffle."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in AUDIO_META_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload)
+                try:
+                    ch, rate, bits, n_frames = codec(data)
+                    dur = int(n_frames * 1000 // max(rate, 1))
+                except Exception:
+                    ch = rate = bits = -1
+                    dur = -1
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "channels": ch,
+                        "sample_rate": rate,
+                        "bits_per_sample": bits,
+                        "duration_ms": dur,
+                        "n_bytes": len(data),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.filter(F.col("kind") == "audio").select("media_id", "payload").mapInPandas(
+        _run, AUDIO_META_SCHEMA
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract keys: the multimodal plumbing as registered rows-only queries.
 
@@ -225,6 +327,22 @@ def _media_df(spark: SparkSession) -> DataFrame:
                 "mime": "video/fake",
             }
         )
+        rows.append(
+            {
+                "media_id": 300 + i,
+                "kind": "audio",
+                "payload": encode_wav(1000 * (i + 1), sample_rate=8000 * (1 + i % 3), channels=1 + i % 2, tone=i),
+                "mime": "audio/wav",
+            }
+        )
+        rows.append(
+            {
+                "media_id": 400 + i,
+                "kind": "audio",
+                "payload": encode_fake_audio(2, 44100, 16, 44100 * (i + 1)),
+                "mime": "audio/fake",
+            }
+        )
     # pandas/Arrow build (not list-of-dicts): keeps the payload bytes as
     # JVM-local batches instead of a Python RDD re-pickled on every action.
     df = spark.createDataFrame(pd.DataFrame(rows), schema=MEDIA_SCHEMA).coalesce(1)
@@ -257,3 +375,17 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "media_id", "frame_idx", F.length("frame").cast("long").alias("frame_len")
     )
+
+
+@register(
+    "multimodal_audio_meta",
+    oracle=None,  # binary mapInPandas decode → rows-only
+    doc="Audio metadata extraction over a binary media column: real "
+    "RIFF/WAVE containers (stdlib wave fixtures) + synthetic FAKEAUD "
+    "payloads through the chunk-walking header codec via Arrow-batched "
+    "mapInPandas — channels / sample rate / bit depth / duration without "
+    "decoding a sample. Same posture as multimodal_image_meta: payload "
+    "bytes never leave the map stage.",
+)
+def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return audio_metadata(_media_df(spark))

@@ -349,3 +349,32 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "val",
         )
     )
+
+
+@register(
+    "window_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total
+    FROM orders
+    """,
+    doc="Per-customer running revenue: cumulative window sum ordered by "
+    "(o_orderdate, o_orderkey) — the unique key in the ordering makes the "
+    "frame total and the double accumulation order identical on both "
+    "engines (oracle-parity determinism rule). One shuffle on o_custkey; "
+    "the running frame is computed in a single sorted pass per partition.",
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        r4(F.sum("o_totalprice").over(w)).alias("running_total"),
+    )

@@ -513,3 +513,92 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
     )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+      FROM documents
+    ),
+    vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+    total AS (SELECT sum(cnt) AS n FROM vocab)
+    SELECT t.doc_id, round(avg(-ln(v.cnt::DOUBLE / total.n)), 4) AS avg_neg_logprob
+    FROM toks t JOIN vocab v USING (tok) CROSS JOIN total
+    GROUP BY t.doc_id
+    """,
+    doc="Corpus-unigram-LM quality proxy (the cheap stand-in for a "
+    "perplexity filter, CCNet/Gopher-style): token probability is its "
+    "corpus frequency, a document scores the mean of -ln p(token) over "
+    "its token stream — low = repetitive/boilerplate, high = rare-token "
+    "soup; both tails get culled. Two passes over the token stream: "
+    "vocabulary aggregate (map-side combinable), then a frequency join "
+    "back and a per-doc mean. At 100 TB the vocab table is Zipf-ish — "
+    "the head fits a broadcast and AQE handles the skewed join on the "
+    "long tail; the 1-row total is a broadcast cross join.",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n"))
+    neg_lp = -F.log(F.col("cnt").cast("double") / F.col("n"))
+    return (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(r4(F.avg(neg_lp)).alias("avg_neg_logprob"))
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE substr(md5(doc_id::VARCHAR), 1, 1) <=
+          CASE WHEN lang = 'en' THEN '7' ELSE '3' END
+    """,
+    doc="Stratified deterministic sampling: per-language keep rates from "
+    "the first md5 nibble of the key (en 8/16 = 50%, other languages "
+    "4/16 = 25%) — the language-rebalancing pass a multilingual corpus "
+    "mix runs. Same posture as sample_hash_split: content-independent "
+    "key hash, zero state, zero shuffle (pure map stage), identical "
+    "assignment on any engine and under task retries.",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    rate = F.when(F.col("lang") == "en", F.lit("7")).otherwise(F.lit("3"))
+    return t(spark, sf_dir, "documents").filter(nib <= rate).select("doc_id", "lang")
+
+
+# GPT-2-style pre-tokenizer shape: contraction suffixes, letter runs,
+# digit runs, punctuation runs (whitespace is not a token). RE2 ∩ Java
+# subset — no lookarounds, identical semantics on both engines.
+_BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9']+"
+_BPE_PATTERN_SQL = _BPE_PATTERN.replace("'", "''")
+
+
+@register(
+    "text_token_count_bpe",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_PATTERN_SQL}')) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens
+    FROM documents
+    """,
+    doc="BPE-ish token counting: a GPT-2-style pre-tokenizer regex "
+    "(contraction suffixes / letter runs / digit runs / punctuation "
+    "runs) counted next to the whitespace count — the budgeting number "
+    "a training pipeline actually needs (whitespace undercounts "
+    "punctuation-heavy text). Pure map stage, one regexp_extract_all "
+    "per row, no shuffle.",
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 0))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+        F.size(_tokens(F.col("text"))).cast("bigint").alias("n_ws_tokens"),
+    )

@@ -92,3 +92,38 @@ def test_frame_sampling_fanout(media_df):
     assert {f.media_id for f in frames} == {4}
     assert [f.frame_idx for f in sorted(frames, key=lambda f: f.frame_idx)] == [0, 1, 2, 3]
     assert sum(len(f.frame) for f in frames) == 200
+
+
+def test_wav_header_codec_roundtrip():
+    from mergeextractor_spark.operators.multimodal import (
+        encode_fake_audio,
+        encode_wav,
+        wav_header_codec,
+    )
+
+    ch, rate, bits, n = wav_header_codec(encode_wav(4000, sample_rate=16000, channels=2))
+    assert (ch, rate, bits, n) == (2, 16000, 16, 4000)
+    assert wav_header_codec(encode_fake_audio(1, 44100, 16, 44100)) == (1, 44100, 16, 44100)
+    with pytest.raises(ValueError):
+        wav_header_codec(b"definitely not audio")
+
+
+def test_audio_metadata(spark):
+    from mergeextractor_spark.operators.multimodal import (
+        audio_metadata,
+        encode_wav,
+        encode_fake_audio,
+    )
+
+    rows = [
+        {"media_id": 20, "kind": "audio", "payload": encode_wav(8000, 8000, 1), "mime": "audio/wav"},
+        {"media_id": 21, "kind": "audio", "payload": encode_fake_audio(2, 44100, 16, 22050), "mime": "audio/fake"},
+        {"media_id": 22, "kind": "audio", "payload": b"garbage", "mime": "audio/?"},
+        {"media_id": 23, "kind": "image", "payload": b"skip me", "mime": "image/png"},
+    ]
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    out = {r.media_id: r for r in audio_metadata(df).collect()}
+    assert set(out) == {20, 21, 22}  # only kind == audio
+    assert (out[20].channels, out[20].sample_rate, out[20].duration_ms) == (1, 8000, 1000)
+    assert (out[21].channels, out[21].sample_rate, out[21].duration_ms) == (2, 44100, 500)
+    assert out[22].channels == -1 and out[22].duration_ms == -1  # undecodable sentinel
