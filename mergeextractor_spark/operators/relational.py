@@ -369,15 +369,16 @@ def agg_org_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Deterministic 'first match wins' (ref Processor.py:277-281 is a "
     "racy shared-flag accumulator; replaced with a total order: earliest "
-    "(date, key) per group). One shuffle on the group key.",
+    "(date, key) per group). min_by aggregate — map-side combinable, the "
+    "shuffle carries one candidate per (partition, group) instead of "
+    "sorting whole partitions under a row_number window.",
 )
 def agg_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    first = F.expr("min_by(o_orderkey, struct(o_orderdate, o_orderkey))")
     return (
         t(spark, sf_dir, "orders")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("o_custkey", F.col("o_orderkey").alias("first_orderkey"))
+        .groupBy("o_custkey")
+        .agg(first.alias("first_orderkey"))
     )
 
 
@@ -427,18 +428,24 @@ def agg_concat_section(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rn = 1
     """,
     doc="Weighted hybrid score + top-1 per group (ref ChunkProcessor.py:308-329, "
-    "hybrid = 0.4·cos + 0.6·rerank, sort desc, head). row_number over a "
-    "partitioned window = single shuffle; ties broken by position.",
+    "hybrid = 0.4·cos + 0.6·rerank, sort desc, head). Top-1 is a max_by "
+    "aggregate over (hybrid desc, position asc) — map-side combinable, so "
+    "the shuffle carries one candidate per (partition, group) instead of "
+    "sorting whole partitions the way a row_number window would.",
 )
 def rank_hybrid_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     hybrid = 0.4 * F.col("l_quantity") + 0.6 * F.col("l_discount") * 100.0
-    w = W.partitionBy("l_orderkey").orderBy(F.desc("hybrid_raw"), "l_linenumber")
+    best = F.expr("max_by(struct(l_linenumber, hybrid_raw), struct(hybrid_raw, -l_linenumber))")
     return (
         t(spark, sf_dir, "lineitem")
         .withColumn("hybrid_raw", hybrid)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("l_orderkey", "l_linenumber", r4(F.col("hybrid_raw")).alias("hybrid"))
+        .groupBy("l_orderkey")
+        .agg(best.alias("b"))
+        .select(
+            "l_orderkey",
+            F.col("b.l_linenumber").alias("l_linenumber"),
+            r4(F.col("b.hybrid_raw")).alias("hybrid"),
+        )
     )
 
 

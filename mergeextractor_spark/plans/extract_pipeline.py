@@ -8,12 +8,12 @@ native DataFrame ops:
 
     documents → chunk (sequence+explode+substr)
              → score (token ∩ query, broadcast literal)
-             → rank_hybrid_top1 (window row_number)
+             → top-1 per doc (map-side-combinable max_by aggregate)
              → window_chunk_follow (range join on chunk_idx)
              → agg_concat_section (ordered string_agg)
 
-Zero Python UDFs; the only shuffles are the per-doc window and the final
-group-by. The domain-exact variant (recursive splitter + header cascade
+Zero Python UDFs; the only shuffles are the per-doc top-1 aggregate and
+the final group-by, both with map-side partial combine. The domain-exact variant (recursive splitter + header cascade
 over filing fixtures) lives in operators/chunking.py + operators/cascade.py.
 """
 
@@ -52,11 +52,13 @@ def score_chunks(chunks: DataFrame) -> DataFrame:
 def extract_sections(docs: DataFrame) -> DataFrame:
     chunks = chunk_docs(docs)
     scored = score_chunks(chunks)
-    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("chunk_idx"))
+    # top-1 as a map-side-combinable max_by aggregate (highest score, then
+    # earliest chunk) — the shuffle carries one candidate per (partition,
+    # doc) instead of sorting every doc's chunks under a row_number window
     best = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("chunk_idx").alias("best_idx"), "score")
+        scored.groupBy("doc_id")
+        .agg(F.expr("max_by(struct(chunk_idx, score), struct(score, -chunk_idx))").alias("b"))
+        .select("doc_id", F.col("b.chunk_idx").alias("best_idx"), F.col("b.score").alias("score"))
     )
     c = chunks.select(F.col("doc_id").alias("cd"), "chunk_idx", "chunk")
     joined = best.join(

@@ -85,8 +85,10 @@ def crawler_pipeline(deals: DataFrame, filings: DataFrame, done: DataFrame | Non
 
     # Deterministic first-match: smallest (url, chunk_idx) per deal replaces
     # the reference's shared-flag race (Processor.py:277-281 → SURVEY §4 O6).
-    w = W.partitionBy("main_index").orderBy("url", "chunk_idx")
-    winners = hits.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    # min_by aggregate: map-side combinable, no partition sort.
+    winners = hits.groupBy("main_index").agg(
+        F.expr("min_by(url, struct(url, chunk_idx))").alias("url")
+    )
 
     return (
         winners.join(deals, "main_index")
@@ -123,12 +125,15 @@ def separator_pipeline(documents: DataFrame, done: DataFrame | None = None) -> D
 
     # Deterministic hybrid stand-in: passage length as relevance, earliest
     # chunk as tiebreak (single-candidate case short-circuits identically —
-    # ChunkProcessor.py:383-389).
-    w = W.partitionBy("main_index").orderBy(F.desc(F.length("passage")), F.asc("chunk_idx"))
+    # ChunkProcessor.py:383-389). max_by aggregate, no partition sort.
     best = (
-        hits.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("main_index", F.col("chunk_idx").alias("best_idx"), "passage")
+        hits.groupBy("main_index")
+        .agg(
+            F.expr(
+                "max_by(struct(chunk_idx, passage), struct(length(passage), -chunk_idx))"
+            ).alias("b")
+        )
+        .select("main_index", F.col("b.chunk_idx").alias("best_idx"), F.col("b.passage").alias("passage"))
     )
 
     # Winner passage + the 11 following chunks (ChunkProcessor.py:407).
