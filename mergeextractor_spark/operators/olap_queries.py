@@ -378,3 +378,71 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         r4(F.sum("o_totalprice").over(w)).alias("running_total"),
     )
+
+
+@register(
+    "olap_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1996-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o.o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: date-windowed orders semi-joined (EXISTS) to "
+    "late-shipping lineitems, counted per priority. LeftSemi join — the "
+    "probe side never duplicates rows, so the aggregate input is bounded "
+    "by |orders in window| regardless of lineitem fan-out; the date "
+    "filter prunes before the shuffle.",
+)
+def olap_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    hit = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@register(
+    "olap_returned_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: revenue lost to returned items per customer, "
+    "top-20. The returnflag filter pushes to the lineitem scan (1/3 "
+    "selectivity before any join), nation broadcasts, and the top-20 is "
+    "TakeOrderedAndProject — no global sort.",
+)
+def olap_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )

@@ -227,3 +227,145 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("bigint").alias("rank"),
         )
     )
+
+
+N_JSALT = 8  # fact-side salt fan-out for the skewed join
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type, avg(value) AS type_avg FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, round(e.value - s.type_avg, 4) AS dev
+    FROM events e JOIN stats s USING (event_type)
+    """,
+    doc=f"Skew-resistant equi-join (the join-side twin of agg_salted_skew): "
+    "normalize each event against its type's mean. The fact side derives "
+    f"salt = xxhash64(event_id) % {N_JSALT} (data-derived → identical "
+    "under task retries), the dim side is EXPLODED across all "
+    f"{N_JSALT} salts, and the join runs on (event_type, salt) — a hot "
+    f"key's rows spread over {N_JSALT} reducers instead of one. Exact "
+    "same rows as the plain join (the oracle). At fixture scale AQE "
+    "would broadcast the 5-row dim anyway; this operator is the pattern "
+    "for when the dim is too big to broadcast AND the fact key is "
+    "power-law — the case AQE skew-join handles only for sort-merge "
+    "plans it can split.",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(F.avg("value").alias("type_avg"))
+    dim_exp = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(N_JSALT - 1)))
+    )
+    fact = ev.withColumn("_salt", F.pmod(F.xxhash64("event_id"), F.lit(N_JSALT)))
+    return (
+        fact.join(dim_exp, ["event_type", "_salt"])
+        .select("event_id", "event_type", r4(F.col("value") - F.col("type_avg")).alias("dev"))
+    )
+
+
+PQ_SUBS = 8  # subspaces (64-dim fixture vectors → 8 dims each)
+PQ_CODES = 16  # codebook entries per subspace (deterministic: embeddings 0-15)
+
+
+def _pq_oracle() -> str:
+    return f"""
+    WITH subs AS (SELECT unnest(range({PQ_SUBS})) AS sub),
+    cents AS (
+      SELECT e.vec_id AS code, s.sub,
+             list_slice(e.embedding, s.sub * 8 + 1, s.sub * 8 + 8) AS ce
+      FROM embeddings e CROSS JOIN subs s WHERE e.vec_id < {PQ_CODES}
+    ),
+    vsubs AS (
+      SELECT e.vec_id, s.sub,
+             list_slice(e.embedding, s.sub * 8 + 1, s.sub * 8 + 8) AS ve
+      FROM embeddings e CROSS JOIN subs s
+    ),
+    vdots AS (
+      SELECT vec_id, sub, code, sum(x * y) AS d FROM (
+        SELECT v.vec_id, v.sub, c.code,
+               CAST(unnest(v.ve) AS DOUBLE) AS x, CAST(unnest(c.ce) AS DOUBLE) AS y
+        FROM vsubs v JOIN cents c USING (sub)
+      ) GROUP BY vec_id, sub, code
+    ),
+    codes AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               row_number() OVER (PARTITION BY vec_id, sub ORDER BY d DESC, code) AS rn
+        FROM vdots
+      ) WHERE rn = 1
+    ),
+    qlook AS (
+      SELECT vec_id AS qid, sub, code, d FROM vdots WHERE vec_id < {N_QUERIES}
+    ),
+    adc AS (
+      SELECT q.qid, c.vec_id, sum(q.d) AS score
+      FROM codes c JOIN qlook q USING (sub, code)
+      WHERE c.vec_id <> q.qid
+      GROUP BY q.qid, c.vec_id
+    )
+    SELECT qid AS query_id, vec_id AS neighbor_id, round(score, 4) AS adc_dot,
+           rn AS rank
+    FROM (
+      SELECT qid, vec_id, score,
+             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+      FROM adc
+    ) WHERE rn <= {TOP_K}
+    """
+
+
+@register(
+    "ann_pq_topk",
+    oracle=_pq_oracle(),
+    doc=f"Product-quantization ANN (asymmetric distance): {PQ_SUBS} "
+    f"subspaces x {PQ_CODES} codes (deterministic codebook: subvectors of "
+    "embeddings 0-15, same convention as ann_ivf_topk's centroids; "
+    "production trains per-subspace k-means — seam identical). Encode = "
+    "per-(vector, subspace) argmax-dot code → each 64-dim float vector "
+    f"compresses to {PQ_SUBS} bytes, a 32x memory cut, which is the whole "
+    "point at 100 TB: the codes table fits where raw vectors cannot. "
+    "Query scoring never touches raw vectors: a broadcast "
+    f"(query x sub x code) lookup of {N_QUERIES}x{PQ_SUBS}x{PQ_CODES} "
+    "partial dots joins the codes table on (sub, code) and sums — ADC "
+    "top-k per query. Exact parity with the DuckDB oracle (the "
+    "approximation is vs brute-force cosine, bounded in tests/test_ann.py).",
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    sub = F.explode(F.sequence(F.lit(0), F.lit(PQ_SUBS - 1))).alias("sub")
+    vsubs = e.select("vec_id", "embedding", sub).select(
+        "vec_id", "sub", F.slice("embedding", F.col("sub") * 8 + 1, 8).alias("ve")
+    )
+    cents = (
+        vsubs.filter(F.col("vec_id") < PQ_CODES)
+        .select(F.col("vec_id").alias("code"), "sub", F.col("ve").alias("ce"))
+    )
+    vdots = (
+        vsubs.join(F.broadcast(cents), "sub")
+        .select("vec_id", "sub", "code", dot(F.col("ve"), F.col("ce")).alias("d"))
+    )
+    codes = vdots.groupBy("vec_id", "sub").agg(
+        F.expr("max_by(code, struct(d, -code))").alias("code")
+    )
+    qlook = vdots.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "sub", "code", "d"
+    )
+    adc = (
+        codes.join(F.broadcast(qlook), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("d").alias("score"))
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            r4(F.col("score")).alias("adc_dot"),
+            F.col("rn").cast("bigint").alias("rank"),
+        )
+    )

@@ -122,6 +122,7 @@ def load_all() -> dict[str, Query]:
         scale_queries,
         olap_queries,
         multimodal,
+        curation_queries,
     )
     from .plans import extract_pipeline, curation_pipeline  # noqa: F401
 
