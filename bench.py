@@ -45,6 +45,12 @@ HEADLINE = [
     "olap_nation_revenue",       # TPC-H Q5 shape (5-way join)
     "join_asof",                 # as-of join (window formulation)
     "join_range_interval",       # bucketed range join
+    # round 3 additions
+    "ann_pq_topk",               # product-quantization ADC top-k
+    "join_salted_skew",          # salt-exploded skew join
+    "dedup_bloom_prefilter",     # treeAggregate bloom + map-side probe
+    "sample_domain_cap",         # per-domain cap (WindowGroupLimit)
+    "olap_returned_customers",   # TPC-H Q10 shape
 ]
 
 

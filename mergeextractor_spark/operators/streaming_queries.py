@@ -240,3 +240,55 @@ def profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.stddev_samp("v")).alias("std_v"),
         (F.count(F.lit(1)) - F.count("v")).cast("bigint").alias("n_null"),
     )
+
+
+@register(
+    "join_stream_stream",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id,
+           -- floor each side separately: Spark's unix_timestamp truncates
+           -- per-timestamp, so the difference is floor(p) - floor(c)
+           CAST(floor(epoch(p.ts)) - floor(epoch(c.ts)) AS BIGINT) AS gap_sec
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 10 MINUTE
+    WHERE p.event_type = 'purchase'
+    """,
+    doc="Stream-stream interval join, batch twin: purchases attributed to "
+    "same-user clicks within the preceding 10 minutes. The streaming form "
+    "(streaming/events.py::stream_stream_attribution) watermarks BOTH "
+    "sides and bounds event time in the join condition, which is what "
+    "lets each side's state store evict — the one join shape Structured "
+    "Streaming can run unbounded; equivalence is pytest-asserted. Batch "
+    "plan: the type filters push to the scan, the join shuffles on "
+    "user_id only.",
+)
+def join_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = purchases.join(
+        clicks,
+        ["user_id"],
+    ).filter(
+        (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+    )
+    return joined.select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).cast("bigint").alias("gap_sec"),
+    )

@@ -142,3 +142,46 @@ def stream_upsert_to_kv(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def stream_stream_attribution(
+    events: DataFrame,
+    horizon: str = "10 minutes",
+    watermark: str = "20 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: every purchase matched to
+    the clicks by the same user in the preceding ``horizon`` — the
+    canonical attribution shape. Both sides carry a watermark and the join
+    condition bounds event time on both sides, so each side's state store
+    evicts rows older than watermark + horizon (bounded state, the
+    requirement for an unbounded run). Append-mode output; results are
+    identical to the batch twin ``join_stream_stream`` (pytest-asserted)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {horizon}"))
+    )
+    return clicks.join(purchases, cond).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("gap_sec"),
+    )

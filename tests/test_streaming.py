@@ -112,3 +112,27 @@ def test_stream_upsert_foreachbatch(spark, tmp_path):
     )
     q2.awaitTermination()
     assert spark.read.parquet(path).count() == n_events
+
+
+def test_stream_stream_join_matches_batch_twin(spark):
+    """Watermarked stream-stream interval join (append mode) must emit
+    exactly the batch twin's attribution pairs — availableNow drains the
+    fixture, and every event is within the watermark horizon of the final
+    batch, so nothing is dropped as late."""
+    from mergeextractor_spark.operators.streaming_queries import join_stream_stream
+    from mergeextractor_spark.streaming.events import (
+        read_events_stream,
+        run_available_now,
+        stream_stream_attribution,
+    )
+
+    events = read_events_stream(spark, SF)
+    joined = stream_stream_attribution(events)
+    assert joined.isStreaming
+    got = run_available_now(joined, "stream_stream_attr", output_mode="append")
+    s = {(r.purchase_id, r.click_id): r.gap_sec for r in got.collect()}
+    b = {
+        (r.purchase_id, r.click_id): r.gap_sec
+        for r in join_stream_stream(spark, SF).collect()
+    }
+    assert s == b
