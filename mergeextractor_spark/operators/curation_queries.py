@@ -146,20 +146,36 @@ def _bloom_positions(h):
 
 
 def bloom_build(hashed: DataFrame):
-    """OR-combine per-partition bitmaps into one numpy uint64 bitmap via
-    treeAggregate (log-depth combine; driver receives one m-bit array —
-    16 KiB here, MBs in production — regardless of corpus size)."""
+    """One numpy uint64 bitmap over all of ``hashed``'s content hashes.
+
+    Arrow path end-to-end: each partition scatter-ORs its positions into a
+    local bitmap inside ``mapInPandas`` (np.bitwise_or.at — vectorized, no
+    per-row Python), emits the bitmap as ONE binary row, and the driver
+    ORs the per-partition rows. The collect is bounded by the partition
+    count × bitmap size (16 KiB here, MBs in production), never by corpus
+    size; a deployment with tens of thousands of partitions would add one
+    repartition-and-OR tree level before the collect."""
+    import pandas as pd  # local alias keeps the closure Arrow-serializable
 
     words = BLOOM_M_BITS // 64
 
-    def seq(acc, row):
-        for p in row:
-            acc[p >> 6] |= np.uint64(1 << (p & 63))
-        return acc
+    def part(batches):
+        bm = np.zeros(words, dtype=np.uint64)
+        for pdf in batches:
+            for col in pdf.columns:
+                pv = pdf[col].to_numpy(dtype=np.uint64)
+                np.bitwise_or.at(bm, pv >> np.uint64(6), np.uint64(1) << (pv & np.uint64(63)))
+        yield pd.DataFrame({"bm": [bm.tobytes()]})
 
-    return hashed.select(*_bloom_positions(F.col("h"))).rdd.treeAggregate(
-        np.zeros(words, dtype=np.uint64), seq, lambda a, b: a | b
+    rows = (
+        hashed.select(*_bloom_positions(F.col("h")))
+        .mapInPandas(part, "bm binary")
+        .collect()
     )
+    out = np.zeros(words, dtype=np.uint64)
+    for r in rows:
+        out |= np.frombuffer(r.bm, dtype=np.uint64)
+    return out
 
 
 @register(
@@ -168,8 +184,9 @@ def bloom_build(hashed: DataFrame):
     doc="Bloom-filter novelty prefilter: how a 100 TB deployment dedups an "
     "incoming crawl batch against the existing corpus WITHOUT joining it. "
     "Bit positions are md5 slices computed natively; the corpus half's "
-    "positions tree-aggregate (log-depth OR) into one broadcast numpy "
-    "bitmap, and the incoming half probes it with an Arrow-batched "
+    "partitions scatter-OR local bitmaps (mapInPandas) that combine into "
+    "one broadcast numpy bitmap, and the incoming half probes it with an "
+    "Arrow-batched "
     "numpy-vectorized pandas UDF. Rows failing every probe are DEFINITELY "
     "novel and skip the verify join entirely; might-contain survivors "
     "(true dups + ~1% FPs) proceed to an exact anti-join. Guarantees: "
@@ -194,3 +211,64 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "h", F.array(*_bloom_positions(F.col("h"))).alias("pos")
     )
     return incoming.filter(~might_contain(F.col("pos"))).select("doc_id", "h")
+
+
+MIX_ALPHA = 0.3  # temperature exponent (share^alpha), the multilingual default
+
+
+@register(
+    "sample_temperature",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang,
+             sum(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))) AS lang_tokens
+      FROM documents GROUP BY lang
+    ),
+    shares AS (
+      SELECT lang, lang_tokens,
+             lang_tokens / sum(lang_tokens) OVER () AS share
+      FROM toks
+    ),
+    powed AS (
+      SELECT lang, lang_tokens, share, pow(share, {MIX_ALPHA}) AS p FROM shares
+    ),
+    targets AS (
+      SELECT lang, lang_tokens, share, p / sum(p) OVER () AS target FROM powed
+    ),
+    rel AS (SELECT lang, lang_tokens, target / share AS boost FROM targets)
+    SELECT lang, CAST(lang_tokens AS BIGINT) AS lang_tokens,
+           round(boost / max(boost) OVER (), 4) AS sample_rate
+    FROM rel
+    """,
+    doc=f"Temperature-scaled language sampling (target share ∝ "
+    f"share^{MIX_ALPHA}, the multilingual-pretraining standard — flattens "
+    "head languages, boosts the tail less aggressively than uniform). "
+    "sample_rate is each language's keep probability normalized so the "
+    "most-boosted language keeps everything (rates are relative, never "
+    "upsampling). Two window aggregates over a |langs|-row frame — the "
+    "heavy work is one map-side token count, identical to "
+    "agg_mixture_weights.",
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.sum(
+                F.size(F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != ""))
+            ).alias("lang_tokens")
+        )
+    )
+    wall = W.partitionBy()
+    share = F.col("lang_tokens") / F.sum("lang_tokens").over(wall)
+    shares = toks.withColumn("share", share).withColumn(
+        "target",
+        F.pow("share", F.lit(MIX_ALPHA))
+        / F.sum(F.pow("share", F.lit(MIX_ALPHA))).over(wall),
+    )
+    rel = shares.withColumn("boost", F.col("target") / F.col("share"))
+    return rel.select(
+        "lang",
+        F.col("lang_tokens").cast("bigint").alias("lang_tokens"),
+        r4(F.col("boost") / F.max("boost").over(wall)).alias("sample_rate"),
+    )

@@ -117,3 +117,16 @@ def test_mixture_weights_flatten(spark):
         assert 0.0 < r.sample_rate <= 1.0
         # 4-decimal rounding of the rate → proportional slack on the product
         assert r.lang_tokens * r.sample_rate <= target * 1.001
+
+
+def test_temperature_sampling_orders_by_share(spark):
+    """Temperature scaling must boost tail languages relative to head ones:
+    sample_rate ordering is the inverse of token-mass ordering, and the
+    most-boosted (smallest) language keeps rate 1.0."""
+    from mergeextractor_spark.operators.curation_queries import sample_temperature
+
+    rows = sorted(sample_temperature(spark, SF).collect(), key=lambda r: r.lang_tokens)
+    rates = [r.sample_rate for r in rows]
+    assert rates[0] == pytest.approx(1.0, abs=1e-4)
+    assert all(a >= b - 1e-9 for a, b in zip(rates, rates[1:])), rates
+    assert all(0 < r <= 1.0 for r in rates)

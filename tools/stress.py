@@ -244,6 +244,36 @@ def main() -> None:
     probe("simhash cand, 16-bit band key", lambda: simhash_candidates(False))
     probe("simhash cand, 28-bit compound", lambda: simhash_candidates(True))
 
+    # bloom prefilter: build cost must grow linearly with rows while the
+    # bitmap/collect stays constant-size (per-partition binary rows only)
+    from mergeextractor_spark.operators.curation_queries import (  # noqa: E402
+        BLOOM_K,
+        _bloom_positions,
+        bloom_build,
+    )
+
+    def bloom_at_k():
+        import numpy as np
+
+        hashed = big_docs.select("doc_id", F.md5("text").alias("h"))
+        bm = bloom_build(hashed.filter(F.col("doc_id") % 2 == 0))
+        return int(np.unpackbits(bm.view(np.uint8)).sum())  # set-bit count
+
+    probe("bloom build over K-replicated docs", bloom_at_k)
+
+    # PQ: encode volume is rows x SUBS x CODES — linear in K, and the ADC
+    # join is bounded by |codes| x queries, independent of K
+    from mergeextractor_spark.operators.scale_queries import PQ_CODES, PQ_SUBS
+
+    def pq_encode_at_k():
+        sub = F.explode(F.sequence(F.lit(0), F.lit(PQ_SUBS - 1))).alias("sub")
+        vsubs = big_emb.select("vec_id", "embedding", sub).select(
+            "vec_id", "sub", F.slice("embedding", F.col("sub") * 8 + 1, 8).alias("ve")
+        )
+        return vsubs.count()
+
+    probe("pq subvector explode (K-replicated)", pq_encode_at_k)
+
     total = sum(dt for _, _, dt in probes)
     print(f"TOTAL {total:.1f}s at K={args.k}", flush=True)
 
