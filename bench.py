@@ -48,9 +48,10 @@ HEADLINE = [
     # round 3 additions
     "ann_pq_topk",               # product-quantization ADC top-k
     "join_salted_skew",          # salt-exploded skew join
-    "dedup_bloom_prefilter",     # treeAggregate bloom + map-side probe
+    "dedup_bloom_prefilter",     # mapInPandas bloom build + map-side probe
     "sample_domain_cap",         # per-domain cap (WindowGroupLimit)
     "olap_returned_customers",   # TPC-H Q10 shape
+    "ann_ivf_pq",                # IVF cells x PQ codes (production ANN combo)
 ]
 
 

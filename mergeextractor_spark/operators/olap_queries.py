@@ -446,3 +446,71 @@ def olap_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@register(
+    "olap_shipmode_priority",
+    oracle="""
+    SELECT l.l_linestatus AS shipclass,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l.l_shipdate AS DATE) < DATE '1997-01-01'
+    GROUP BY l.l_linestatus
+    """,
+    doc="TPC-H Q12 shape: priority-split conditional counts per line "
+    "status over a ship-date year. The date window pushes to the "
+    "lineitem scan; the conditional sums are algebraic so both "
+    "aggregates combine map-side before the single groupBy shuffle.",
+)
+def olap_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_linestatus").alias("shipclass"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "olap_promo_revenue",
+    oracle="""
+    SELECT round(
+             100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l.l_shipdate AS DATE) < DATE '1996-04-01'
+    """,
+    doc="TPC-H Q14 shape: promo revenue share over a quarter. The part "
+    "dim broadcasts (AQE picks it below the threshold); both the promo "
+    "and total sums are algebraic partials of one scan — a single global "
+    "aggregate row out.",
+)
+def olap_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(r4(100.0 * F.sum(promo) / F.sum(rev)).alias("promo_pct"))
+    )

@@ -369,3 +369,144 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("bigint").alias("rank"),
         )
     )
+
+
+def _ivf_pq_oracle() -> str:
+    return f"""
+    WITH cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {N_CENTROIDS}),
+    cpairs AS (
+      SELECT e.vec_id, c.cid, CAST(unnest(e.embedding) AS DOUBLE) AS x, CAST(unnest(c.ce) AS DOUBLE) AS y
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    cdots AS (SELECT vec_id, cid, sum(x * y) AS d FROM cpairs GROUP BY vec_id, cid),
+    cranked AS (
+      SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+      FROM cdots
+    ),
+    assign AS (SELECT vec_id, cid FROM cranked WHERE rn = 1),
+    qprobe AS (SELECT vec_id AS qid, cid FROM cranked WHERE vec_id < {N_QUERIES} AND rn <= {NPROBE}),
+    cand AS (
+      SELECT q.qid, a.vec_id
+      FROM qprobe q JOIN assign a ON a.cid = q.cid AND a.vec_id <> q.qid
+    ),
+    subs AS (SELECT unnest(range({PQ_SUBS})) AS sub),
+    pcents AS (
+      SELECT e.vec_id AS code, s.sub,
+             list_slice(e.embedding, s.sub * 8 + 1, s.sub * 8 + 8) AS ce
+      FROM embeddings e CROSS JOIN subs s WHERE e.vec_id < {PQ_CODES}
+    ),
+    vsubs AS (
+      SELECT e.vec_id, s.sub,
+             list_slice(e.embedding, s.sub * 8 + 1, s.sub * 8 + 8) AS ve
+      FROM embeddings e CROSS JOIN subs s
+    ),
+    vdots AS (
+      SELECT vec_id, sub, code, sum(x * y) AS d FROM (
+        SELECT v.vec_id, v.sub, c.code,
+               CAST(unnest(v.ve) AS DOUBLE) AS x, CAST(unnest(c.ce) AS DOUBLE) AS y
+        FROM vsubs v JOIN pcents c USING (sub)
+      ) GROUP BY vec_id, sub, code
+    ),
+    codes AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               row_number() OVER (PARTITION BY vec_id, sub ORDER BY d DESC, code) AS rn
+        FROM vdots
+      ) WHERE rn = 1
+    ),
+    qlook AS (
+      SELECT vec_id AS qid, sub, code, d FROM vdots WHERE vec_id < {N_QUERIES}
+    ),
+    adc AS (
+      SELECT ca.qid, ca.vec_id, sum(q.d) AS score
+      FROM cand ca
+      JOIN codes co ON co.vec_id = ca.vec_id
+      JOIN qlook q ON q.qid = ca.qid AND q.sub = co.sub AND q.code = co.code
+      GROUP BY ca.qid, ca.vec_id
+    )
+    SELECT qid AS query_id, vec_id AS neighbor_id, round(score, 4) AS adc_dot,
+           rn AS rank
+    FROM (
+      SELECT qid, vec_id, score,
+             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+      FROM adc
+    ) WHERE rn <= {TOP_K}
+    """
+
+
+@register(
+    "ann_ivf_pq",
+    oracle=_ivf_pq_oracle(),
+    doc=f"IVF+PQ — the production ANN combination: the IVF coarse "
+    f"quantizer ({N_CENTROIDS} cells, nprobe={NPROBE}) restricts each "
+    "query to its probed cells' members, and scoring inside the cells "
+    "uses PQ asymmetric distance over the codes table instead of raw "
+    "vectors. At 100 TB this is the only layout that fits: cells "
+    "partition the corpus (cell id = partition key, so a probe is a "
+    f"partition-pruned read) and each vector is {PQ_SUBS} code bytes, "
+    "not 256 float bytes. Cost per query = |probed cells|/|cells| of the "
+    "corpus × a table lookup per subspace — both dials (nprobe, code "
+    "bits) trade recall for cost independently. Exact parity with the "
+    "composed DuckDB oracle; recall vs brute force bounded in "
+    "tests/test_ann.py.",
+)
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    # IVF assignment + probe lists (same deterministic codebook as ann_ivf_topk)
+    cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    cdots = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", dot(F.col("embedding"), F.col("ce")).alias("d")
+    )
+    assign = cdots.groupBy("vec_id").agg(
+        F.expr("max_by(cid, struct(d, -cid))").alias("cid")
+    )
+    wq = W.partitionBy("vec_id").orderBy(F.desc("d"), F.asc("cid"))
+    qprobe = (
+        cdots.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= NPROBE)
+        .select(F.col("vec_id").alias("qid"), "cid")
+    )
+    cand = (
+        qprobe.join(assign, "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+    )
+    # PQ encode + query lookup tables (same flow as ann_pq_topk)
+    sub = F.explode(F.sequence(F.lit(0), F.lit(PQ_SUBS - 1))).alias("sub")
+    vsubs = e.select("vec_id", "embedding", sub).select(
+        "vec_id", "sub", F.slice("embedding", F.col("sub") * 8 + 1, 8).alias("ve")
+    )
+    pcents = (
+        vsubs.filter(F.col("vec_id") < PQ_CODES)
+        .select(F.col("vec_id").alias("code"), "sub", F.col("ve").alias("ce"))
+    )
+    vdots = (
+        vsubs.join(F.broadcast(pcents), "sub")
+        .select("vec_id", "sub", "code", dot(F.col("ve"), F.col("ce")).alias("d"))
+    )
+    codes = vdots.groupBy("vec_id", "sub").agg(
+        F.expr("max_by(code, struct(d, -code))").alias("code")
+    )
+    qlook = vdots.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "sub", "code", F.col("d").alias("qd")
+    )
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(qlook), ["qid", "sub", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("qd").alias("score"))
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            r4(F.col("score")).alias("adc_dot"),
+            F.col("rn").cast("bigint").alias("rank"),
+        )
+    )

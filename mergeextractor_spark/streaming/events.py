@@ -185,3 +185,20 @@ def stream_stream_attribution(
         F.col("p_user").alias("user_id"),
         (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("gap_sec"),
     )
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Native streaming dedup: first event per key, with state bounded by
+    the watermark (Spark 3.5+ ``dropDuplicatesWithinWatermark``). The
+    engine evicts a key's dedup state once the watermark passes it, so an
+    unbounded stream holds only the watermark horizon's keys — the
+    managed-state alternative to the applyInPandasWithState first-seen
+    operator in streaming/stateful.py (which keeps custom per-key
+    payloads; this one is the right tool when "seen within horizon" is
+    the whole requirement)."""
+    keys = keys or ["user_id", "event_type"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)

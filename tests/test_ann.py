@@ -80,3 +80,20 @@ def test_trained_ivf_recall_vs_bruteforce(spark):
     trained = _pairs(reg["ann_ivf_trained"].spark(spark, SF))
     recall = len(trained & truth_top3) / len(truth_top3)
     assert recall >= 0.7, f"trained-IVF recall {recall:.3f} < 0.7"
+
+
+def test_ivf_pq_recall_vs_bruteforce(spark):
+    """IVF+PQ compounds two approximations (cell pruning × code
+    quantization), so its floor sits below either alone on the isotropic
+    worst-case fixtures; well above chance (0.006) is the gate, parity
+    with the composed DuckDB oracle is the correctness check."""
+    from mergeextractor_spark.operators.scale_queries import ann_ivf_pq
+    from mergeextractor_spark.operators.vector_queries import ann_bruteforce_topk
+
+    sf = "/root/testdata/sf0.01"
+    truth = set(
+        (r.query_id, r.neighbor_id) for r in ann_bruteforce_topk(spark, sf).collect()
+    )
+    got = set((r.query_id, r.neighbor_id) for r in ann_ivf_pq(spark, sf).collect())
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.1, f"IVF+PQ recall {recall:.3f} < 0.1"

@@ -136,3 +136,27 @@ def test_stream_stream_join_matches_batch_twin(spark):
         for r in join_stream_stream(spark, SF).collect()
     }
     assert s == b
+
+
+def test_dedup_within_watermark_matches_batch_keys(spark):
+    """Native dropDuplicatesWithinWatermark: one row per key over the
+    bounded fixture run, with exactly the batch-distinct key set."""
+    from mergeextractor_spark.streaming.events import (
+        dedup_within_watermark,
+        read_events_stream,
+        run_available_now,
+    )
+    from mergeextractor_spark.sources.fixtures import table
+
+    events = read_events_stream(spark, SF)
+    got = run_available_now(
+        dedup_within_watermark(events), "stream_dd_wm", output_mode="append"
+    )
+    rows = got.collect()
+    keys = [(r.user_id, r.event_type) for r in rows]
+    assert len(keys) == len(set(keys))  # one survivor per key
+    batch_keys = {
+        (r.user_id, r.event_type)
+        for r in table(spark, SF, "events").select("user_id", "event_type").distinct().collect()
+    }
+    assert set(keys) == batch_keys
