@@ -343,6 +343,16 @@ def _media_df(spark: SparkSession) -> DataFrame:
                 "mime": "audio/fake",
             }
         )
+        rows.append(
+            {
+                "media_id": 500 + i,
+                "kind": "video",
+                "payload": encode_mp4(
+                    1000 * (i + 1), timescale=600, n_tracks=1 + i % 3, mdat_size=64 + 16 * i
+                ),
+                "mime": "video/mp4",
+            }
+        )
     # pandas/Arrow build (not list-of-dicts): keeps the payload bytes as
     # JVM-local batches instead of a Python RDD re-pickled on every action.
     df = spark.createDataFrame(pd.DataFrame(rows), schema=MEDIA_SCHEMA).coalesce(1)
@@ -389,3 +399,133 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_metadata(_media_df(spark))
+
+
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("timescale", T.LongType()),
+        T.StructField("n_tracks", T.LongType()),
+        T.StructField("mdat_bytes", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def _box(tag: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + tag + body
+
+
+def encode_mp4(
+    duration_ms: int, timescale: int = 1000, n_tracks: int = 1, mdat_size: int = 64
+) -> bytes:
+    """Minimal real ISO-BMFF container: ftyp + moov(mvhd v0 + empty trak
+    markers) + mdat. Enough structure for any box-walking reader; a real
+    encoder adds codec boxes inside trak, which the metadata walk below
+    doesn't need."""
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+    duration = duration_ms * timescale // 1000
+    mvhd_body = (
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # creation/modification
+        + struct.pack(">II", timescale, duration)
+        + struct.pack(">I", 0x00010000)  # rate 1.0
+        + struct.pack(">H", 0x0100)  # volume 1.0
+        + b"\x00" * 10  # reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24  # pre_defined
+        + struct.pack(">I", n_tracks + 1)  # next_track_id
+    )
+    moov = _box(b"moov", _box(b"mvhd", mvhd_body) + _box(b"trak", b"") * n_tracks)
+    return ftyp + moov + _box(b"mdat", bytes(mdat_size % 251 for _ in range(mdat_size)))
+
+
+def mp4_box_codec(payload: bytes) -> tuple[int, int, int, int]:
+    """Walk top-level ISO-BMFF boxes (and moov's children) without decoding
+    a sample: (duration_ms, timescale, n_tracks, mdat_bytes). Raises on
+    anything that isn't a plausible MP4 — callers map failures to -1 rows
+    the same way the image/audio codecs do."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF payload (no ftyp)")
+    timescale = duration = None
+    n_tracks = 0
+    mdat_bytes = 0
+    i = 0
+    while i + 8 <= len(payload):
+        size = struct.unpack_from(">I", payload, i)[0]
+        tag = payload[i + 4 : i + 8]
+        if size < 8:
+            raise ValueError("corrupt box size")
+        if tag == b"moov":
+            j = i + 8
+            end = min(i + size, len(payload))
+            while j + 8 <= end:
+                csize = struct.unpack_from(">I", payload, j)[0]
+                ctag = payload[j + 4 : j + 8]
+                if csize < 8:
+                    raise ValueError("corrupt moov child")
+                if ctag == b"mvhd":
+                    version = payload[j + 8]
+                    if version == 0:
+                        timescale, duration = struct.unpack_from(">II", payload, j + 20)
+                    else:  # version 1: 64-bit times
+                        timescale = struct.unpack_from(">I", payload, j + 28)[0]
+                        duration = struct.unpack_from(">Q", payload, j + 32)[0]
+                elif ctag == b"trak":
+                    n_tracks += 1
+                j += csize
+        elif tag == b"mdat":
+            mdat_bytes += size - 8
+        i += size
+    if timescale is None:
+        raise ValueError("no mvhd box")
+    return int(duration * 1000 // max(timescale, 1)), timescale, n_tracks, mdat_bytes
+
+
+def video_metadata(
+    media: DataFrame,
+    codec: Callable[[bytes], tuple[int, int, int, int]] = mp4_box_codec,
+) -> DataFrame:
+    """binary video → (media_id, duration_ms, timescale, n_tracks,
+    mdat_bytes, n_bytes) via mapInPandas; payloads never shuffle."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in VIDEO_META_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload)
+                try:
+                    dur, ts_, nt, mb = codec(data)
+                except Exception:
+                    dur = ts_ = nt = mb = -1
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "duration_ms": dur,
+                        "timescale": ts_,
+                        "n_tracks": nt,
+                        "mdat_bytes": mb,
+                        "n_bytes": len(data),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.filter(F.col("kind") == "video").select(
+        "media_id", "payload"
+    ).mapInPandas(_run, schema=VIDEO_META_SCHEMA)
+
+
+@register(
+    "multimodal_video_meta",
+    oracle=None,  # binary mapInPandas decode → rows-only
+    doc="Video metadata extraction over a binary media column: real "
+    "ISO-BMFF (MP4) containers through a stdlib box-walk codec — "
+    "duration / timescale / track count / mdat payload size without "
+    "decoding a frame — plus byte-stream fakes mapping to -1 rows. "
+    "Completes the image/audio/video codec triad; same posture as the "
+    "other multimodal keys: payload bytes never leave the map stage.",
+)
+def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return video_metadata(_media_df(spark))

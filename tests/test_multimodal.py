@@ -127,3 +127,29 @@ def test_audio_metadata(spark):
     assert (out[20].channels, out[20].sample_rate, out[20].duration_ms) == (1, 8000, 1000)
     assert (out[21].channels, out[21].sample_rate, out[21].duration_ms) == (2, 44100, 500)
     assert out[22].channels == -1 and out[22].duration_ms == -1  # undecodable sentinel
+
+
+def test_mp4_box_codec_roundtrip():
+    from mergeextractor_spark.operators.multimodal import encode_mp4, mp4_box_codec
+
+    payload = encode_mp4(2500, timescale=600, n_tracks=2, mdat_size=100)
+    dur, ts, nt, mb = mp4_box_codec(payload)
+    assert (dur, ts, nt, mb) == (2500, 600, 2, 100)
+    with pytest.raises(ValueError):
+        mp4_box_codec(b"\x00" * 32)  # no ftyp
+
+
+def test_video_metadata_real_and_fake(spark):
+    from mergeextractor_spark.operators.multimodal import _media_df, video_metadata
+
+    out = {r.media_id: r for r in video_metadata(_media_df(spark)).collect()}
+    # 500-series are real MP4s: duration (i+1)s at timescale 600
+    for i in range(8):
+        r = out[500 + i]
+        assert r.duration_ms == 1000 * (i + 1)
+        assert r.timescale == 600
+        assert r.n_tracks == 1 + i % 3
+        assert r.mdat_bytes == 64 + 16 * i
+    # 200-series byte-stream fakes fail the box walk -> -1 rows
+    for i in range(8):
+        assert out[200 + i].duration_ms == -1
