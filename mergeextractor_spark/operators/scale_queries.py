@@ -185,6 +185,11 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = t(spark, sf_dir, "embeddings")
     fe = e.select("vec_id", "embedding", array_to_vector("embedding").alias("features"))
+    if fe.isEmpty():  # KMeans.fit throws on an empty frame; no vectors → no neighbors
+        return spark.createDataFrame(
+            [],
+            "query_id bigint, neighbor_id bigint, cos double, rank bigint",
+        )
     model = KMeans(k=N_CELLS_TRAINED, seed=7, maxIter=10).fit(fe)
     cents = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())

@@ -130,3 +130,29 @@ def test_temperature_sampling_orders_by_share(spark):
     assert rates[0] == pytest.approx(1.0, abs=1e-4)
     assert all(a >= b - 1e-9 for a, b in zip(rates, rates[1:])), rates
     assert all(0 < r <= 1.0 for r in rates)
+
+
+def test_all_queries_tolerate_empty_tables(spark, tmp_path_factory):
+    """Every registered operator must degrade to zero rows (never crash)
+    on empty inputs — the behavior an incremental production run hits on
+    a quiet day. Empty parquet files carry the real fixture schemas."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mergeextractor_spark.registry import load_all
+
+    d = tmp_path_factory.mktemp("sf_empty")
+    for name in ["region", "nation", "customer", "supplier", "part", "orders",
+                 "lineitem", "events", "documents", "embeddings"]:
+        s = pq.read_schema(f"/root/testdata/sf0.001/{name}.parquet")
+        pq.write_table(
+            pa.table({n: pa.array([], type=s.field(n).type) for n in s.names}),
+            str(d / f"{name}.parquet"),
+        )
+    failures = []
+    for key, q in load_all().items():
+        try:
+            q.spark(spark, str(d)).count()
+        except Exception as e:
+            failures.append(f"{key}: {type(e).__name__}")
+    assert not failures, failures
