@@ -514,3 +514,64 @@ def olap_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(r4(100.0 * F.sum(promo) / F.sum(rev)).alias("promo_pct"))
     )
+
+
+@register(
+    "olap_disjunctive_filter",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_type = 'PROMO'    AND p.p_size <= 15 AND l.l_quantity >= 20)
+       OR (p.p_type = 'ECONOMY'  AND p.p_size <= 30 AND l.l_quantity >= 10)
+       OR (p.p_type = 'STANDARD' AND p.p_size <= 45 AND l.l_quantity >= 1)
+    """,
+    doc="TPC-H Q19 shape: OR-of-ANDs join predicate across both tables. "
+    "Catalyst's CNF conversion extracts the single-table residuals — the "
+    "plan shows p_size/p_type and l_quantity conjunctions pushed below "
+    "the join as scan filters (PushedFilters with Or(...)), so each side "
+    "prunes before the broadcast join instead of evaluating the whole "
+    "disjunction post-join.",
+)
+def olap_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type", "p_size")
+    li = t(spark, sf_dir, "lineitem")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_type") == "PROMO") & (F.col("p_size") <= 15) & (F.col("l_quantity") >= 20))
+        | ((F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 30) & (F.col("l_quantity") >= 10))
+        | ((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 45) & (F.col("l_quantity") >= 1))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.filter(cond).agg(
+        F.count("*").cast("bigint").alias("n"), r4(F.sum(rev)).alias("revenue")
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_quantity), 4) AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    doc="Explicit GROUPING SETS (the general form rollup/cube compile "
+    "to): chosen aggregation levels only — (flag, status), (flag), "
+    "grand total — computed in ONE pass with an Expand node feeding a "
+    "single hash aggregate, instead of three scans unioned.",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("mx_gs_lineitem")
+    return li.sparkSession.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(l_quantity), 4) AS qty
+        FROM mx_gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )

@@ -292,3 +292,40 @@ def join_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).cast("bigint").alias("gap_sec"),
     )
+
+
+@register(
+    "cdc_scd2_history",
+    oracle="""
+    SELECT user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    '%Y-%m-%d %H:%M:%S') AS valid_to,
+           round(value, 4) AS value,
+           CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS BOOLEAN) AS is_current
+    FROM events
+    WHERE event_type = 'signup'
+    """,
+    doc="SCD type-2 history build from a change stream: each user's "
+    "'signup' changes become versioned rows with [valid_from, valid_to) "
+    "ranges and an is_current flag — lead(ts) over (user, time) closes "
+    "each version with the next one's start. The standard warehouse "
+    "pattern for dimension history; one shuffle on user_id, ordering "
+    "made total with the event_id tiebreak (ties are real in fixtures). "
+    "The streaming twin is foreachBatch MERGE (stream_upsert_to_kv) "
+    "keeping only current rows; this batch form materializes the full "
+    "history.",
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        r4(F.col("value")).alias("value"),
+        nxt.isNull().alias("is_current"),
+    )
