@@ -515,3 +515,28 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("bigint").alias("rank"),
         )
     )
+
+
+def ivf_store_write(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Persist the IVF layout the ann_* docstrings promise: every vector
+    written under its cell's partition directory (cid=<cell>/...). At
+    100 TB this is the index — a probe touches nprobe directories out of
+    thousands, and reclustering is a rewrite of moved cells only."""
+    e = t(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    cdots = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", dot(F.col("embedding"), F.col("ce")).alias("d")
+    )
+    assign = cdots.groupBy("vec_id").agg(
+        F.expr("max_by(cid, struct(d, -cid))").alias("cid")
+    )
+    e.join(assign, "vec_id").write.mode("overwrite").partitionBy("cid").parquet(path)
+
+
+def ivf_store_probe(spark: SparkSession, path: str, cids: list[int]) -> DataFrame:
+    """Partition-pruned read of the probed cells — the physical plan's
+    PartitionFilters carries the cid predicate and only those directories
+    are listed/read (asserted in tests/test_curation.py)."""
+    return spark.read.parquet(path).filter(F.col("cid").isin(cids))

@@ -156,3 +156,28 @@ def test_all_queries_tolerate_empty_tables(spark, tmp_path_factory):
         except Exception as e:
             failures.append(f"{key}: {type(e).__name__}")
     assert not failures, failures
+
+
+def test_ivf_store_probe_is_partition_pruned(spark, tmp_path):
+    """The persisted IVF layout must make a probe a partition-pruned read:
+    only the probed cells' directories appear in the scan's input files,
+    and the plan carries the cid predicate as a PartitionFilter."""
+    from mergeextractor_spark.operators.scale_queries import (
+        ivf_store_probe,
+        ivf_store_write,
+    )
+
+    path = str(tmp_path / "ivf")
+    ivf_store_write(spark, SF, path)
+    got = ivf_store_probe(spark, path, [0, 2])
+    # inputFiles() lists the relation's full file set pre-pruning, so the
+    # evidence is the scan's PartitionFilters carrying the cid predicate —
+    # that is what limits directory listing/IO to the probed cells
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "cid" in pf and "IN(0,2" in pf.replace(" ", ""), pf
+    # membership matches the in-flight assignment exactly
+    members = {r.vec_id for r in got.collect()}
+    all_rows = {r.vec_id: r.cid for r in spark.read.parquet(path).collect()}
+    assert members == {v for v, c in all_rows.items() if c in (0, 2)}
