@@ -272,3 +272,43 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang_tokens").cast("bigint").alias("lang_tokens"),
         r4(F.col("boost") / F.max("boost").over(wall)).alias("sample_rate"),
     )
+
+
+@register(
+    "dq_expectations",
+    oracle="""
+    SELECT 'lineitem' AS tbl,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_quantity,
+           CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS bad_discount,
+           CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_orderkey,
+           CAST(sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS BIGINT) AS bad_returnflag,
+           CAST(sum(CASE WHEN CAST(l_shipdate AS DATE) < DATE '1990-01-01'
+                          OR CAST(l_shipdate AS DATE) > DATE '2030-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS bad_shipdate
+    FROM lineitem
+    """,
+    doc="Data-quality expectation suite (Great-Expectations shape): typed "
+    "rules — positivity, domain membership, null keys, date sanity — "
+    "evaluated as conditional sums in ONE scan, emitting a violation-count "
+    "row a pipeline gates on before expensive downstream stages. All "
+    "algebraic aggregates: map-side partials, a single-row result, no "
+    "second pass per rule (the naive per-rule-filter formulation scans "
+    "the table once per expectation).",
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+
+    def viol(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    return li.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        viol(F.col("l_quantity") <= 0).alias("bad_quantity"),
+        viol((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).alias("bad_discount"),
+        viol(F.col("l_orderkey").isNull()).alias("null_orderkey"),
+        viol(~F.col("l_returnflag").isin("A", "N", "R")).alias("bad_returnflag"),
+        viol(
+            (F.col("l_shipdate") < F.lit("1990-01-01"))
+            | (F.col("l_shipdate") > F.lit("2030-01-01"))
+        ).alias("bad_shipdate"),
+    ).select(F.lit("lineitem").alias("tbl"), "*")
