@@ -52,6 +52,7 @@ HEADLINE = [
     "sample_domain_cap",         # per-domain cap (WindowGroupLimit)
     "olap_returned_customers",   # TPC-H Q10 shape
     "ann_ivf_pq",                # IVF cells x PQ codes (production ANN combo)
+    "curation_pipeline_ingest",  # flagship #3: cap -> TTR gate -> dedup -> mixture
 ]
 
 

@@ -174,3 +174,103 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", F.col("n_tokens").cast("bigint").alias("n_tokens"), "stopword_ratio")
     )
     return survivors
+
+
+CAP_V2 = 15  # per-source survivor cap for the ingest pass
+TTR_FLOOR = 0.2  # lexical-diversity gate (hash soup scores ~1, loops ~0)
+
+
+@register(
+    "curation_pipeline_ingest",
+    oracle=f"""
+    WITH capped AS (
+      SELECT doc_id, source, lang, text FROM (
+        SELECT doc_id, source, lang, text,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents
+      ) WHERE rn <= {CAP_V2}
+    ),
+    scored AS (
+      SELECT doc_id, source, lang, text,
+             len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS n_tokens,
+             len(list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))) AS n_types
+      FROM capped
+    ),
+    gated AS (
+      SELECT * FROM scored
+      WHERE n_types::DOUBLE / greatest(n_tokens, 1) >= {TTR_FLOOR}
+    ),
+    exact_rep AS (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep FROM gated
+    ),
+    uniq AS (
+      SELECT g.* FROM gated g JOIN exact_rep e ON e.doc_id = g.doc_id AND e.rep = g.doc_id
+    ),
+    mass AS (SELECT lang, sum(n_tokens) AS lang_tokens FROM uniq GROUP BY lang),
+    shares AS (
+      SELECT lang, lang_tokens, lang_tokens / sum(lang_tokens) OVER () AS share FROM mass
+    ),
+    powed AS (SELECT lang, share, pow(share, 0.3) AS p FROM shares),
+    targets AS (SELECT lang, share, p / sum(p) OVER () AS target FROM powed),
+    boosts AS (SELECT lang, target / share AS boost FROM targets),
+    rates AS (
+      SELECT lang, round(boost / max(boost) OVER (), 4) AS sample_rate FROM boosts
+    )
+    SELECT u.doc_id, u.source, u.lang,
+           CAST(u.n_tokens AS BIGINT) AS n_tokens,
+           round(u.n_types::DOUBLE / greatest(u.n_tokens, 1), 4) AS ttr,
+           r.sample_rate
+    FROM uniq u JOIN rates r USING (lang)
+    """,
+    doc=f"Flagship #3 — the ingest-side curation pass as ONE declarative "
+    f"plan: per-source cap (≤{CAP_V2}, domain governance) → TTR floor "
+    f"(≥{TTR_FLOOR}, lexical QA) → exact dedup keep-first → per-language "
+    "token mass of the SURVIVORS → temperature-scaled (share^0.3) "
+    "sampling rate joined back onto every surviving doc. Complements "
+    "curation_pipeline (the dedup-centric pass): this is what runs at "
+    "crawl ingest, before near-dup. Scale shape: the cap's "
+    "WindowGroupLimit prunes per map task before its shuffle; tokenize + "
+    "TTR are the same codegen'd scan stage; exact dedup shuffles (md5, "
+    "id); the mixture join broadcasts a |langs|-row table. Fully "
+    "value-checked end-to-end against the composed DuckDB oracle.",
+)
+def curation_pipeline_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    wcap = W.partitionBy("source").orderBy("doc_id")
+    capped = (
+        docs.select("doc_id", "source", "lang", "text")
+        .withColumn("rn", F.row_number().over(wcap))
+        .filter(F.col("rn") <= CAP_V2)
+        .drop("rn")
+    )
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    scored = capped.select(
+        "doc_id", "source", "lang", "text",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_types"),
+    )
+    ttr = F.col("n_types").cast("double") / F.greatest(F.col("n_tokens"), F.lit(1))
+    gated = scored.filter(ttr >= TTR_FLOOR)
+    wrep = W.partitionBy(F.md5("text"))
+    uniq = (
+        gated.withColumn("rep", F.min("doc_id").over(wrep))
+        .filter(F.col("rep") == F.col("doc_id"))
+        .drop("rep")
+    )
+    mass = uniq.groupBy("lang").agg(F.sum("n_tokens").alias("lang_tokens"))
+    wall = W.partitionBy()
+    shares = mass.withColumn(
+        "share", F.col("lang_tokens") / F.sum("lang_tokens").over(wall)
+    )
+    powed = shares.withColumn("p", F.pow("share", F.lit(0.3)))
+    targets = powed.withColumn("target", F.col("p") / F.sum("p").over(wall))
+    boosts = targets.withColumn("boost", F.col("target") / F.col("share"))
+    rates = boosts.select(
+        "lang", r4(F.col("boost") / F.max("boost").over(wall)).alias("sample_rate")
+    )
+    return uniq.join(F.broadcast(rates), "lang").select(
+        "doc_id", "source", "lang",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        r4(ttr).alias("ttr"),
+        "sample_rate",
+    )
