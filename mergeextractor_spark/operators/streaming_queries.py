@@ -329,3 +329,60 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("value")).alias("value"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@register(
+    "events_session_stats",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             lag(CAST(floor(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS prev_es
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, es,
+             CASE WHEN prev_es IS NULL OR es - prev_es > {SESSION_GAP_SEC} THEN 1 ELSE 0 END AS new_sess
+      FROM ordered
+    ),
+    numbered AS (
+      SELECT user_id, es,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY es, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+           min(es) AS session_start, max(es) AS session_end,
+           count(*) AS n_events
+    FROM numbered GROUP BY user_id, sess_id
+    """,
+    doc="Per-session rows (start, end, event count) via the lag+cumsum "
+    "session-id assignment — the batch twin of Spark's native "
+    "session_window(ts, gap) aggregation, whose streaming form "
+    "(streaming/events.py::session_stats) merges windows within the gap "
+    "under a watermark; boundary equivalence is pytest-asserted. Two "
+    "windows + one groupBy, all on the user_id partitioning — a single "
+    "shuffle.",
+)
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    es = F.unix_timestamp("ts")
+    w = W.partitionBy("user_id").orderBy(es, F.col("event_id"))
+    flagged = (
+        t(spark, sf_dir, "events")
+        .withColumn("es", es)
+        .withColumn("prev_es", F.lag(es).over(w))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev_es").isNull() | (es - F.col("prev_es") > SESSION_GAP_SEC), 1
+            ).otherwise(0),
+        )
+    )
+    numbered = flagged.withColumn(
+        "sess_id", F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return numbered.groupBy("user_id", F.col("sess_id").cast("bigint").alias("sess_id")).agg(
+        F.min("es").cast("bigint").alias("session_start"),
+        F.max("es").cast("bigint").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )

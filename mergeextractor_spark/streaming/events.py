@@ -202,3 +202,23 @@ def dedup_within_watermark(
     the whole requirement)."""
     keys = keys or ["user_id", "event_type"]
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def session_stats(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native session-window aggregation: Spark merges events within
+    ``gap`` of each other into one growing window per user, emitting the
+    closed session once the watermark passes its end — bounded state, the
+    streaming form of events_session_stats' lag+cumsum batch shape
+    (boundary equivalence pytest-asserted)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("session_window.start")).alias("session_start"),
+            "n_events",
+        )
+    )

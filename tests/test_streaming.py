@@ -160,3 +160,26 @@ def test_dedup_within_watermark_matches_batch_keys(spark):
         for r in table(spark, SF, "events").select("user_id", "event_type").distinct().collect()
     }
     assert set(keys) == batch_keys
+
+
+def test_session_window_stream_matches_batch_sessions(spark):
+    """Native session_window streaming aggregation must produce the same
+    (user, session_start, n_events) triples as the batch lag+cumsum
+    twin — the two formulations define the same gap semantics. The
+    session_window end is start-of-last-event + gap (not max event time),
+    so only starts and counts are compared."""
+    from mergeextractor_spark.operators.streaming_queries import events_session_stats
+    from mergeextractor_spark.streaming.events import (
+        read_events_stream,
+        run_available_now,
+        session_stats,
+    )
+
+    events = read_events_stream(spark, SF)
+    got = run_available_now(session_stats(events), "stream_sessions")
+    s = {(r.user_id, r.session_start): r.n_events for r in got.collect()}
+    b = {
+        (r.user_id, r.session_start): r.n_events
+        for r in events_session_stats(spark, SF).collect()
+    }
+    assert s == b
