@@ -312,3 +312,57 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("l_shipdate") > F.lit("2030-01-01"))
         ).alias("bad_shipdate"),
     ).select(F.lit("lineitem").alias("tbl"), "*")
+
+
+PACK_BUDGET = 2048  # token budget per packed training sequence
+
+
+@register(
+    "sample_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                             ROWS UNBOUNDED PRECEDING) - n_tokens)
+                        / {PACK_BUDGET}) AS BIGINT) AS pack_id
+      FROM toks
+    )
+    SELECT lang, pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+    FROM packed GROUP BY lang, pack_id
+    """,
+    doc=f"Sequence packing for pretraining shards: documents stream into "
+    f"{PACK_BUDGET}-token packs per language by cumulative token count "
+    "(pack_id = floor(preceding-mass / budget) over a deterministic "
+    "doc_id order) — the shuffle-once formulation of first-fit packing. "
+    "A pack can overflow by at most one document (no doc is split), the "
+    "standard concat-and-chunk approximation every pipeline uses. One "
+    "window + one groupBy, both on the lang partitioning; at 100 TB the "
+    "per-lang cumsum parallelizes by pre-aggregating per-partition "
+    "masses (the same two-phase trick as agg_salted_skew).",
+)
+def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")).alias(
+            "n_tokens"
+        ),
+    )
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    packed = toks.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_BUDGET).cast(
+            "bigint"
+        ),
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+    )

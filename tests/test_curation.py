@@ -181,3 +181,42 @@ def test_ivf_store_probe_is_partition_pruned(spark, tmp_path):
     members = {r.vec_id for r in got.collect()}
     all_rows = {r.vec_id: r.cid for r in spark.read.parquet(path).collect()}
     assert members == {v for v, c in all_rows.items() if c in (0, 2)}
+
+
+def test_pack_sequences_budget_property(spark):
+    """Every pack except a language's last must reach the budget once its
+    own overflow doc is counted: pack_tokens >= budget only fails for the
+    final partial pack, and no pack starts beyond one doc past the
+    boundary (pack_tokens - last_doc < budget guarantee)."""
+    from mergeextractor_spark.operators.curation_queries import (
+        PACK_BUDGET,
+        sample_pack_sequences,
+    )
+
+    from mergeextractor_spark.operators._util import t
+
+    rows = sample_pack_sequences(spark, SF).collect()
+    toks = F.size(F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != ""))
+    doc_stats = {
+        r.lang: (r.n, r.total, r.mx)
+        for r in t(spark, SF, "documents")
+        .select("lang", toks.alias("nt"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"), F.sum("nt").alias("total"), F.max("nt").alias("mx"))
+        .collect()
+    }
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert set(by_lang) == set(doc_stats)
+    for lang, packs in by_lang.items():
+        packs.sort(key=lambda r: r.pack_id)
+        n_docs, total, mx = doc_stats[lang]
+        # partition property: every doc in exactly one pack, no tokens lost
+        assert sum(p.n_docs for p in packs) == n_docs
+        assert sum(p.pack_tokens for p in packs) == total
+        # fill property: a pack can start mid-bin only because its
+        # predecessor overflowed (by < max doc), so every non-final pack
+        # holds more than budget - max_doc tokens
+        for p in packs[:-1]:
+            assert p.pack_tokens > PACK_BUDGET - mx, (lang, p.pack_id, p.pack_tokens)
