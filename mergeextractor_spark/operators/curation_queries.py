@@ -1,12 +1,15 @@
 """Corpus-curation operators a large-scale training-data pipeline runs
-between crawling and tokenization: per-domain caps, mixture weighting,
-lexical-diversity scoring, and Bloom-filter novelty prefiltering.
+between crawling and tokenization: per-domain caps, uniform and
+temperature-scaled mixture weighting, lexical-diversity scoring,
+Bloom-filter novelty prefiltering, data-quality expectation suites, and
+sequence packing into fixed token budgets.
 
-All native Spark SQL; every SQL-expressible key carries a DuckDB oracle.
-Scale posture (100 TB): each operator is one scan plus at most one shuffle
-on a low-cardinality key (source / lang); nothing shuffles document text
-except the explicit per-domain cap, whose shuffle carries (source, doc_id)
-pairs only until the final keep-join.
+Native Spark SQL except the Bloom probe (an Arrow-batched numpy UDF);
+every SQL-expressible key carries a DuckDB oracle. Scale posture
+(100 TB): each operator is one scan plus at most one shuffle on a
+low-cardinality key (source / lang); nothing shuffles document text
+except the explicit per-domain cap, whose shuffle carries (source,
+doc_id) pairs only until the final keep-join.
 """
 
 from __future__ import annotations
