@@ -369,3 +369,85 @@ def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
     )
+
+
+_RAW_URL = (
+    "'HTTPS://WWW.' || source || '.example.com/Docs/' || CAST(doc_id % 7 AS VARCHAR)"
+    " || '?utm_source=feed&utm_campaign=x&id=' || CAST(doc_id % 7 AS VARCHAR) || '/'"
+)
+
+
+@register(
+    "dedup_url_canonical",
+    oracle=f"""
+    WITH raw AS (SELECT doc_id, {_RAW_URL} AS url FROM documents),
+    canon AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(lower(url), '^https?://(www\\.)?', '', 'g'),
+                 '(\\?|&)utm_[a-z_]+=[^&]*', '', 'g'),
+               '/$', '', 'g') AS curl
+      FROM raw
+    )
+    SELECT curl, min(doc_id) AS rep_doc_id, CAST(count(*) AS BIGINT) AS n_copies
+    FROM canon GROUP BY curl
+    """,
+    doc="URL canonicalization + dedup — the first pass of every crawl "
+    "pipeline (CCNet/C4 shape): lowercase, strip scheme and www, drop "
+    "utm_* tracking params, drop the trailing slash, then group by the "
+    "canonical form keeping the smallest doc_id. The synthetic raw URLs "
+    "(7 per source, mixed case, tracking params, trailing slashes) force "
+    "every rule to fire. Pure regexp_replace chain — map-side, one "
+    "shuffle on the canonical key, never on page content.",
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW."), F.col("source"), F.lit(".example.com/Docs/"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("?utm_source=feed&utm_campaign=x&id="),
+            (F.col("doc_id") % 7).cast("string"), F.lit("/"),
+        ).alias("url"),
+    )
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("url"), r"^https?://(www\.)?", ""),
+            r"(\?|&)utm_[a-z_]+=[^&]*", ""),
+        r"/$", "")
+    return (
+        raw.select("doc_id", curl.alias("curl"))
+        .groupBy("curl")
+        .agg(F.min("doc_id").alias("rep_doc_id"), F.count("*").cast("bigint").alias("n_copies"))
+    )
+
+
+TOP_DECILES = 3  # keep the top 3 quality deciles per language
+
+
+@register(
+    "sample_quality_decile",
+    oracle=f"""
+    SELECT doc_id, lang, decile FROM (
+      SELECT doc_id, lang,
+             ntile(10) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS decile
+      FROM documents
+    ) WHERE decile <= {TOP_DECILES}
+    """,
+    doc=f"Quality-decile sampling: ntile(10) buckets per language over the "
+    "quality proxy (n_chars desc, doc_id tiebreak for determinism), "
+    f"keeping the top {TOP_DECILES} deciles — threshold-free curation "
+    "cuts ('keep the best 30%') that adapt to each language's score "
+    "distribution instead of a global constant. One window shuffle on "
+    "lang; composes with any upstream quality scorer.",
+)
+def sample_quality_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .withColumn("decile", F.ntile(10).over(w))
+        .filter(F.col("decile") <= TOP_DECILES)
+        .select("doc_id", "lang", "decile")
+    )
