@@ -451,3 +451,130 @@ def sample_quality_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("decile") <= TOP_DECILES)
         .select("doc_id", "lang", "decile")
     )
+
+
+@register(
+    "dedup_exact_normalized",
+    oracle="""
+    SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS norm_hash,
+           min(doc_id) AS rep_doc_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Normalized exact dedup (C4-style): lowercase, trim, collapse "
+    "whitespace runs, THEN hash — catches trivially-reformatted "
+    "duplicates that byte-exact dedup_exact misses (tabs vs spaces, "
+    "case, trailing newlines). Same scale shape as dedup_exact: "
+    "normalization and hashing are map-side, the shuffle carries "
+    "(32-byte hash, id).",
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    norm = F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")
+    return (
+        t(spark, sf_dir, "documents")
+        .select(F.md5(norm).alias("norm_hash"), "doc_id")
+        .groupBy("norm_hash")
+        .agg(
+            F.min("doc_id").alias("rep_doc_id"),
+            F.count("*").cast("bigint").alias("n_copies"),
+        )
+    )
+
+
+HIST_BINS = 10
+
+
+@register(
+    "agg_histogram",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT min(value) AS lo, max(value) AS hi FROM events
+    )
+    SELECT CAST(least(floor((e.value - b.lo) / ((b.hi - b.lo) / {HIST_BINS})),
+                      {HIST_BINS - 1}) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(e.value), 4) AS bin_min,
+           round(max(e.value), 4) AS bin_max
+    FROM events e CROSS JOIN bounds b
+    GROUP BY 1
+    """,
+    doc=f"Fixed-width histogram ({HIST_BINS} bins over the observed "
+    "range): the data-profiling staple for choosing curation thresholds. "
+    "Two passes — a 1-row min/max aggregate broadcast into the binning "
+    "scan — because bin edges need the global range; a production "
+    "single-pass variant uses approx quantiles (agg_percentile_approx) "
+    "for edges. Both aggregates algebraic, map-side combinable.",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    bounds = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / HIST_BINS
+    bin_ = F.least(
+        F.floor((F.col("value") - F.col("lo")) / width), F.lit(HIST_BINS - 1)
+    ).cast("bigint")
+    return (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy(bin_.alias("bin"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            r4(F.min("value")).alias("bin_min"),
+            r4(F.max("value")).alias("bin_max"),
+        )
+    )
+
+
+NGRAM_TOPK = 5
+
+
+@register(
+    "text_ngram_topk",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+      FROM documents
+    ),
+    grams AS (
+      SELECT lang, unnest(
+        CASE WHEN len(ws) >= 2
+             THEN list_transform(generate_series(1, len(ws) - 1),
+                                 i -> array_to_string(list_slice(ws, i, i + 1), ' '))
+             ELSE [] END) AS gram
+      FROM words
+    ),
+    counts AS (SELECT lang, gram, count(*) AS n FROM grams GROUP BY lang, gram)
+    SELECT lang, gram, CAST(n AS BIGINT) AS n FROM (
+      SELECT lang, gram, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, gram) AS rn
+      FROM counts
+    ) WHERE rn <= {NGRAM_TOPK}
+    """,
+    doc=f"Top-{NGRAM_TOPK} bigrams per language — the corpus-analysis "
+    "staple behind stopword lists, boilerplate detection, and n-gram LM "
+    "baselines. Explode bigrams map-side, count per (lang, gram) with "
+    "partial aggregation, then a per-lang top-k window over the counted "
+    "(small) relation — the heavy shuffle carries (lang, gram-hash-sized "
+    "string) rows, and the window sorts only distinct grams, not "
+    "occurrences.",
+)
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ws = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    grams = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
+        ),
+    ).otherwise(F.array())
+    counts = (
+        t(spark, sf_dir, "documents")
+        .select("lang", F.explode(grams).alias("gram"))
+        .groupBy("lang", "gram")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("n"), F.asc("gram"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= NGRAM_TOPK)
+        .select("lang", "gram", F.col("n").cast("bigint").alias("n"))
+    )

@@ -575,3 +575,37 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
     )
+
+
+@register(
+    "olap_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    mx AS (SELECT max(total) AS m FROM rev)
+    SELECT s.s_suppkey, s.s_name, round(r.total, 4) AS total_revenue
+    FROM rev r
+    JOIN mx ON r.total = mx.m
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    ORDER BY s.s_suppkey
+    """,
+    doc="TPC-H Q15 shape: revenue per supplier, keep the maximum "
+    "(ties included — Q15's correctness subtlety that a LIMIT 1 would "
+    "get wrong). The 1-row max broadcasts back into the revenue "
+    "relation; supplier dim broadcasts into the final join.",
+)
+def olap_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total")
+    )
+    mx = rev.agg(F.max("total").alias("m"))
+    return (
+        rev.join(F.broadcast(mx), rev.total == F.col("m"))
+        .join(F.broadcast(s), s.s_suppkey == rev.l_suppkey)
+        .select("s_suppkey", "s_name", r4(F.col("total")).alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
