@@ -386,3 +386,156 @@ def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("es").cast("bigint").alias("session_end"),
         F.count("*").alias("n_events"),
     )
+
+
+RETENTION_MAX_DAY = 7
+
+
+@register(
+    "window_retention_cohort",
+    oracle=f"""
+    WITH firsts AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+      FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(day_offset AS BIGINT) AS day_offset,
+           CAST(count(*) AS BIGINT) AS active_users
+    FROM activity
+    WHERE day_offset BETWEEN 0 AND {RETENTION_MAX_DAY}
+    GROUP BY cohort_day, day_offset
+    """,
+    doc=f"Cohort retention: users grouped by first-seen day, counted as "
+    f"active at each day offset 0..{RETENTION_MAX_DAY} — the retention "
+    "triangle every product-analytics stack computes. Two aggregates on "
+    "the user_id partitioning (first-seen, then distinct activity) and "
+    "one broadcastable join of the per-user cohort map; the offset cap "
+    "bounds output regardless of history length.",
+)
+def window_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.to_date(F.min("ts")).alias("cohort_day"))
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .filter(F.col("day_offset").between(0, RETENTION_MAX_DAY))
+        .distinct()
+    )
+    return activity.groupBy(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        F.col("day_offset").cast("bigint").alias("day_offset"),
+    ).agg(F.count("*").cast("bigint").alias("active_users"))
+
+
+@register(
+    "agg_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS c_ts
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.v_ts
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS p_ts
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click_after_view,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase_after_click
+    """,
+    doc="Ordered funnel conversion: users whose first view precedes a "
+    "click precedes a purchase — the sequence constraint (each stage "
+    "strictly after the previous one's first occurrence) is what makes "
+    "funnels harder than three counts. Three aggregates, every join and "
+    "groupBy on the same user_id partitioning so the exchanges reuse one "
+    "shuffle layout.",
+)
+def agg_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("v_ts")
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        v.agg(F.count("*").cast("bigint").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").cast("bigint").alias("n_click_after_view")))
+        .crossJoin(p.agg(F.count("*").cast("bigint").alias("n_purchase_after_click")))
+    )
+
+
+GAP_FILL_SEC = 3600  # hourly grid
+
+
+@register(
+    "events_gap_fill",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT CAST(floor(epoch(min(ts)) / {GAP_FILL_SEC}) * {GAP_FILL_SEC} AS BIGINT) AS lo,
+             CAST(floor(epoch(max(ts)) / {GAP_FILL_SEC}) * {GAP_FILL_SEC} AS BIGINT) AS hi
+      FROM events
+    ),
+    grid AS (
+      SELECT t.et AS event_type, g.slot
+      FROM (SELECT DISTINCT event_type AS et FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                                (SELECT hi FROM bounds),
+                                                {GAP_FILL_SEC})) AS slot) g
+    ),
+    counts AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / {GAP_FILL_SEC}) * {GAP_FILL_SEC} AS BIGINT) AS slot,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT g.event_type, g.slot, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+    FROM grid g LEFT JOIN counts c ON c.event_type = g.event_type AND c.slot = g.slot
+    """,
+    doc=f"Time-series gap filling: densify hourly counts per event type "
+    "onto a complete [min, max] grid with zero-fill — without it, "
+    "downstream moving averages and anomaly rules silently skip empty "
+    "slots. The grid is generated (types × sequence), never scanned; "
+    "counts aggregate map-side; the left join broadcasts the grid when "
+    "small and shuffles on (type, slot) otherwise.",
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    slot = (F.floor(F.unix_timestamp("ts") / GAP_FILL_SEC) * GAP_FILL_SEC).cast("bigint")
+    bounds = e.agg(
+        F.min(slot).alias("lo"), F.max(slot).alias("hi")
+    )
+    types = e.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.lit(GAP_FILL_SEC))).alias("slot"),
+    )
+    counts = e.groupBy("event_type", slot.alias("slot")).agg(F.count("*").alias("n"))
+    return grid.join(counts, ["event_type", "slot"], "left").select(
+        "event_type", "slot", F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n")
+    )
