@@ -578,3 +578,62 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= NGRAM_TOPK)
         .select("lang", "gram", F.col("n").cast("bigint").alias("n"))
     )
+
+
+TFIDF_TOPK = 3
+
+
+@register(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM words GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.term,
+             round(t.tf * ln((SELECT n_docs FROM n)::DOUBLE / d.df), 4) AS tfidf
+      FROM tf t JOIN df d USING (term)
+    )
+    SELECT doc_id, term, tfidf FROM (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    ) WHERE rn <= {TFIDF_TOPK} AND tfidf > 0
+    """,
+    doc=f"TF-IDF keyword extraction: top-{TFIDF_TOPK} terms per document "
+    "by tf × ln(N/df) — the classic relevance weighting behind keyword "
+    "tagging and sparse retrieval. Term frequencies aggregate map-side "
+    "on (doc, term); document frequencies on term; the idf join carries "
+    "a vocabulary-sized table (broadcastable below ~100M distinct "
+    "terms); the per-doc top-k window sorts scored terms, not "
+    "occurrences. Corpus-wide terms (df = N) score zero and drop.",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")).alias(
+            "term"
+        ),
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = words.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # N as a broadcast 1-row aggregate inside the plan — no driver action
+    n = t(spark, sf_dir, "documents").agg(
+        F.count("*").cast("double").alias("n_docs")
+    )
+    tfidf = r4(F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", tfidf.alias("tfidf"))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= TFIDF_TOPK) & (F.col("tfidf") > 0))
+        .select("doc_id", "term", "tfidf")
+    )

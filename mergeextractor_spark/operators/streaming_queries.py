@@ -539,3 +539,63 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid.join(counts, ["event_type", "slot"], "left").select(
         "event_type", "slot", F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n")
     )
+
+
+ZSCORE_TRAIL = 6  # trailing slots in the rolling frame (exclusive of current)
+
+
+@register(
+    "events_moving_zscore",
+    oracle=f"""
+    WITH counts AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / {GAP_FILL_SEC}) * {GAP_FILL_SEC} AS BIGINT) AS slot,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, slot, n,
+             avg(n) OVER w AS mu,
+             stddev_samp(n) OVER w AS sigma,
+             count(*) OVER w AS m
+      FROM counts
+      WINDOW w AS (PARTITION BY event_type ORDER BY slot
+                   ROWS BETWEEN {ZSCORE_TRAIL} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, slot, CAST(n AS BIGINT) AS n,
+           round((n - mu) / sigma, 4) AS zscore
+    FROM stats
+    WHERE m = {ZSCORE_TRAIL} AND sigma > 0 AND abs((n - mu) / sigma) > 2.0
+    """,
+    doc=f"Rolling z-score anomaly flags: each hourly count compared "
+    f"against its own trailing {ZSCORE_TRAIL}-slot mean/stddev (frame "
+    "excludes the current row, so an anomaly can't dilute its own "
+    "baseline), flagging |z| > 2. Warm-up slots with an incomplete frame "
+    "or zero variance are excluded on both engines. The ROWS-bounded "
+    "trailing frame is the distinct shape here — state per group is "
+    f"O({ZSCORE_TRAIL}), so the same plan runs as an unbounded stream.",
+)
+def events_moving_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    slot = (F.floor(F.unix_timestamp("ts") / GAP_FILL_SEC) * GAP_FILL_SEC).cast("bigint")
+    counts = e.groupBy("event_type", slot.alias("slot")).agg(F.count("*").alias("n"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("slot")
+        .rowsBetween(-ZSCORE_TRAIL, -1)
+    )
+    stats = counts.select(
+        "event_type",
+        "slot",
+        "n",
+        F.avg("n").over(w).alias("mu"),
+        F.stddev_samp("n").over(w).alias("sigma"),
+        F.count("*").over(w).alias("m"),
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        stats.filter(
+            (F.col("m") == ZSCORE_TRAIL) & (F.col("sigma") > 0) & (F.abs(z) > 2.0)
+        )
+        .select("event_type", "slot", F.col("n").cast("bigint").alias("n"), r4(z).alias("zscore"))
+    )
