@@ -637,3 +637,57 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") <= TFIDF_TOPK) & (F.col("tfidf") > 0))
         .select("doc_id", "term", "tfidf")
     )
+
+
+@register(
+    "sample_apply_mixture",
+    oracle="""
+    WITH toks AS (
+      SELECT lang,
+             sum(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))) AS lang_tokens
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT sum(lang_tokens) AS total_tokens, count(*) AS n_langs FROM toks),
+    rates AS (
+      SELECT lang, least(1.0, (t.total_tokens / t.n_langs) / lang_tokens) AS rate
+      FROM toks CROSS JOIN tot t
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN rates r USING (lang)
+    WHERE (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) / 16.0
+          + (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1) / 256.0
+          < r.rate
+    """,
+    doc="Apply the uniform-target mixture: each document kept iff its "
+    "deterministic unit-interval hash (two md5 nibbles of doc_id → "
+    "[0,1) at 1/256 resolution) falls under its language's sampling "
+    "rate — the same hash-threshold trick as sample_hash_split, so the "
+    "sample is reproducible, order-independent, and retry-stable (no "
+    "rand()). Closes the loop from agg_mixture_weights: rates in, "
+    "actual downsampled corpus out. The rate table is |langs| rows, "
+    "broadcast; selection is map-side.",
+)
+def sample_apply_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = d.groupBy("lang").agg(
+        F.sum(
+            F.size(F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != ""))
+        ).alias("lang_tokens")
+    )
+    tot = toks.agg(
+        F.sum("lang_tokens").alias("total_tokens"), F.count("*").alias("n_langs")
+    )
+    rates = toks.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.least(
+            F.lit(1.0), (F.col("total_tokens") / F.col("n_langs")) / F.col("lang_tokens")
+        ).alias("rate"),
+    )
+    h = F.md5(F.col("doc_id").cast("string"))
+    nib = lambda i: F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - 1
+    unit = nib(1) / 16.0 + nib(2) / 256.0
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(unit < F.col("rate"))
+        .select("doc_id", "lang")
+    )
