@@ -691,3 +691,30 @@ def sample_apply_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(unit < F.col("rate"))
         .select("doc_id", "lang")
     )
+
+
+@register(
+    "text_compression_ratio",
+    oracle=None,  # zlib levels are library-specific → rows-only + pytest bounds
+    doc="Compression-ratio quality signal (Gopher rule family): "
+    "len(zlib(text)) / len(text) — highly repetitive or templated text "
+    "compresses far below natural prose, random noise barely compresses "
+    "at all. Arrow-batched pandas UDF over stdlib zlib (level 6), "
+    "map-side only; the ratio column is 8 bytes per doc regardless of "
+    "text size. Rows-only check (compressed sizes are "
+    "library/level-specific); tests/test_curation.py pins the "
+    "repetitive ≪ natural ≪ noise ordering on constructed inputs.",
+)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def comp_ratio(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        return texts.map(
+            lambda s: round(len(zlib.compress((s or "").encode(), 6)) / max(len((s or "").encode()), 1), 4)
+        )
+
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", comp_ratio(F.col("text")).alias("compression_ratio"))

@@ -609,3 +609,41 @@ def olap_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", r4(F.col("total")).alias("total_revenue"))
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "olap_global_sales_gap",
+    oracle="""
+    WITH cutoff AS (
+      SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(c.c_acctbal), 4) AS total_bal
+    FROM customer c
+    CROSS JOIN cutoff
+    WHERE c.c_acctbal > cutoff.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment
+    """,
+    doc="TPC-H Q22 shape: above-average-balance customers with NO orders "
+    "(lost high-value prospects), per segment. The two hard pieces: a "
+    "scalar aggregate subquery (computed once, broadcast into the "
+    "filter) and an anti-join against the fact table — Spark plans "
+    "NOT EXISTS as BroadcastHashJoin LeftAnti here, a shuffle anti-join "
+    "at scale, never a per-row subquery.",
+)
+def olap_global_sales_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").select("o_custkey")
+    cutoff = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    return (
+        c.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            r4(F.sum("c_acctbal")).alias("total_bal"),
+        )
+    )

@@ -220,3 +220,39 @@ def test_pack_sequences_budget_property(spark):
         # holds more than budget - max_doc tokens
         for p in packs[:-1]:
             assert p.pack_tokens > PACK_BUDGET - mx, (lang, p.pack_id, p.pack_tokens)
+
+
+def _lcg_noise(n: int) -> str:
+    x, out = 1, []
+    for _ in range(n):
+        x = (x * 1103515245 + 12345) % (2**31)
+        out.append(chr(33 + x % 90))
+    return "".join(out)
+
+
+def test_compression_ratio_orders_text_classes(spark):
+    """Repetitive text must compress far below natural prose, and noise
+    must barely compress — the property that makes the ratio a quality
+    signal. Constructed inputs pin the ordering."""
+    import pandas as pd
+
+    from mergeextractor_spark.operators.curation_queries import text_compression_ratio
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "spam ham " * 500,  # repetitive
+                # prose-like: shared morphology, no large-scale repetition
+                " ".join(f"word{(i * 7919) % 997}" for i in range(600)),
+                _lcg_noise(4000),  # aperiodic pseudo-random chars, ~incompressible
+            ],
+        }
+    )
+    df = spark.createDataFrame(rows)
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {r.doc_id: r.compression_ratio for r in text_compression_ratio(spark, d).collect()}
+    assert out[0] < out[1] < out[2]
+    assert out[0] < 0.1 and out[2] > 0.5
