@@ -45,16 +45,23 @@ def register(key: str, oracle: str | None = None, doc: str = ""):
     return wrap
 
 
-# Keys that already hold a green hash-checked row in CORRECTNESS_r01/r02
+# Current driver round.  Bumped once per round when the previous round's
+# CORRECTNESS file is folded into _DRIVER_GREEN below; seeds the canary
+# sample so each round re-checks a different deterministic slice of the
+# already-green keys (VERDICT r3 "Next round" item 3).
+_ROUND: int = 4
+
+# Keys that already hold a green hash-checked row in CORRECTNESS_r01–r03
 # (historical fact, frozen).  The driver's correctness gate walks the dict
 # returned by load_all() front-to-back under a wall-clock budget and in
-# round 2 demonstrably covered exactly the first 50 keys — so every
+# rounds 2 and 3 demonstrably covered exactly the first 50 keys — so every
 # oracle-paired key that has NEVER had a driver row must sit in positions
 # 1..50 this round.  Rotation policy: never-checked oracle keys first
-# (flagships leading), then oracle keys added after the r02 snapshot, then
-# the already-green keys, then rows-only keys.
+# (flagships leading), then oracle keys added after the r03 snapshot, then
+# ~10 canary re-checks of previously-green keys, then rows-only keys, then
+# the remaining already-green keys.
 _DRIVER_GREEN: frozenset[str] = frozenset({
-    # CORRECTNESS_r02.json (50 keys, all green)
+    # CORRECTNESS_r01/r02 (50 distinct keys, all green)
     "project_cols", "filter_index_range", "filter_token_floor",
     "filter_company_presence", "filter_hyphen_retry", "filter_skip_terms",
     "filter_min_length", "join_anti_incremental", "join_deal_filing",
@@ -72,12 +79,7 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "text_token_count", "text_fingerprint", "text_winnow_fingerprint",
     "set_distinct_lines", "chunk_fixed", "ner_orgs_regex", "fuzzy_ratio",
     "text_pii_scrub",
-})
-
-# Explicit front-of-window order for the 50 oracle keys with no driver row
-# in any round (VERDICT r2 "Next round" item 1).  Flagships first, then the
-# dedup/ANN/OLAP/streaming extension surface, then the §2 parity keys.
-_ROTATION_FIRST: tuple[str, ...] = (
+    # CORRECTNESS_r03.json (50 keys, all green)
     "extract_section_pipeline", "curation_pipeline",
     "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_rep",
     "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_neardup",
@@ -95,7 +97,67 @@ _ROTATION_FIRST: tuple[str, ...] = (
     "str_regex_extract_cik", "str_lstrip_zeros", "str_build_url",
     "str_drop_pagenums", "str_collapse_newlines", "str_strip_toc",
     "str_html_to_text_v2", "str_company_loose", "str_mojibake_repair",
+})
+
+# Explicit front-of-window order for the 36 oracle keys with no driver row
+# in any round (VERDICT r3 "Next round" item 1).  Ingest flagship first,
+# then the curation surface, ANN/PQ, the TPC-H-shaped OLAP keys, the
+# streaming-analytics keys, and the remaining text/sampling keys.
+_ROTATION_FIRST: tuple[str, ...] = (
+    "curation_pipeline_ingest",
+    # curation / sampling surface
+    "sample_domain_cap", "agg_mixture_weights", "text_ttr",
+    "sample_temperature", "sample_apply_mixture", "sample_stratified",
+    "sample_quality_decile", "sample_pack_sequences", "dq_expectations",
+    "dedup_url_canonical", "dedup_exact_normalized",
+    # ANN product-quantization pair
+    "ann_pq_topk", "ann_ivf_pq",
+    # OLAP (TPC-H-shaped) keys
+    "olap_order_priority", "olap_returned_customers",
+    "olap_shipmode_priority", "olap_promo_revenue",
+    "olap_disjunctive_filter", "olap_top_supplier",
+    "olap_global_sales_gap", "agg_grouping_sets", "agg_histogram",
+    # streaming / product-analytics keys (batch-twin oracles)
+    "join_stream_stream", "cdc_scd2_history", "events_session_stats",
+    "window_retention_cohort", "agg_funnel", "events_gap_fill",
+    "events_moving_zscore", "window_running_total", "join_salted_skew",
+    # remaining text keys
+    "text_unigram_logprob", "text_token_count_bpe", "text_ngram_topk",
+    "text_tfidf_topk",
 )
+
+# Rows-only keys (oracle=None by contract design) ordered by user impact
+# (VERDICT r3 "Next round" item 2): sinks and sources first — they mirror
+# the reference's side-effecting surface — then multimodal codecs, then
+# cascade/chunking/LLM seams.  These sit directly behind the canaries so
+# the r04+ windows drain them front-to-back.
+_ROWS_ONLY_ORDER: tuple[str, ...] = (
+    "sink_csv_append", "sink_csv_union", "sink_kv_store", "scan_kv_store",
+    "sink_kv_roundtrip", "sink_kv_upsert", "sink_fs_dump",
+    "source_http_fts", "source_http_doc",
+    "multimodal_image_meta", "multimodal_audio_meta",
+    "multimodal_video_meta", "multimodal_frame_sample",
+    "chunk_split_overlap", "header_cascade", "fuzzy_partial_ratio",
+    "phrase_catalog", "ner_orgs", "embed_text", "abbrev_enrich",
+    "str_normalize_unicode", "llm_classify_doc", "llm_extract_initiator",
+    "pipeline_crawler", "pipeline_separator", "ann_ivf_trained",
+    "agg_percentile_approx", "dedup_bloom_prefilter",
+    "text_compression_ratio", "events_approx_distinct",
+)
+
+# Number of previously-green keys re-checked per round.  Sampled
+# deterministically from _DRIVER_GREEN seeded by _ROUND so a regression in
+# r01-era code cannot stay invisible forever, while costing only ~10 of the
+# ~50 window slots.
+_CANARY_SLOTS: int = 10
+
+
+def canary_keys(round_no: int = _ROUND) -> tuple[str, ...]:
+    """Deterministic per-round sample of already-green keys to re-check."""
+    import random
+
+    pool = sorted(_DRIVER_GREEN)
+    return tuple(random.Random(round_no).sample(pool, min(_CANARY_SLOTS, len(pool))))
 
 
 def load_all() -> dict[str, Query]:
@@ -103,11 +165,12 @@ def load_all() -> dict[str, Query]:
 
     Returned order implements the gate-window rotation documented above:
       1. oracle-paired keys never covered by a CORRECTNESS round, in
-         ``_ROTATION_FIRST`` order (flagships first);
-      2. oracle-paired keys registered after the r02 snapshot (neither
+         ``_ROTATION_FIRST`` order (flagship first);
+      2. oracle-paired keys registered after the r03 snapshot (neither
          list knows them yet — they queue for the next rotation);
-      3. oracle-paired keys already green in r01/r02;
-      4. rows-only keys.
+      3. ~10 canary re-checks of previously-green keys (seeded by round);
+      4. rows-only keys, highest-impact first;
+      5. the remaining already-green keys.
     """
     from .operators import (  # noqa: F401
         relational,
@@ -127,15 +190,19 @@ def load_all() -> dict[str, Query]:
     from .plans import extract_pipeline, curation_pipeline  # noqa: F401
 
     first = {k: i for i, k in enumerate(_ROTATION_FIRST)}
+    canaries = {k: i for i, k in enumerate(canary_keys())}
+    rows_only = {k: i for i, k in enumerate(_ROWS_ONLY_ORDER)}
 
     def rank(kv: tuple[str, Query]) -> tuple[int, int]:
         key, q = kv
         if q.oracle is None:
-            return (3, 0)
+            return (3, rows_only.get(key, len(_ROWS_ONLY_ORDER)))
         if key in first:
             return (0, first[key])
+        if key in canaries:
+            return (2, canaries[key])
         if key in _DRIVER_GREEN:
-            return (2, 0)
+            return (4, 0)
         return (1, 0)  # new oracle key, queued for the next rotation
 
     return dict(sorted(REGISTRY.items(), key=rank))

@@ -31,19 +31,43 @@ def test_every_oracle_key_has_a_query(spark):
         assert len(inspect.signature(fn).parameters) == 2
 
 
-def test_oracle_paired_keys_run_first():
-    """The driver walks queries() in order under a wall-clock budget; a
-    hash-checked key is stronger evidence than a rows-only key, so every
-    oracle-paired key must precede every rows-only key (round-1 lesson:
-    the driver's budget ran out mid-registry)."""
+def test_gate_window_rotation_order():
+    """The driver walks queries() in order under a wall-clock budget that
+    historically covers ~50 keys per round.  The r04 rotation (VERDICT r3
+    items 1-3) must therefore put: (a) every oracle-paired key with no
+    driver row in positions 0..35, (b) the ~10 seeded canary re-checks
+    next, (c) the rows-only keys before the remaining already-green keys
+    so they finally accumulate driver evidence."""
+    from mergeextractor_spark import registry
+
     mod = _load_entry()
     qs, osql = mod.queries(), mod.oracle_sql()
-    seen_rows_only = False
-    for key in qs:
-        if key in osql:
-            assert not seen_rows_only, f"oracle-paired {key!r} after a rows-only key"
-        else:
-            seen_rows_only = True
+    keys = list(qs)
+
+    n_first = len(registry._ROTATION_FIRST)
+    assert keys[:n_first] == list(registry._ROTATION_FIRST)
+    for key in registry._ROTATION_FIRST:
+        assert key in osql, f"rotation-first key {key!r} lost its oracle"
+
+    canaries = registry.canary_keys()
+    assert keys[n_first : n_first + len(canaries)] == list(canaries)
+    # Canaries are a deterministic per-round sample of driver-green keys.
+    assert registry.canary_keys() == registry.canary_keys()
+    assert set(canaries) <= registry._DRIVER_GREEN
+    assert canaries != registry.canary_keys(registry._ROUND + 1)
+
+    # Every rows-only key precedes every remaining (green, non-canary)
+    # oracle key, and rows-only keys follow the documented impact order.
+    rows_only = [k for k in keys if k not in osql]
+    assert rows_only == list(registry._ROWS_ONLY_ORDER)
+    last_rows_only = max(keys.index(k) for k in rows_only)
+    tail_green = [
+        k
+        for k in keys
+        if k in osql and k not in registry._ROTATION_FIRST and k not in canaries
+    ]
+    if tail_green:
+        assert min(keys.index(k) for k in tail_green) > last_rows_only
 
 
 def test_sql_view_surface(spark):
