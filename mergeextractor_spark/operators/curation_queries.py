@@ -205,6 +205,8 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("boolean")
     def might_contain(pos: pd.Series) -> pd.Series:
+        if len(pos) == 0:  # np.vstack raises on an empty batch (ADVICE r3)
+            return pd.Series([], dtype=bool)
         bm = bitmap.value
         pv = np.vstack(pos.to_numpy())  # (batch, K) int64 positions
         bits = (bm[pv >> 6] >> (pv & 63).astype(np.uint64)) & np.uint64(1)

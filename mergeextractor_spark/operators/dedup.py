@@ -123,7 +123,11 @@ def _cache_shingles(sh: DataFrame) -> DataFrame:
     # pairs) without Spark's "already cached" double-registration.
     for prev in _LIVE_SHINGLE_CACHE:
         try:
-            if prev._jdf.queryExecution().analyzed().sameResult(
+            # sameResult compares analyzed plans only — two sessions reading
+            # the same path produce plan-equal DataFrames, so the owning
+            # session must match too or one session would silently receive
+            # a DataFrame bound to the other's JVM state (ADVICE r3).
+            if prev.sparkSession is sh.sparkSession and prev._jdf.queryExecution().analyzed().sameResult(
                 sh._jdf.queryExecution().analyzed()
             ):
                 return prev

@@ -289,6 +289,9 @@ def audio_metadata(
 
 # Weak-keyed on the session object itself — id(spark) could alias a new
 # session onto a dead one's DataFrames after GC address reuse (ADVICE r2).
+# The cached DataFrame references its session key, so the entry is pinned
+# until explicitly evicted (fixtures.evict_session_caches) — accepted cost:
+# one logical plan per live session (ADVICE r3).
 _MEDIA_CACHE: "weakref.WeakKeyDictionary[SparkSession, DataFrame]" = (
     weakref.WeakKeyDictionary()
 )

@@ -587,14 +587,18 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx AS (SELECT max(total) AS m FROM rev)
     SELECT s.s_suppkey, s.s_name, round(r.total, 4) AS total_revenue
     FROM rev r
-    JOIN mx ON r.total = mx.m
+    JOIN mx ON round(r.total, 4) = round(mx.m, 4)
     JOIN supplier s ON s.s_suppkey = r.l_suppkey
     ORDER BY s.s_suppkey
     """,
     doc="TPC-H Q15 shape: revenue per supplier, keep the maximum "
     "(ties included — Q15's correctness subtlety that a LIMIT 1 would "
     "get wrong). The 1-row max broadcasts back into the revenue "
-    "relation; supplier dim broadcasts into the final join.",
+    "relation; supplier dim broadcasts into the final join. The rev/mx "
+    "join compares r4-ROUNDED totals, not raw doubles: the two plan "
+    "branches re-execute the revenue sum independently and distributed "
+    "double addition is not associative, so exact float equality can "
+    "silently drop the max row at scale (ADVICE r3).",
 )
 def olap_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
@@ -604,7 +608,7 @@ def olap_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mx = rev.agg(F.max("total").alias("m"))
     return (
-        rev.join(F.broadcast(mx), rev.total == F.col("m"))
+        rev.join(F.broadcast(mx), r4(rev.total) == r4(F.col("m")))
         .join(F.broadcast(s), s.s_suppkey == rev.l_suppkey)
         .select("s_suppkey", "s_name", r4(F.col("total")).alias("total_revenue"))
         .orderBy("s_suppkey")

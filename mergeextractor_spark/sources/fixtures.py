@@ -34,11 +34,31 @@ TABLE_NAMES = [
 # session -> {(sf_dir, name) -> DataFrame}. Weak-keyed on the session
 # object itself: keying on id(spark) could alias a new session onto a
 # dead one's entries after GC reuses the address (ADVICE r2). Entries are
-# plain logical plans (no pinned executor memory) and die with the session.
+# plain logical plans (no pinned executor memory). NOTE (ADVICE r3): the
+# cached DataFrames strongly reference their SparkSession, so the weak key
+# can never be collected while its entry lives — entries are pinned for the
+# life of the process by design (a handful of logical plans per session;
+# call evict_session_caches(spark) from anything that stops sessions in a
+# long-lived process).
 _DF_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
     weakref.WeakKeyDictionary()
 )
 _TUNED: "weakref.WeakKeyDictionary[SparkSession, set[str]]" = weakref.WeakKeyDictionary()
+
+
+def evict_session_caches(spark: SparkSession) -> None:
+    """Drop every session-keyed memo for ``spark``.
+
+    The WeakKeyDictionary memos here and in operators/multimodal.py hold
+    DataFrames whose values reference their session key, so GC alone never
+    evicts them (ADVICE r3); call this before ``spark.stop()`` in
+    processes that cycle many sessions.
+    """
+    _DF_MEMO.pop(spark, None)
+    _TUNED.pop(spark, None)
+    from ..operators import multimodal
+
+    multimodal._MEDIA_CACHE.pop(spark, None)
 
 # Below this many bytes of parquet in sf_dir, size the shuffle to the
 # session's own parallelism: the driver hands queries an untuned session
