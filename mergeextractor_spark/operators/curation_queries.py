@@ -221,6 +221,37 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIX_ALPHA = 0.3  # temperature exponent (share^alpha), the multilingual default
 
 
+def temperature_boosts(mass: DataFrame, alpha: float = MIX_ALPHA) -> DataFrame:
+    """Temperature-sampling boost per language WITHOUT unpartitioned windows.
+
+    ``mass`` is a ``(lang, lang_tokens)`` frame (|langs| rows).  The three
+    global quantities — Σ lang_tokens, Σ share^α, max(boost) — each come
+    from a 1-row aggregate broadcast back in (the agg_mixture_weights
+    pattern), not ``Window.partitionBy()``: an unpartitioned window drags
+    every row to one task and spams ``WindowExec: No Partition Defined``
+    through every log, hiding real ones (VERDICT r3 item 5).  Arithmetic
+    order (share → p → target → boost) matches the DuckDB oracle exactly
+    so r4 hashes stay stable.  Returns lang, lang_tokens, boost,
+    _max_boost; callers emit ``r4(boost / _max_boost)``.
+    """
+    tot = mass.agg(F.sum("lang_tokens").alias("_tot"))
+    shares = (
+        mass.crossJoin(F.broadcast(tot))
+        .withColumn("share", F.col("lang_tokens") / F.col("_tot"))
+        .withColumn("p", F.pow("share", F.lit(alpha)))
+        .drop("_tot")
+    )
+    sum_p = shares.agg(F.sum("p").alias("_sum_p"))
+    boosts = (
+        shares.crossJoin(F.broadcast(sum_p))
+        .withColumn("target", F.col("p") / F.col("_sum_p"))
+        .withColumn("boost", F.col("target") / F.col("share"))
+        .drop("_sum_p")
+    )
+    max_b = boosts.agg(F.max("boost").alias("_max_boost"))
+    return boosts.crossJoin(F.broadcast(max_b))
+
+
 @register(
     "sample_temperature",
     oracle=f"""
@@ -250,9 +281,9 @@ MIX_ALPHA = 0.3  # temperature exponent (share^alpha), the multilingual default
     "head languages, boosts the tail less aggressively than uniform). "
     "sample_rate is each language's keep probability normalized so the "
     "most-boosted language keeps everything (rates are relative, never "
-    "upsampling). Two window aggregates over a |langs|-row frame — the "
-    "heavy work is one map-side token count, identical to "
-    "agg_mixture_weights.",
+    "upsampling). Globals come from 1-row aggregates broadcast back in "
+    "(temperature_boosts) — the heavy work is one map-side token count, "
+    "identical to agg_mixture_weights.",
 )
 def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = (
@@ -264,18 +295,10 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lang_tokens")
         )
     )
-    wall = W.partitionBy()
-    share = F.col("lang_tokens") / F.sum("lang_tokens").over(wall)
-    shares = toks.withColumn("share", share).withColumn(
-        "target",
-        F.pow("share", F.lit(MIX_ALPHA))
-        / F.sum(F.pow("share", F.lit(MIX_ALPHA))).over(wall),
-    )
-    rel = shares.withColumn("boost", F.col("target") / F.col("share"))
-    return rel.select(
+    return temperature_boosts(toks, MIX_ALPHA).select(
         "lang",
         F.col("lang_tokens").cast("bigint").alias("lang_tokens"),
-        r4(F.col("boost") / F.max("boost").over(wall)).alias("sample_rate"),
+        r4(F.col("boost") / F.col("_max_boost")).alias("sample_rate"),
     )
 
 

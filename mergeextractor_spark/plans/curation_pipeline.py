@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..operators._util import t, r4
+from ..operators.curation_queries import temperature_boosts
 from ..operators.dedup import N_HASHES, minhash_pairs_df
 from ..operators.text_queries import EN_STOPWORDS, _STOP_SQL
 from ..registry import register
@@ -258,15 +259,8 @@ def curation_pipeline_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rep")
     )
     mass = uniq.groupBy("lang").agg(F.sum("n_tokens").alias("lang_tokens"))
-    wall = W.partitionBy()
-    shares = mass.withColumn(
-        "share", F.col("lang_tokens") / F.sum("lang_tokens").over(wall)
-    )
-    powed = shares.withColumn("p", F.pow("share", F.lit(0.3)))
-    targets = powed.withColumn("target", F.col("p") / F.sum("p").over(wall))
-    boosts = targets.withColumn("boost", F.col("target") / F.col("share"))
-    rates = boosts.select(
-        "lang", r4(F.col("boost") / F.max("boost").over(wall)).alias("sample_rate")
+    rates = temperature_boosts(mass, 0.3).select(
+        "lang", r4(F.col("boost") / F.col("_max_boost")).alias("sample_rate")
     )
     return uniq.join(F.broadcast(rates), "lang").select(
         "doc_id", "source", "lang",

@@ -94,3 +94,19 @@ def test_profile_numeric_single_scan(spark):
     plan = plan_of(spark, "profile_numeric")
     assert "Expand" in plan  # unpivot, not three scans unioned
     assert plan.count("FileScan") <= 1
+
+
+def test_temperature_sampling_has_no_global_window(spark):
+    # VERDICT r3 item 5: the three global quantities (token total, sum of
+    # powered shares, max boost) must come from 1-row aggregates broadcast
+    # back in, never Window.partitionBy() — an unpartitioned window drags
+    # all rows to one task and floods logs with WindowExec warnings.
+    assert "Window" not in plan_of(spark, "sample_temperature")
+
+
+def test_ingest_flagship_windows_are_partitioned(spark):
+    # The domain-cap and exact-dedup windows are legitimately partitioned;
+    # an UNpartitioned window prints windowspecdefinition(specifiedwindowframe
+    # with no leading partition columns — none may appear.
+    plan = plan_of(spark, "curation_pipeline_ingest")
+    assert "windowspecdefinition(specifiedwindowframe" not in plan
