@@ -591,14 +591,13 @@ def dedup_minhash_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM reach GROUP BY src
     """,
     doc="Transitive near-dup grouping: connected components over the "
-    "verified MinHash pair graph via iterative min-label propagation "
-    "(each doc takes the minimum label among itself and its neighbors, "
-    "repeated to fixpoint — converges in O(component diameter) rounds, "
-    "each round one join + one groupBy with lineage truncated by "
-    "localCheckpoint, the standard Spark CC pattern). This is the "
-    "correct grouping semantics where single-hop rep assignment "
-    "(dedup_minhash_rep) under-merges chains a~b~c. The oracle computes "
-    "the same fixpoint with a recursive CTE.",
+    "verified MinHash pair graph via min-label propagation WITH "
+    "pointer-doubling shortcuts (connected_components below) — "
+    "O(log diameter) rounds, each one join + one groupBy + one "
+    "label-table self-join, lineage truncated by localCheckpoint. "
+    "This is the correct grouping semantics where single-hop rep "
+    "assignment (dedup_minhash_rep) under-merges chains a~b~c. The "
+    "oracle computes the same fixpoint with a recursive CTE.",
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
@@ -614,9 +613,37 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .localCheckpoint(eager=True)
     )
-    # Propagate only over nodes that have edges — isolated docs (the vast
-    # majority on a deduped corpus) are their own component by definition
-    # and never enter the loop.
+    labels = connected_components(edges)
+    isolated = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(labels.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", F.col("doc_id").alias("component_id"))
+    )
+    return labels.unionByName(isolated)
+
+
+def connected_components(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
+    """Connected components over a symmetric ``(src, dst)`` edge table.
+
+    Min-label propagation (each node takes the minimum label among itself
+    and its neighbors) ALTERNATED with a pointer-doubling shortcut: after
+    each propagation, every label is replaced by its own label
+    (l(v) <- l(l(v)), one self-join of the label table).  Labels decrease
+    monotonically and l(v) always names a node inside v's component, so
+    the fixpoint is the component minimum — but shortcutting halves the
+    remaining label-chain length each round, turning the O(diameter)
+    round count of plain propagation into O(log diameter) (the
+    Shiloach-Vishkin / hash-to-min shape; VERDICT r3 item 6 — a plain
+    propagation raises on path-shaped components with diameter > 64,
+    this version handles them in ~log2(diameter) rounds).
+
+    Only nodes that appear in ``edges`` get a row — on a dedup corpus the
+    isolated majority never enters the loop; callers union them back as
+    their own component.  Each round is 3 shuffles (edge join, min-agg,
+    shortcut join) + a bounded ``count()``; lineage is truncated per round
+    so the plan never replays prior rounds.
+    """
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
@@ -624,18 +651,29 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     converged = False
-    # Cap is a safety valve, not the convergence criterion: min-label
-    # propagation needs O(max component diameter) rounds and the loop exits
-    # on the changed==0 fixpoint. Exceeding the cap raises instead of
+    # Cap is a safety valve, not the convergence criterion: the loop exits
+    # on the changed==0 fixpoint, and with doubling 64 rounds covers any
+    # physically possible diameter. Exceeding it raises instead of
     # silently returning partial labels (ADVICE r2).
-    for _ in range(64):
+    for _ in range(max_rounds):
         nbr = edges.join(
             labels.select(F.col("doc_id").alias("dst"), "component_id"), "dst"
         ).select(F.col("src").alias("doc_id"), "component_id")
-        new_labels = (
+        prop = (
             labels.unionByName(nbr)
             .groupBy("doc_id")
             .agg(F.min("component_id").alias("component_id"))
+        )
+        # Pointer doubling: l(v) <- l(l(v)). Every label IS a node id that
+        # appears in prop (it is a min over node ids), so the inner join
+        # keeps all rows.
+        parent = prop.select(
+            F.col("doc_id").alias("component_id"),
+            F.col("component_id").alias("_short"),
+        )
+        new_labels = (
+            prop.join(parent, "component_id")
+            .select("doc_id", F.col("_short").alias("component_id"))
             .localCheckpoint(eager=True)
         )
         changed = (
@@ -650,14 +688,8 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     if not converged:
         raise RuntimeError(
-            "dedup_components: min-label propagation did not reach fixpoint "
-            "within 64 rounds (component diameter > 64); raise the cap or "
-            "switch to large-star/small-star contraction for this graph"
+            "connected_components: did not reach fixpoint within "
+            f"{max_rounds} rounds despite pointer doubling; the label "
+            "graph is pathological — raise max_rounds"
         )
-    isolated = (
-        t(spark, sf_dir, "documents")
-        .select("doc_id")
-        .join(labels.select("doc_id"), "doc_id", "left_anti")
-        .select("doc_id", F.col("doc_id").alias("component_id"))
-    )
-    return labels.unionByName(isolated)
+    return labels

@@ -78,3 +78,26 @@ def test_simhash_compound_band_recall_is_exact():
         assert _compound_keys(a) & _compound_keys(c), (
             f"hamming-{len(flips)} pair shares no compound key: {a:016x} {c:016x}"
         )
+
+
+def test_connected_components_survives_long_chains(spark):
+    # VERDICT r3 item 6: a path-shaped component with diameter > 64 made
+    # plain min-label propagation hit the round cap and raise; pointer
+    # doubling must converge in ~log2(diameter) rounds. 300-node path +
+    # a disjoint triangle + two isolated-from-each-other extra nodes.
+    from pyspark.sql import functions as F
+
+    from mergeextractor_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(1000, 1300)]          # diameter 300
+    tri = [(1, 2), (2, 3), (3, 1)]
+    pairs = spark.createDataFrame(chain + tri, "src: long, dst: long")
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+
+    labels = connected_components(edges, max_rounds=16).collect()
+    got = {r.doc_id: r.component_id for r in labels}
+    assert len(got) == 301 + 3
+    assert all(got[i] == 1000 for i in range(1000, 1301))
+    assert all(got[i] == 1 for i in (1, 2, 3))
