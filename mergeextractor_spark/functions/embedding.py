@@ -70,3 +70,65 @@ def rerank_udf(query: str, scorer: Callable[[str, str], float] | None = None):
         return pd.Series([fn(query, c or "") for c in chunks])
 
     return _udf
+
+
+def load_external_model(spec: str, *args, **kwargs):
+    """Instantiate a model class from an external plugin file.
+
+    ``spec`` is ``/path/to/module.py:ClassName`` — the engine-side half of
+    the plugin contract (VERDICT r3 item 4): any library exposing a
+    sentence-transformers-shaped class (batched ``encode``, or
+    CrossEncoder-shaped ``predict``) plugs in without the engine importing
+    it at module scope. Used with the batched UDFs below, the file path
+    must be visible to executors (sc.addPyFile / shared FS / image).
+    """
+    import importlib.util
+
+    path, _, cls_name = spec.rpartition(":")
+    if not path or not cls_name:
+        raise ValueError(f"plugin spec must be '/path/module.py:ClassName', got {spec!r}")
+    module_spec = importlib.util.spec_from_file_location(
+        f"_mx_plugin_{cls_name.lower()}", path
+    )
+    if module_spec is None or module_spec.loader is None:
+        raise ImportError(f"cannot load plugin module from {path!r}")
+    mod = importlib.util.module_from_spec(module_spec)
+    module_spec.loader.exec_module(mod)
+    return getattr(mod, cls_name)(*args, **kwargs)
+
+
+def embed_text_batched_udf(loader: Callable[[], object]):
+    """pandas UDF for REAL models: ``loader`` builds the model lazily ONCE
+    per python worker (the per-executor singleton contract — ref
+    SeperatorHandler.py:36-39 loads its models once per process), then
+    every Arrow batch goes through ``model.encode(list[str])`` in one
+    call. This is the production fan-out shape for the reference's
+    embedding stage (ChunkProcessor.py:233-238); ``embed_text_udf`` above
+    is the row-at-a-time stand-in path for tiny deterministic embedders.
+    """
+    holder: dict[str, object] = {}
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def _udf(texts: pd.Series) -> pd.Series:
+        if "m" not in holder:
+            holder["m"] = loader()
+        vecs = holder["m"].encode(texts.fillna("").tolist())
+        return pd.Series([[float(x) for x in row] for row in vecs])
+
+    return _udf
+
+
+def rerank_batched_udf(query: str, loader: Callable[[], object]):
+    """pandas UDF for REAL cross-encoders: lazy per-worker singleton with
+    CrossEncoder-shaped ``predict(list[(query, chunk)])`` over each Arrow
+    batch (ref ChunkProcessor.py:308-317)."""
+    holder: dict[str, object] = {}
+
+    @F.pandas_udf(T.DoubleType())
+    def _udf(chunks: pd.Series) -> pd.Series:
+        if "m" not in holder:
+            holder["m"] = loader()
+        scores = holder["m"].predict([(query, c or "") for c in chunks])
+        return pd.Series([float(s) for s in scores])
+
+    return _udf

@@ -1,26 +1,130 @@
-"""Opt-in end-to-end tests for the REAL model/library integrations behind
-the pluggable seams (VERDICT r2 items 8 and 9).
+"""End-to-end tests for REAL model integrations behind the pluggable seams.
 
-This container has no network and no pip, so sentence-transformers /
-langchain are absent and every test here records an explicit skip. In a
-full environment (`pip install sentence-transformers langchain-text-splitters`)
-they run for real, proving:
+Two tiers (VERDICT r3 item 4):
 
-  * the Embedder seam (functions/embedding.py embed_text_udf) accepts a
-    non-fake model — a per-executor sentence-transformers singleton —
-    and produces unit-ish-norm vectors of the model's dimension;
-  * split_text (operators/chunking.py) is byte-identical to langchain's
-    RecursiveCharacterTextSplitter on the golden cascade corpus at the
-    reference's exact parameters (chunk_size=2048, chunk_overlap=400 —
-    ref ChunkProcessor.py:200-211), closing SURVEY §7.4 risk 1.
+* ALWAYS RUN — an external numpy model package (plugins/
+  hashing_projection_embedder.py, deliberately outside the engine
+  package) loaded through the plugin seam ``load_external_model`` and
+  driven through the batched per-worker-singleton UDFs
+  (``embed_text_batched_udf`` / ``rerank_batched_udf``). This proves the
+  plumbing a torch model needs — checkpoint IO, plugin import by path,
+  lazy per-worker init, Arrow-batched inference — with a non-fake model.
+
+* OPT-IN SKIPS — sentence-transformers / langchain-text-splitters runs.
+  This container has no pip and no network, so these record explicit
+  skips (documented sandbox blocker, PERFORMANCE.md); in a full
+  environment they run for real. The langchain byte-parity surface is
+  meanwhile pinned by the vendored golden fixture
+  (tests/test_golden_chunks.py).
 """
 
 import importlib.util
+import os
 
 import pytest
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PLUGIN = os.path.join(REPO, "plugins", "hashing_projection_embedder.py")
+
 HAS_ST = importlib.util.find_spec("sentence_transformers") is not None
 HAS_LC = importlib.util.find_spec("langchain_text_splitters") is not None
+
+
+def test_external_plugin_checkpoint_roundtrip(tmp_path):
+    """The plugin's save/load checkpoint IO is lossless: loaded weights
+    and encodings are bit-identical to the saved model's."""
+    import numpy as np
+
+    from mergeextractor_spark.functions.embedding import load_external_model
+
+    model = load_external_model(f"{PLUGIN}:HashingProjectionEmbedder")
+    ckpt = str(tmp_path / "ckpt")
+    model.save(ckpt)
+    loaded = type(model).load(ckpt)
+    assert np.array_equal(model.weights, loaded.weights)
+    texts = ["background of the merger", "shipping manifest", ""]
+    assert np.array_equal(model.encode(texts), loaded.encode(texts))
+    with pytest.raises(ValueError):
+        load_external_model("no-colon-in-spec")
+
+
+def test_external_plugin_through_batched_embedder_seam(spark, tmp_path):
+    """A checkpointed external model flows through the production embed
+    seam: plugin loaded by file path inside the worker, model built once
+    per worker from the checkpoint, batches encoded via model.encode —
+    and the distributed result matches driver-side inference exactly."""
+    import numpy as np
+
+    from mergeextractor_spark.functions.embedding import (
+        embed_text_batched_udf,
+        load_external_model,
+    )
+
+    model = load_external_model(f"{PLUGIN}:HashingProjectionEmbedder")
+    ckpt = str(tmp_path / "ckpt")
+    model.save(ckpt)
+    plugin_path, ckpt_path = PLUGIN, ckpt
+
+    def loader():
+        # runs ON THE WORKER: import the plugin by path, restore from the
+        # checkpoint — the exact lifecycle of a torch model in production
+        from mergeextractor_spark.functions.embedding import load_external_model
+
+        m = load_external_model(f"{plugin_path}:HashingProjectionEmbedder")
+        return type(m).load(ckpt_path)
+
+    texts = [
+        (1, "background of the merger agreement between the parties"),
+        (2, "lineitem shipping manifest quantities"),
+        (3, None),
+        (4, "the board of directors approved the merger"),
+    ]
+    df = spark.createDataFrame(texts, ["id", "text"]).repartition(2)
+    out = {r.id: r.emb for r in df.withColumn(
+        "emb", embed_text_batched_udf(loader)("text")
+    ).collect()}
+
+    assert all(len(v) == model.dim for v in out.values())
+    want = model.encode([t or "" for _, t in texts])
+    for (i, _), w in zip(texts, want):
+        assert np.allclose(np.array(out[i], dtype=np.float32), w), i
+    # unit-norm contract (null text hashes as "" — still a valid vector)
+    for i, _ in texts:
+        norm = sum(x * x for x in out[i]) ** 0.5
+        assert abs(norm - 1.0) < 1e-3
+
+
+def test_external_plugin_through_batched_reranker_seam(spark):
+    """The CrossEncoder-shaped plugin scorer flows through the batched
+    rerank seam and orders a relevant chunk above an unrelated one."""
+    from mergeextractor_spark.functions.embedding import (
+        load_external_model,
+        rerank_batched_udf,
+    )
+
+    plugin_path = PLUGIN
+    query = "background of the merger"
+
+    def loader():
+        from mergeextractor_spark.functions.embedding import load_external_model
+
+        return load_external_model(f"{plugin_path}:HashingCrossScorer")
+
+    df = spark.createDataFrame(
+        [
+            (1, "this section describes the background of the merger in detail"),
+            (2, "quarterly depreciation of manufacturing equipment"),
+        ],
+        ["id", "chunk"],
+    )
+    scores = {r.id: r.score for r in df.withColumn(
+        "score", rerank_batched_udf(query, loader)("chunk")
+    ).collect()}
+    assert 0.0 < scores[2] < scores[1] < 1.0
+    # distributed result matches driver-side inference
+    driver = load_external_model(f"{PLUGIN}:HashingCrossScorer")
+    want = driver.predict([(query, "this section describes the background of the merger in detail")])
+    assert abs(scores[1] - float(want[0])) < 1e-6
 
 
 @pytest.mark.slow
