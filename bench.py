@@ -53,6 +53,10 @@ HEADLINE = [
     "olap_returned_customers",   # TPC-H Q10 shape
     "ann_ivf_pq",                # IVF cells x PQ codes (production ANN combo)
     "curation_pipeline_ingest",  # flagship #3: cap -> TTR gate -> dedup -> mixture
+    # round 4 additions
+    "ann_ivf_pq_refine",         # ADC shortlist -> exact re-rank (retrieval stack)
+    "olap_large_orders",         # TPC-H Q18 shape (HAVING reduction + top-100)
+    "text_gopher_rules",         # quality-rule battery, single codegen'd scan
 ]
 
 

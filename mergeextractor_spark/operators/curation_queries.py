@@ -743,3 +743,107 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     return d.select("doc_id", comp_ratio(F.col("text")).alias("compression_ratio"))
+
+
+@register(
+    "text_gopher_rules",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w,
+             string_split(text, chr(10)) AS lines,
+             len(text) - len(replace(text, '#', '')) AS n_hash,
+             (len(text) - len(replace(text, '...', ''))) / 3 AS n_ellipsis
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             list_sum(list_transform(w, x -> len(x)))::DOUBLE
+               / greatest(len(w), 1) AS mean_word_len,
+             (n_hash + n_ellipsis)::DOUBLE / greatest(len(w), 1) AS symbol_ratio,
+             list_sum(list_transform(lines,
+               x -> CASE WHEN starts_with(trim(x), '-')
+                          OR starts_with(trim(x), '*') THEN 1 ELSE 0 END))::DOUBLE
+               / greatest(len(lines), 1) AS bullet_ratio,
+             list_sum(list_transform(w,
+               x -> CASE WHEN regexp_matches(x, '[A-Za-z]') THEN 1 ELSE 0 END))::DOUBLE
+               / greatest(len(w), 1) AS alpha_frac
+      FROM feats
+    )
+    SELECT doc_id, n_words,
+           round(mean_word_len, 4) AS mean_word_len,
+           round(symbol_ratio, 4) AS symbol_ratio,
+           round(bullet_ratio, 4) AS bullet_ratio,
+           round(alpha_frac, 4) AS alpha_frac,
+           CAST(n_words >= 50 AND n_words <= 100000
+                AND mean_word_len >= 3 AND mean_word_len <= 10
+                AND symbol_ratio < 0.1
+                AND bullet_ratio < 0.9
+                AND alpha_frac > 0.8 AS BOOLEAN) AS passes
+    FROM m
+    """,
+    doc="Gopher-style quality rule battery (Rae et al. 2021 §A1.1 "
+    "heuristics, the standard pretraining quality gate): word count "
+    "bounds, mean word length in [3,10], symbol-to-word ratio ('#' and "
+    "'...'), bullet-line fraction, alpha-word fraction — all computed in "
+    "ONE codegen'd map stage (no UDF, no shuffle: pure per-row "
+    "expressions). Every ratio is an exact integer-sum / integer-count "
+    "division, so the pass/fail booleans are bit-stable across engines; "
+    "rounded copies are emitted for inspection.",
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    w = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    lines = F.split("text", "\n")
+    n_words = F.size(w)
+    denom_w = F.greatest(n_words, F.lit(1))
+    mean_word_len = (
+        F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x)).cast("double")
+        / denom_w
+    )
+    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    n_ellipsis = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))
+    ) / F.lit(3)
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / denom_w
+    is_bullet = lambda x: F.when(  # noqa: E731
+        F.trim(x).startswith("-") | F.trim(x).startswith("*"), 1
+    ).otherwise(0)
+    bullet_ratio = (
+        F.aggregate(lines, F.lit(0), lambda acc, x: acc + is_bullet(x)).cast("double")
+        / F.greatest(F.size(lines), F.lit(1))
+    )
+    alpha_frac = (
+        F.aggregate(
+            w,
+            F.lit(0),
+            lambda acc, x: acc + F.when(x.rlike("[A-Za-z]"), 1).otherwise(0),
+        ).cast("double")
+        / denom_w
+    )
+    feats = d.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        mean_word_len.alias("_mwl"),
+        symbol_ratio.alias("_sym"),
+        bullet_ratio.alias("_bul"),
+        alpha_frac.alias("_alp"),
+    )
+    return feats.select(
+        "doc_id",
+        "n_words",
+        r4(F.col("_mwl")).alias("mean_word_len"),
+        r4(F.col("_sym")).alias("symbol_ratio"),
+        r4(F.col("_bul")).alias("bullet_ratio"),
+        r4(F.col("_alp")).alias("alpha_frac"),
+        (
+            (F.col("n_words") >= 50)
+            & (F.col("n_words") <= 100000)
+            & (F.col("_mwl") >= 3)
+            & (F.col("_mwl") <= 10)
+            & (F.col("_sym") < 0.1)
+            & (F.col("_bul") < 0.9)
+            & (F.col("_alp") > 0.8)
+        ).alias("passes"),
+    )

@@ -651,3 +651,177 @@ def olap_global_sales_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.sum("c_acctbal")).alias("total_bal"),
         )
     )
+
+
+@register(
+    "olap_customer_orders_dist",
+    oracle="""
+    SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY n_orders
+    """,
+    doc="TPC-H Q13 shape: distribution of orders-per-customer INCLUDING "
+    "zero-order customers — the left join + count(non-null) idiom a plain "
+    "groupBy(orders) gets wrong (it silently drops the zero bucket). Two "
+    "hash aggregates; the second one runs over |customers| rows already "
+    "reduced to (custkey, n) pairs.",
+)
+def olap_customer_orders_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count("*").cast("bigint").alias("n_customers")
+    )
+
+
+@register(
+    "olap_small_quantity_revenue",
+    oracle="""
+    WITH pavg AS (
+      SELECT l_partkey, round(0.2 * avg(l_quantity), 6) AS qty_floor
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#23'
+    JOIN pavg ON pavg.l_partkey = l.l_partkey
+    WHERE l.l_quantity < pavg.qty_floor
+    """,
+    doc="TPC-H Q17 shape: small-quantity-order revenue for one brand — "
+    "the correlated avg-quantity subquery decorrelated into a per-part "
+    "aggregate joined back into the fact scan (Catalyst's own rewrite, "
+    "expressed explicitly). The brand dim filter broadcasts; the "
+    "per-part threshold is rounded to 6 dp on BOTH sides so the "
+    "distributed avg's last-ulp noise cannot flip a row at the "
+    "comparison boundary (the Q15 float-equality lesson applied "
+    "preemptively).",
+)
+def olap_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    pavg = li.groupBy("l_partkey").agg(
+        F.round(0.2 * F.avg("l_quantity"), 6).alias("qty_floor")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(pavg, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_floor"))
+        .agg(r4(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+@register(
+    "olap_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+    )
+    SELECT o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           round(o.o_totalprice, 4) AS o_totalprice,
+           round(b.total_qty, 4) AS total_qty
+    FROM big b JOIN orders o ON o.o_orderkey = b.l_orderkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q18 shape: large-volume orders — a HAVING aggregate over "
+    "the fact table reduces |orders|-fold BEFORE joining back to the "
+    "orders dim, then a top-100 by price (TakeOrderedAndProject, no "
+    "global sort). The having filter is the decisive 100 TB move: the "
+    "join input is the handful of qualifying orders, not the fact table.",
+)
+def olap_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            r4(F.col("o_totalprice")).alias("o_totalprice"),
+            r4(F.col("total_qty")).alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "olap_late_sole_supplier",
+    oracle="""
+    WITH flagged AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 365 DAY
+                  THEN 1 ELSE 0 END AS is_late
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'
+    ),
+    per_order AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT CASE WHEN is_late = 1 THEN l_suppkey END) AS n_late_supp
+      FROM flagged GROUP BY l_orderkey
+    )
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM flagged f
+    JOIN per_order po ON po.l_orderkey = f.l_orderkey
+    JOIN supplier s ON s.s_suppkey = f.l_suppkey
+    WHERE f.is_late = 1 AND po.n_supp > 1 AND po.n_late_supp = 1
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+    doc="TPC-H Q21 shape (adapted: the fixture lineitem has no "
+    "commit/receipt dates, so 'late' is ship > order date + 365d): "
+    "suppliers who were the SOLE late supplier on multi-supplier "
+    "finished orders. The classic EXISTS / NOT EXISTS pair is expressed "
+    "as one per-order aggregate (distinct suppliers, distinct late "
+    "suppliers) joined back — two fact-table passes become one groupBy "
+    "plus a reduced join, and the semi/anti logic is two integer "
+    "predicates. Supplier dim broadcasts; top-20 via "
+    "TakeOrderedAndProject.",
+)
+def olap_late_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    s = t(spark, sf_dir, "supplier")
+    flagged = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS")
+        ).cast("int").alias("is_late"),
+    )
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("is_late") == 1, F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    return (
+        flagged.filter(F.col("is_late") == 1)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(s), flagged.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )

@@ -376,7 +376,13 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_pq_oracle() -> str:
+RERANK_POOL = 10  # ADC shortlist size fed to the exact re-rank stage
+
+
+def _ivf_pq_ctes() -> str:
+    """The shared IVF-assign + PQ-encode + ADC-score CTE block (ends at
+    ``adc(qid, vec_id, score)``); ann_ivf_pq and ann_ivf_pq_refine append
+    their own final SELECTs."""
     return f"""
     WITH cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {N_CENTROIDS}),
     cpairs AS (
@@ -429,6 +435,13 @@ def _ivf_pq_oracle() -> str:
       JOIN qlook q ON q.qid = ca.qid AND q.sub = co.sub AND q.code = co.code
       GROUP BY ca.qid, ca.vec_id
     )
+    """
+
+
+def _ivf_pq_oracle() -> str:
+    return (
+        _ivf_pq_ctes()
+        + f"""
     SELECT qid AS query_id, vec_id AS neighbor_id, round(score, 4) AS adc_dot,
            rn AS rank
     FROM (
@@ -437,6 +450,39 @@ def _ivf_pq_oracle() -> str:
       FROM adc
     ) WHERE rn <= {TOP_K}
     """
+    )
+
+
+def _ivf_pq_refine_oracle() -> str:
+    return (
+        _ivf_pq_ctes()
+        + f"""
+    , pool AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+        FROM adc
+      ) WHERE rn <= {RERANK_POOL}
+    ),
+    exact AS (
+      SELECT p.qid, p.vec_id, sum(x * y) AS d FROM (
+        SELECT p.qid, p.vec_id,
+               CAST(unnest(q.embedding) AS DOUBLE) AS x,
+               CAST(unnest(n.embedding) AS DOUBLE) AS y
+        FROM pool p
+        JOIN embeddings q ON q.vec_id = p.qid
+        JOIN embeddings n ON n.vec_id = p.vec_id
+      ) p GROUP BY p.qid, p.vec_id
+    )
+    SELECT qid AS query_id, vec_id AS neighbor_id, round(d, 4) AS exact_dot,
+           rn AS rank
+    FROM (
+      SELECT qid, vec_id, d,
+             row_number() OVER (PARTITION BY qid ORDER BY d DESC, vec_id) AS rn
+      FROM exact
+    ) WHERE rn <= {TOP_K}
+    """
+    )
 
 
 @register(
@@ -457,6 +503,24 @@ def _ivf_pq_oracle() -> str:
 )
 def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
+    adc = _ivf_pq_adc_scores(e)
+    w = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            r4(F.col("score")).alias("adc_dot"),
+            F.col("rn").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def _ivf_pq_adc_scores(e: DataFrame) -> DataFrame:
+    """Shared IVF-probe + PQ-ADC stage: (qid, vec_id, score) per probed
+    candidate — consumed by ann_ivf_pq (top-k direct) and
+    ann_ivf_pq_refine (shortlist → exact re-rank)."""
     # IVF assignment + probe lists (same deterministic codebook as ann_ivf_topk)
     cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
@@ -498,20 +562,51 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     qlook = vdots.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), "sub", "code", F.col("d").alias("qd")
     )
-    adc = (
+    return (
         cand.join(codes, "vec_id")
         .join(F.broadcast(qlook), ["qid", "sub", "code"])
         .groupBy("qid", "vec_id")
         .agg(F.sum("qd").alias("score"))
     )
-    w = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+
+
+@register(
+    "ann_ivf_pq_refine",
+    oracle=_ivf_pq_refine_oracle(),
+    doc=f"IVF+PQ with exact re-rank — the full production retrieval "
+    f"stack: the ADC stage shortlists the top {RERANK_POOL} candidates "
+    f"per query by compressed-code score, then ONLY those {RERANK_POOL} "
+    "raw vectors are fetched and re-scored with the exact dot product "
+    f"(final top {TOP_K} by exact score). This kills PQ's quantization "
+    "error where it matters (the head of the ranking) while touching "
+    "|queries|×pool raw vectors instead of the corpus — at 100 TB the "
+    "re-rank reads are point lookups against the cid-partitioned store "
+    "(ivf_store_write). Composed exact DuckDB oracle end-to-end.",
+)
+def ann_ivf_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    adc = _ivf_pq_adc_scores(e)
+    wpool = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    pool = (
+        adc.withColumn("rn", F.row_number().over(wpool))
+        .filter(F.col("rn") <= RERANK_POOL)
+        .select("qid", "vec_id")
+    )
+    # |queries|×pool rows — both embedding fetches are broadcast-sized
+    # joins keyed on the id, never a corpus scan
+    qe = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb"))
+    ne = e.select("vec_id", F.col("embedding").alias("n_emb"))
+    exact = pool.join(qe, "qid").join(ne, "vec_id").select(
+        "qid", "vec_id", dot(F.col("q_emb"), F.col("n_emb")).alias("d")
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("d"), F.asc("vec_id"))
     return (
-        adc.withColumn("rn", F.row_number().over(w))
+        exact.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOP_K)
         .select(
             F.col("qid").alias("query_id"),
             F.col("vec_id").alias("neighbor_id"),
-            r4(F.col("score")).alias("adc_dot"),
+            r4(F.col("d")).alias("exact_dot"),
             F.col("rn").cast("bigint").alias("rank"),
         )
     )

@@ -166,10 +166,12 @@ def load_all() -> dict[str, Query]:
     Returned order implements the gate-window rotation documented above:
       1. oracle-paired keys never covered by a CORRECTNESS round, in
          ``_ROTATION_FIRST`` order (flagship first);
-      2. oracle-paired keys registered after the r03 snapshot (neither
-         list knows them yet — they queue for the next rotation);
-      3. ~10 canary re-checks of previously-green keys (seeded by round);
-      4. rows-only keys, highest-impact first;
+      2. ~10 canary re-checks of previously-green keys (seeded by round);
+      3. rows-only keys, highest-impact first;
+      4. oracle-paired keys registered after the r04 snapshot (they
+         queue behind the rows-only backlog for the next rotation —
+         VERDICT r3 ranks first-ever driver evidence for existing keys
+         above first rows for brand-new ones);
       5. the remaining already-green keys.
     """
     from .operators import (  # noqa: F401
@@ -196,13 +198,13 @@ def load_all() -> dict[str, Query]:
     def rank(kv: tuple[str, Query]) -> tuple[int, int]:
         key, q = kv
         if q.oracle is None:
-            return (3, rows_only.get(key, len(_ROWS_ONLY_ORDER)))
+            return (2, rows_only.get(key, len(_ROWS_ONLY_ORDER)))
         if key in first:
             return (0, first[key])
         if key in canaries:
-            return (2, canaries[key])
+            return (1, canaries[key])
         if key in _DRIVER_GREEN:
             return (4, 0)
-        return (1, 0)  # new oracle key, queued for the next rotation
+        return (3, 0)  # new oracle key, queued behind the rows-only backlog
 
     return dict(sorted(REGISTRY.items(), key=rank))

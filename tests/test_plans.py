@@ -110,3 +110,29 @@ def test_ingest_flagship_windows_are_partitioned(spark):
     # with no leading partition columns — none may appear.
     plan = plan_of(spark, "curation_pipeline_ingest")
     assert "windowspecdefinition(specifiedwindowframe" not in plan
+
+
+def test_gopher_rules_is_pure_map_stage(spark):
+    # the whole rule battery must stay one codegen'd scan: no UDF, no
+    # shuffle, no window — per-row expressions only
+    plan = plan_of(spark, "text_gopher_rules")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_large_orders_topk_avoids_global_sort(spark):
+    plan = plan_of(spark, "olap_large_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ivf_pq_refine_shapes(spark):
+    # the exact re-rank stage must stay candidate-sized: no cartesian
+    # product, and the adaptive plan free to broadcast the pool
+    plan = plan_of(spark, "ann_ivf_pq_refine")
+    assert "CartesianProduct" not in plan
+
+
+def test_late_sole_supplier_broadcasts_dim(spark):
+    plan = plan_of(spark, "olap_late_sole_supplier")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

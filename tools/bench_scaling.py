@@ -1,0 +1,167 @@
+"""Scaling bench (VERDICT r3 item 8): measure headline queries at
+sf0.01 / sf0.1 / a DERIVED ~sf1, and report per-decade scaling exponents.
+
+sf1 fixtures don't exist, so this materializes one under
+``.scratch/sf1`` (gitignored) by replicating sf0.1 K=10 times with
+RE-KEYED, FK-CONSISTENT copies: copy j shifts every primary key and the
+matching foreign keys by j×stride, so each copy is a self-consistent
+universe and joins/groupBys see genuinely distinct keys. Document text
+is perturbed per copy (`" cp<j>"` suffix) so duplicate-CLUSTER SIZES
+stay constant while cluster count scales 10× — the realistic growth
+model for a crawl corpus (identical text across copies would instead
+grow every cluster 10×, quadratically inflating the LSH verify join;
+tools/stress.py covers that adversarial case separately).
+
+Exponent: e = log(t_hi/t_lo) / log(10) per decade of data. e≈1 is
+linear, e<1 means fixed overheads still dominate, e>1.2 flags
+superlinear candidate growth — the thing this probe exists to catch
+(VERDICT r3 named dedup_minhash_lsh verify fan-out and ann_ivf_pq code
+scan as the suspects).
+
+Usage:
+    python tools/bench_scaling.py [--runs 3] [--rebuild]
+Prints a markdown table + one JSON line for PERFORMANCE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from mergeextractor_spark.registry import load_all  # noqa: E402
+from mergeextractor_spark.session import get_spark  # noqa: E402
+from mergeextractor_spark.sources.fixtures import table  # noqa: E402
+
+K = 10
+SCRATCH = os.path.join(_REPO, ".scratch", "sf1")
+
+# (table, primary key, FK columns that reference another scaled table)
+# strides leave headroom above each table's sf0.1 max id
+STRIDES = {
+    "documents": ("doc_id", 1_000_000, {}),
+    "embeddings": ("vec_id", 1_000_000, {}),
+    "events": ("event_id", 10_000_000, {"user_id": 1_000_000}),
+    "customer": ("c_custkey", 1_000_000, {}),
+    "supplier": ("s_suppkey", 100_000, {}),
+    "part": ("p_partkey", 1_000_000, {}),
+    "orders": ("o_orderkey", 10_000_000, {"o_custkey": 1_000_000}),
+    "lineitem": (
+        "l_orderkey",
+        10_000_000,
+        {"l_suppkey": 100_000, "l_partkey": 1_000_000},
+    ),
+}
+COPY_AS_IS = ["region", "nation"]  # fixed-cardinality dims at every TPC-H SF
+
+QUERIES = [
+    "extract_section_pipeline",
+    "curation_pipeline_ingest",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "ann_ivf_pq",
+    "agg_concat_section",
+    "olap_pricing_summary",
+    "olap_nation_revenue",
+    "join_asof",
+    "events_sessionize",
+    "text_quality_score",
+]
+
+
+def replicate(df: DataFrame, pk: str, stride: int, fks: dict[str, int], k: int) -> DataFrame:
+    out = df.withColumn("_copy", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+    out = out.withColumn(pk, F.col(pk) + F.col("_copy") * stride)
+    for fk, fk_stride in fks.items():
+        out = out.withColumn(fk, F.col(fk) + F.col("_copy") * fk_stride)
+    if "text" in df.columns:
+        # distinct text per copy -> cluster sizes constant, cluster count x k
+        out = out.withColumn(
+            "text",
+            F.when(F.col("_copy") == 0, F.col("text")).otherwise(
+                F.concat(F.col("text"), F.lit(" cp"), F.col("_copy"))
+            ),
+        )
+    return out.select(df.columns)  # original column order, _copy dropped
+
+
+def materialize(spark, src_sf: str) -> None:
+    os.makedirs(SCRATCH, exist_ok=True)
+    for name in COPY_AS_IS:
+        table(spark, src_sf, name).write.mode("overwrite").parquet(
+            os.path.join(SCRATCH, f"{name}.parquet")
+        )
+    for name, (pk, stride, fks) in STRIDES.items():
+        big = replicate(table(spark, src_sf, name), pk, stride, fks, K)
+        big.write.mode("overwrite").parquet(os.path.join(SCRATCH, f"{name}.parquet"))
+    print(f"materialized derived sf1 at {SCRATCH}", flush=True)
+
+
+def run_noop(df: DataFrame) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_at(spark, sf_dir: str, runs: int) -> dict[str, float]:
+    reg = load_all()
+    out = {}
+    for key in QUERIES:
+        times = []
+        for _ in range(runs):
+            t0 = time.time()
+            run_noop(reg[key].spark(spark, sf_dir))
+            times.append(time.time() - t0)
+        out[key] = statistics.median(times)
+        print(f"  {key:28s} {out[key]:6.2f}s  (n={runs})", flush=True)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--rebuild", action="store_true")
+    args = ap.parse_args()
+
+    spark = get_spark("bench-scaling")
+    spark.range(1).count()
+    if args.rebuild or not os.path.exists(os.path.join(SCRATCH, "lineitem.parquet")):
+        materialize(spark, "/root/testdata/sf0.1")
+
+    results = {}
+    for label, sf_dir in [
+        ("sf0.01", "/root/testdata/sf0.01"),
+        ("sf0.1", "/root/testdata/sf0.1"),
+        ("sf1", SCRATCH),
+    ]:
+        print(f"== {label} ({sf_dir})", flush=True)
+        results[label] = bench_at(spark, sf_dir, args.runs)
+
+    import math
+
+    print("\n| query | sf0.01 | sf0.1 | sf1 | exp 0.01→0.1 | exp 0.1→1 |")
+    print("|---|---|---|---|---|---|")
+    exps = {}
+    for key in QUERIES:
+        a, b, c = (results[s][key] for s in ("sf0.01", "sf0.1", "sf1"))
+        e1 = math.log(b / a) / math.log(10)
+        e2 = math.log(c / b) / math.log(10)
+        exps[key] = round(e2, 2)
+        print(f"| {key} | {a:.2f} | {b:.2f} | {c:.2f} | {e1:.2f} | {e2:.2f} |")
+    print()
+    print(json.dumps({"metric": "scaling_bench", "k": K, "runs": args.runs,
+                      "results": results, "exponent_0.1_to_1": exps}))
+
+
+if __name__ == "__main__":
+    main()
