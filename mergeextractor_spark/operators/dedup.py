@@ -693,3 +693,86 @@ def connected_components(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
             "graph is pathological — raise max_rounds"
         )
     return labels
+
+
+# ---------------------------------------------------------------------------
+# Substring-span dedup (Lee et al. 2021, "Deduplicating Training Data
+# Makes Language Models Better"): find 20-token windows repeated across
+# documents — the exact-substring family their suffix-array dedup
+# approximates with far more machinery. Here the rolling window IS the
+# unit: hash every W-token window, keep hashes seen in >= 2 distinct
+# docs, and report per-doc duplicated-span stats.
+
+SPAN_W = 20  # window length in tokens (Lee et al. use 50 BPE tokens)
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT tok.doc_id, t.i AS start_pos,
+             md5(array_to_string(w[t.i : t.i + {SPAN_W - 1}], ' ')) AS gh
+      FROM tok, generate_series(1, len(w) - {SPAN_W - 1}) AS t(i)
+      WHERE len(w) >= {SPAN_W}
+    ),
+    dup AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+    tot AS (SELECT doc_id, count(*) AS total_windows FROM g GROUP BY doc_id),
+    hit AS (
+      SELECT g.doc_id, count(*) AS dup_windows,
+             count(DISTINCT g.gh) AS dup_hashes
+      FROM g JOIN dup USING (gh) GROUP BY g.doc_id
+    )
+    SELECT h.doc_id,
+           CAST(h.dup_windows AS BIGINT) AS dup_windows,
+           CAST(h.dup_hashes AS BIGINT) AS dup_hashes,
+           CAST(t.total_windows AS BIGINT) AS total_windows,
+           round(h.dup_windows * 1.0 / t.total_windows, 4) AS dup_frac
+    FROM hit h JOIN tot t USING (doc_id)
+    """,
+    doc=f"Cross-document duplicated-span detector ({SPAN_W}-token rolling "
+    "windows, md5'd): windows whose hash appears in >= 2 distinct docs "
+    "are duplicate spans; emits per-doc dup-window counts and fraction. "
+    "Scale shape: the window hashes are computed INSIDE the token array "
+    "(transform over a sequence, then posexplode) so the exploded "
+    "relation is (doc_id, pos, 32-byte hash) — the token array is never "
+    "replicated per window. Everything downstream shuffles on the hash, "
+    "never text. The reference's corpus curation has no equivalent; "
+    "this is the training-data op its crawl output feeds into.",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    w = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    tok = d.select("doc_id", w.alias("w")).filter(F.size("w") >= SPAN_W)
+    ghs = F.transform(
+        F.sequence(F.lit(1), F.size("w") - SPAN_W + 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("w"), i, SPAN_W))),
+    )
+    g = tok.select("doc_id", F.posexplode(ghs).alias("pos", "gh")).select(
+        "doc_id", (F.col("pos") + 1).alias("start_pos"), "gh"
+    )
+    dup = (
+        g.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    tot = g.groupBy("doc_id").agg(F.count("*").alias("total_windows"))
+    hit = (
+        g.join(dup, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("dup_windows"),
+            F.countDistinct("gh").alias("dup_hashes"),
+        )
+    )
+    return hit.join(tot, "doc_id").select(
+        "doc_id",
+        F.col("dup_windows").cast("bigint").alias("dup_windows"),
+        F.col("dup_hashes").cast("bigint").alias("dup_hashes"),
+        F.col("total_windows").cast("bigint").alias("total_windows"),
+        r4(F.col("dup_windows") * 1.0 / F.col("total_windows")).alias("dup_frac"),
+    )

@@ -825,3 +825,299 @@ def olap_late_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
     )
+
+
+@register(
+    "olap_volume_shipping",
+    oracle="""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           year(l.l_shipdate) AS ship_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+    JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+    WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+        OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+      AND year(l.l_shipdate) BETWEEN 1996 AND 1997
+    GROUP BY ns.n_name, nc.n_name, year(l.l_shipdate)
+    """,
+    doc="TPC-H Q7 shape: bilateral trade volume between a nation pair by "
+    "ship year. Five-way star join — both nation dims and supplier "
+    "broadcast (the nation filter prunes supplier/customer rows BEFORE "
+    "the fact joins, so the big shuffle joins carry only the two "
+    "nations' traffic, not the whole fact table); the disjunctive "
+    "pair predicate is applied post-join on the two tiny dim columns.",
+)
+def olap_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    n = t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    s = (
+        t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("s_nationkey"),
+                                 F.col("n_name").alias("supp_nation"))),
+            "s_nationkey",
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    c = (
+        t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("c_nationkey"),
+                                 F.col("n_name").alias("cust_nation"))),
+            "c_nationkey",
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    return (
+        li.filter(F.year("l_shipdate").between(1996, 1997))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )
+
+
+@register(
+    "olap_market_share",
+    oracle="""
+    WITH market AS (
+      SELECT year(o.o_orderdate) AS order_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             ns.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = nc.n_regionkey AND r.r_name = 'ASIA'
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+      WHERE year(o.o_orderdate) BETWEEN 1996 AND 1997
+    )
+    SELECT order_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END)
+                 / sum(volume), 4) AS mkt_share
+    FROM market GROUP BY order_year
+    """,
+    doc="TPC-H Q8 shape: one nation's share of the PROMO-part market "
+    "inside one region's customer base, per order year. The share is a "
+    "conditional-sum / total-sum over ONE aggregation pass (no "
+    "self-join); region->nation->customer collapses to a broadcast "
+    "semi-filter on the orders side, part and supplier dims broadcast "
+    "into the fact scan.",
+)
+def olap_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    o = t(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").between(1996, 1997)
+    ).select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("order_year"))
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nc = t(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == r.r_regionkey
+    ).select("n_nationkey")
+    c = t(spark, sf_dir, "customer").join(
+        F.broadcast(nc), F.col("c_nationkey") == nc.n_nationkey
+    ).select("c_custkey")
+    ns = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    s = t(spark, sf_dir, "supplier").join(F.broadcast(ns), "s_nationkey").select(
+        "s_suppkey", "supp_nation"
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("order_year")
+        .agg(
+            r4(
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(0.0))
+                / F.sum(vol)
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "olap_product_profit",
+    oracle="""
+    SELECT ns.n_name AS supp_nation, year(l.l_shipdate) AS ship_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.5 * p.p_retailprice * l.l_quantity), 4) AS profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%bolt%'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+    GROUP BY ns.n_name, year(l.l_shipdate)
+    """,
+    doc="TPC-H Q9 shape (adapted: the fixture has no partsupp, so cost "
+    "is proxied as 0.5 x retail price x quantity): profit on a product "
+    "line by supplier nation and ship year. Part (name-filtered) and "
+    "supplier+nation dims broadcast into a single fact pass; one "
+    "shuffle on the (nation, year) group key.",
+)
+def olap_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    ns = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    s = t(spark, sf_dir, "supplier").join(F.broadcast(ns), "s_nationkey").select(
+        "s_suppkey", "supp_nation"
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("supp_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(r4(F.sum(profit)).alias("profit"))
+    )
+
+
+@register(
+    "olap_best_supplier_per_part",
+    oracle="""
+    WITH shipped AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ),
+    ranked AS (
+      SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, s.s_acctbal,
+             row_number() OVER (PARTITION BY p.p_partkey
+                                ORDER BY s.s_acctbal DESC, s.s_suppkey) AS rn
+      FROM shipped sh
+      JOIN part p     ON p.p_partkey = sh.l_partkey AND p.p_size = 10
+      JOIN supplier s ON s.s_suppkey = sh.l_suppkey
+    )
+    SELECT p_partkey, p_name, s_suppkey, s_name,
+           round(s_acctbal, 4) AS s_acctbal
+    FROM ranked WHERE rn = 1
+    """,
+    doc="TPC-H Q2 shape (adapted: no partsupp, so the supply relation is "
+    "the distinct (part, supplier) pairs observed in lineitem and "
+    "'best' is max account balance): for every size-10 part, the single "
+    "best supplier. The correlated min-cost subquery becomes one "
+    "max_by aggregate over the supply relation — no window over the "
+    "fact table, no self-join; ties broken by suppkey for a total "
+    "order (oracle mirrors with row_number).",
+)
+def olap_best_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") == 10).select(
+        "p_partkey", "p_name"
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    shipped = li.select("l_partkey", "l_suppkey").distinct()
+    best = (
+        shipped.join(F.broadcast(p), shipped.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), shipped.l_suppkey == s.s_suppkey)
+        .groupBy("p_partkey", "p_name")
+        .agg(
+            F.expr("max_by(s_suppkey, struct(s_acctbal, -s_suppkey))").alias("s_suppkey"),
+            F.expr("max_by(s_name, struct(s_acctbal, -s_suppkey))").alias("s_name"),
+            F.expr("max_by(s_acctbal, struct(s_acctbal, -s_suppkey))").alias("bal"),
+        )
+    )
+    return best.select(
+        "p_partkey", "p_name", "s_suppkey", "s_name", r4(F.col("bal")).alias("s_acctbal")
+    )
+
+
+@register(
+    "olap_important_parts",
+    oracle="""
+    WITH nat AS (
+      SELECT l.l_partkey,
+             sum(l.l_extendedprice * (1 - l.l_discount)) AS part_value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_3'
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, round(part_value, 4) AS part_value
+    FROM nat, (SELECT sum(part_value) AS total FROM nat) g
+    WHERE part_value > 0.005 * g.total
+    """,
+    doc="TPC-H Q11 shape (adapted: value = discounted revenue instead of "
+    "supplycost x availqty): parts carrying an outsized share of one "
+    "nation's traded value. The HAVING-vs-global-scalar is the hard "
+    "part: the per-part aggregate is computed ONCE, the global total "
+    "is a 1-row re-aggregate of that same relation broadcast back as "
+    "the threshold — not a second fact-table pass.",
+)
+def olap_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    s = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey")
+    )
+    nat = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("part_value"))
+    )
+    total = nat.agg(F.sum("part_value").alias("total"))
+    return (
+        nat.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > 0.005 * F.col("total"))
+        .select("l_partkey", r4(F.col("part_value")).alias("part_value"))
+    )
+
+
+@register(
+    "olap_supplier_part_counts",
+    oracle="""
+    WITH excluded AS (
+      SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7'
+    )
+    SELECT p.p_brand, p.p_size,
+           CAST(count(DISTINCT sh.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) sh
+    JOIN part p ON p.p_partkey = sh.l_partkey
+    WHERE p.p_type <> 'PROMO' AND p.p_brand <> 'Brand#5'
+      AND sh.l_suppkey NOT IN (SELECT s_suppkey FROM excluded)
+    GROUP BY p.p_brand, p.p_size
+    """,
+    doc="TPC-H Q16 shape (adapted: supply relation = distinct lineitem "
+    "pairs): how many qualified suppliers can serve each (brand, size), "
+    "excluding a complaint-list of suppliers. The NOT IN subquery is a "
+    "broadcast LEFT ANTI join (never a per-row probe), the part dim "
+    "broadcasts, and count(DISTINCT) rides the already-distinct supply "
+    "relation.",
+)
+def olap_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_type") != "PROMO") & (F.col("p_brand") != "Brand#5")
+    ).select("p_partkey", "p_brand", "p_size")
+    excluded = t(spark, sf_dir, "supplier").filter(F.col("s_name").like("%7")).select(
+        "s_suppkey"
+    )
+    shipped = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        shipped.join(F.broadcast(excluded), shipped.l_suppkey == excluded.s_suppkey, "left_anti")
+        .join(F.broadcast(p), shipped.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )

@@ -635,3 +635,72 @@ def ivf_store_probe(spark: SparkSession, path: str, cids: list[int]) -> DataFram
     PartitionFilters carries the cid predicate and only those directories
     are listed/read (asserted in tests/test_curation.py)."""
     return spark.read.parquet(path).filter(F.col("cid").isin(cids))
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join: the zero-shuffle fact-to-fact join.
+
+N_BUCKETS = 8
+
+
+def write_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Persist orders and lineitem as bucketed tables (bucketBy the join
+    key, sorted within buckets) in the session warehouse — once per
+    (session, sf_dir). Returns the two table names.
+
+    This is the 100 TB join story: both fact tables hash-clustered on
+    o_orderkey/l_orderkey at WRITE time means every subsequent
+    order-grained join or aggregate reads co-located buckets and plans
+    with NO Exchange at all — the shuffle is paid once at ingest, not
+    per query (tests/test_plans.py pins the shuffle-free plan).
+    """
+    tag = F.md5(F.lit(sf_dir))  # deterministic per-dir table suffix
+    suffix = spark.range(1).select(tag).first()[0][:8]
+    ot, lt = f"bkt_orders_{suffix}", f"bkt_lineitem_{suffix}"
+    if not spark.catalog.tableExists(ot) or not spark.catalog.tableExists(lt):
+        (
+            t(spark, sf_dir, "orders")
+            .write.bucketBy(N_BUCKETS, "o_orderkey").sortBy("o_orderkey")
+            .mode("overwrite").format("parquet").saveAsTable(ot)
+        )
+        (
+            t(spark, sf_dir, "lineitem")
+            .write.bucketBy(N_BUCKETS, "l_orderkey").sortBy("l_orderkey")
+            .mode("overwrite").format("parquet").saveAsTable(lt)
+        )
+    return ot, lt
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_orderpriority
+    HAVING count(*) >= 4
+    """,
+    doc="Fact-to-fact join with ZERO shuffles: orders and lineitem are "
+    "bucketed (bucketBy 8, sorted) on the order key at write time, so "
+    "the merge join AND the per-order aggregate both consume the scan's "
+    "existing hash-clustering — the physical plan contains no Exchange "
+    "anywhere (pinned in tests/test_plans.py). At 100 TB this is the "
+    "difference between re-shuffling the fact table per query and "
+    "paying the cluster-by once at ingest. Result is byte-equal to the "
+    "plain join (oracle runs on the un-bucketed fixtures).",
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ot, lt = write_bucketed_tables(spark, sf_dir)
+    o = spark.table(ot)
+    li = spark.table(lt)
+    return (
+        o.hint("merge")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+        )
+        .filter(F.col("n_lines") >= 4)
+    )
