@@ -1121,3 +1121,97 @@ def olap_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
     )
+
+
+@register(
+    "olap_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: pure scan-filter-sum, zero joins. Every "
+    "predicate (date range, discount band, quantity cap) is "
+    "parquet-pushable, so at 100 TB this is a min/max-stat row-group "
+    "skip plus a map-side partial sum — the cheapest possible full-fact "
+    "pass and the canonical pushdown litmus test.",
+)
+def olap_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1997-01-01").cast("date"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        r4(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue")
+    )
+
+
+@register(
+    "olap_excess_shippers",
+    oracle="""
+    WITH shipped AS (
+      SELECT l.l_partkey, l.l_suppkey, sum(l.l_quantity) AS qty
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE 'small%'
+        AND CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(l.l_shipdate AS DATE) < DATE '1997-01-01'
+      GROUP BY l.l_partkey, l.l_suppkey
+    ),
+    part_total AS (
+      SELECT l_partkey, sum(qty) AS total_qty FROM shipped GROUP BY l_partkey
+    ),
+    qualified AS (
+      SELECT DISTINCT sh.l_suppkey
+      FROM shipped sh
+      JOIN part_total pt ON pt.l_partkey = sh.l_partkey
+      WHERE sh.qty > 0.3 * pt.total_qty
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_3'
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM qualified)
+    ORDER BY s.s_suppkey
+    """,
+    doc="TPC-H Q20 shape (adapted: no partsupp, so 'availability' is the "
+    "per-part shipped total): suppliers in one nation who shipped more "
+    "than 30% of a 'small%' part's yearly volume. The nested aggregate "
+    "subquery is a re-aggregate of the SAME grouped relation (no second "
+    "fact pass), the IN becomes a LEFT SEMI join, and the nation-filtered "
+    "supplier dim broadcasts. At 100 TB: one fact scan, two small "
+    "shuffles on (partkey[,suppkey]), semi-join keys only.",
+)
+def olap_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select("p_partkey")
+    shipped = (
+        li.filter(
+            (F.to_date("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.to_date("l_shipdate") < F.lit("1997-01-01").cast("date"))
+        )
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    part_total = shipped.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty"))
+    qualified = (
+        shipped.join(part_total, "l_partkey")
+        .filter(F.col("qty") > 0.3 * F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    s = t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        s.join(qualified, s.s_suppkey == qualified.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )

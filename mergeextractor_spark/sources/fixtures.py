@@ -121,8 +121,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
+            # The long may be raw nanos (nanosAsLong honored) or already
+            # micros (some reader paths pre-convert).  >1e17 ⇒ nanos
+            # (year 1973+ in ns vs year 5138+ in us) — same guard as
+            # streaming/events.read_events_stream.
             df = df.withColumn(
-                "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
+                "ts",
+                F.expr(
+                    "timestamp_micros(CAST(CASE WHEN ts > 100000000000000000 "
+                    "THEN ts DIV 1000 ELSE ts END AS LONG))"
+                ),
             )
         memo[memo_key] = df
         return df
