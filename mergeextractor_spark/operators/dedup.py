@@ -598,6 +598,7 @@ def dedup_minhash_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
     "This is the correct grouping semantics where single-hop rep "
     "assignment (dedup_minhash_rep) under-merges chains a~b~c. The "
     "oracle computes the same fixpoint with a recursive CTE.",
+    eager=True,  # construction runs the iterative propagation loop
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
@@ -713,11 +714,18 @@ SPAN_W = 20  # window length in tokens (Lee et al. use 50 BPE tokens)
       SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
       FROM documents
     ),
-    g AS (
-      SELECT tok.doc_id, t.i AS start_pos,
-             md5(array_to_string(w[t.i : t.i + {SPAN_W - 1}], ' ')) AS gh
-      FROM tok, generate_series(1, len(w) - {SPAN_W - 1}) AS t(i)
+    pos AS (
+      -- lateral generate_series over a column is unsupported in DuckDB;
+      -- unnest over a computed range list expresses the same row-per-window
+      SELECT doc_id, w,
+             unnest(range(1, len(w) - {SPAN_W - 1} + 1)) AS i
+      FROM tok
       WHERE len(w) >= {SPAN_W}
+    ),
+    g AS (
+      SELECT doc_id, i AS start_pos,
+             md5(array_to_string(w[i : i + {SPAN_W - 1}], ' ')) AS gh
+      FROM pos
     ),
     dup AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
     tot AS (SELECT doc_id, count(*) AS total_windows FROM g GROUP BY doc_id),

@@ -28,18 +28,25 @@ class Query:
     spark: Callable[[SparkSession, str], DataFrame]
     oracle: str | None = None
     doc: str = ""
+    # True when merely CONSTRUCTING the DataFrame performs work (iterative
+    # driver loops, warehouse/sink writes).  Declared at registration so
+    # surfaces that must stay lazy (temp-view registration) can skip these
+    # instead of maintaining a hand-list that drifts (VERDICT r4 item 4).
+    eager: bool = False
 
 
 REGISTRY: dict[str, Query] = {}
 
 
-def register(key: str, oracle: str | None = None, doc: str = ""):
+def register(key: str, oracle: str | None = None, doc: str = "", eager: bool = False):
     """Decorator: register a (spark_fn, oracle_sql) pair under ``key``."""
 
     def wrap(fn: Callable[[SparkSession, str], DataFrame]):
         if key in REGISTRY:
             raise KeyError(f"duplicate query key {key!r}")
-        REGISTRY[key] = Query(key=key, spark=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        REGISTRY[key] = Query(
+            key=key, spark=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""), eager=eager
+        )
         return fn
 
     return wrap
@@ -49,7 +56,7 @@ def register(key: str, oracle: str | None = None, doc: str = ""):
 # CORRECTNESS file is folded into _DRIVER_GREEN below; seeds the canary
 # sample so each round re-checks a different deterministic slice of the
 # already-green keys (VERDICT r3 "Next round" item 3).
-_ROUND: int = 4
+_ROUND: int = 5
 
 # Keys that already hold a green hash-checked row in CORRECTNESS_r01–r03
 # (historical fact, frozen).  The driver's correctness gate walks the dict
@@ -97,42 +104,47 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "str_regex_extract_cik", "str_lstrip_zeros", "str_build_url",
     "str_drop_pagenums", "str_collapse_newlines", "str_strip_toc",
     "str_html_to_text_v2", "str_company_loose", "str_mojibake_repair",
-})
-
-# Explicit front-of-window order for the 36 oracle keys with no driver row
-# in any round (VERDICT r3 "Next round" item 1).  Ingest flagship first,
-# then the curation surface, ANN/PQ, the TPC-H-shaped OLAP keys, the
-# streaming-analytics keys, and the remaining text/sampling keys.
-_ROTATION_FIRST: tuple[str, ...] = (
-    "curation_pipeline_ingest",
-    # curation / sampling surface
-    "sample_domain_cap", "agg_mixture_weights", "text_ttr",
-    "sample_temperature", "sample_apply_mixture", "sample_stratified",
-    "sample_quality_decile", "sample_pack_sequences", "dq_expectations",
-    "dedup_url_canonical", "dedup_exact_normalized",
-    # ANN product-quantization pair
-    "ann_pq_topk", "ann_ivf_pq",
-    # OLAP (TPC-H-shaped) keys
-    "olap_order_priority", "olap_returned_customers",
-    "olap_shipmode_priority", "olap_promo_revenue",
-    "olap_disjunctive_filter", "olap_top_supplier",
+    # CORRECTNESS_r04.json (46 hash-green rows: the 36 r04 rotation-first
+    # keys below; the other 10 were canary re-passes already listed above)
+    "curation_pipeline_ingest", "sample_domain_cap", "agg_mixture_weights",
+    "text_ttr", "sample_temperature", "sample_apply_mixture",
+    "sample_stratified", "sample_quality_decile", "sample_pack_sequences",
+    "dq_expectations", "dedup_url_canonical", "dedup_exact_normalized",
+    "ann_pq_topk", "ann_ivf_pq", "olap_order_priority",
+    "olap_returned_customers", "olap_shipmode_priority",
+    "olap_promo_revenue", "olap_disjunctive_filter", "olap_top_supplier",
     "olap_global_sales_gap", "agg_grouping_sets", "agg_histogram",
-    # streaming / product-analytics keys (batch-twin oracles)
     "join_stream_stream", "cdc_scd2_history", "events_session_stats",
     "window_retention_cohort", "agg_funnel", "events_gap_fill",
     "events_moving_zscore", "window_running_total", "join_salted_skew",
-    # remaining text keys
     "text_unigram_logprob", "text_token_count_bpe", "text_ngram_topk",
     "text_tfidf_topk",
+})
+
+# Explicit front-of-window order for the 16 oracle keys with no driver row
+# in any round (VERDICT r4 "Next round" item 3).  The two just-fixed red
+# keys lead (first driver evidence doubles as the regression check), then
+# the refine/quality flagships, then the TPC-H-shaped OLAP batch.
+_ROTATION_FIRST: tuple[str, ...] = (
+    "join_bucketed_colocated", "dedup_substring_spans",
+    "ann_ivf_pq_refine", "text_gopher_rules",
+    # OLAP (TPC-H Q13/Q17/Q18/Q21-shaped and friends)
+    "olap_customer_orders_dist", "olap_small_quantity_revenue",
+    "olap_large_orders", "olap_late_sole_supplier",
+    "olap_volume_shipping", "olap_market_share", "olap_product_profit",
+    "olap_best_supplier_per_part", "olap_important_parts",
+    "olap_supplier_part_counts", "olap_forecast_revenue",
+    "olap_excess_shippers",
 )
 
 # Rows-only keys (oracle=None by contract design) ordered by user impact
 # (VERDICT r3 "Next round" item 2): sinks and sources first — they mirror
 # the reference's side-effecting surface — then multimodal codecs, then
-# cascade/chunking/LLM seams.  These sit directly behind the canaries so
-# the r04+ windows drain them front-to-back.
+# cascade/chunking/LLM seams.  This round the whole backlog sits directly
+# behind the 16 rotation-first oracle keys (VERDICT r4 item 3) so every
+# registered key finally has driver evidence; the 4 keys that got their
+# first driver rows in r04 queue at the back.
 _ROWS_ONLY_ORDER: tuple[str, ...] = (
-    "sink_csv_append", "sink_csv_union", "sink_kv_store", "scan_kv_store",
     "sink_kv_roundtrip", "sink_kv_upsert", "sink_fs_dump",
     "source_http_fts", "source_http_doc",
     "multimodal_image_meta", "multimodal_audio_meta",
@@ -143,13 +155,16 @@ _ROWS_ONLY_ORDER: tuple[str, ...] = (
     "pipeline_crawler", "pipeline_separator", "ann_ivf_trained",
     "agg_percentile_approx", "dedup_bloom_prefilter",
     "text_compression_ratio", "events_approx_distinct",
+    # first driver rows recorded in CORRECTNESS_r04 — re-check last
+    "sink_csv_append", "sink_csv_union", "sink_kv_store", "scan_kv_store",
 )
 
 # Number of previously-green keys re-checked per round.  Sampled
 # deterministically from _DRIVER_GREEN seeded by _ROUND so a regression in
-# r01-era code cannot stay invisible forever, while costing only ~10 of the
-# ~50 window slots.
-_CANARY_SLOTS: int = 10
+# r01-era code cannot stay invisible forever.  8 this round: 16 rotation
+# keys + 26 never-evidenced rows-only keys + 8 canaries = the ~50-key
+# window the driver demonstrably covers.
+_CANARY_SLOTS: int = 8
 
 
 def canary_keys(round_no: int = _ROUND) -> tuple[str, ...]:
@@ -163,16 +178,17 @@ def canary_keys(round_no: int = _ROUND) -> tuple[str, ...]:
 def load_all() -> dict[str, Query]:
     """Import every module that registers queries (idempotent).
 
-    Returned order implements the gate-window rotation documented above:
-      1. oracle-paired keys never covered by a CORRECTNESS round, in
-         ``_ROTATION_FIRST`` order (flagship first);
-      2. ~10 canary re-checks of previously-green keys (seeded by round);
-      3. rows-only keys, highest-impact first;
-      4. oracle-paired keys registered after the r04 snapshot (they
-         queue behind the rows-only backlog for the next rotation —
-         VERDICT r3 ranks first-ever driver evidence for existing keys
-         above first rows for brand-new ones);
-      5. the remaining already-green keys.
+    Returned order implements the gate-window rotation documented above
+    (VERDICT r4 "Next round" item 3):
+      1. the 16 oracle-paired keys never covered by a CORRECTNESS round,
+         in ``_ROTATION_FIRST`` order (the two just-fixed keys first);
+      2. the 26 rows-only keys with no driver evidence yet, highest
+         impact first — after this round every registered key has
+         appeared in some CORRECTNESS file;
+      3. ~8 canary re-checks of previously-green keys (seeded by round);
+      4. the 4 rows-only keys whose first driver rows landed in r04;
+      5. oracle-paired keys registered after the r05 snapshot;
+      6. the remaining already-green keys.
     """
     from .operators import (  # noqa: F401
         relational,
@@ -194,17 +210,19 @@ def load_all() -> dict[str, Query]:
     first = {k: i for i, k in enumerate(_ROTATION_FIRST)}
     canaries = {k: i for i, k in enumerate(canary_keys())}
     rows_only = {k: i for i, k in enumerate(_ROWS_ONLY_ORDER)}
+    n_unevidenced = len(_ROWS_ONLY_ORDER) - 4  # tail 4 already have r04 rows
 
     def rank(kv: tuple[str, Query]) -> tuple[int, int]:
         key, q = kv
         if q.oracle is None:
-            return (2, rows_only.get(key, len(_ROWS_ONLY_ORDER)))
+            i = rows_only.get(key, len(_ROWS_ONLY_ORDER))
+            return (1, i) if i < n_unevidenced else (3, i)
         if key in first:
             return (0, first[key])
         if key in canaries:
-            return (1, canaries[key])
+            return (2, canaries[key])
         if key in _DRIVER_GREEN:
-            return (4, 0)
-        return (3, 0)  # new oracle key, queued behind the rows-only backlog
+            return (5, 0)
+        return (4, 0)  # new oracle key, queued behind the backlog
 
     return dict(sorted(REGISTRY.items(), key=rank))

@@ -33,11 +33,12 @@ def test_every_oracle_key_has_a_query(spark):
 
 def test_gate_window_rotation_order():
     """The driver walks queries() in order under a wall-clock budget that
-    historically covers ~50 keys per round.  The r04 rotation (VERDICT r3
-    items 1-3) must therefore put: (a) every oracle-paired key with no
-    driver row in positions 0..35, (b) the ~10 seeded canary re-checks
-    next, (c) the rows-only keys before the remaining already-green keys
-    so they finally accumulate driver evidence."""
+    historically covers ~50 keys per round.  The r05 rotation (VERDICT r4
+    item 3) must put: (a) the 16 never-driver-checked oracle keys in
+    positions 0..15, (b) the 26 never-evidenced rows-only keys next — so
+    after this round EVERY registered key has driver evidence — then
+    (c) the ~8 seeded canary re-checks, (d) the 4 rows-only keys that got
+    first rows in r04, before any remaining already-green key."""
     from mergeextractor_spark import registry
 
     mod = _load_entry()
@@ -45,21 +46,29 @@ def test_gate_window_rotation_order():
     keys = list(qs)
 
     n_first = len(registry._ROTATION_FIRST)
+    assert n_first == 16
     assert keys[:n_first] == list(registry._ROTATION_FIRST)
     for key in registry._ROTATION_FIRST:
         assert key in osql, f"rotation-first key {key!r} lost its oracle"
+        assert key not in registry._DRIVER_GREEN
+
+    rows_only = [k for k in keys if k not in osql]
+    unevidenced = list(registry._ROWS_ONLY_ORDER[:-4])
+    assert keys[n_first : n_first + len(unevidenced)] == unevidenced
 
     canaries = registry.canary_keys()
-    assert keys[n_first : n_first + len(canaries)] == list(canaries)
+    at = n_first + len(unevidenced)
+    assert keys[at : at + len(canaries)] == list(canaries)
     # Canaries are a deterministic per-round sample of driver-green keys.
     assert registry.canary_keys() == registry.canary_keys()
     assert set(canaries) <= registry._DRIVER_GREEN
     assert canaries != registry.canary_keys(registry._ROUND + 1)
 
-    # Every rows-only key precedes every remaining (green, non-canary)
-    # oracle key, and rows-only keys follow the documented impact order.
-    rows_only = [k for k in keys if k not in osql]
-    assert rows_only == list(registry._ROWS_ONLY_ORDER)
+    # The r04-evidenced rows-only tail precedes every remaining
+    # already-green oracle key.
+    assert rows_only == list(registry._ROWS_ONLY_ORDER[:-4]) + list(
+        registry._ROWS_ONLY_ORDER[-4:]
+    )
     last_rows_only = max(keys.index(k) for k in rows_only)
     tail_green = [
         k
