@@ -222,34 +222,61 @@ MIX_ALPHA = 0.3  # temperature exponent (share^alpha), the multilingual default
 
 
 def temperature_boosts(mass: DataFrame, alpha: float = MIX_ALPHA) -> DataFrame:
-    """Temperature-sampling boost per language WITHOUT unpartitioned windows.
+    """Temperature-sampling boost per language, evaluating ``mass`` ONCE.
 
-    ``mass`` is a ``(lang, lang_tokens)`` frame (|langs| rows).  The three
-    global quantities — Σ lang_tokens, Σ share^α, max(boost) — each come
-    from a 1-row aggregate broadcast back in (the agg_mixture_weights
-    pattern), not ``Window.partitionBy()``: an unpartitioned window drags
-    every row to one task and spams ``WindowExec: No Partition Defined``
-    through every log, hiding real ones (VERDICT r3 item 5).  Arithmetic
-    order (share → p → target → boost) matches the DuckDB oracle exactly
-    so r4 hashes stay stable.  Returns lang, lang_tokens, boost,
-    _max_boost; callers emit ``r4(boost / _max_boost)``.
+    ``mass`` is a ``(lang, lang_tokens)`` frame (|langs| rows — tiny by
+    construction, it is the OUTPUT of a per-language aggregate).  Two
+    rejected shapes, both measured on the composed ingest pipeline:
+      * ``Window.partitionBy()`` globals — fast but drags rows to one
+        task with a ``No Partition Defined`` warning per query that
+        buries real warnings (VERDICT r3 item 5);
+      * three chained 1-row ``.agg`` + crossJoin steps (the r4 version)
+        — each chained aggregate re-evaluated ``mass``'s ENTIRE upstream
+        lineage (9 parquet scans / 41 exchanges in the ingest pipeline's
+        plan), which doubled its runtime: the r4→r5 bench regression.
+    This shape packs the tiny frame into a single array row
+    (collect_list), computes Σt, Σshare^α and max(boost) with array
+    higher-order functions — one pass, no window, no re-evaluation —
+    then explodes back and applies the identical share → p → target →
+    boost arithmetic chain, so r4-rounded hashes stay stable.
+    Returns lang, lang_tokens, share, p, target, boost, _max_boost;
+    callers emit ``r4(boost / _max_boost)``.
     """
-    tot = mass.agg(F.sum("lang_tokens").alias("_tot"))
-    shares = (
-        mass.crossJoin(F.broadcast(tot))
+    tt = lambda x: x["lang_tokens"].cast("double")  # noqa: E731
+    packed = (
+        mass.agg(F.collect_list(F.struct("lang", "lang_tokens")).alias("_ls"))
+        .withColumn("_tot", F.aggregate("_ls", F.lit(0.0), lambda a, x: a + tt(x)))
+        .withColumn(
+            "_sum_p",
+            F.aggregate(
+                "_ls", F.lit(0.0),
+                lambda a, x: a + F.pow(tt(x) / F.col("_tot"), F.lit(alpha)),
+            ),
+        )
+        .withColumn(
+            "_max_boost",
+            F.array_max(
+                F.transform(
+                    "_ls",
+                    lambda x: (F.pow(tt(x) / F.col("_tot"), F.lit(alpha)) / F.col("_sum_p"))
+                    / (tt(x) / F.col("_tot")),
+                )
+            ),
+        )
+    )
+    return (
+        packed.select(F.explode("_ls").alias("_e"), "_tot", "_sum_p", "_max_boost")
+        .select(
+            F.col("_e.lang").alias("lang"),
+            F.col("_e.lang_tokens").alias("lang_tokens"),
+            "_tot", "_sum_p", "_max_boost",
+        )
         .withColumn("share", F.col("lang_tokens") / F.col("_tot"))
         .withColumn("p", F.pow("share", F.lit(alpha)))
-        .drop("_tot")
-    )
-    sum_p = shares.agg(F.sum("p").alias("_sum_p"))
-    boosts = (
-        shares.crossJoin(F.broadcast(sum_p))
         .withColumn("target", F.col("p") / F.col("_sum_p"))
         .withColumn("boost", F.col("target") / F.col("share"))
-        .drop("_sum_p")
+        .drop("_tot", "_sum_p")
     )
-    max_b = boosts.agg(F.max("boost").alias("_max_boost"))
-    return boosts.crossJoin(F.broadcast(max_b))
 
 
 @register(
