@@ -87,11 +87,33 @@ def replicate(df: DataFrame, pk: str, stride: int, fks: dict[str, int], k: int) 
     for fk, fk_stride in fks.items():
         out = out.withColumn(fk, F.col(fk) + F.col("_copy") * fk_stride)
     if "text" in df.columns:
-        # distinct text per copy -> cluster sizes constant, cluster count x k
+        # Distinct text per copy -> near-dup cluster SIZES constant, cluster
+        # count x k.  A trailing " cp<j>" suffix is NOT enough: copies would
+        # still share almost all word-3-gram shingles (minhash) and 2/3+ of
+        # unigram features (simhash), making all 10 copies of a doc mutual
+        # NEAR-dups — pair output then grows ~k^2 and the measured exponent
+        # reports output growth, not plan behavior (caught in round 5:
+        # 256 -> 249,971 pairs, fake e=1.53).  Tagging EVERY 3RD TOKEN with
+        # the copy id guarantees every 3-shingle contains a tagged token
+        # (cross-copy shingle sets disjoint) and shifts 1/3 of unigrams
+        # (large simhash hamming), while keeping token counts and 2/3 of
+        # the text identical so per-row work stays comparable.  Natural
+        # near-dup pairs WITHIN a copy get the same tags on both sides, so
+        # each copy reproduces the original clustering — exactly the
+        # cluster-count-x-k growth model.  The all-copies-near-dup
+        # adversarial case is tools/stress.py's job.
         out = out.withColumn(
             "text",
             F.when(F.col("_copy") == 0, F.col("text")).otherwise(
-                F.concat(F.col("text"), F.lit(" cp"), F.col("_copy"))
+                F.array_join(
+                    F.transform(
+                        F.split("text", " "),
+                        lambda x, i: F.when(
+                            i % 3 == 0, F.concat(x, F.lit("_c"), F.col("_copy"))
+                        ).otherwise(x),
+                    ),
+                    " ",
+                )
             ),
         )
     return out.select(df.columns)  # original column order, _copy dropped
@@ -114,9 +136,20 @@ def run_noop(df: DataFrame) -> None:
 
 
 def bench_at(spark, sf_dir: str, runs: int) -> dict[str, float]:
+    from mergeextractor_spark.operators.dedup import _LIVE_SHINGLE_CACHE
+
     reg = load_all()
     out = {}
     for key in QUERIES:
+        # Isolate queries from each other's session residue: at sf1 the
+        # minhash shingle cache holds a ~10x-replicated exploded table whose
+        # memory pressure measurably inflated UNRELATED later queries
+        # (events_sessionize read 4.3s contaminated vs 0.8s solo, a fake
+        # e=1.3 in the first r5 run of this table).
+        while _LIVE_SHINGLE_CACHE:
+            _LIVE_SHINGLE_CACHE.pop().unpersist(blocking=True)
+        spark.catalog.clearCache()
+        run_noop(reg[key].spark(spark, sf_dir))  # warm (plan + IO cache)
         times = []
         for _ in range(runs):
             t0 = time.time()
