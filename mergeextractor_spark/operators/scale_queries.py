@@ -517,11 +517,11 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_pq_adc_scores(e: DataFrame) -> DataFrame:
-    """Shared IVF-probe + PQ-ADC stage: (qid, vec_id, score) per probed
-    candidate — consumed by ann_ivf_pq (top-k direct) and
-    ann_ivf_pq_refine (shortlist → exact re-rank)."""
-    # IVF assignment + probe lists (same deterministic codebook as ann_ivf_topk)
+def _ivf_assign_probe(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse-quantizer stage shared by the ADC scorer and the
+    store-probe refine: per-vector cell ``assign(vec_id, cid)`` and
+    per-query probe list ``qprobe(qid, cid)`` (same deterministic
+    codebook as ann_ivf_topk)."""
     cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
@@ -538,6 +538,14 @@ def _ivf_pq_adc_scores(e: DataFrame) -> DataFrame:
         .filter(F.col("rn") <= NPROBE)
         .select(F.col("vec_id").alias("qid"), "cid")
     )
+    return assign, qprobe
+
+
+def _ivf_pq_adc_scores(e: DataFrame) -> DataFrame:
+    """Shared IVF-probe + PQ-ADC stage: (qid, vec_id, score) per probed
+    candidate — consumed by ann_ivf_pq (top-k direct) and
+    ann_ivf_pq_refine (shortlist → exact re-rank)."""
+    assign, qprobe = _ivf_assign_probe(e)
     cand = (
         qprobe.join(assign, "cid")
         .filter(F.col("vec_id") != F.col("qid"))
@@ -586,19 +594,33 @@ def _ivf_pq_adc_scores(e: DataFrame) -> DataFrame:
 def ann_ivf_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     adc = _ivf_pq_adc_scores(e)
+    pool = _adc_shortlist(adc)
+    # |queries|×pool rows — the pool side is EXPLICITLY broadcast into both
+    # embedding fetches, so the corpus-sized embedding scans stream through
+    # build-side hash joins and are never exchanged (pinned in
+    # tests/test_plans.py: the re-rank adds zero SortMergeJoin/Exchange
+    # beyond the ADC stage's own)
+    qe = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb"))
+    ne = e.select("vec_id", F.col("embedding").alias("n_emb"))
+    fetched = qe.join(F.broadcast(pool), "qid")
+    exact = ne.join(F.broadcast(fetched), "vec_id").select(
+        "qid", "vec_id", dot(F.col("q_emb"), F.col("n_emb")).alias("d")
+    )
+    return _exact_topk(exact)
+
+
+def _adc_shortlist(adc: DataFrame) -> DataFrame:
+    """Top-RERANK_POOL ADC candidates per query: (qid, vec_id)."""
     wpool = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
-    pool = (
+    return (
         adc.withColumn("rn", F.row_number().over(wpool))
         .filter(F.col("rn") <= RERANK_POOL)
         .select("qid", "vec_id")
     )
-    # |queries|×pool rows — both embedding fetches are broadcast-sized
-    # joins keyed on the id, never a corpus scan
-    qe = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb"))
-    ne = e.select("vec_id", F.col("embedding").alias("n_emb"))
-    exact = pool.join(qe, "qid").join(ne, "vec_id").select(
-        "qid", "vec_id", dot(F.col("q_emb"), F.col("n_emb")).alias("d")
-    )
+
+
+def _exact_topk(exact: DataFrame) -> DataFrame:
+    """Final exact-score top-K projection shared by both refine variants."""
     w = W.partitionBy("qid").orderBy(F.desc("d"), F.asc("vec_id"))
     return (
         exact.withColumn("rn", F.row_number().over(w))
@@ -630,11 +652,74 @@ def ivf_store_write(spark: SparkSession, sf_dir: str, path: str) -> None:
     e.join(assign, "vec_id").write.mode("overwrite").partitionBy("cid").parquet(path)
 
 
-def ivf_store_probe(spark: SparkSession, path: str, cids: list[int]) -> DataFrame:
+def ivf_store_probe(
+    spark: SparkSession, path: str, cids: list[int], schema=None
+) -> DataFrame:
     """Partition-pruned read of the probed cells — the physical plan's
     PartitionFilters carries the cid predicate and only those directories
-    are listed/read (asserted in tests/test_curation.py)."""
-    return spark.read.parquet(path).filter(F.col("cid").isin(cids))
+    are listed/read (asserted in tests/test_curation.py).  Pass ``schema``
+    to skip inference (required when the store may be empty)."""
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    return reader.parquet(path).filter(F.col("cid").isin(cids))
+
+
+def ensure_ivf_store(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the cid-partitioned IVF store once per (warehouse,
+    sf_dir) with the same location-aware discipline as
+    write_bucketed_tables: a complete dir (_SUCCESS present) is reused
+    as-is across sessions; a husk from an interrupted write is cleared
+    and rewritten."""
+    import hashlib
+    import os
+    import shutil
+
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    path = os.path.join(wh, f"ivf_store_{suffix}")
+    if not (os.path.isdir(path) and os.path.isfile(os.path.join(path, "_SUCCESS"))):
+        shutil.rmtree(path, ignore_errors=True)
+        ivf_store_write(spark, sf_dir, path)
+    return path
+
+
+@register(
+    "ann_ivf_pq_refine_probe",
+    oracle=_ivf_pq_refine_oracle(),
+    doc=f"The refine stack's PRODUCTION read path, executable end-to-end: "
+    "the ADC shortlist is re-ranked against raw vectors fetched from the "
+    "cid-partitioned IVF store (ivf_store_write layout) instead of the "
+    "flat embeddings table. The probed cell ids drive a partition-pruned "
+    "scan — PartitionFilters carries the cid predicate, so only "
+    f"nprobe-covered directories are listed/read (≤{N_CENTROIDS} cells "
+    "on the fixtures, thousands in production) — and the "
+    f"|queries|×{RERANK_POOL} pool broadcasts into the fetch. Same "
+    "composed DuckDB oracle as ann_ivf_pq_refine: the store is a layout, "
+    "not a semantics change. The distinct probed-cid list is collected "
+    "driver-side — bounded by the CELL COUNT, never the corpus (the "
+    "same boundedness class as the MERGE bucket list in sinks.py).",
+    eager=True,  # construction materializes the store + collects ≤|cells| ids
+)
+def ann_ivf_pq_refine_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    path = ensure_ivf_store(spark, sf_dir)
+    _, qprobe = _ivf_assign_probe(e)
+    cids = sorted(r.cid for r in qprobe.select("cid").distinct().collect())
+    pool = _adc_shortlist(_ivf_pq_adc_scores(e))
+    qe = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    from pyspark.sql import types as T
+
+    store_schema = T.StructType(
+        list(e.schema.fields) + [T.StructField("cid", T.LongType())]
+    )
+    fetched = ivf_store_probe(spark, path, cids, schema=store_schema).select(
+        "vec_id", F.col("embedding").alias("n_emb")
+    )
+    exact = fetched.join(
+        F.broadcast(qe.join(F.broadcast(pool), "qid")), "vec_id"
+    ).select("qid", "vec_id", dot(F.col("q_emb"), F.col("n_emb")).alias("d"))
+    return _exact_topk(exact)
 
 
 # ---------------------------------------------------------------------------

@@ -132,6 +132,40 @@ def test_ivf_pq_refine_shapes(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_ivf_pq_refine_rerank_broadcasts_pool(spark):
+    """VERDICT r4 item 7: the exact re-rank must add ZERO sort-merge joins
+    (i.e. no Exchange of the corpus embeddings) beyond the ADC stage's
+    own — the |queries|x pool shortlist broadcasts into both embedding
+    fetches, which therefore appear as two extra BroadcastHashJoins."""
+    from mergeextractor_spark.operators.scale_queries import _ivf_pq_adc_scores
+    from mergeextractor_spark.sources.fixtures import table
+
+    adc = _ivf_pq_adc_scores(table(spark, SF, "embeddings"))
+    adc_plan = adc._jdf.queryExecution().executedPlan().toString()
+    plan = plan_of(spark, "ann_ivf_pq_refine")
+    assert plan.count("SortMergeJoin") == adc_plan.count("SortMergeJoin"), (
+        "re-rank introduced a corpus-side shuffle join"
+    )
+    assert plan.count("BroadcastHashJoin") >= adc_plan.count("BroadcastHashJoin") + 2
+
+
+def test_ivf_pq_refine_probe_reads_pruned_store(spark):
+    """The store-backed refine variant must fetch raw vectors through a
+    partition-pruned scan of the cid-partitioned IVF store (the cid
+    predicate sits in PartitionFilters), and must agree row-for-row with
+    the flat-table refine (same oracle, same answer)."""
+    reg = load_all()
+    probe_df = reg["ann_ivf_pq_refine_probe"].spark(spark, SF)
+    plan = probe_df._jdf.queryExecution().executedPlan().toString()
+    scan = [
+        seg for seg in plan.split("PartitionFilters:")[1:] if "cid" in seg.split("]")[0]
+    ]
+    assert scan, f"no scan carries a cid PartitionFilter:\n{plan[:2000]}"
+    flat = {tuple(r) for r in reg["ann_ivf_pq_refine"].spark(spark, SF).collect()}
+    got = {tuple(r) for r in probe_df.collect()}
+    assert got == flat
+
+
 def test_late_sole_supplier_broadcasts_dim(spark):
     plan = plan_of(spark, "olap_late_sole_supplier")
     assert "BroadcastHashJoin" in plan
