@@ -874,3 +874,141 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("_alp") > 0.8)
         ).alias("passes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sparse retrieval + tokenizer induction: the two corpus-analysis passes a
+# training-data pipeline runs right before (BM25 contamination / dedup
+# triage) and right after (BPE vocabulary induction) curation.
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+BM25_QUERY = ("merge", "vector", "stream")  # mid-df fixture terms
+
+_BM25_IN = ", ".join(f"'{q}'" for q in BM25_QUERY)
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY doc_id),
+    stats AS (SELECT avg(dl) AS avgdl, count(*)::DOUBLE AS n_docs FROM dl),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM words
+      WHERE term IN ({_BM25_IN}) GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM words
+      WHERE term IN ({_BM25_IN}) GROUP BY term
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             sum(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1)
+                 * t.tf * {BM25_K1 + 1}
+                 / (t.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * l.dl / s.avgdl))) AS score
+      FROM tf t JOIN df d USING (term) JOIN dl l USING (doc_id) CROSS JOIN stats s
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, round(score, 4) AS score FROM scored
+    ORDER BY round(score, 4) DESC, doc_id LIMIT {BM25_TOPK}
+    """,
+    doc=f"BM25 (Lucene idf form, k1={BM25_K1}, b={BM25_B}) top-{BM25_TOPK} "
+    f"docs for a fixed {len(BM25_QUERY)}-term query — the sparse-retrieval "
+    "scorer behind benchmark-contamination triage and dedup candidate "
+    "ranking. Scale shape: tf aggregates only rows matching the query "
+    "terms (the isin filter reaches the scan), df and the 1-row "
+    "(avgdl, N) stats are broadcast, so the only corpus-sized shuffle is "
+    "the per-doc length aggregate — and that one is shared, cacheable "
+    "ingest state in production. Global top-k via TakeOrderedAndProject, "
+    "never a full sort.",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")).alias(
+            "term"
+        ),
+    )
+    dl = words.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count("*").cast("double").alias("n_docs")
+    )
+    qwords = words.filter(F.col("term").isin(*BM25_QUERY))
+    tf = qwords.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = qwords.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    contrib = (
+        idf
+        * F.col("tf")
+        * (BM25_K1 + 1)
+        / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(r4(F.sum(contrib)).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(BM25_TOPK)
+
+
+BPE_TOPK = 30
+
+
+@register(
+    "text_bpe_merge_candidates",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w
+      FROM documents
+    ),
+    wc AS (SELECT w, count(*) AS n FROM words GROUP BY w),
+    pos AS (
+      SELECT w, n, unnest(range(1, len(w))) AS i FROM wc WHERE len(w) >= 2
+    ),
+    pairs AS (
+      SELECT substr(w, i, 2) AS pair, sum(n) AS freq FROM pos GROUP BY substr(w, i, 2)
+    )
+    SELECT pair, CAST(freq AS BIGINT) AS freq FROM (
+      SELECT pair, freq, row_number() OVER (ORDER BY freq DESC, pair) AS rn
+      FROM pairs
+    ) WHERE rn <= {BPE_TOPK}
+    """,
+    doc=f"BPE vocabulary induction, step 1: the top-{BPE_TOPK} most "
+    "frequent adjacent character pairs across the corpus, weighted by "
+    "word frequency — the merge-candidate ranking every byte-pair "
+    "tokenizer trainer iterates on. Scale shape is the classic BPE "
+    "trick: aggregate to DISTINCT words first (vocabulary-sized, not "
+    "corpus-sized), then explode each distinct word's adjacent pairs "
+    "exactly once carrying its count — pair counting touches |vocab| "
+    "short strings regardless of corpus token count. Global top-k via "
+    "TakeOrderedAndProject.",
+)
+def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = t(spark, sf_dir, "documents").select(
+        F.explode(F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")).alias(
+            "w"
+        )
+    )
+    wc = words.groupBy("w").agg(F.count("*").alias("n"))
+    pairs = wc.filter(F.length("w") >= 2).select(
+        "n",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.substr(F.col("w"), i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    freq = pairs.groupBy("pair").agg(F.sum("n").alias("freq"))
+    return (
+        freq.orderBy(F.desc("freq"), F.asc("pair"))
+        .limit(BPE_TOPK)
+        .select("pair", F.col("freq").cast("bigint").alias("freq"))
+    )

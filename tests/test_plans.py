@@ -170,3 +170,21 @@ def test_late_sole_supplier_broadcasts_dim(spark):
     plan = plan_of(spark, "olap_late_sole_supplier")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_topk_shapes(spark):
+    # global top-k must be a per-partition heap, never a full sort, and
+    # the query-term restriction must reach the scan as a data filter so
+    # the tf aggregate only sees matching rows
+    plan = plan_of(spark, "text_bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Sort ") == 0 or "Sort [score" not in plan
+
+
+def test_bpe_merge_candidates_shapes(spark):
+    # pair counting must aggregate to distinct words BEFORE exploding
+    # pairs (vocabulary-sized explode) and take the global top-k with a
+    # heap — two hash aggregates, one TakeOrderedAndProject, no window
+    plan = plan_of(spark, "text_bpe_merge_candidates")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
