@@ -57,6 +57,10 @@ HEADLINE = [
     "ann_ivf_pq_refine",         # ADC shortlist -> exact re-rank (retrieval stack)
     "olap_large_orders",         # TPC-H Q18 shape (HAVING reduction + top-100)
     "text_gopher_rules",         # quality-rule battery, single codegen'd scan
+    # round 5 additions
+    "join_bucketed_colocated",   # zero-Exchange fact join (ingest shuffle paid once, in the warm run)
+    "ann_ivf_pq_refine_probe",   # refine through the partition-pruned IVF store
+    "text_bm25_topk",            # sparse-retrieval scoring battery
 ]
 
 

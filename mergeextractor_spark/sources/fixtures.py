@@ -46,6 +46,29 @@ _DF_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFra
 _TUNED: "weakref.WeakKeyDictionary[SparkSession, set[str]]" = weakref.WeakKeyDictionary()
 
 
+# A TIMESTAMP(NANOS) parquet column surfaced as LongType arrives either as
+# raw nanos (legacy nanosAsLong read) or already-converted micros
+# (user-supplied long schema, Spark 4.1).  Values above this threshold are
+# nanos: 1e17 ns ≈ 1973-03-03, while 1e17 us ≈ year 5138.
+_NS_THRESHOLD = 100_000_000_000_000_000
+
+
+def normalize_ns_or_us_ts(col: str):
+    """Long ns-or-us epoch column → microsecond timestamp, exact integer
+    arithmetic (matches DuckDB's ns→us truncation).
+
+    Shared by the batch loader and streaming/events.read_events_stream so
+    the two can never drift (ADVICE r4).  SUPPORTED RANGE: the per-value
+    branch is unambiguous only for timestamps after ~1973-03 (in nanos)
+    and before year ~5138 (in micros); pre-epoch/negative values and
+    nano timestamps before 1973-03 would silently classify as micros —
+    out of scope for event data, by contract."""
+    return F.expr(
+        f"timestamp_micros(CAST(CASE WHEN {col} > {_NS_THRESHOLD} "
+        f"THEN {col} DIV 1000 ELSE {col} END AS LONG))"
+    )
+
+
 def evict_session_caches(spark: SparkSession) -> None:
     """Drop every session-keyed memo for ``spark``.
 
@@ -121,17 +144,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
-            # The long may be raw nanos (nanosAsLong honored) or already
-            # micros (some reader paths pre-convert).  >1e17 ⇒ nanos
-            # (year 1973+ in ns vs year 5138+ in us) — same guard as
-            # streaming/events.read_events_stream.
-            df = df.withColumn(
-                "ts",
-                F.expr(
-                    "timestamp_micros(CAST(CASE WHEN ts > 100000000000000000 "
-                    "THEN ts DIV 1000 ELSE ts END AS LONG))"
-                ),
-            )
+            df = df.withColumn("ts", normalize_ns_or_us_ts("ts"))
         memo[memo_key] = df
         return df
     df = spark.read.parquet(path)

@@ -45,18 +45,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.symlink(src, link)
         src = stream_dir
     raw = spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(src)
-    # Depending on the reader path, a TIMESTAMP(NANOS) column surfaced as
-    # LongType arrives either as raw nanos (nanosAsLong) or already
-    # converted to micros (user-supplied long schema, Spark 4.1).  Decide
-    # per value: anything above ~1e17 is nanos (year 1973+ in ns, year
-    # 5138+ in us), so the branch is unambiguous for real timestamps.
-    return raw.withColumn(
-        "ts",
-        F.expr(
-            "timestamp_micros(CAST(CASE WHEN ts > 100000000000000000 "
-            "THEN ts DIV 1000 ELSE ts END AS LONG))"
-        ),
-    )
+    # Same shared ns-or-us normalization (and documented supported range)
+    # as the batch loader — one definition, no drift (ADVICE r4).
+    from ..sources.fixtures import normalize_ns_or_us_ts
+
+    return raw.withColumn("ts", normalize_ns_or_us_ts("ts"))
 
 
 def tumbling_counts(events: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes") -> DataFrame:
