@@ -324,3 +324,102 @@ def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("x").cast("double") / F.col("scale") + 0.5).cast("int").alias("q"),
         r4(F.col("scale")).alias("scale"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication by
+# clustering embeddings and pruning within-cluster pairs above a cosine
+# threshold — the embedding-space analogue of MinHash near-dup, used to
+# shrink web-scale training corpora with minimal quality loss.
+
+SEM_K = 4        # deterministic coarse clusters (vec_id < K as centroids)
+SEM_TAU = 0.8    # within-cluster cosine threshold
+
+
+@register(
+    "dedup_semantic_semdedup",
+    oracle=f"""
+    WITH aug AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.01)
+      FROM embeddings WHERE vec_id < 10
+    ),
+    cents AS (SELECT vec_id AS cid, emb AS ce FROM aug WHERE vec_id < {SEM_K}),
+    cda AS (
+      SELECT a.vec_id AS vid, c.cid AS cid, unnest(a.emb) AS x, unnest(c.ce) AS y
+      FROM aug a CROSS JOIN cents c
+    ),
+    cd AS (SELECT vid, cid, sum(x * y) AS d FROM cda GROUP BY vid, cid),
+    assign AS (
+      SELECT vid, cid FROM (
+        SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY d DESC, cid) AS rn
+        FROM cd
+      ) WHERE rn = 1
+    ),
+    pairs0 AS (
+      SELECT s1.vid AS va, s2.vid AS vb, a1.emb AS ea, a2.emb AS eb
+      FROM assign s1 JOIN assign s2 ON s1.cid = s2.cid AND s1.vid < s2.vid
+      JOIN aug a1 ON a1.vec_id = s1.vid
+      JOIN aug a2 ON a2.vec_id = s2.vid
+    ),
+    pe AS (SELECT va, vb, unnest(ea) AS x, unnest(eb) AS y FROM pairs0),
+    cos AS (
+      SELECT va, vb, sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS c
+      FROM pe GROUP BY va, vb
+    ),
+    dup AS (SELECT vb AS vid, min(va) AS rep FROM cos WHERE c >= {SEM_TAU} GROUP BY vb)
+    SELECT a.vid AS vec_id, a.cid,
+           d.rep IS NOT NULL AS is_dup,
+           coalesce(d.rep, a.vid) AS rep_id
+    FROM assign a LEFT JOIN dup d USING (vid)
+    """,
+    doc=f"SemDeDup (Abbas et al. 2023): assign every embedding to its "
+    f"max-dot coarse cluster ({SEM_K} deterministic centroids, same "
+    "convention as the IVF family), compute cosine ONLY within clusters, "
+    f"and keep-first-prune pairs above τ={SEM_TAU} — per-vector output "
+    "(vec_id, cid, is_dup, rep_id). Scale shape: the pair space is "
+    "blocked by cluster (at 100 TB the centroid count grows so cluster "
+    "sizes stay bounded — same dial as IVF cells; the quadratic term is "
+    "within-cluster only, exactly the paper's design). The fixture's "
+    "random vectors have no organic semantic dups, so vecs 0-9 get "
+    "deterministic +0.01 clones (id+100000) on BOTH engines — the "
+    "operator must mark exactly those clones as duplicates.",
+)
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    clones = e.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") + 0.01).alias("emb"),
+    )
+    aug = base.unionByName(clones)
+    cents = aug.filter(F.col("vec_id") < SEM_K).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("ce")
+    )
+    cd = aug.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", dot(F.col("emb"), F.col("ce")).alias("d")
+    )
+    assign = cd.groupBy("vec_id").agg(
+        F.expr("max_by(cid, struct(d, -cid))").alias("cid")
+    )
+    av = aug.join(assign, "vec_id")
+    a = av.select(F.col("vec_id").alias("va"), "cid", F.col("emb").alias("ea"))
+    b = av.select(
+        F.col("vec_id").alias("vb"), F.col("cid").alias("cidb"), F.col("emb").alias("eb")
+    )
+    cos = (
+        a.join(b, (F.col("cid") == F.col("cidb")) & (F.col("va") < F.col("vb")))
+        .select("va", "vb", cosine(F.col("ea"), F.col("eb")).alias("c"))
+        .filter(F.col("c") >= SEM_TAU)
+    )
+    dup = cos.groupBy("vb").agg(F.min("va").alias("rep"))
+    return assign.join(dup, assign.vec_id == dup.vb, "left").select(
+        "vec_id",
+        "cid",
+        F.col("rep").isNotNull().alias("is_dup"),
+        F.coalesce("rep", "vec_id").alias("rep_id"),
+    )

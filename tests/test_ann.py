@@ -97,3 +97,17 @@ def test_ivf_pq_recall_vs_bruteforce(spark):
     got = set((r.query_id, r.neighbor_id) for r in ann_ivf_pq(spark, sf).collect())
     recall = len(got & truth) / len(truth)
     assert recall >= 0.1, f"IVF+PQ recall {recall:.3f} < 0.1"
+
+
+def test_semdedup_marks_exactly_the_clones(spark):
+    """SemDeDup on the isotropic fixture must flag exactly the 10 injected
+    +0.01 clones (random 64-dim vectors have no organic pairs above
+    τ=0.8), and each clone's representative is its source vector."""
+    from mergeextractor_spark.operators.vector_queries import dedup_semantic_semdedup
+
+    df = dedup_semantic_semdedup(spark, "/root/testdata/sf0.001")
+    dups = {(r.vec_id, r.rep_id) for r in df.filter("is_dup").collect()}
+    assert dups == {(100000 + i, i) for i in range(10)}
+    # everything else keeps itself
+    keep = df.filter("NOT is_dup")
+    assert keep.filter("vec_id <> rep_id").count() == 0
