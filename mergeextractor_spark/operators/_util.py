@@ -27,6 +27,27 @@ def r4(c: Column) -> Column:
     return F.signum(cd) * mag
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Re-spread a CPU-heavy operator's input when the local scan is
+    under-parallel.
+
+    The driver-generated fixtures are single-row-group parquet, so a scan
+    yields 1-2 splits no matter how small ``maxPartitionBytes`` goes —
+    starving codegen'd map stages (shingling, signature hashing, per-dim
+    vector math) down to 1-2 of the 32 local cores (measured: MinHash
+    cold at derived sf1 ran 55 s starved vs 7.8 s spread). The condition
+    makes this a NO-OP on a real cluster: 100 TB inputs scan as thousands
+    of splits, so `getNumPartitions() < cores/2` is false and no Exchange
+    is added. Only opt-in for operators whose per-row compute dominates —
+    pure column-pruned scans and cheap filters keep their single-stage,
+    Exchange-free plans (pinned in tests/test_plans.py).
+    """
+    dp = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(dp // 2, 2):
+        return df.repartition(dp)
+    return df
+
+
 def date_str(c: Column) -> Column:
     """Emit dates as ISO strings on both sides (oracle uses strftime)."""
     return F.date_format(c, "yyyy-MM-dd")

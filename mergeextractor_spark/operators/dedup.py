@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import t, r4
+from ._util import t, r4, spread
 
 N_HASHES = 6  # fixture-default minhash signature length (production: ~128)
 BAND_SIZE = 2  # fixture-default rows per LSH band → 3 bands (production: r≈13)
@@ -229,14 +229,31 @@ def minhash_pairs_df(
     """``minhash_pairs`` over an arbitrary (doc_id, text, ...) DataFrame —
     the form a pipeline composes (e.g. over exact-dedup survivors) and the
     one tools/stress.py drives at K× replication."""
+    # Spread the INPUT docs when the local scan is under-parallel (see
+    # _util.spread — no-op on a real cluster): the shingle/explode
+    # expressions must sit after the exchange for the spread to help
+    # (measured: 55 s cold at derived sf1 starved vs 7.8 s spread).
+    spread_in = spread(d)
     # array_distinct BEFORE the explode: per-doc dedup is a map-side array
     # op, so no shuffle is spent making (doc_id, shingle) unique.
-    sh = _cache_shingles(
-        d.select(
-            "doc_id",
-            F.explode(F.array_distinct(shingles(F.col("text")))).alias("shingle"),
-        )
+    sh_raw = spread_in.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(F.col("text")))).alias("shingle"),
     )
+    if spread_in is not d:
+        # The CACHED relation narrows back to a data-proportional width:
+        # the heavy compute ran wide once, but the ~8 downstream stages
+        # re-read the cache per query, and at fixture scale 32-partition
+        # stages are pure task-launch overhead (warm sf0.1: 2.2 s at width
+        # 32 vs 1.1 s narrowed). Width scales with the input's optimizer
+        # size estimate (~256 KiB of source text per partition) so larger
+        # corpora keep signature/verify parallelism. On a cluster this
+        # branch never runs — the input was already parallel.
+        dp = d.sparkSession.sparkContext.defaultParallelism
+        est = int(d._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        width = max(2, min(dp, est // (256 * 1024)))
+        sh_raw = sh_raw.repartition(width)
+    sh = _cache_shingles(sh_raw)
     sig = sh.groupBy("doc_id").agg(*_minhash_agg_cols(n_hashes))
     bands = None
     for band in range(n_hashes // band_size):
@@ -314,7 +331,7 @@ DF_CAP = 100  # drop shingles appearing in more docs than this (boilerplate)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    d = t(spark, sf_dir, "documents")
+    d = spread(t(spark, sf_dir, "documents"))
     sh = d.select("doc_id", "lang", F.explode(shingles(F.col("text"))).alias("shingle")).distinct()
     # df-cap before the join: annotate document frequency with a window
     # partitioned exactly like the join key, keep non-boilerplate shingles.
@@ -378,7 +395,7 @@ def _simhash_bit_exprs(engine: str) -> list[str]:
     "document size.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
+    d = spread(t(spark, sf_dir, "documents"))
     toks = d.select("doc_id", F.explode(words(F.col("text"))).alias("tok")).distinct()
     bit_exprs = [F.expr(e).alias(f"s{i}") for i, e in enumerate(_simhash_bit_exprs("spark"))]
     bits = toks.groupBy("doc_id").agg(*bit_exprs)
@@ -455,7 +472,7 @@ _HAM64 = "(" + "+".join(f"bit_count(xor(a.b{k}, b.b{k}))" for k in range(4)) + "
     "the standard production approximation.",
 )
 def dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
+    d = spread(t(spark, sf_dir, "documents"))
     toks = d.select("doc_id", F.explode(words(F.col("text"))).alias("tok")).distinct()
     bit_exprs = [F.expr(e.split(" AS ")[0]).alias(e.split(" AS ")[1]) for e in _simhash64_exprs("spark")]
     bits = toks.groupBy("doc_id").agg(*bit_exprs)
@@ -752,7 +769,7 @@ SPAN_W = 20  # window length in tokens (Lee et al. use 50 BPE tokens)
     "this is the training-data op its crawl output feeds into.",
 )
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
+    d = spread(t(spark, sf_dir, "documents"))
     w = F.filter(F.split("text", r"\s+"), lambda x: x != "")
     tok = d.select("doc_id", w.alias("w")).filter(F.size("w") >= SPAN_W)
     ghs = F.transform(

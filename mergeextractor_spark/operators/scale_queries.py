@@ -9,7 +9,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import t, r4
+from ._util import t, r4, spread
 from .vector_queries import cosine, dot
 
 N_CENTROIDS = 4
@@ -62,7 +62,7 @@ NPROBE = 3  # cells each query probes; recall 0.97 vs brute force on fixtures
     "so each query touches nprobe partitions out of thousands.",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "embeddings")
+    e = spread(t(spark, sf_dir, "embeddings"))
     cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
@@ -183,7 +183,7 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    e = t(spark, sf_dir, "embeddings")
+    e = spread(t(spark, sf_dir, "embeddings"))
     fe = e.select("vec_id", "embedding", array_to_vector("embedding").alias("features"))
     if fe.isEmpty():  # KMeans.fit throws on an empty frame; no vectors → no neighbors
         return spark.createDataFrame(
@@ -338,7 +338,7 @@ def _pq_oracle() -> str:
     "approximation is vs brute-force cosine, bounded in tests/test_ann.py).",
 )
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "embeddings")
+    e = spread(t(spark, sf_dir, "embeddings"))
     sub = F.explode(F.sequence(F.lit(0), F.lit(PQ_SUBS - 1))).alias("sub")
     vsubs = e.select("vec_id", "embedding", sub).select(
         "vec_id", "sub", F.slice("embedding", F.col("sub") * 8 + 1, 8).alias("ve")
@@ -502,7 +502,7 @@ def _ivf_pq_refine_oracle() -> str:
     "tests/test_ann.py.",
 )
 def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "embeddings")
+    e = spread(t(spark, sf_dir, "embeddings"))
     adc = _ivf_pq_adc_scores(e)
     w = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
     return (
@@ -592,7 +592,7 @@ def _ivf_pq_adc_scores(e: DataFrame) -> DataFrame:
     "(ivf_store_write). Composed exact DuckDB oracle end-to-end.",
 )
 def ann_ivf_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "embeddings")
+    e = spread(t(spark, sf_dir, "embeddings"))
     adc = _ivf_pq_adc_scores(e)
     pool = _adc_shortlist(adc)
     # |queries|×pool rows — the pool side is EXPLICITLY broadcast into both
@@ -639,7 +639,7 @@ def ivf_store_write(spark: SparkSession, sf_dir: str, path: str) -> None:
     written under its cell's partition directory (cid=<cell>/...). At
     100 TB this is the index — a probe touches nprobe directories out of
     thousands, and reclustering is a rewrite of moved cells only."""
-    e = t(spark, sf_dir, "embeddings")
+    e = spread(t(spark, sf_dir, "embeddings"))
     cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
@@ -706,7 +706,7 @@ _PROBE_CIDS_MEMO: dict[str, list[int]] = {}
     eager=True,  # construction materializes the store + collects ≤|cells| ids
 )
 def ann_ivf_pq_refine_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "embeddings")
+    e = spread(t(spark, sf_dir, "embeddings"))
     path = ensure_ivf_store(spark, sf_dir)
     if sf_dir not in _PROBE_CIDS_MEMO:
         _, qprobe = _ivf_assign_probe(e)

@@ -14,7 +14,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import t, r4
+from ._util import t, r4, spread
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -156,7 +156,9 @@ _ANN_ORACLE = """
     "for TakeOrdered per query or the LSH-bucketed variant below.",
 )
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "embeddings")
+    # spread: the per-row work (|Q| x dim fused dot/norm aggregates) is the
+    # whole query; a 1-split fixture scan would run it on one core
+    e = spread(t(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )

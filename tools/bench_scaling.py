@@ -78,6 +78,15 @@ QUERIES = [
     "join_asof",
     "events_sessionize",
     "text_quality_score",
+    # round-5 shapes.  dedup_semantic_semdedup is deliberately absent: its
+    # fixture pins K=4 clusters for oracle determinism, so scaling the
+    # corpus under fixed K measures the by-design within-cluster quadratic
+    # — in production the CLUSTER COUNT is the dial (cluster sizes stay
+    # bounded), same as IVF cells.
+    "text_bm25_topk",
+    "text_bpe_merge_candidates",
+    "join_bucketed_colocated",
+    "ann_ivf_pq_refine",
 ]
 
 
