@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..operators._util import t
+from ..operators._util import t, spread
 
 CHUNK_SIZE = 200
 CHUNK_STRIDE = 150
@@ -118,7 +118,8 @@ def extract_sections(docs: DataFrame) -> DataFrame:
     "documents fixture).",
 )
 def extract_section_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return extract_sections(t(spark, sf_dir, "documents"))
+    # spread: chunk explode + per-chunk scoring is the heavy map stage
+    return extract_sections(spread(t(spark, sf_dir, "documents")))
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
