@@ -75,22 +75,43 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "codegen stage.",
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # STAGED projections, not one flat select: the flat form inlined the
+    # tokenizer split into every ratio and r4() triplicates its argument
+    # (signum × floor-abs), so each row evaluated the split ~12× and the
+    # regex ~6× — interpreted higher-order functions, no codegen CSE.
+    # Staging materializes each non-cheap expression once per row;
+    # Catalyst's CollapseProject keeps the stages separate exactly because
+    # the aliases are non-cheap and referenced more than once. Same output
+    # values, same oracle.
     txt = F.col("text")
-    n_chars = F.length(txt)
-    toks = _tokens(txt)
-    stop_hits = F.filter(toks, lambda x: x.isin(EN_STOPWORDS))
-    punct_ratio = F.when(n_chars == 0, F.lit(0.0)).otherwise(
-        (n_chars - F.length(F.regexp_replace(txt, "[^a-zA-Z0-9 ]", ""))).cast("double") / n_chars
+    staged = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length(txt).alias("_nc"),
+        F.size(_tokens(txt)).alias("_ntok"),
+        F.size(F.filter(_tokens(txt), lambda x: x.isin(EN_STOPWORDS))).alias("_nstop"),
+        F.length(F.regexp_replace(txt, "[^a-zA-Z0-9 ]", "")).alias("_nclean"),
     )
-    stop_ratio = F.size(stop_hits).cast("double") / F.greatest(F.size(toks), F.lit(1))
+    n_chars = F.col("_nc")
+    punct_ratio = F.when(n_chars == 0, F.lit(0.0)).otherwise(
+        (n_chars - F.col("_nclean")).cast("double") / n_chars
+    )
+    stop_ratio = F.col("_nstop").cast("double") / F.greatest(F.col("_ntok"), F.lit(1))
     quality = F.least(n_chars / 1000.0, F.lit(1.0)) * 0.5 + (1.0 - punct_ratio) * 0.5
-    return t(spark, sf_dir, "documents").select(
+    ratios = staged.select(
         "doc_id",
         n_chars.cast("long").alias("n_chars_actual"),
-        F.size(toks).cast("long").alias("n_tokens"),
-        r4(punct_ratio).alias("punct_ratio"),
-        r4(stop_ratio).alias("stopword_ratio"),
-        r4(quality).alias("quality"),
+        F.col("_ntok").cast("long").alias("n_tokens"),
+        punct_ratio.alias("_pr"),
+        stop_ratio.alias("_sr"),
+        quality.alias("_q"),
+    )
+    return ratios.select(
+        "doc_id",
+        "n_chars_actual",
+        "n_tokens",
+        r4(F.col("_pr")).alias("punct_ratio"),
+        r4(F.col("_sr")).alias("stopword_ratio"),
+        r4(F.col("_q")).alias("quality"),
     )
 
 
