@@ -95,6 +95,34 @@ def source_http_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_pyds_fts",
+    oracle=None,  # network-source seam → rows-only (hermetic synthetic fetcher)
+    doc="Paged FTS ingestion as a Spark 4 PYTHON DATA SOURCE "
+    "(sources/fts_datasource.py): spark.read.format('fts_pages') plans "
+    "one input partition per page slice, so crawl pagination fans out "
+    "across executors with scheduler-owned retries instead of a "
+    "driver-side loop — the DataFrame-native form of the reference's "
+    "FTS pager (ref CrawlerSupport.py:116-132). Per-partition token "
+    "bucket at global-rate/slices, injectable fetcher resolved lazily "
+    "on the executor; the default synthesizes deterministic rows so "
+    "nothing touches the network.",
+)
+def source_pyds_fts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.fts_datasource import register_fts_datasource
+
+    register_fts_datasource(spark)
+    return (
+        spark.read.format("fts_pages")
+        .option("pages", "6")
+        .option("pagesize", "20")
+        .option("slices", "3")
+        .option("rate", "1000")
+        .option("query", "background of the merger")
+        .load()
+    )
+
+
+@register(
     "sink_csv_append",
     oracle=None,  # side-effecting sink → write-then-read-back rows-only
     doc="Ordered CSV sink with header (output.csv semantics, ref "

@@ -155,6 +155,7 @@ _ROWS_ONLY_ORDER: tuple[str, ...] = (
     "pipeline_crawler", "pipeline_separator", "ann_ivf_trained",
     "agg_percentile_approx", "dedup_bloom_prefilter",
     "text_compression_ratio", "events_approx_distinct",
+    "source_pyds_fts",
     # first driver rows recorded in CORRECTNESS_r04 — re-check last
     "sink_csv_append", "sink_csv_union", "sink_kv_store", "scan_kv_store",
 )

@@ -49,3 +49,37 @@ def test_edgar_params_pushdown_by_construction():
     assert "CyBear%20Inc" in url
     assert "startdt=2001-06-01" in url and "enddt=2002-02-01" in url
     assert "forms=PREM14A%2CS-4" in url
+
+
+def test_fts_pages_datasource(spark):
+    """The Spark 4 Python DataSource plans one input partition per page
+    slice, reads deterministically, and honors the injectable-fetcher
+    option contract."""
+    from mergeextractor_spark.sources.fts_datasource import (
+        FtsPagesReader,
+        register_fts_datasource,
+        synthetic_fetch_page,
+    )
+
+    register_fts_datasource(spark)
+    df = (
+        spark.read.format("fts_pages")
+        .option("pages", "6").option("pagesize", "20").option("slices", "3")
+        .option("rate", "1000").option("query", "merger")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3  # one per page slice
+    rows = df.collect()
+    assert len(rows) == 6 * 20
+    # deterministic content: row (page, idx) matches the synthetic fetcher
+    want = synthetic_fetch_page("merger", 3, 20)[7]
+    got = [r for r in rows if r.page == 3 and r.idx == 7][0]
+    assert got.doc_url == want["doc_url"] and got.title == want["title"]
+    # re-registration is idempotent; reads are stable across plans
+    register_fts_datasource(spark)
+    assert df.count() == 120
+
+    # partition math covers ragged tails
+    r = FtsPagesReader({"pages": "7", "slices": "3"})
+    parts = r.partitions()
+    assert [(p.start, p.end) for p in parts] == [(0, 3), (3, 6), (6, 7)]
