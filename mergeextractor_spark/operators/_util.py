@@ -41,7 +41,25 @@ def spread(df: DataFrame) -> DataFrame:
     is added. Only opt-in for operators whose per-row compute dominates —
     pure column-pruned scans and cheap filters keep their single-stage,
     Exchange-free plans (pinned in tests/test_plans.py).
+
+    Construction must stay LAZY: under AQE, ``df.rdd`` on a plan that
+    contains shuffles executes those stages at DataFrame-construction
+    time (round-5 review — view registration re-ran the curation
+    flagship's upstream just to read a partition count). A composed
+    input already has shuffle-width parallelism and needs no spread, so
+    any plan with a shuffle-introducing node short-circuits BEFORE the
+    ``df.rdd`` partition probe; only pure scan/project/filter/generate
+    lineages (where .rdd runs no job) reach it.
     """
+    plan = df._jdf.queryExecution().analyzed().toString()
+    if any(
+        node in plan
+        for node in (
+            "Aggregate [", "Join ", "Window [", "Sort [",
+            "Repartition", "Deduplicate", "GlobalLimit",
+        )
+    ):
+        return df
     dp = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < max(dp // 2, 2):
         return df.repartition(dp)

@@ -663,12 +663,33 @@ def ivf_store_probe(
     return reader.parquet(path).filter(F.col("cid").isin(cids))
 
 
+def _source_mtime(sf_dir: str, names: tuple[str, ...]) -> float:
+    """Newest mtime across the given fixture parquet files/dirs — the
+    freshness stamp for derived on-disk artifacts (bucketed tables, IVF
+    stores, memoized probe lists). Round-5 review: a path-only guard
+    silently served STALE derived data after fixtures were regenerated
+    in place (e.g. bench_scaling --rebuild)."""
+    import os
+
+    newest = 0.0
+    for n in names:
+        p = os.path.join(sf_dir, f"{n}.parquet")
+        if os.path.isfile(p):
+            newest = max(newest, os.path.getmtime(p))
+        elif os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                for f in files:
+                    newest = max(newest, os.path.getmtime(os.path.join(root, f)))
+    return newest
+
+
 def ensure_ivf_store(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the cid-partitioned IVF store once per (warehouse,
     sf_dir) with the same location-aware discipline as
-    write_bucketed_tables: a complete dir (_SUCCESS present) is reused
-    as-is across sessions; a husk from an interrupted write is cleared
-    and rewritten."""
+    write_bucketed_tables: a complete dir (_SUCCESS present, newer than
+    the source fixtures) is reused as-is across sessions; a husk from an
+    interrupted write — or a store older than regenerated fixtures — is
+    cleared and rewritten."""
     import hashlib
     import os
     import shutil
@@ -676,16 +697,21 @@ def ensure_ivf_store(spark: SparkSession, sf_dir: str) -> str:
     suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     path = os.path.join(wh, f"ivf_store_{suffix}")
-    if not (os.path.isdir(path) and os.path.isfile(os.path.join(path, "_SUCCESS"))):
+    success = os.path.join(path, "_SUCCESS")
+    fresh = os.path.isfile(success) and os.path.getmtime(success) >= _source_mtime(
+        sf_dir, ("embeddings",)
+    )
+    if not fresh:
         shutil.rmtree(path, ignore_errors=True)
         ivf_store_write(spark, sf_dir, path)
     return path
 
 
 # Probed-cid lists are a pure function of the fixture data (deterministic
-# codebook), so they are memoized per sf_dir — repeat constructions in a
-# session (benchmark loops, view re-registration) skip the collect job.
-_PROBE_CIDS_MEMO: dict[str, list[int]] = {}
+# codebook), so they are memoized per (sf_dir, source mtime) — repeat
+# constructions in a session (benchmark loops) skip the collect job, and
+# regenerated fixtures miss the memo instead of serving stale cells.
+_PROBE_CIDS_MEMO: dict[tuple[str, float], list[int]] = {}
 
 
 @register(
@@ -708,12 +734,13 @@ _PROBE_CIDS_MEMO: dict[str, list[int]] = {}
 def ann_ivf_pq_refine_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spread(t(spark, sf_dir, "embeddings"))
     path = ensure_ivf_store(spark, sf_dir)
-    if sf_dir not in _PROBE_CIDS_MEMO:
+    memo_key = (sf_dir, _source_mtime(sf_dir, ("embeddings",)))
+    if memo_key not in _PROBE_CIDS_MEMO:
         _, qprobe = _ivf_assign_probe(e)
-        _PROBE_CIDS_MEMO[sf_dir] = sorted(
+        _PROBE_CIDS_MEMO[memo_key] = sorted(
             r.cid for r in qprobe.select("cid").distinct().collect()
         )
-    cids = _PROBE_CIDS_MEMO[sf_dir]
+    cids = _PROBE_CIDS_MEMO[memo_key]
     pool = _adc_shortlist(_ivf_pq_adc_scores(e))
     qe = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
@@ -768,12 +795,15 @@ def write_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     sessions while the managed location persists on disk, so the guard is
     location-aware, not catalog-only —
       * catalog has the table          -> reuse as-is;
-      * location complete on disk      -> register an EXTERNAL bucketed
+      * location complete AND fresh    -> register an EXTERNAL bucketed
         table over it (bucket ids live in the file names, so the catalog
         entry restores the zero-Exchange plan without rewriting a byte);
-      * location missing / incomplete  -> clear the husk and rewrite.
+      * location missing / incomplete / OLDER than the source fixtures
+        (regenerated in place, e.g. bench_scaling --rebuild)
+                                       -> clear and rewrite.
     An interrupted write therefore self-heals on the next call instead of
-    raising LOCATION_ALREADY_EXISTS forever.
+    raising LOCATION_ALREADY_EXISTS forever, and stale clusterings can
+    never serve a regenerated fixture's query (round-5 review).
     """
     import hashlib
     import os
@@ -791,9 +821,13 @@ def write_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         if spark.catalog.tableExists(name):
             continue
         loc = os.path.join(wh, name)
-        complete = os.path.isdir(loc) and os.path.isfile(
-            os.path.join(loc, "_SUCCESS")
-        ) and any(f.endswith(".parquet") for f in os.listdir(loc))
+        success = os.path.join(loc, "_SUCCESS")
+        complete = (
+            os.path.isdir(loc)
+            and os.path.isfile(success)
+            and any(f.endswith(".parquet") for f in os.listdir(loc))
+            and os.path.getmtime(success) >= _source_mtime(sf_dir, (src,))
+        )
         if complete:
             ddl = _bucket_ddl(spark.read.parquet(loc).schema)
             spark.sql(

@@ -80,8 +80,7 @@ class FtsPagesReader(DataSourceReader):
         # Runs on the executor: lazy fetcher resolution + per-partition
         # token bucket at the global rate divided across slices (the same
         # translation of a cross-process limiter as http.fetch_stage).
-        n_parts = max(1, math.ceil(self.pages / max(1, math.ceil(self.pages / self.slices))))
-        bucket = TokenBucket(max(self.rate / n_parts, 0.1))
+        bucket = TokenBucket(max(self.rate / len(self.partitions()), 0.1))
         fetch = _load_fetcher(self.fetcher_spec)
         for page in range(partition.start, partition.end):
             bucket.wait()

@@ -29,7 +29,11 @@ class TokenBucket:
 
     def __init__(self, rate: float, capacity: float | None = None):
         self.rate = rate
-        self.capacity = capacity if capacity is not None else rate
+        # capacity must admit at least ONE whole token: with capacity =
+        # rate < 1 (a sub-1/sec global rate split across partitions),
+        # wait() caps tokens below 1 and can never hand one out — every
+        # task would spin forever (caught in round-5 review).
+        self.capacity = max(capacity if capacity is not None else rate, 1.0)
         self.tokens = self.capacity
         self.last = time.monotonic()
 

@@ -83,3 +83,24 @@ def test_fts_pages_datasource(spark):
     r = FtsPagesReader({"pages": "7", "slices": "3"})
     parts = r.partitions()
     assert [(p.start, p.end) for p in parts] == [(0, 3), (3, 6), (6, 7)]
+
+
+def test_token_bucket_sub_unit_rate_terminates(monkeypatch):
+    """A per-partition rate below 1/sec (a small global budget split
+    across many partitions) must still hand out tokens: capacity clamps
+    to >= 1 so wait() terminates (round-5 review — capacity=rate<1 could
+    never accumulate a full token and spun forever). Fake clock: no real
+    sleeping."""
+    import mergeextractor_spark.sources.http as http
+
+    clock = {"t": 0.0}
+    monkeypatch.setattr(http.time, "monotonic", lambda: clock["t"])
+    monkeypatch.setattr(
+        http.time, "sleep", lambda s: clock.__setitem__("t", clock["t"] + s)
+    )
+    bucket = http.TokenBucket(rate=0.25)
+    assert bucket.capacity >= 1.0
+    for _ in range(3):  # three sequential acquisitions, each terminates
+        bucket.wait()
+    # total simulated wait for 2 post-burst tokens at 0.25/s is ~8s
+    assert clock["t"] >= 7.0
