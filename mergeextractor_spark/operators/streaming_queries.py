@@ -113,6 +113,34 @@ def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_hll_daily_union",
+    oracle=None,  # sketch bytes/estimates are engine-specific → rows-only
+    doc="PERSISTABLE distinct-count sketches via Spark 4's DataSketches "
+    "HLL functions: one hll_sketch_agg(user_id) per day, re-aggregated "
+    "with hll_union_agg for the overall count (day IS NULL row). This is "
+    "the 100 TB cube trick approx_count_distinct alone cannot do — "
+    "per-partition sketches are STORED once and re-unioned for any "
+    "rollup (daily → monthly → lifetime) without rescanning events; "
+    "distinct counts become additive. Estimate-vs-exact error bounded "
+    "in tests/test_streaming.py; rows-only by design.",
+)
+def agg_hll_daily_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    per_day = daily.select(
+        "day", F.hll_sketch_estimate("sk").cast("bigint").alias("est_users")
+    )
+    total = daily.agg(F.hll_union_agg("sk").alias("u")).select(
+        F.lit(None).cast("date").alias("day"),
+        F.hll_sketch_estimate("u").cast("bigint").alias("est_users"),
+    )
+    return per_day.unionByName(total)
+
+
 SLIDE_SEC = 300
 SLIDE_WINDOW_SEC = 600
 

@@ -155,18 +155,18 @@ _ROWS_ONLY_ORDER: tuple[str, ...] = (
     "pipeline_crawler", "pipeline_separator", "ann_ivf_trained",
     "agg_percentile_approx", "dedup_bloom_prefilter",
     "text_compression_ratio", "events_approx_distinct",
-    "source_pyds_fts",
+    "source_pyds_fts", "agg_hll_daily_union",
     # first driver rows recorded in CORRECTNESS_r04 — re-check last
     "sink_csv_append", "sink_csv_union", "sink_kv_store", "scan_kv_store",
 )
 
 # Number of previously-green keys re-checked per round.  Sampled
 # deterministically from _DRIVER_GREEN seeded by _ROUND so a regression in
-# r01-era code cannot stay invisible forever.  7 this round: 16 rotation
-# keys + 27 never-evidenced rows-only keys (the r5-added source_pyds_fts
-# joined the backlog) + 7 canaries = the 50-key window the driver
-# demonstrably covers.
-_CANARY_SLOTS: int = 7
+# r01-era code cannot stay invisible forever.  6 this round: 16 rotation
+# keys + 28 never-evidenced rows-only keys (the r5-added source_pyds_fts
+# and agg_hll_daily_union joined the backlog) + 6 canaries = the 50-key
+# window the driver demonstrably covers.
+_CANARY_SLOTS: int = 6
 
 
 def canary_keys(round_no: int = _ROUND) -> tuple[str, ...]:
@@ -184,10 +184,10 @@ def load_all() -> dict[str, Query]:
     (VERDICT r4 "Next round" item 3):
       1. the 16 oracle-paired keys never covered by a CORRECTNESS round,
          in ``_ROTATION_FIRST`` order (the two just-fixed keys first);
-      2. the 27 rows-only keys with no driver evidence yet, highest
+      2. the 28 rows-only keys with no driver evidence yet, highest
          impact first — after this round every registered key has
          appeared in some CORRECTNESS file;
-      3. 7 canary re-checks of previously-green keys (seeded by round);
+      3. 6 canary re-checks of previously-green keys (seeded by round);
       4. the 4 rows-only keys whose first driver rows landed in r04;
       5. oracle-paired keys registered after the r05 snapshot;
       6. the remaining already-green keys.

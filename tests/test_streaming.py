@@ -183,3 +183,27 @@ def test_session_window_stream_matches_batch_sessions(spark):
         for r in events_session_stats(spark, SF).collect()
     }
     assert s == b
+
+
+def test_hll_daily_union_bounds_error(spark):
+    """DataSketches HLL: per-day estimates and the re-unioned total must
+    sit within 5% of exact distinct counts, and the union row must cover
+    every day (sketches are additive — the 100 TB rollup property)."""
+    from mergeextractor_spark.registry import load_all
+    import pyspark.sql.functions as F
+    from mergeextractor_spark.sources.fixtures import table
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.day: r.est_users for r in load_all()["agg_hll_daily_union"].spark(spark, sf).collect()}
+    e = table(spark, sf, "events")
+    exact_daily = {
+        r.day: r.n
+        for r in e.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact_total = e.select("user_id").distinct().count()
+    assert set(got) == set(exact_daily) | {None}
+    for day, n in exact_daily.items():
+        assert abs(got[day] - n) <= max(0.05 * n, 2), (day, got[day], n)
+    assert abs(got[None] - exact_total) <= max(0.05 * exact_total, 2)
