@@ -552,6 +552,21 @@ def _ivf_pq_adc_scores(e: DataFrame) -> DataFrame:
         .select("qid", "vec_id")
     )
     # PQ encode + query lookup tables (same flow as ann_pq_topk)
+    _vsubs, _pcents, vdots, codes = _pq_encode_parts(e)
+    qlook = _pq_query_lookup(vdots)
+    return (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(qlook), ["qid", "sub", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("qd").alias("score"))
+    )
+
+
+def _pq_encode_parts(
+    e: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Shared PQ encode stage: (vsubs, pcents, vdots, codes) — consumed by
+    the per-query ADC scorer and the ingest-time codes-store writer."""
     sub = F.explode(F.sequence(F.lit(0), F.lit(PQ_SUBS - 1))).alias("sub")
     vsubs = e.select("vec_id", "embedding", sub).select(
         "vec_id", "sub", F.slice("embedding", F.col("sub") * 8 + 1, 8).alias("ve")
@@ -567,14 +582,15 @@ def _ivf_pq_adc_scores(e: DataFrame) -> DataFrame:
     codes = vdots.groupBy("vec_id", "sub").agg(
         F.expr("max_by(code, struct(d, -code))").alias("code")
     )
-    qlook = vdots.filter(F.col("vec_id") < N_QUERIES).select(
+    return vsubs, pcents, vdots, codes
+
+
+def _pq_query_lookup(vdots: DataFrame) -> DataFrame:
+    """Per-query (qid, sub, code, qd) ADC lookup table — |queries|×subs×
+    codes rows; the query filter pushes below the encode join, so only
+    the query vectors' subspaces are scored."""
+    return vdots.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), "sub", "code", F.col("d").alias("qd")
-    )
-    return (
-        cand.join(codes, "vec_id")
-        .join(F.broadcast(qlook), ["qid", "sub", "code"])
-        .groupBy("qid", "vec_id")
-        .agg(F.sum("qd").alias("score"))
     )
 
 
@@ -714,6 +730,18 @@ def ensure_ivf_store(spark: SparkSession, sf_dir: str) -> str:
 _PROBE_CIDS_MEMO: dict[tuple[str, float], list[int]] = {}
 
 
+def _probed_cids(e: DataFrame, sf_dir: str) -> list[int]:
+    """Distinct cells probed by the query set — driver-side, bounded by
+    the CELL count (never the corpus), memoized per (sf_dir, mtime)."""
+    memo_key = (sf_dir, _source_mtime(sf_dir, ("embeddings",)))
+    if memo_key not in _PROBE_CIDS_MEMO:
+        _, qprobe = _ivf_assign_probe(e)
+        _PROBE_CIDS_MEMO[memo_key] = sorted(
+            r.cid for r in qprobe.select("cid").distinct().collect()
+        )
+    return _PROBE_CIDS_MEMO[memo_key]
+
+
 @register(
     "ann_ivf_pq_refine_probe",
     oracle=_ivf_pq_refine_oracle(),
@@ -734,13 +762,7 @@ _PROBE_CIDS_MEMO: dict[tuple[str, float], list[int]] = {}
 def ann_ivf_pq_refine_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spread(t(spark, sf_dir, "embeddings"))
     path = ensure_ivf_store(spark, sf_dir)
-    memo_key = (sf_dir, _source_mtime(sf_dir, ("embeddings",)))
-    if memo_key not in _PROBE_CIDS_MEMO:
-        _, qprobe = _ivf_assign_probe(e)
-        _PROBE_CIDS_MEMO[memo_key] = sorted(
-            r.cid for r in qprobe.select("cid").distinct().collect()
-        )
-    cids = _PROBE_CIDS_MEMO[memo_key]
+    cids = _probed_cids(e, sf_dir)
     pool = _adc_shortlist(_ivf_pq_adc_scores(e))
     qe = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
@@ -878,4 +900,94 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
         )
         .filter(F.col("n_lines") >= 4)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stored-codes IVF+PQ: encode ONCE at ingest, query against the store.
+
+def pq_codes_write(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Persist the PQ codes table (vec_id, sub, code) with each vector's
+    IVF cell as the partition key — the ingest half of production ANN:
+    the corpus is encoded exactly once, and a query's probe reads only
+    its cells' code directories (8 bytes/vector/subspace, not raw
+    floats)."""
+    e = spread(t(spark, sf_dir, "embeddings"))
+    assign, _ = _ivf_assign_probe(e)
+    _vs, _pc, _vd, codes = _pq_encode_parts(e)
+    codes.join(assign, "vec_id").write.mode("overwrite").partitionBy("cid").parquet(path)
+
+
+def ensure_pq_store(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the cid-partitioned PQ codes store once per
+    (warehouse, sf_dir), with the same complete-and-fresh guard as
+    ensure_ivf_store."""
+    import hashlib
+    import os
+    import shutil
+
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    path = os.path.join(wh, f"pq_codes_{suffix}")
+    success = os.path.join(path, "_SUCCESS")
+    fresh = os.path.isfile(success) and os.path.getmtime(success) >= _source_mtime(
+        sf_dir, ("embeddings",)
+    )
+    if not fresh:
+        shutil.rmtree(path, ignore_errors=True)
+        pq_codes_write(spark, sf_dir, path)
+    return path
+
+
+@register(
+    "ann_ivf_pq_stored",
+    oracle=_ivf_pq_oracle(),
+    doc=f"IVF+PQ against the PERSISTED codes store — the query-time half "
+    "of production ANN: ann_ivf_pq encodes the corpus inside every query "
+    "(honest fixture form), while here the codes were written ONCE at "
+    "ingest (pq_codes_write, cid-partitioned) and the query only (a) "
+    "probes its cells via a partition-pruned scan of the codes store, "
+    "(b) scores candidates with a broadcast "
+    f"{N_QUERIES}×{PQ_SUBS}×{PQ_CODES} query-lookup table, (c) takes "
+    "per-query top-k. Identical answers to ann_ivf_pq (same composed "
+    "DuckDB oracle) — the store is a layout, not a semantics change. At "
+    "100 TB this is the difference between re-encoding petabytes per "
+    "query and reading kilobytes of codes per probed cell.",
+    eager=True,  # construction materializes the store + collects ≤|cells| ids
+)
+def ann_ivf_pq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    e = spread(t(spark, sf_dir, "embeddings"))
+    path = ensure_pq_store(spark, sf_dir)
+    cids = _probed_cids(e, sf_dir)
+    store_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("sub", T.IntegerType()),
+            T.StructField("code", T.LongType()),
+            T.StructField("cid", T.LongType()),
+        ]
+    )
+    codes = ivf_store_probe(spark, path, cids, schema=store_schema)
+    _, qprobe = _ivf_assign_probe(e)
+    _vs, _pc, vdots, _codes = _pq_encode_parts(e)
+    qlook = _pq_query_lookup(vdots)
+    scored = (
+        codes.join(F.broadcast(qprobe), "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .join(F.broadcast(qlook), ["qid", "sub", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("qd").alias("score"))
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            r4(F.col("score")).alias("adc_dot"),
+            F.col("rn").cast("bigint").alias("rank"),
+        )
     )
