@@ -60,6 +60,7 @@ HEADLINE = [
     # round 5 additions
     "join_bucketed_colocated",   # zero-Exchange fact join (ingest shuffle paid once, in the warm run)
     "ann_ivf_pq_refine_probe",   # refine through the partition-pruned IVF store
+    "ann_ivf_pq_stored",         # query vs ingest-encoded codes store (vs ann_ivf_pq's per-query encode)
     "text_bm25_topk",            # sparse-retrieval scoring battery
 ]
 
