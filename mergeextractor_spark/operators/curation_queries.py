@@ -820,9 +820,20 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rounded copies are emitted for inspection.",
 )
 def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Tokenize ONCE in a separate projection: a flat select would inline
+    # the whitespace split into every rule (~5 interpreted evaluations
+    # per row); the staged alias is non-cheap and multiply referenced, so
+    # CollapseProject keeps the stages apart (same lesson as
+    # text_quality_score). Same values, same oracle, still zero shuffles.
     d = t(spark, sf_dir, "documents")
-    w = F.filter(F.split("text", r"\s+"), lambda x: x != "")
-    lines = F.split("text", "\n")
+    tok = d.select(
+        "doc_id",
+        "text",
+        F.filter(F.split("text", r"\s+"), lambda x: x != "").alias("_w"),
+        F.split("text", "\n").alias("_lines"),
+    )
+    w = F.col("_w")
+    lines = F.col("_lines")
     n_words = F.size(w)
     denom_w = F.greatest(n_words, F.lit(1))
     mean_word_len = (
@@ -849,7 +860,7 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double")
         / denom_w
     )
-    feats = d.select(
+    feats = tok.select(
         "doc_id",
         n_words.cast("bigint").alias("n_words"),
         mean_word_len.alias("_mwl"),
