@@ -41,14 +41,22 @@ def _tokens(col):
     "Pure array expressions — one scan, zero shuffles.",
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # staged: tokenize once, derive the ratio once (flat form re-inlined
+    # the split per reference — see text_quality_score for the lesson)
     toks = _tokens(F.col("text"))
-    hits = F.filter(toks, lambda x: x.isin(EN_STOPWORDS))
-    ratio = F.size(hits).cast("double") / F.greatest(F.size(toks), F.lit(1))
-    return t(spark, sf_dir, "documents").select(
+    staged = t(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
-        r4(ratio).alias("en_ratio"),
-        F.when(ratio > 0.05, "en").otherwise("other").alias("pred_lang"),
+        F.size(F.filter(toks, lambda x: x.isin(EN_STOPWORDS))).alias("_nstop"),
+        F.size(toks).alias("_ntok"),
+    )
+    ratio = F.col("_nstop").cast("double") / F.greatest(F.col("_ntok"), F.lit(1))
+    ratios = staged.select("doc_id", "lang", ratio.alias("_ratio"))
+    return ratios.select(
+        "doc_id",
+        "lang",
+        r4(F.col("_ratio")).alias("en_ratio"),
+        F.when(F.col("_ratio") > 0.05, "en").otherwise("other").alias("pred_lang"),
     )
 
 

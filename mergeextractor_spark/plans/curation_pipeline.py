@@ -244,11 +244,14 @@ def curation_pipeline_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= CAP_V2)
         .drop("rn")
     )
+    # tokenize once per row (staged projection — the flat form evaluated
+    # the split twice, for n_tokens and n_types; see text_quality_score)
     toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
-    scored = capped.select(
+    tokenized = capped.select("doc_id", "source", "lang", "text", toks.alias("_toks"))
+    scored = tokenized.select(
         "doc_id", "source", "lang", "text",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_types"),
+        F.size("_toks").alias("n_tokens"),
+        F.size(F.array_distinct("_toks")).alias("n_types"),
     )
     ttr = F.col("n_types").cast("double") / F.greatest(F.col("n_tokens"), F.lit(1))
     gated = scored.filter(ttr >= TTR_FLOOR)
