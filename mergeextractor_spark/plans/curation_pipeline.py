@@ -143,15 +143,23 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scrubbed = d.select("doc_id", "lang", scrub.alias("text"))
 
+    # staged: tokenize once per row (the flat select re-inlined the split
+    # into every size/ratio reference — see text_quality_score)
     toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
-    stop_hits = F.filter(toks, lambda x: x.isin(EN_STOPWORDS))
-    stats = scrubbed.select(
+    tokstats = scrubbed.select(
         "doc_id",
         "lang",
         "text",
-        F.size(toks).alias("n_tokens"),
+        F.size(toks).alias("_ntok"),
+        F.size(F.filter(toks, lambda x: x.isin(EN_STOPWORDS))).alias("_nstop"),
+    )
+    stats = tokstats.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.col("_ntok").alias("n_tokens"),
         r4(
-            F.size(stop_hits).cast("double") / F.greatest(F.size(toks), F.lit(1))
+            F.col("_nstop").cast("double") / F.greatest(F.col("_ntok"), F.lit(1))
         ).alias("stopword_ratio"),
     )
     floored = stats.filter(F.col("n_tokens") >= TOKEN_FLOOR)
