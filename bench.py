@@ -103,6 +103,10 @@ def main() -> None:
                 "stdev": stdevs,
                 "runs_per_query": n_runs,
                 "sf": sf,
+                # host context: a uniform shift across unrelated queries is
+                # the box, not the code (PERFORMANCE.md box-drift caveat)
+                "load_avg_1m": round(os.getloadavg()[0], 2),
+                "uptime_s": round(time.clock_gettime(time.CLOCK_BOOTTIME)),
             }
         )
     )
