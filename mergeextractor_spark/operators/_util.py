@@ -52,7 +52,10 @@ def spread(df: DataFrame) -> DataFrame:
     lineages (where .rdd runs no job) reach it.
     """
     try:
-        return _SPREAD_MEMO[df]
+        hit = _SPREAD_MEMO[df]
+        # None encodes "df itself": storing df as its own value would pin
+        # the weak key alive forever (value holds a strong ref to key)
+        return df if hit is None else hit
     except KeyError:
         pass
     plan = df._jdf.queryExecution().analyzed().toString()
@@ -70,7 +73,7 @@ def spread(df: DataFrame) -> DataFrame:
             out = df.repartition(dp)
         else:
             out = df
-    _SPREAD_MEMO[df] = out
+    _SPREAD_MEMO[df] = None if out is df else out
     return out
 
 
