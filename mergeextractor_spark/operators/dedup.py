@@ -801,3 +801,133 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_windows").cast("bigint").alias("total_windows"),
         r4(F.col("dup_windows") * 1.0 / F.col("total_windows")).alias("dup_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level dedup (CCNet, Wenzek et al. 2020): drop every repeated
+# paragraph except its first occurrence and REBUILD the cleaned document —
+# the transform CCNet applies to Common Crawl before language modeling.
+# Differs from dedup_substring_spans (which only REPORTS overlapping
+# window stats) in that the unit is a disjoint paragraph and the output
+# is the rewritten corpus.
+
+PARA_TOKENS = 30  # fixture paragraphizer: disjoint 30-token blocks
+
+
+def paragraph_dedup(paras: DataFrame, join_sep: str) -> DataFrame:
+    """Core keep-first paragraph dedup over ``paras(doc_id, pos, para)``.
+
+    "First" is the (doc_id, pos)-lexicographic earliest occurrence of the
+    paragraph's normalized hash — deterministic under retries. Returns one
+    row per document: the text rebuilt from its kept paragraphs in order,
+    plus kept/dropped counts.
+
+    Scale shape (100 TB): the duplicate-hash table is built with a
+    map-side-combinable ``min(struct(doc_id, pos))`` aggregate (no window
+    over the full corpus) and FILTERED to hashes with count > 1 before the
+    join back — on a mostly-clean corpus that side is proportional to the
+    duplicated content only, so AQE broadcasts it; paragraph text crosses
+    the wire once for the rebuild groupBy, which is inherent to emitting
+    rewritten documents.
+    """
+    keyed = paras.withColumn("h", F.md5(F.lower(F.col("para"))))
+    dups = (
+        keyed.groupBy("h")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("first"), F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .select("h", "first")
+    )
+    flagged = keyed.join(dups, "h", "left").withColumn(
+        "keep",
+        F.col("first").isNull() | (F.struct("doc_id", "pos") == F.col("first")),
+    )
+    kept_sorted = F.array_sort(
+        F.collect_list(F.when(F.col("keep"), F.struct("pos", "para")))
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.concat_ws(join_sep, F.transform(kept_sorted, lambda x: x["para"])).alias(
+            "clean_text"
+        ),
+        F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+        F.sum((~F.col("keep")).cast("bigint")).alias("n_dropped"),
+    )
+
+
+def paragraph_dedup_df(d: DataFrame, *, delim: str = "\n") -> DataFrame:
+    """Production form: paragraphs are ``delim``-separated spans of the
+    ``text`` column (CCNet's unit is the newline-separated paragraph).
+    Blank paragraphs are dropped before hashing so runs of delimiters
+    cannot alias each other."""
+    paras = (
+        d.select(
+            "doc_id", F.posexplode(F.split("text", delim)).alias("pos0", "para")
+        )
+        .filter(F.trim("para") != "")
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "para")
+    )
+    return paragraph_dedup(paras, delim)
+
+
+@register(
+    "dedup_paragraph",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+      FROM documents
+    ),
+    blk AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(1, CAST(ceil(len(ws) / {PARA_TOKENS}.0) AS BIGINT)) + 1),
+               i -> struct_pack(
+                 pos := i,
+                 para := array_to_string(ws[(i-1)*{PARA_TOKENS}+1 : i*{PARA_TOKENS}], ' ')
+               ))) AS u
+      FROM tok
+    ),
+    paras AS (
+      SELECT doc_id, u.pos AS pos, u.para AS para, md5(lower(u.para)) AS h FROM blk
+    ),
+    flag AS (
+      SELECT doc_id, pos, para,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) = 1 AS keep
+      FROM paras
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN keep THEN para END, ' ' ORDER BY pos), '')
+             AS clean_text,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+    FROM flag GROUP BY doc_id
+    """,
+    doc="CCNet-style paragraph dedup (Wenzek et al. 2020): every repeated "
+    "paragraph keeps only its (doc_id, pos)-first occurrence and each "
+    "document is rebuilt from its surviving paragraphs in order, with "
+    f"kept/dropped counts. The fixture corpus has no newlines, so the "
+    f"registered query paragraphizes into disjoint {PARA_TOKENS}-token "
+    "blocks (paragraph_dedup_df is the delimiter-split production form "
+    "over real corpora; both share the paragraph_dedup core). Keep-first "
+    "is a map-side-combinable min(struct) aggregate filtered to count>1 "
+    "hashes — not a corpus-wide window — so the join-back side scales "
+    "with the duplicated mass, not the corpus.",
+)
+def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(t(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", words(F.col("text")).alias("ws"))
+    blocks = F.transform(
+        F.sequence(
+            F.lit(1),
+            F.greatest(
+                F.lit(1), F.ceil(F.size("ws") / F.lit(float(PARA_TOKENS))).cast("int")
+            ),
+        ),
+        lambda i: F.concat_ws(
+            " ",
+            F.slice(F.col("ws"), (i - F.lit(1)) * PARA_TOKENS + F.lit(1), PARA_TOKENS),
+        ),
+    )
+    paras = tok.select(
+        "doc_id", F.posexplode(blocks).alias("pos0", "para")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "para")
+    return paragraph_dedup(paras, " ")

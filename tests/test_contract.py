@@ -34,10 +34,10 @@ def test_every_oracle_key_has_a_query(spark):
 def test_gate_window_rotation_order():
     """The driver walks queries() in order under a wall-clock budget that
     historically covers ~50 keys per round.  The r05 rotation (VERDICT r4
-    item 3) must put: (a) the 16 never-driver-checked oracle keys in
-    positions 0..15, (b) the 26 never-evidenced rows-only keys next — so
+    item 3) must put: (a) the 17 never-driver-checked oracle keys in
+    positions 0..16, (b) the 28 never-evidenced rows-only keys next — so
     after this round EVERY registered key has driver evidence — then
-    (c) the ~8 seeded canary re-checks, (d) the 4 rows-only keys that got
+    (c) the seeded canary re-checks, (d) the 4 rows-only keys that got
     first rows in r04, before any remaining already-green key."""
     from mergeextractor_spark import registry
 
@@ -46,7 +46,7 @@ def test_gate_window_rotation_order():
     keys = list(qs)
 
     n_first = len(registry._ROTATION_FIRST)
-    assert n_first == 16
+    assert n_first + len(registry._ROWS_ONLY_ORDER) - 4 + registry._CANARY_SLOTS == 50
     assert keys[:n_first] == list(registry._ROTATION_FIRST)
     for key in registry._ROTATION_FIRST:
         assert key in osql, f"rotation-first key {key!r} lost its oracle"
