@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..registry import register
 from ._util import t, r4, spread
@@ -931,3 +932,106 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode(blocks).alias("pos0", "para")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "para")
     return paragraph_dedup(paras, " ")
+
+
+@register(
+    "dedup_span_merge",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, w, unnest(range(1, len(w) - {SPAN_W - 1} + 1)) AS i
+      FROM tok WHERE len(w) >= {SPAN_W}
+    ),
+    g AS (
+      SELECT doc_id, i AS start_pos,
+             md5(array_to_string(w[i : i + {SPAN_W - 1}], ' ')) AS gh
+      FROM pos
+    ),
+    dup AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (
+      SELECT g.doc_id, g.start_pos, g.start_pos + {SPAN_W - 1} AS end_pos
+      FROM g JOIN dup USING (gh)
+    ),
+    edges AS (
+      SELECT doc_id, start_pos, end_pos,
+             CASE WHEN start_pos > coalesce(max(end_pos) OVER (
+                    PARTITION BY doc_id ORDER BY start_pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_span
+      FROM hits
+    ),
+    islands AS (
+      SELECT doc_id, start_pos, end_pos,
+             sum(new_span) OVER (
+               PARTITION BY doc_id ORDER BY start_pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+      FROM edges
+    )
+    SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+           CAST(min(start_pos) AS BIGINT) AS span_start,
+           CAST(max(end_pos) AS BIGINT) AS span_end,
+           CAST(max(end_pos) - min(start_pos) + 1 AS BIGINT) AS span_tokens,
+           CAST(count(*) AS BIGINT) AS n_windows
+    FROM islands GROUP BY doc_id, span_id
+    """,
+    doc=f"Maximal duplicated spans (the actionable form of Lee et al. "
+    "exact-substring dedup): overlapping duplicated "
+    f"{SPAN_W}-token windows from the dedup_substring_spans detector are "
+    "merged per document into maximal [span_start, span_end] token ranges "
+    "— exactly the ranges a removal pass would cut. Gaps-and-islands over "
+    "a running-max window: a window opens a new span iff it starts past "
+    "the furthest end seen so far; span_id is the running count of opens. "
+    "Both windows are per-document (partitioned — no corpus-wide sort) "
+    "and everything upstream shuffles (doc_id, pos, 32-byte hash) rows, "
+    "never text.",
+)
+def dedup_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(t(spark, sf_dir, "documents"))
+    w = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    tok = d.select("doc_id", w.alias("w")).filter(F.size("w") >= SPAN_W)
+    ghs = F.transform(
+        F.sequence(F.lit(1), F.size("w") - SPAN_W + 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("w"), i, SPAN_W))),
+    )
+    g = tok.select("doc_id", F.posexplode(ghs).alias("pos", "gh")).select(
+        "doc_id", (F.col("pos") + 1).alias("start_pos"), "gh"
+    )
+    dup = (
+        g.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    hits = g.join(dup, "gh").select(
+        "doc_id", "start_pos", (F.col("start_pos") + SPAN_W - 1).alias("end_pos")
+    )
+    w_prev = (
+        W.partitionBy("doc_id")
+        .orderBy("start_pos")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_run = (
+        W.partitionBy("doc_id")
+        .orderBy("start_pos")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    islands = hits.withColumn(
+        "new_span",
+        F.when(
+            F.col("start_pos")
+            > F.coalesce(F.max("end_pos").over(w_prev), F.lit(-1)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("span_id", F.sum("new_span").over(w_run))
+    return islands.groupBy("doc_id", "span_id").agg(
+        F.min("start_pos").cast("bigint").alias("span_start"),
+        F.max("end_pos").cast("bigint").alias("span_end"),
+        (F.max("end_pos") - F.min("start_pos") + 1).cast("bigint").alias("span_tokens"),
+        F.count("*").cast("bigint").alias("n_windows"),
+    ).select(
+        "doc_id", F.col("span_id").cast("bigint").alias("span_id"),
+        "span_start", "span_end", "span_tokens", "n_windows",
+    )
