@@ -62,6 +62,8 @@ HEADLINE = [
     "ann_ivf_pq_refine_probe",   # refine through the partition-pruned IVF store
     "ann_ivf_pq_stored",         # query vs ingest-encoded codes store (vs ann_ivf_pq's per-query encode)
     "text_bm25_topk",            # sparse-retrieval scoring battery
+    "dedup_paragraph",           # CCNet paragraph dedup + document rebuild
+    "dedup_span_merge",          # dup windows -> maximal removable spans (gaps-and-islands)
 ]
 
 
