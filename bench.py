@@ -78,6 +78,15 @@ def main() -> None:
     # round-over-round deltas can be read against measured noise
     # (VERDICT r2 item 10), not an asserted ±15%.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+
+    # Suite-level JVM warmup: the per-query warm run caches plan+IO but
+    # the first timed queries still paid whole-process JIT compilation
+    # (measured: the suite-leading flagship read 1.6 s at position 1 vs
+    # 0.85 s re-measured hot in the same session — a position effect, not
+    # code). Burn the JIT on two representative shapes before timing.
+    for key in ("extract_section_pipeline", "olap_nation_revenue"):
+        for _ in range(2):
+            reg[key].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
     timings: dict[str, float] = {}
     stdevs: dict[str, float] = {}
     for key in HEADLINE:
