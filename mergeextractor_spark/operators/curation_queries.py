@@ -1023,3 +1023,120 @@ def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(BPE_TOPK)
         .select("pair", F.col("freq").cast("bigint").alias("freq"))
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR data selection (Xie et al. 2023, "Data Selection for Language
+# Models via Importance Resampling"): score every document by how much
+# more likely its hashed-token bag is under the TARGET domain's unigram
+# model than under the raw-corpus model, then Gumbel-top-k resample
+# proportionally to that importance weight.
+
+DSIR_BUCKETS = 4096   # hashed feature space (paper: 10^4 hashed n-grams)
+DSIR_TARGET_LANG = "en"  # fixture target domain
+DSIR_K = 100          # resample size
+
+
+@register(
+    "text_dsir_select",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok
+      FROM documents
+    ),
+    bt AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(tok), 1, 5))::BIGINT % {DSIR_BUCKETS} AS b
+      FROM tok
+    ),
+    raw AS (SELECT b, count(*) AS cr FROM bt GROUP BY b),
+    tgt AS (SELECT b, count(*) AS ct FROM bt WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b),
+    tot AS (SELECT (SELECT count(*) FROM bt) AS nr,
+                   (SELECT count(*) FROM bt WHERE lang = '{DSIR_TARGET_LANG}') AS nt),
+    lr AS (
+      SELECT r.b,
+             ln((coalesce(t.ct, 0) + 1.0) / (tot.nt + {DSIR_BUCKETS}.0))
+               - ln((r.cr + 1.0) / (tot.nr + {DSIR_BUCKETS}.0)) AS lr
+      FROM raw r LEFT JOIN tgt t USING (b) CROSS JOIN tot
+    ),
+    docw AS (
+      SELECT bt.doc_id, min(bt.lang) AS lang, sum(l.lr) AS logw
+      FROM bt JOIN lr l USING (b) GROUP BY bt.doc_id
+    ),
+    keyed AS (
+      SELECT doc_id, lang, logw,
+             logw - ln(-ln(
+               (('0x' || substr(md5(doc_id::VARCHAR || '|dsir'), 1, 6))::BIGINT + 0.5)
+               / 16777216.0)) AS skey
+      FROM docw
+    )
+    SELECT doc_id, lang, round(logw, 4) AS logw, round(skey, 4) AS sample_key
+    FROM keyed ORDER BY skey DESC, doc_id LIMIT {DSIR_K}
+    """,
+    doc=f"DSIR data selection (Xie et al. 2023): hashed-unigram importance "
+    f"weights logw = Σ_tok [ln p_target(bucket) − ln p_raw(bucket)] with "
+    f"add-1 smoothing over {DSIR_BUCKETS} md5-hashed buckets (target = "
+    f"lang '{DSIR_TARGET_LANG}' docs), then Gumbel-top-{DSIR_K} sampling "
+    "— each doc's key is logw + Gumbel noise derived from a salted md5 of "
+    "its id, which draws WITHOUT replacement proportionally to the "
+    "importance weight, deterministically. Scale shape: the feature "
+    f"hashing bounds the model at {DSIR_BUCKETS} rows no matter the "
+    "corpus (the paper's trick) so the bucket→log-ratio table always "
+    "broadcasts; per-doc scoring is one map-side join + groupBy(doc_id) "
+    "on (doc_id, bucket) ints, and the selection is TakeOrderedAndProject "
+    "(per-partition heaps, no global sort, no unpartitioned window). "
+    "Production uses hashed bigrams and a held-out target corpus through "
+    "the same plan.",
+)
+def text_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+        ).alias("tok"),
+    )
+    bt = tok.select(
+        "doc_id",
+        "lang",
+        (F.conv(F.substring(F.md5("tok"), 1, 5), 16, 10).cast("long") % DSIR_BUCKETS).alias("b"),
+    )
+    raw = bt.groupBy("b").agg(F.count("*").alias("cr"))
+    tgt = (
+        bt.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count("*").alias("ct"))
+    )
+    tot = bt.agg(
+        F.count("*").alias("nr"),
+        F.sum((F.col("lang") == DSIR_TARGET_LANG).cast("long")).alias("nt"),
+    )
+    lr = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / (F.col("nt") + float(DSIR_BUCKETS)))
+                - F.log((F.col("cr") + 1.0) / (F.col("nr") + float(DSIR_BUCKETS)))
+            ).alias("lr"),
+        )
+    )
+    docw = (
+        bt.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(F.min("lang").alias("lang"), F.sum("lr").alias("logw"))
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|dsir"))), 1, 6), 16, 10)
+        .cast("double")
+        + 0.5
+    ) / 16777216.0
+    keyed = docw.withColumn("skey", F.col("logw") - F.log(-F.log(u)))
+    return (
+        keyed.orderBy(F.desc("skey"), F.asc("doc_id"))
+        .limit(DSIR_K)
+        .select("doc_id", "lang", r4(F.col("logw")).alias("logw"), r4(F.col("skey")).alias("sample_key"))
+    )

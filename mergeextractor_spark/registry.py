@@ -121,7 +121,7 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "text_tfidf_topk",
 })
 
-# Explicit front-of-window order for the 18 oracle keys with no driver row
+# Explicit front-of-window order for the 19 oracle keys with no driver row
 # in any round (VERDICT r4 "Next round" item 3).  The two just-fixed red
 # keys lead (first driver evidence doubles as the regression check), then
 # the refine/quality flagships (the r5-added CCNet paragraph dedup and
@@ -129,7 +129,7 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
 _ROTATION_FIRST: tuple[str, ...] = (
     "join_bucketed_colocated", "dedup_substring_spans",
     "ann_ivf_pq_refine", "text_gopher_rules", "dedup_paragraph",
-    "dedup_span_merge",
+    "dedup_span_merge", "text_dsir_select",
     # OLAP (TPC-H Q13/Q17/Q18/Q21-shaped and friends)
     "olap_customer_orders_dist", "olap_small_quantity_revenue",
     "olap_large_orders", "olap_late_sole_supplier",
@@ -164,11 +164,11 @@ _ROWS_ONLY_ORDER: tuple[str, ...] = (
 
 # Number of previously-green keys re-checked per round.  Sampled
 # deterministically from _DRIVER_GREEN seeded by _ROUND so a regression in
-# r01-era code cannot stay invisible forever.  4 this round: 18 rotation
+# r01-era code cannot stay invisible forever.  3 this round: 19 rotation
 # keys + 28 never-evidenced rows-only keys (the r5-added source_pyds_fts
-# and agg_hll_daily_union joined the backlog) + 4 canaries = the 50-key
+# and agg_hll_daily_union joined the backlog) + 3 canaries = the 50-key
 # window the driver demonstrably covers.
-_CANARY_SLOTS: int = 4
+_CANARY_SLOTS: int = 3
 
 
 def canary_keys(round_no: int = _ROUND) -> tuple[str, ...]:
@@ -184,12 +184,12 @@ def load_all() -> dict[str, Query]:
 
     Returned order implements the gate-window rotation documented above
     (VERDICT r4 "Next round" item 3):
-      1. the 18 oracle-paired keys never covered by a CORRECTNESS round,
+      1. the 19 oracle-paired keys never covered by a CORRECTNESS round,
          in ``_ROTATION_FIRST`` order (the two just-fixed keys first);
       2. the 28 rows-only keys with no driver evidence yet, highest
          impact first — after this round every registered key has
          appeared in some CORRECTNESS file;
-      3. 4 canary re-checks of previously-green keys (seeded by round);
+      3. 3 canary re-checks of previously-green keys (seeded by round);
       4. the 4 rows-only keys whose first driver rows landed in r04;
       5. oracle-paired keys registered after the r05 snapshot;
       6. the remaining already-green keys.
