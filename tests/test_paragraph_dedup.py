@@ -79,3 +79,46 @@ def test_span_merge_islands(spark, tmp_path):
     # doc 2's sharedA span starts after its 5 unique lead tokens
     t1 = by_doc[2][0]
     assert (t1["span_start"], t1["span_tokens"]) == (6, 25)
+
+
+def test_paragraph_dedup_invariants_random_corpus(spark):
+    """Seeded random corpus: (1) kept+dropped == non-blank paragraph count,
+    (2) kept paragraphs are globally unique (case-folded), (3) a second
+    dedup pass over the rebuilt corpus drops nothing (idempotence)."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    shared_pool = [
+        " ".join(rng.choices(vocab, k=rng.randint(3, 6))) for _ in range(8)
+    ]
+    docs = []
+    for d in range(30):
+        paras = []
+        for _ in range(rng.randint(1, 6)):
+            if rng.random() < 0.5:
+                paras.append(rng.choice(shared_pool))
+            else:
+                paras.append(" ".join(rng.choices(vocab, k=rng.randint(3, 6))))
+        docs.append((d, "\n".join(paras)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    out = paragraph_dedup_df(df).collect()
+    n_paras = sum(
+        len([p for p in text.split("\n") if p.strip()]) for _, text in docs
+    )
+    assert sum(r["n_kept"] + r["n_dropped"] for r in out) == n_paras
+
+    kept = [
+        p.lower()
+        for r in out
+        for p in r["clean_text"].split("\n")
+        if p.strip()
+    ]
+    assert len(kept) == len(set(kept)) == sum(r["n_kept"] for r in out)
+
+    again = spark.createDataFrame(
+        [(r["doc_id"], r["clean_text"]) for r in out], ["doc_id", "text"]
+    )
+    out2 = paragraph_dedup_df(again).collect()
+    assert sum(r["n_dropped"] for r in out2) == 0
