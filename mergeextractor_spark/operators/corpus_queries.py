@@ -1,0 +1,273 @@
+"""Corpus-level statistics and model-based data selection — the
+analysis passes a training-data pipeline runs over a whole corpus
+(rather than per document): CCNet-style perplexity bucketing, hashed
+linear-classifier quality scoring (fastText-style inference), pairwise
+cross-source n-gram overlap, and per-source Zipf rank-frequency slope.
+
+Everything is native Spark SQL (one codegen'd scan per operator plus
+the semantically-required shuffles), and every key carries a DuckDB
+oracle. Scale posture (100 TB): the classifier is a pure map stage; the
+logprob bucketing shuffles (doc_id, lang, score) triples only; the
+overlap matrix shuffles 8-gram strings once and expands pairs map-side
+(bounded by |sources|^2, never |docs|^2); the Zipf slope aggregates
+over the vocabulary (Heaps-law sized, orders of magnitude smaller than
+the corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import t, r4
+from .text_queries import _tokens
+
+
+@register(
+    "sample_logprob_bucket",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+      FROM documents
+    ),
+    vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+    total AS (SELECT sum(cnt) AS n FROM vocab),
+    scored AS (
+      SELECT t.doc_id, t.lang, round(avg(-ln(v.cnt::DOUBLE / total.n)), 4) AS avg_neg_logprob
+      FROM toks t JOIN vocab v USING (tok) CROSS JOIN total
+      GROUP BY t.doc_id, t.lang
+    )
+    SELECT doc_id, lang, avg_neg_logprob,
+           CASE ntile(3) OVER (PARTITION BY lang ORDER BY avg_neg_logprob, doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+    FROM scored
+    """,
+    doc="CCNet-style language-model bucketing (Wenzek et al. 2020): score "
+    "every document with the corpus-unigram LM (mean -ln p(token), the "
+    "same proxy as text_unigram_logprob), then split each language into "
+    "equal head/middle/tail thirds by score — head = closest to the LM, "
+    "tail = far tail (boilerplate or noise). Rank-based ntile over the "
+    "ROUNDED score (with a doc_id tiebreak) so bucket assignment is "
+    "engine-exact — no float-boundary flips. Scale: the vocab join is "
+    "the text_unigram_logprob shape (Zipf head broadcasts, AQE skew on "
+    "the tail); the bucketing window shuffles only (doc_id, lang, score) "
+    "triples partitioned by lang.",
+)
+def sample_logprob_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", F.explode(_tokens(F.col("text"))).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n"))
+    neg_lp = -F.log(F.col("cnt").cast("double") / F.col("n"))
+    scored = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id", "lang")
+        .agg(r4(F.avg(neg_lp)).alias("avg_neg_logprob"))
+    )
+    w = W.partitionBy("lang").orderBy(F.asc("avg_neg_logprob"), F.asc("doc_id"))
+    tile = F.ntile(3).over(w)
+    bucket = (
+        F.when(tile == 1, "head").when(tile == 2, "middle").otherwise("tail")
+    )
+    return scored.select(
+        "doc_id", "lang", "avg_neg_logprob", bucket.alias("bucket")
+    )
+
+
+@register(
+    "text_hash_classifier",
+    oracle=r"""
+    WITH ws AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+      FROM documents
+    )
+    SELECT doc_id,
+           round(list_sum(list_transform(w, tok ->
+                   ((ascii(substr(md5(tok), 1, 1)) * 16
+                     + ascii(substr(md5(tok), 2, 1))) % 13 - 6) / 6.0))
+                 / greatest(len(w), 1), 4) AS score,
+           round(1.0 / (1.0 + exp(-(list_sum(list_transform(w, tok ->
+                   ((ascii(substr(md5(tok), 1, 1)) * 16
+                     + ascii(substr(md5(tok), 2, 1))) % 13 - 6) / 6.0))
+                 / greatest(len(w), 1)))), 4) AS prob,
+           (list_sum(list_transform(w, tok ->
+                   ((ascii(substr(md5(tok), 1, 1)) * 16
+                     + ascii(substr(md5(tok), 2, 1))) % 13 - 6) / 6.0))
+                 / greatest(len(w), 1)) > 0.0 AS keep
+    FROM ws
+    """,
+    doc="fastText-style hashed linear classifier inference (Joulin et al. "
+    "2017): each token hashes into a weight bucket (two md5 hex chars -> "
+    "a deterministic weight in [-1, 1] — the stand-in for a trained "
+    "weight table; a real model swaps the closed-form weight for a "
+    "broadcast lookup), the document scores the mean over its token "
+    "stream, and a sigmoid turns the margin into a keep-probability. "
+    "This is the quality-classifier pass GPT-3/LLaMA-style pipelines "
+    "run over every crawled page. Pure array expressions inside one "
+    "codegen'd scan — zero shuffles, zero Python; the fold over the "
+    "token array is sequential in both engines, so score bits match "
+    "exactly and the keep boolean has no float-boundary risk.",
+)
+def text_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def weight(tok):
+        h = F.md5(tok)
+        b = F.ascii(F.substring(h, 1, 1)) * 16 + F.ascii(F.substring(h, 2, 1))
+        return (b % 13 - F.lit(6)) / 6.0
+
+    toks = _tokens(F.col("text"))
+    staged = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (
+            F.aggregate(
+                F.transform(toks, weight), F.lit(0.0), lambda acc, x: acc + x
+            )
+            / F.greatest(F.size(toks), F.lit(1))
+        ).alias("_score"),
+    )
+    s = F.col("_score")
+    return staged.select(
+        "doc_id",
+        r4(s).alias("score"),
+        r4(1.0 / (1.0 + F.exp(-s))).alias("prob"),
+        (s > 0.0).alias("keep"),
+    )
+
+
+NGRAM_OVERLAP_N = 8  # same shingle width as the decontamination screen
+
+
+@register(
+    "agg_source_overlap",
+    oracle=rf"""
+    WITH ws AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+      FROM documents
+    ),
+    sg AS (
+      SELECT DISTINCT source,
+             unnest(list_transform(generate_series(1, len(w) - {NGRAM_OVERLAP_N - 1}),
+                                   i -> array_to_string(list_slice(w, i, i + {NGRAM_OVERLAP_N - 1}), ' '))) AS g
+      FROM ws WHERE len(w) >= {NGRAM_OVERLAP_N}
+    ),
+    cnt AS (SELECT source, count(*) AS n FROM sg GROUP BY source),
+    inter AS (
+      SELECT a.source AS s1, b.source AS s2, CAST(count(*) AS BIGINT) AS n_inter
+      FROM sg a JOIN sg b USING (g)
+      WHERE a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT s1, s2, n_inter,
+           round(n_inter::DOUBLE / (ca.n + cb.n - n_inter), 4) AS jaccard
+    FROM inter
+    JOIN cnt ca ON ca.source = s1
+    JOIN cnt cb ON cb.source = s2
+    """,
+    doc=f"Cross-source corpus overlap matrix: Jaccard similarity of the "
+    f"distinct {NGRAM_OVERLAP_N}-gram sets of every source pair — the "
+    "dataset-overlap report (Dolma/The-Pile style) that surfaces mirror "
+    "sites, syndicated content, and benchmark bleed between subcorpora "
+    "before mixing. Pairs with zero shared grams are omitted (inner-join "
+    "semantics). Scale shape: ONE shuffle on the gram string to build "
+    "gram -> sorted source-set, then the pair expansion happens map-side "
+    "via a nested array transform bounded by |sources|^2 per gram — the "
+    "corpus-sized gram table is never self-joined, so there is no "
+    "|docs|^2 or |grams|^2 anywhere. The final per-source size join is a "
+    "broadcast (|sources| rows).",
+)
+def agg_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = NGRAM_OVERLAP_N
+    ws = _tokens(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+    )
+    sg = (
+        t(spark, sf_dir, "documents")
+        .filter(F.size(ws) >= n)
+        .select("source", F.explode(grams).alias("g"))
+        .distinct()
+    )
+    cnt = sg.groupBy("source").agg(F.count("*").alias("n"))
+    by_gram = sg.groupBy("g").agg(F.sort_array(F.collect_set("source")).alias("ss"))
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ss"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ss"), i + 2, F.size(F.col("ss"))),
+                lambda y: F.struct(x.alias("s1"), y.alias("s2")),
+            ),
+        )
+    )
+    inter = (
+        by_gram.select(F.explode(pair_arr).alias("p"))
+        .select("p.s1", "p.s2")
+        .groupBy("s1", "s2")
+        .agg(F.count("*").cast("bigint").alias("n_inter"))
+    )
+    ca = F.broadcast(cnt.withColumnsRenamed({"source": "s1", "n": "na"}))
+    cb = F.broadcast(cnt.withColumnsRenamed({"source": "s2", "n": "nb"}))
+    return (
+        inter.join(ca, "s1")
+        .join(cb, "s2")
+        .select(
+            "s1",
+            "s2",
+            "n_inter",
+            r4(
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "text_zipf_slope",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+      FROM documents
+    ),
+    freq AS (SELECT source, tok, count(*) AS cnt FROM toks GROUP BY source, tok),
+    ranked AS (
+      SELECT source, cnt,
+             row_number() OVER (PARTITION BY source ORDER BY cnt DESC, tok) AS rnk
+      FROM freq
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_vocab,
+           round(regr_slope(ln(cnt::DOUBLE), ln(rnk::DOUBLE)), 4) AS zipf_slope
+    FROM ranked
+    GROUP BY source
+    """,
+    doc="Per-source Zipf rank-frequency slope: least-squares slope of "
+    "ln(frequency) vs ln(rank) over each source's vocabulary — natural "
+    "text sits near -1; a flat slope flags machine-generated or "
+    "template spam, a cliff flags boilerplate-dominated sources. The "
+    "corpus-health diagnostic a data-quality dashboard tracks per crawl "
+    "snapshot. Scale shape: the heavy aggregation is the (source, token) "
+    "frequency count (map-side combinable); the ranking window runs over "
+    "the VOCABULARY (Heaps-law sized — ~1M rows for a 100 TB corpus, not "
+    "corpus-sized) partitioned by source; the slope is "
+    "covar_pop/var_pop, both map-side-combinable aggregates.",
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(_tokens(F.col("text"))).alias("tok"))
+    freq = toks.groupBy("source", "tok").agg(F.count("*").alias("cnt"))
+    w = W.partitionBy("source").orderBy(F.desc("cnt"), F.asc("tok"))
+    ranked = freq.select(
+        "source", "cnt", F.row_number().over(w).alias("rnk")
+    )
+    x = F.log(F.col("rnk").cast("double"))
+    y = F.log(F.col("cnt").cast("double"))
+    return ranked.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_vocab"),
+        r4(F.covar_pop(x, y) / F.var_pop(x)).alias("zipf_slope"),
+    )

@@ -208,6 +208,7 @@ def load_all() -> dict[str, Query]:
         olap_queries,
         multimodal,
         curation_queries,
+        corpus_queries,
     )
     from .plans import extract_pipeline, curation_pipeline  # noqa: F401
 

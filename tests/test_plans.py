@@ -188,3 +188,37 @@ def test_bpe_merge_candidates_shapes(spark):
     plan = plan_of(spark, "text_bpe_merge_candidates")
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+def test_hash_classifier_is_pure_map_stage(spark):
+    # fastText-style inference must stay a single codegen'd scan: zero
+    # Exchange, zero Python eval — weights are closed-form expressions
+    plan = plan_of(spark, "text_hash_classifier")
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_source_overlap_never_self_joins_grams(spark):
+    # pair expansion happens map-side from the per-gram source set; the
+    # corpus-sized gram table must never be self-joined or crossed, and
+    # the per-source size join must broadcast (|sources| rows)
+    plan = plan_of(spark, "agg_source_overlap")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_logprob_bucket_window_is_partitioned(spark):
+    # the ntile window must partition by lang — no global single-task
+    # window over the scored corpus
+    plan = plan_of(spark, "sample_logprob_bucket")
+    assert "Window" in plan
+    assert "ntile(3) windowspecdefinition(lang" in plan
+
+
+def test_zipf_slope_window_is_partitioned(spark):
+    # ranking runs over the vocabulary partitioned by source; the slope
+    # itself is a map-side-combinable aggregate (no second window)
+    plan = plan_of(spark, "text_zipf_slope")
+    assert "windowspecdefinition(source" in plan
+    assert plan.count("Window") == 1
