@@ -209,6 +209,7 @@ def load_all() -> dict[str, Query]:
         multimodal,
         curation_queries,
         corpus_queries,
+        graph_queries,
     )
     from .plans import extract_pipeline, curation_pipeline  # noqa: F401
 

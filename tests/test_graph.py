@@ -1,0 +1,69 @@
+"""Graph analytics: transition-matrix invariants and PageRank against a
+numpy reference on crafted graphs."""
+
+import numpy as np
+import pytest
+
+from mergeextractor_spark.operators.graph_queries import (
+    PR_DAMPING,
+    PR_ITERS,
+    graph_item_transitions,
+    pagerank,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_transition_probabilities_normalize(spark):
+    rows = graph_item_transitions(spark, SF).collect()
+    assert rows, "no transition edges derived from events"
+    by_src = {}
+    for r in rows:
+        assert r.n >= 1 and 0.0 < r.p <= 1.0
+        by_src.setdefault(r.src, 0.0)
+        by_src[r.src] += r.p
+    for src, total in by_src.items():
+        # per-source probabilities sum to 1 (up to the 4dp rounding)
+        assert abs(total - 1.0) < 1e-3, (src, total)
+
+
+def _numpy_pagerank(edges, iters=PR_ITERS, d=PR_DAMPING):
+    nodes = sorted({s for s, _, _ in edges} | {t for _, t, _ in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    rank = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.full(n, (1.0 - d) / n)
+        for s, t, p in edges:
+            nxt[idx[t]] += d * rank[idx[s]] * p
+        rank = nxt
+    return {node: rank[idx[node]] for node in nodes}
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        # 3-cycle: uniform is the fixed point, every iterate stays 1/3
+        [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 1.0)],
+        # hub-and-spoke with a dangling sink (4 has no out-edges: its
+        # mass leaks, the documented simplified-variant semantics)
+        [(1, 2, 0.5), (1, 3, 0.5), (2, 4, 1.0), (3, 4, 1.0)],
+        # asymmetric weights
+        [(1, 2, 0.9), (1, 3, 0.1), (2, 1, 1.0), (3, 1, 1.0)],
+    ],
+)
+def test_pagerank_matches_numpy_reference(spark, edges):
+    df = spark.createDataFrame(edges, "src int, dst int, p double")
+    got = {r.node: r.rank for r in pagerank(df).collect()}
+    want = _numpy_pagerank(edges)
+    assert set(got) == set(want)
+    for node in want:
+        assert got[node] == pytest.approx(want[node], abs=1e-9), node
+
+
+def test_pagerank_cycle_stays_uniform(spark):
+    df = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 1.0)], "src int, dst int, p double"
+    )
+    got = {r.node: r.rank for r in pagerank(df).collect()}
+    assert all(abs(v - 1.0 / 3.0) < 1e-12 for v in got.values())
