@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import t, r4
+from ._util import t, r4, spread
 from .text_queries import _tokens
 
 
@@ -150,14 +150,14 @@ NGRAM_OVERLAP_N = 8  # same shingle width as the decontamination screen
     ),
     sg AS (
       SELECT DISTINCT source,
-             unnest(list_transform(generate_series(1, len(w) - {NGRAM_OVERLAP_N - 1}),
-                                   i -> array_to_string(list_slice(w, i, i + {NGRAM_OVERLAP_N - 1}), ' '))) AS g
+             substr(md5(unnest(list_transform(generate_series(1, len(w) - {NGRAM_OVERLAP_N - 1}),
+                                   i -> array_to_string(list_slice(w, i, i + {NGRAM_OVERLAP_N - 1}), ' ')))), 1, 16) AS gh
       FROM ws WHERE len(w) >= {NGRAM_OVERLAP_N}
     ),
     cnt AS (SELECT source, count(*) AS n FROM sg GROUP BY source),
     inter AS (
       SELECT a.source AS s1, b.source AS s2, CAST(count(*) AS BIGINT) AS n_inter
-      FROM sg a JOIN sg b USING (g)
+      FROM sg a JOIN sg b USING (gh)
       WHERE a.source < b.source
       GROUP BY 1, 2
     )
@@ -172,45 +172,62 @@ NGRAM_OVERLAP_N = 8  # same shingle width as the decontamination screen
     "dataset-overlap report (Dolma/The-Pile style) that surfaces mirror "
     "sites, syndicated content, and benchmark bleed between subcorpora "
     "before mixing. Pairs with zero shared grams are omitted (inner-join "
-    "semantics). Scale shape: ONE shuffle on the gram string to build "
-    "gram -> sorted source-set, then the pair expansion happens map-side "
-    "via a nested array transform bounded by |sources|^2 per gram — the "
-    "corpus-sized gram table is never self-joined, so there is no "
-    "|docs|^2 or |grams|^2 anywhere. The final per-source size join is a "
-    "broadcast (|sources| rows).",
+    "semantics). Scale shape: grams hash to a 16-hex md5 key INSIDE the "
+    "map stage (the shuffle carries 16-byte keys, never gram text — both "
+    "engines hash, so any collision is identical on both sides and "
+    "parity is exact by construction), then ONE shuffle builds gram -> "
+    "sorted source-set; pair expansion happens map-side via a nested "
+    "array transform bounded by |sources|^2 per gram, and the per-source "
+    "distinct-gram sizes fall out of the same aggregate (explode the "
+    "source sets) — the corpus-sized gram table is never self-joined and "
+    "never re-shuffled, so there is no |docs|^2 or |grams|^2 anywhere. "
+    "The final size join is a broadcast (|sources| rows).",
 )
 def agg_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = NGRAM_OVERLAP_N
     ws = _tokens(F.col("text"))
     grams = F.transform(
         F.sequence(F.lit(1), F.size(ws) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+        lambda i: F.substring(F.md5(F.concat_ws(" ", F.slice(ws, i, n))), 1, 16),
     )
     sg = (
-        t(spark, sf_dir, "documents")
+        spread(t(spark, sf_dir, "documents"))
         .filter(F.size(ws) >= n)
-        .select("source", F.explode(grams).alias("g"))
-        .distinct()
+        .select("source", F.explode(grams).alias("gh"))
     )
-    cnt = sg.groupBy("source").agg(F.count("*").alias("n"))
-    by_gram = sg.groupBy("g").agg(F.sort_array(F.collect_set("source")).alias("ss"))
-    pair_arr = F.flatten(
+    by_gram = sg.groupBy("gh").agg(F.sort_array(F.collect_set("source")).alias("ss"))
+    # one pass over the per-gram source sets: each gram emits a singleton
+    # struct (s, NULL) per member source AND a (s1, s2) struct per source
+    # pair, so sizes and intersections come out of a SINGLE aggregate —
+    # the gram-cardinality table is never evaluated twice
+    items = F.flatten(
         F.transform(
             F.col("ss"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ss"), i + 2, F.size(F.col("ss"))),
-                lambda y: F.struct(x.alias("s1"), y.alias("s2")),
+            lambda x, i: F.concat(
+                F.array(
+                    F.struct(
+                        x.alias("s1"), F.lit(None).cast("string").alias("s2")
+                    )
+                ),
+                F.transform(
+                    F.slice(F.col("ss"), i + 2, F.size(F.col("ss"))),
+                    lambda y: F.struct(x.alias("s1"), y.alias("s2")),
+                ),
             ),
         )
     )
-    inter = (
-        by_gram.select(F.explode(pair_arr).alias("p"))
-        .select("p.s1", "p.s2")
+    counts = (
+        by_gram.select(F.explode(items).alias("it"))
+        .select("it.s1", "it.s2")
         .groupBy("s1", "s2")
-        .agg(F.count("*").cast("bigint").alias("n_inter"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
     )
-    ca = F.broadcast(cnt.withColumnsRenamed({"source": "s1", "n": "na"}))
-    cb = F.broadcast(cnt.withColumnsRenamed({"source": "s2", "n": "nb"}))
+    inter = counts.filter(F.col("s2").isNotNull()).withColumnRenamed(
+        "cnt", "n_inter"
+    )
+    sizes = counts.filter(F.col("s2").isNull()).select("s1", "cnt")
+    ca = F.broadcast(sizes.withColumnsRenamed({"cnt": "na"}))
+    cb = F.broadcast(sizes.withColumnsRenamed({"s1": "s2", "cnt": "nb"}))
     return (
         inter.join(ca, "s1")
         .join(cb, "s2")
