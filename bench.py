@@ -64,6 +64,10 @@ HEADLINE = [
     "text_bm25_topk",            # sparse-retrieval scoring battery
     "dedup_paragraph",           # CCNet paragraph dedup + document rebuild
     "dedup_span_merge",          # dup windows -> maximal removable spans (gaps-and-islands)
+    "text_hash_classifier",      # fastText-style hashed linear scorer (pure map stage)
+    "sample_logprob_bucket",     # CCNet LM head/middle/tail bucketing
+    "agg_source_overlap",        # cross-source 8-gram Jaccard matrix (single fused aggregate)
+    "graph_pagerank",            # 5-round damped PageRank (iterative joins, per-round checkpoint)
 ]
 
 
