@@ -77,6 +77,21 @@ def sample_logprob_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clf_weight(tok):
+    """Deterministic hashed-bucket weight in [-1, 1] for token ``tok`` —
+    the closed-form stand-in for a trained fastText weight table (two
+    md5 hex chars select the bucket; both engines compute it natively)."""
+    h = F.md5(tok)
+    b = F.ascii(F.substring(h, 1, 1)) * 16 + F.ascii(F.substring(h, 2, 1))
+    return (b % 13 - F.lit(6)) / 6.0
+
+
+CLF_WEIGHT_SQL = (
+    "((ascii(substr(md5({tok}), 1, 1)) * 16"
+    " + ascii(substr(md5({tok}), 2, 1))) % 13 - 6) / 6.0"
+)
+
+
 @register(
     "text_hash_classifier",
     oracle=r"""
@@ -113,11 +128,7 @@ def sample_logprob_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exactly and the keep boolean has no float-boundary risk.",
 )
 def text_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    def weight(tok):
-        h = F.md5(tok)
-        b = F.ascii(F.substring(h, 1, 1)) * 16 + F.ascii(F.substring(h, 2, 1))
-        return (b % 13 - F.lit(6)) / 6.0
-
+    weight = clf_weight
     toks = _tokens(F.col("text"))
     staged = t(spark, sf_dir, "documents").select(
         "doc_id",

@@ -211,7 +211,7 @@ def load_all() -> dict[str, Query]:
         corpus_queries,
         graph_queries,
     )
-    from .plans import extract_pipeline, curation_pipeline  # noqa: F401
+    from .plans import extract_pipeline, curation_pipeline, pretrain_pipeline  # noqa: F401
 
     first = {k: i for i, k in enumerate(_ROTATION_FIRST)}
     canaries = {k: i for i, k in enumerate(canary_keys())}

@@ -222,3 +222,14 @@ def test_zipf_slope_window_is_partitioned(spark):
     plan = plan_of(spark, "text_zipf_slope")
     assert "windowspecdefinition(source" in plan
     assert plan.count("Window") == 1
+
+
+def test_pretrain_funnel_gates_share_one_scan(spark):
+    # the gate funnel runs ONCE: after the stage barrier, the LM's three
+    # consumers read the materialized survivors, not the parquet — zero
+    # FileScans remain in the query-time plan and no Python appears
+    plan = plan_of(spark, "pipeline_pretrain_corpus")
+    assert "Python" not in plan
+    assert plan.count("FileScan parquet") == 0
+    assert plan.count("ExistingRDD") >= 3
+    assert "ntile(3) windowspecdefinition(lang" in plan
