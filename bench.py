@@ -68,6 +68,8 @@ HEADLINE = [
     "sample_logprob_bucket",     # CCNet LM head/middle/tail bucketing
     "agg_source_overlap",        # cross-source 8-gram Jaccard matrix (single fused aggregate)
     "graph_pagerank",            # 5-round damped PageRank (iterative joins, per-round checkpoint)
+    "pipeline_pretrain_corpus",  # flagship #4: model-based quality funnel (gates -> survivor LM)
+    "sort_zorder",               # Morton clustering key (pure bitwise map stage)
 ]
 
 

@@ -1140,3 +1140,52 @@ def text_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(DSIR_K)
         .select("doc_id", "lang", r4(F.col("logw")).alias("logw"), r4(F.col("skey")).alias("sample_key"))
     )
+
+
+@register(
+    "dq_skew_report",
+    oracle="""
+    WITH cnt AS (
+      SELECT event_type, user_id, count(*) AS c
+      FROM events GROUP BY event_type, user_id
+    ),
+    ranked AS (
+      SELECT event_type, c,
+             row_number() OVER (PARTITION BY event_type ORDER BY c, user_id) AS i
+      FROM cnt
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           round(max(c)::DOUBLE / sum(c), 4) AS max_share,
+           round(2.0 * sum(i * c) / (count(*) * sum(c))
+                 - (count(*) + 1.0) / count(*), 4) AS gini
+    FROM ranked
+    GROUP BY event_type
+    """,
+    doc="Per-group key-skew report: for each event_type, the number of "
+    "distinct user keys, the heaviest key's share, and the Gini "
+    "coefficient of the per-key count distribution — the diagnostic a "
+    "pipeline runs BEFORE a big join/groupBy to decide whether the key "
+    "needs salting or AQE skew handling (gini near 0 = uniform, near 1 "
+    "= one key dominates). Scale shape: the heavy aggregate is the "
+    "(event_type, user_id) count (map-side combinable); the ranking "
+    "window runs over the KEY table partitioned by event_type "
+    "(|keys| rows, not |events|), and the Gini reduces map-side.",
+)
+def dq_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    cnt = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("c"))
+    w = W.partitionBy("event_type").orderBy(F.asc("c"), F.asc("user_id"))
+    ranked = cnt.select("event_type", "c", F.row_number().over(w).alias("i"))
+    n = F.count("*")
+    tot = F.sum("c")
+    return ranked.groupBy("event_type").agg(
+        n.cast("bigint").alias("n_keys"),
+        tot.cast("bigint").alias("n_rows"),
+        r4(F.max("c").cast("double") / F.sum("c")).alias("max_share"),
+        r4(
+            2.0 * F.sum(F.col("i") * F.col("c")) / (F.count("*") * F.sum("c"))
+            - (F.count("*") + F.lit(1.0)) / F.count("*")
+        ).alias("gini"),
+    )

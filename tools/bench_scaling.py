@@ -87,6 +87,11 @@ QUERIES = [
     "text_bpe_merge_candidates",
     "join_bucketed_colocated",
     "ann_ivf_pq_refine",
+    # late round-5 shapes: the gram-cardinality fused aggregate, the
+    # iterative join loop, and the composed model-based funnel
+    "agg_source_overlap",
+    "graph_pagerank",
+    "pipeline_pretrain_corpus",
 ]
 
 
