@@ -360,6 +360,74 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAINMENT_MIN = 0.5
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    dfok AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {DF_CAP}),
+    shc AS (SELECT s.doc_id, s.shingle FROM sh s JOIN dfok USING (shingle)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+    inter AS (
+      SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, count(*) AS common
+      FROM shc s1
+      JOIN shc s2 ON s2.shingle = s1.shingle AND s1.doc_id < s2.doc_id
+      GROUP BY s1.doc_id, s2.doc_id
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(i.common::DOUBLE / least(na.n, nb.n), 4) AS containment,
+           round(i.common::DOUBLE / (na.n + nb.n - i.common), 4) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.doc_a
+    JOIN sizes nb ON nb.doc_id = i.doc_b
+    WHERE i.common::DOUBLE / least(na.n, nb.n) >= {CONTAINMENT_MIN}
+    """,
+    doc=f"Shingle CONTAINMENT join (Broder's containment coefficient: "
+    "|A∩B| / min(|A|, |B|)): flags document-inside-document relations — "
+    "a quote-heavy page, a chapter re-published inside an anthology, a "
+    "boilerplate-wrapped mirror — that symmetric Jaccard structurally "
+    "misses (a small doc inside a big one has low Jaccard but "
+    "containment 1.0; both metrics emitted for comparison). Same "
+    f"df-capped (≤{DF_CAP}) inverted-index block as dedup_ngram_jaccard "
+    "— the posting-list join is the only pair generator, so the pair "
+    "space stays df-bounded, never |docs|².",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = spread(t(spark, sf_dir, "documents"))
+    sh = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle")).distinct()
+    shc = (
+        sh.withColumn("df", F.count("*").over(Window.partitionBy("shingle")))
+        .filter(F.col("df") <= DF_CAP)
+        .drop("df")
+    )
+    sizes = shc.groupBy("doc_id").agg(F.count("*").alias("n"))
+    s1 = shc.select(F.col("doc_id").alias("doc_a"), "shingle")
+    s2 = shc.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        s1.join(s2, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    cont = F.col("common").cast("double") / F.least(F.col("na"), F.col("nb"))
+    jac = F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        inter.join(na, "doc_a").join(nb, "doc_b")
+        .filter(cont >= CONTAINMENT_MIN)
+        .select(
+            "doc_a", "doc_b",
+            r4(cont).alias("containment"),
+            r4(jac).alias("jaccard"),
+        )
+    )
+
+
 def _simhash_bit_exprs(engine: str) -> list[str]:
     """Per-bit contribution expressions over a token's md5 hex (bit i := top
     bit of hex nibble i). Portable: strpos/instr over a hex alphabet."""

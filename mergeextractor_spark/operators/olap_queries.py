@@ -1215,3 +1215,37 @@ def olap_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "olap_pricing_pipe",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="The Q1 pricing-summary shape expressed in Spark 4 SQL PIPE "
+    "syntax (FROM ... |> WHERE ... |> AGGREGATE ... GROUP BY): same "
+    "logical plan as the classic form — Catalyst compiles pipes to the "
+    "identical aggregate — so the oracle is the classic SQL. "
+    "Demonstrates that the engine's SQL surface (temp views via "
+    "``python -m mergeextractor_spark views``) accepts the linear "
+    "pipeline dialect a data engineer migrating from dataframe-style "
+    "tools writes.",
+)
+def olap_pricing_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("pipe_lineitem_v")
+    r4sql = "signum({x}) * floor(abs({x}) * 10000.0 + 0.5) / 10000.0"
+    return spark.sql(f"""
+        FROM pipe_lineitem_v
+        |> WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |> AGGREGATE {r4sql.format(x="sum(l_quantity)")} AS sum_qty,
+                     {r4sql.format(x="avg(l_extendedprice)")} AS avg_price,
+                     CAST(count(*) AS BIGINT) AS n
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, sum_qty, avg_price, n
+    """)

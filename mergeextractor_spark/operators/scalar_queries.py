@@ -354,3 +354,35 @@ def json_parse_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("*") - F.count("k")).cast("bigint").alias("n_corrupt"),
         )
     )
+
+
+@register(
+    "json_variant_extract",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS item,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Semi-structured ingestion through Spark 4's VARIANT type: "
+    "``parse_json`` decodes each props payload ONCE into the binary "
+    "variant encoding, then typed ``try_variant_get`` paths extract "
+    "fields without re-parsing text per access — the modern lakehouse "
+    "answer to schemaless JSON columns at scale (parse once at ingest, "
+    "store variant, extract many). Malformed payloads yield NULL "
+    "(try_ semantics) instead of failing the scan. The aggregate "
+    "itself is an ordinary map-side-combinable groupBy.",
+)
+def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        F.parse_json("props").alias("v"), "value"
+    )
+    return (
+        ev.select(F.try_variant_get("v", "$.k", "int").alias("item"), "value")
+        .groupBy("item")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            r4(F.avg("value")).alias("avg_value"),
+        )
+    )
