@@ -182,3 +182,99 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+BASKET_MIN_USERS = 5  # minimum co-occurrence support (absolute users)
+
+
+@register(
+    "agg_market_basket",
+    oracle=f"""
+    WITH baskets AS (
+      SELECT DISTINCT user_id,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS item
+      FROM events
+    ),
+    n_users AS (SELECT count(DISTINCT user_id)::DOUBLE AS n FROM baskets),
+    item_n AS (SELECT item, count(*) AS nu FROM baskets GROUP BY item),
+    pair_n AS (
+      SELECT a.item AS item_a, b.item AS item_b, CAST(count(*) AS BIGINT) AS n_both
+      FROM baskets a JOIN baskets b
+        ON b.user_id = a.user_id AND a.item < b.item
+      GROUP BY 1, 2
+    )
+    SELECT p.item_a, p.item_b, p.n_both,
+           round(p.n_both / u.n, 4) AS support,
+           round(p.n_both::DOUBLE / na.nu, 4) AS confidence,
+           round(p.n_both * u.n / (na.nu * nb.nu), 4) AS lift
+    FROM pair_n p
+    JOIN item_n na ON na.item = p.item_a
+    JOIN item_n nb ON nb.item = p.item_b
+    CROSS JOIN n_users u
+    WHERE p.n_both >= {BASKET_MIN_USERS}
+    """,
+    doc=f"Market-basket association mining: for every item pair touched "
+    f"by ≥{BASKET_MIN_USERS} common users, support, confidence(a→b) and "
+    "lift (>1 = the pair co-occurs more than independence predicts) — "
+    "the a-priori pair-counting pass behind 'users who touched X also "
+    "touch Y'. Scale shape: baskets aggregate to sorted per-user item "
+    "sets in ONE shuffle, pairs expand MAP-SIDE from each basket "
+    "(bounded by the per-user basket size squared — cap baskets "
+    "upstream for power users, the standard guard), and per-item "
+    "user counts fall out of the same aggregate via singleton structs "
+    "(the agg_source_overlap fusion); the user-count is a broadcast "
+    "1-row aggregate. The user-basket table is never self-joined.",
+)
+def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("int").alias("item"),
+    )
+    baskets = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("item")).alias("items")
+    )
+    n_users = F.broadcast(
+        baskets.agg(F.count("*").cast("double").alias("n"))
+    )
+    # one explode emits per-item singletons (item, NULL) AND ordered
+    # pairs (a, b); one groupBy then yields both the per-item user
+    # counts and the pair co-occurrence counts
+    items_and_pairs = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda x, i: F.concat(
+                F.array(F.struct(x.alias("a"), F.lit(None).cast("int").alias("b"))),
+                F.transform(
+                    F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            ),
+        )
+    )
+    counts = (
+        baskets.select(F.explode(items_and_pairs).alias("it"))
+        .select("it.a", "it.b")
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    pair_n = counts.filter(F.col("b").isNotNull()).select(
+        F.col("a").alias("item_a"), F.col("b").alias("item_b"),
+        F.col("c").alias("n_both"),
+    )
+    item_n = counts.filter(F.col("b").isNull()).select(
+        F.col("a").alias("item"), F.col("c").alias("nu")
+    )
+    na = F.broadcast(item_n.withColumnsRenamed({"item": "item_a", "nu": "na"}))
+    nb = F.broadcast(item_n.withColumnsRenamed({"item": "item_b", "nu": "nb"}))
+    return (
+        pair_n.filter(F.col("n_both") >= BASKET_MIN_USERS)
+        .join(na, "item_a")
+        .join(nb, "item_b")
+        .crossJoin(n_users)
+        .select(
+            "item_a", "item_b", "n_both",
+            r4(F.col("n_both") / F.col("n")).alias("support"),
+            r4(F.col("n_both").cast("double") / F.col("na")).alias("confidence"),
+            r4(F.col("n_both") * F.col("n") / (F.col("na") * F.col("nb"))).alias("lift"),
+        )
+    )

@@ -233,3 +233,11 @@ def test_pretrain_funnel_gates_share_one_scan(spark):
     assert plan.count("FileScan parquet") == 0
     assert plan.count("ExistingRDD") >= 3
     assert "ntile(3) windowspecdefinition(lang" in plan
+
+
+def test_market_basket_never_self_joins_baskets(spark):
+    # pairs and per-item counts come from ONE aggregate over the sorted
+    # baskets; the user-basket table must never be self-joined
+    plan = plan_of(spark, "agg_market_basket")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
