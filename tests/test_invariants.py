@@ -1,0 +1,48 @@
+"""Cross-metric invariants for the late-round operators — cheap
+assertions that hold for ANY input, so they catch formula regressions
+the fixture-specific oracles might coincidentally miss."""
+
+from pyspark.sql import functions as F
+
+from mergeextractor_spark.operators.dedup import dedup_containment
+from mergeextractor_spark.operators.graph_queries import agg_market_basket
+from mergeextractor_spark.operators.scale_queries import Z_BITS, _zvalue_spark
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_containment_dominates_jaccard(spark):
+    # |A∩B|/min(|A|,|B|) >= |A∩B|/|A∪B| for every pair, with equality
+    # only when the smaller set is contained in the larger
+    rows = dedup_containment(spark, SF).collect()
+    assert rows, "no containment pairs at fixture scale"
+    for r in rows:
+        assert r.containment >= r.jaccard - 1e-9, r
+        assert 0.0 < r.containment <= 1.0 + 1e-9
+
+
+def test_market_basket_bounds(spark):
+    rows = agg_market_basket(spark, SF).collect()
+    assert rows, "no frequent pairs at fixture scale"
+    for r in rows:
+        assert r.item_a < r.item_b
+        # confidence and support are probabilities; support <= confidence
+        # (confidence divides by a subset count)
+        assert 0.0 < r.support <= 1.0 + 1e-9
+        assert r.support <= r.confidence + 1e-9
+        assert r.confidence <= 1.0 + 1e-9
+        assert r.lift > 0.0
+
+
+def test_zvalue_bit_interleave_roundtrip(spark):
+    # the Morton key must be exactly de-interleavable back to (x, y)
+    pts = [(x, y) for x in (0, 1, 5, 511, 1023) for y in (0, 2, 7, 512, 1023)]
+    df = spark.createDataFrame(pts, "x int, y int").select(
+        "x", "y", _zvalue_spark(F.col("x"), F.col("y")).alias("z")
+    )
+    for r in df.collect():
+        x = y = 0
+        for i in range(Z_BITS):
+            x |= ((r.z >> (2 * i)) & 1) << i
+            y |= ((r.z >> (2 * i + 1)) & 1) << i
+        assert (x, y) == (r.x, r.y), (r.x, r.y, r.z)
