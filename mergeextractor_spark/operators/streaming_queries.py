@@ -627,3 +627,70 @@ def events_moving_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "slot", F.col("n").cast("bigint").alias("n"), r4(z).alias("zscore"))
     )
+
+
+@register(
+    "join_scd2_pointintime",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, event_id, ts AS vfrom, value
+      FROM events WHERE event_type = 'signup'
+    ),
+    pur AS (
+      SELECT event_id, user_id, ts, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           round(p.value, 4) AS purchase_value,
+           round(arg_max(d.value, strftime(d.vfrom, '%Y-%m-%d %H:%M:%S.%f')
+                                  || lpad(d.event_id::VARCHAR, 12, '0')), 4) AS signup_value_at_purchase
+    FROM pur p
+    JOIN dim d ON d.user_id = p.user_id AND d.vfrom <= p.ts
+    GROUP BY p.event_id, p.user_id, p.ts, p.value
+    """,
+    doc="Point-in-time (temporal) dimension join: enrich each purchase "
+    "with the signup-dimension version that was in effect AT THE "
+    "PURCHASE'S OWN event time — the lookup every warehouse runs "
+    "against an SCD2 history (cdc_scd2_history builds the ranges this "
+    "join resolves). Implemented as equi-join on the key + max_by over "
+    "the (valid_from, event_id) total order, so no BETWEEN range join "
+    "ever forms: candidate fan-out is the per-key version count "
+    "(dimension-bounded, never |events|²), the tie order is total "
+    "(fixtures contain real (user, ts) ties), and purchases before the "
+    "first version drop (inner semantics). One shuffle on user_id.",
+)
+def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    dim = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("d_eid"),
+        F.col("ts").alias("vfrom"),
+        F.col("value").alias("d_value"),
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("p_value")
+    )
+    return (
+        pur.join(dim, "user_id")
+        .filter(F.col("vfrom") <= F.col("ts"))
+        .groupBy("event_id", "user_id", "ts", "p_value")
+        .agg(
+            # fixed-width sortable (vfrom, event_id) key: struct keys are
+            # not portable to the DuckDB arg_max, a padded string is
+            F.max_by(
+                "d_value",
+                F.concat(
+                    F.date_format("vfrom", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+                    F.lpad(F.col("d_eid").cast("string"), 12, "0"),
+                ),
+            ).alias("_sv")
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            r4(F.col("p_value")).alias("purchase_value"),
+            r4(F.col("_sv")).alias("signup_value_at_purchase"),
+        )
+    )
