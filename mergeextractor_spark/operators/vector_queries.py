@@ -425,3 +425,143 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rep").isNotNull().alias("is_dup"),
         F.coalesce("rep", "vec_id").alias("rep_id"),
     )
+
+
+EMB_DIM = 64  # fixture embedding width (embeddings.parquet)
+
+
+@register(
+    "agg_embedding_covariance",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT g1.i, g2.j
+      FROM generate_series(1, {EMB_DIM}) g1(i), generate_series(1, {EMB_DIM}) g2(j)
+      WHERE g1.i <= g2.j
+    )
+    SELECT i - 1 AS i, j - 1 AS j,
+           round(avg(embedding[i]::DOUBLE * embedding[j]::DOUBLE)
+                 - avg(embedding[i]::DOUBLE) * avg(embedding[j]::DOUBLE), 4)
+             + 0.0 AS cov
+    FROM embeddings CROSS JOIN pairs
+    GROUP BY i, j
+    """,
+    doc="Embedding covariance matrix (upper triangle): the statistic "
+    "behind PCA whitening and the learned rotation in OPQ — the "
+    "preprocessing that makes product-quantization subspaces "
+    "independent. Scale shape: an Arrow-batched partial pass computes "
+    "each batch's count / per-dim sums / outer-product sums in numpy "
+    "(one d×d matrix per batch — the treeAggregate pattern, like the "
+    "Bloom builder), so the shuffle carries d² partial cells per "
+    "BATCH, never per row; the final combine is a map-side-combinable "
+    "groupBy over (i, j) plus a broadcast of the d per-dim means. "
+    "+0.0 on both engines folds -0.0 to +0.0 (near-zero off-diagonals "
+    "would otherwise hash-differ on sign of a 1e-13 residue).",
+)
+def agg_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    d = EMB_DIM
+    iu, ju = np.triu_indices(d)
+
+    def partials(batches):
+        for pdf in batches:
+            X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            p = X.T @ X  # d x d outer-product sum
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate([iu, np.arange(d), [-1]]),
+                    "j": np.concatenate([ju, np.full(d, -1), [-1]]),
+                    "s": np.concatenate(
+                        [p[iu, ju], X.sum(axis=0), [float(len(X))]]
+                    ),
+                }
+            )
+
+    parts = (
+        spread(t(spark, sf_dir, "embeddings"))
+        .select("embedding")
+        .mapInPandas(partials, "i int, j int, s double")
+    )
+    agg = parts.groupBy("i", "j").agg(F.sum("s").alias("s"))
+    n = F.broadcast(
+        agg.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
+            F.col("s").alias("n")
+        )
+    )
+    means = F.broadcast(
+        agg.filter((F.col("i") >= 0) & (F.col("j") == -1))
+        .crossJoin(n)
+        .select(F.col("i").alias("k"), (F.col("s") / F.col("n")).alias("mu"))
+    )
+    mi = means.withColumnsRenamed({"k": "i", "mu": "mi"})
+    mj = means.withColumnsRenamed({"k": "j", "mu": "mj"})
+    return (
+        agg.filter(F.col("j") >= 0)
+        .crossJoin(n)
+        .join(mi, "i")
+        .join(mj, "j")
+        .select(
+            "i",
+            "j",
+            (
+                r4(F.col("s") / F.col("n") - F.col("mi") * F.col("mj"))
+                + F.lit(0.0)
+            ).alias("cov"),
+        )
+    )
+
+
+PCA_K = 8  # components kept by the fixture projection
+
+
+@register(
+    "vector_pca_project",
+    doc="PCA projection of the embedding corpus onto its top-k principal "
+    "components: the covariance comes from agg_embedding_covariance's "
+    "Arrow-batched partial pass, the d×d eigendecomposition runs on the "
+    "DRIVER (numpy over a 64×64 matrix — bounded by dimensionality, "
+    "never by corpus size, the same driver-side footprint as the PQ "
+    "codebooks), and the component matrix broadcasts back into a "
+    "vectorized batch projection. This is the whitening/rotation step "
+    "OPQ and IVF cell balance build on. No DuckDB twin (eigensolvers "
+    "are engine-specific up to sign/order) — value checks live in "
+    "pytest: orthonormal components, diagonal projected covariance, "
+    "monotone reconstruction error.",
+)
+def vector_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    cov_rows = agg_embedding_covariance(spark, sf_dir).collect()  # d*(d+1)/2 cells
+    d = EMB_DIM
+    C = np.zeros((d, d))
+    for r in cov_rows:
+        C[r.i, r.j] = C[r.j, r.i] = r.cov
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(vals)[::-1][:PCA_K]
+    W_mat = vecs[:, order]  # d x k
+    # deterministic sign convention: largest-|.| coordinate positive
+    for c in range(W_mat.shape[1]):
+        pivot = np.argmax(np.abs(W_mat[:, c]))
+        if W_mat[pivot, c] < 0:
+            W_mat[:, c] = -W_mat[:, c]
+    bc = spark.sparkContext.broadcast(W_mat)
+
+    def project(batches):
+        Wb = bc.value
+        for pdf in batches:
+            X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            P = X @ Wb
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "pca": [np.round(row, 4).tolist() for row in P],
+                }
+            )
+
+    return (
+        spread(t(spark, sf_dir, "embeddings"))
+        .select("vec_id", "embedding")
+        .mapInPandas(project, "vec_id long, pca array<double>")
+    )

@@ -46,3 +46,18 @@ def test_zvalue_bit_interleave_roundtrip(spark):
             x |= ((r.z >> (2 * i)) & 1) << i
             y |= ((r.z >> (2 * i + 1)) & 1) << i
         assert (x, y) == (r.x, r.y), (r.x, r.y, r.z)
+
+
+def test_pca_projection_diagonalizes_covariance(spark):
+    import numpy as np
+
+    from mergeextractor_spark.operators.vector_queries import vector_pca_project
+
+    rows = vector_pca_project(spark, SF).collect()
+    P = np.array([r.pca for r in rows])
+    C = np.cov(P, rowvar=False)
+    diag = np.diag(C).copy()
+    # components ordered by explained variance, covariance ~diagonal
+    assert all(diag[i] >= diag[i + 1] - 1e-6 for i in range(len(diag) - 1)), diag
+    off = C - np.diag(diag)
+    assert np.abs(off).max() < 1e-2 * diag[0], np.abs(off).max()
