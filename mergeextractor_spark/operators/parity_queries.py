@@ -518,3 +518,30 @@ def ner_orgs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_orgs(
         filings.select("main_index", "content"), "main_index", "content", k=5
     ).select("main_index", "org", "cnt", F.col("rk").cast("long").alias("rk"))
+
+
+@register(
+    "scan_orc_roundtrip",
+    oracle=None,  # ORC has no DuckDB reader here → rows-only + pytest equality
+    doc="Columnar-format breadth: write the documents table as ORC "
+    "(zstd), read it back, and return per-source row counts + char "
+    "sums. ORC is the other splittable columnar format a 100 TB lake "
+    "ingests from (Hive/Trino estates); the engine's scan path is "
+    "format-agnostic — same pushdown/pruning machinery as parquet. "
+    "Value equality with the parquet source is pinned in "
+    "tests/test_sources_sinks.py.",
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import t
+
+    path = os.path.join(tempfile.mkdtemp(prefix="orc_"), "docs")
+    t(spark, sf_dir, "documents").write.option("compression", "zstd").orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+        )
+        .orderBy("source")
+    )

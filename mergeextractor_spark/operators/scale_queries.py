@@ -1065,3 +1065,98 @@ def zorder_write(df: DataFrame, path: str, n_files: int = 8) -> None:
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256  # two md5 hex chars per depth row
+
+
+def _cms_bucket(key, d: int):
+    """Deterministic bucket for depth row ``d``: two hex chars of the
+    salted md5, mapped through ascii arithmetic (portable to DuckDB —
+    the text_hash_classifier trick). Any deterministic map works as a
+    CMS hash row; both engines compute the identical one."""
+    h = F.md5(F.concat(F.lit(f"{d}|"), key))
+    return (
+        (F.ascii(F.substring(h, 2 * d + 1, 1)) * 16
+         + F.ascii(F.substring(h, 2 * d + 2, 1))) % CMS_WIDTH
+    )
+
+
+def _cms_bucket_sql(key: str, d: int) -> str:
+    return (
+        f"(ascii(substr(md5('{d}|' || {key}), {2 * d + 1}, 1)) * 16"
+        f" + ascii(substr(md5('{d}|' || {key}), {2 * d + 2}, 1))) % {CMS_WIDTH}"
+    )
+
+
+@register(
+    "agg_cms_estimate",
+    oracle=f"""
+    WITH cells AS (
+      {" UNION ALL ".join(
+          f'''SELECT {d} AS d, {_cms_bucket_sql("user_id::VARCHAR", d)} AS b,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM events GROUP BY 2'''
+          for d in range(CMS_DEPTH)
+      )}
+    ),
+    keys AS (SELECT DISTINCT user_id FROM events),
+    lookups AS (
+      {" UNION ALL ".join(
+          f'''SELECT user_id, {d} AS d, {_cms_bucket_sql("user_id::VARCHAR", d)} AS b
+              FROM keys'''
+          for d in range(CMS_DEPTH)
+      )}
+    ),
+    exact AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact FROM events GROUP BY user_id)
+    SELECT l.user_id, e.n_exact, min(c.c) AS n_est
+    FROM lookups l
+    JOIN cells c ON c.d = l.d AND c.b = l.b
+    JOIN exact e ON e.user_id = l.user_id
+    GROUP BY l.user_id, e.n_exact
+    """,
+    doc=f"Count-Min-Sketch frequency estimation: {CMS_DEPTH} salted hash "
+    f"rows × {CMS_WIDTH} buckets — the sketch table is "
+    f"{CMS_DEPTH}×{CMS_WIDTH} cells REGARDLESS of key cardinality, "
+    "which is the whole point at 100 TB: counting a billion-key stream "
+    "shuffles a bounded table, sketches from different "
+    "days/partitions/clusters merge by cell-wise addition, and a point "
+    "query is min over the key's cells (never underestimates; "
+    "overestimates by collision mass — both pinned in pytest). The "
+    "exact twin rides along for verification; production drops it and "
+    "broadcasts the 1k-cell sketch to whoever needs estimates. Both "
+    "engines compute the identical hash rows, so the oracle checks the "
+    "ESTIMATES cell-for-cell, not just the exact counts.",
+)
+def agg_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("key")
+    )
+    cells = None
+    for d in range(CMS_DEPTH):
+        piece = (
+            ev.groupBy(_cms_bucket(F.col("key"), d).alias("b"))
+            .agg(F.count("*").cast("bigint").alias("c"))
+            .select(F.lit(d).alias("d"), "b", "c")
+        )
+        cells = piece if cells is None else cells.unionByName(piece)
+    keys = ev.distinct()
+    lookups = None
+    for d in range(CMS_DEPTH):
+        piece = keys.select(
+            "key", F.lit(d).alias("d"), _cms_bucket(F.col("key"), d).alias("b")
+        )
+        lookups = piece if lookups is None else lookups.unionByName(piece)
+    exact = ev.groupBy("key").agg(F.count("*").cast("bigint").alias("n_exact"))
+    return (
+        lookups.join(F.broadcast(cells), ["d", "b"])
+        .groupBy("key")
+        .agg(F.min("c").alias("n_est"))
+        .join(exact, "key")
+        .select(
+            F.col("key").cast("bigint").alias("user_id"),
+            "n_exact",
+            "n_est",
+        )
+    )

@@ -61,3 +61,14 @@ def test_pca_projection_diagonalizes_covariance(spark):
     assert all(diag[i] >= diag[i + 1] - 1e-6 for i in range(len(diag) - 1)), diag
     off = C - np.diag(diag)
     assert np.abs(off).max() < 1e-2 * diag[0], np.abs(off).max()
+
+
+def test_cms_never_underestimates(spark):
+    from mergeextractor_spark.registry import load_all
+
+    rows = load_all()["agg_cms_estimate"].spark(spark, SF).collect()
+    assert rows
+    assert all(r.n_est >= r.n_exact for r in rows)
+    # with width >> active keys per row, most estimates are exact
+    exact_frac = sum(r.n_est == r.n_exact for r in rows) / len(rows)
+    assert exact_frac > 0.5, exact_frac

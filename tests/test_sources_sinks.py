@@ -143,3 +143,23 @@ def test_kv_merge_kill_mid_swap_recovers(spark, filings_df, tmp_path, monkeypatc
     assert {k for k, v in back.items() if v == "merged-row"} == {0, 100, 250}
     # all temp/backup leftovers cleared
     assert not list(tmp_path.glob("kv5__merge_*"))
+
+
+def test_orc_roundtrip_matches_parquet_source(spark):
+    from mergeextractor_spark.operators.parity_queries import scan_orc_roundtrip
+    from mergeextractor_spark.operators._util import t
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    got = {(r.source): (r.n_docs, r.n_chars) for r in scan_orc_roundtrip(spark, sf).collect()}
+    want = {
+        r.source: (r.n_docs, r.n_chars)
+        for r in t(spark, sf, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+        )
+        .collect()
+    }
+    assert got == want
