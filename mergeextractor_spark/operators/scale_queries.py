@@ -1160,3 +1160,53 @@ def agg_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_est",
         )
     )
+
+
+def _recall_oracle() -> str:
+    from ..registry import REGISTRY
+
+    bf = REGISTRY["ann_bruteforce_topk"].oracle
+    ivf = REGISTRY["ann_ivf_topk"].oracle
+    return f"""
+    SELECT b.query_id,
+           CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
+           round(count(i.neighbor_id)::DOUBLE / count(*), 4) AS recall
+    FROM ({bf}) b
+    LEFT JOIN ({ivf}) i
+      ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+    """
+
+
+@register(
+    "eval_ann_recall",
+    oracle=_recall_oracle(),
+    doc="Retrieval-quality evaluation as a first-class operator: per-query "
+    "recall@k of the IVF index against the brute-force ground truth — "
+    "the metric an ANN deployment tracks when tuning nprobe/cells, "
+    "computed by the ENGINE over the engine's own outputs (left join on "
+    "the ground-truth top-k, hit counting). The oracle nests both ANN "
+    "oracles as derived tables, so the evaluation itself is "
+    "value-checked end-to-end. Scale shape: both inputs are "
+    "(queries × k)-sized, far below broadcast thresholds.",
+)
+def eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .vector_queries import ann_bruteforce_topk
+
+    bf = ann_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = ann_ivf_topk(spark, sf_dir).select(
+        F.col("query_id").alias("i_qid"), F.col("neighbor_id").alias("i_nid")
+    )
+    return (
+        bf.join(
+            ivf,
+            (F.col("query_id") == F.col("i_qid"))
+            & (F.col("neighbor_id") == F.col("i_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("i_nid").cast("bigint").alias("n_hits"),
+            r4(F.count("i_nid").cast("double") / F.count("*")).alias("recall"),
+        )
+    )
