@@ -545,3 +545,43 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "sink_pyds_kv",
+    oracle=None,  # side-effecting sink → rows-only + pytest protocol checks
+    doc="Write side of the Spark 4 Python DataSource surface "
+    "(sources/kv_datasource.py): documents stream through "
+    "df.write.format('kv_json_sink') — per-task staged files named by "
+    "partition id (retry-idempotent), atomic publish via the engine's "
+    "commit hook with a _SUCCESS manifest, abort leaves the target "
+    "untouched (both pinned in tests/test_kv_datasource.py). Returns "
+    "the manifest-verified per-file row counts read back from the "
+    "committed store.",
+)
+def sink_pyds_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+
+    from ..sources.kv_datasource import register_kv_sink
+    from ._util import t
+
+    register_kv_sink(spark)
+    path = os.path.join(tempfile.mkdtemp(prefix="pydskv_"), "store")
+    os.makedirs(path, exist_ok=True)
+    (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars")
+        .repartition(4, "doc_id")
+        .write.format("kv_json_sink")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )
+    manifest = _json.load(open(os.path.join(path, "_SUCCESS")))
+    files = [f["file"] for f in manifest["files"]]
+    back = spark.read.json([os.path.join(path, f) for f in files])
+    return (
+        back.groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .orderBy("source")
+    )
