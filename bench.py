@@ -70,6 +70,7 @@ HEADLINE = [
     "graph_pagerank",            # 5-round damped PageRank (iterative joins, per-round checkpoint)
     "pipeline_pretrain_corpus",  # flagship #4: model-based quality funnel (gates -> survivor LM)
     "sort_zorder",               # Morton clustering key (pure bitwise map stage)
+    "rank_rrf_fusion",           # hybrid retrieval: BM25 + cosine pools -> reciprocal-rank fusion
 ]
 
 

@@ -899,10 +899,10 @@ BM25_QUERY = ("merge", "vector", "stream")  # mid-df fixture terms
 
 _BM25_IN = ", ".join(f"'{q}'" for q in BM25_QUERY)
 
-
-@register(
-    "text_bm25_topk",
-    oracle=f"""
+# Shared oracle CTE ending in scored(doc_id, score) — text_bm25_topk and the
+# RRF hybrid fusion key (vector_queries.rank_rrf_fusion) both build on it so
+# the two engines' sparse rankings can never drift apart.
+BM25_SCORED_CTE = f"""
     WITH words AS (
       SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term
       FROM documents
@@ -925,20 +925,12 @@ _BM25_IN = ", ".join(f"'{q}'" for q in BM25_QUERY)
       FROM tf t JOIN df d USING (term) JOIN dl l USING (doc_id) CROSS JOIN stats s
       GROUP BY t.doc_id
     )
-    SELECT doc_id, round(score, 4) AS score FROM scored
-    ORDER BY round(score, 4) DESC, doc_id LIMIT {BM25_TOPK}
-    """,
-    doc=f"BM25 (Lucene idf form, k1={BM25_K1}, b={BM25_B}) top-{BM25_TOPK} "
-    f"docs for a fixed {len(BM25_QUERY)}-term query — the sparse-retrieval "
-    "scorer behind benchmark-contamination triage and dedup candidate "
-    "ranking. Scale shape: tf aggregates only rows matching the query "
-    "terms (the isin filter reaches the scan), df and the 1-row "
-    "(avgdl, N) stats are broadcast, so the only corpus-sized shuffle is "
-    "the per-doc length aggregate — and that one is shared, cacheable "
-    "ingest state in production. Global top-k via TakeOrderedAndProject, "
-    "never a full sort.",
-)
-def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+"""
+
+
+def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 scores (doc_id, score) for the fixed query — the DataFrame twin
+    of ``BM25_SCORED_CTE``; every consumer ranks/limits on top of this."""
     words = t(spark, sf_dir, "documents").select(
         "doc_id",
         F.explode(F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")).alias(
@@ -959,13 +951,34 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (BM25_K1 + 1)
         / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
     )
-    scored = (
+    return (
         tf.join(F.broadcast(df), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(r4(F.sum(contrib)).alias("score"))
     )
+
+
+@register(
+    "text_bm25_topk",
+    oracle=BM25_SCORED_CTE
+    + f"""
+    SELECT doc_id, round(score, 4) AS score FROM scored
+    ORDER BY round(score, 4) DESC, doc_id LIMIT {BM25_TOPK}
+    """,
+    doc=f"BM25 (Lucene idf form, k1={BM25_K1}, b={BM25_B}) top-{BM25_TOPK} "
+    f"docs for a fixed {len(BM25_QUERY)}-term query — the sparse-retrieval "
+    "scorer behind benchmark-contamination triage and dedup candidate "
+    "ranking. Scale shape: tf aggregates only rows matching the query "
+    "terms (the isin filter reaches the scan), df and the 1-row "
+    "(avgdl, N) stats are broadcast, so the only corpus-sized shuffle is "
+    "the per-doc length aggregate — and that one is shared, cacheable "
+    "ingest state in production. Global top-k via TakeOrderedAndProject, "
+    "never a full sort.",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = bm25_scored(spark, sf_dir)
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(BM25_TOPK)
 
 
@@ -1188,4 +1201,74 @@ def dq_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             2.0 * F.sum(F.col("i") * F.col("c")) / (F.count("*") * F.sum("c"))
             - (F.count("*") + F.lit(1.0)) / F.count("*")
         ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted reservoir sampling (Efraimidis-Spirakis A-ES): per-source top-K by
+# the key u^(1/w) — equivalently ln(u)/w — with u a deterministic md5-derived
+# uniform. The reproducible, single-pass way to draw a weighted sample
+# without replacement from a 100 TB corpus: no sampling state, stable under
+# retries, any engine computes the same draw.
+
+RESERVOIR_K = 10
+_HEX = "0123456789abcdef"
+
+# hex→int over the first 8 md5 nibbles, nibble-by-nibble via strpos — the
+# same portable-hex currency as the simhash bit extraction (dedup.py:432).
+_U32_SQL = " + ".join(
+    f"(strpos('{_HEX}', substr(h, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+    for i in range(8)
+)
+
+
+@register(
+    "sample_reservoir_weighted",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id, source, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, source,
+             round(ln(({_U32_SQL} + 1) / 4294967296.0) * 1000000.0 / n_chars, 4) AS sample_key
+      FROM hashed
+    ),
+    ranked AS (
+      SELECT doc_id, source, sample_key,
+             row_number() OVER (PARTITION BY source ORDER BY sample_key DESC, doc_id) AS rn
+      FROM keyed
+    )
+    SELECT source, doc_id, sample_key, CAST(rn AS BIGINT) AS rank
+    FROM ranked WHERE rn <= {RESERVOIR_K}
+    """,
+    doc=f"Efraimidis-Spirakis weighted reservoir sample: per source, the "
+    f"top-{RESERVOIR_K} docs by ln(u)/w where u is a deterministic md5 "
+    "uniform and w = n_chars — longer docs proportionally likelier, yet "
+    "the draw is exactly reproducible on any engine (md5 is the portable "
+    "currency, as in the dedup family; key scaled ×1e6 so the 4-decimal "
+    "cross-engine rounding keeps full ranking resolution). Scale shape: "
+    "one map-side key computation + one per-source rank window that "
+    "Spark 4 executes as WindowGroupLimit — the per-partition top-K is "
+    "pruned BEFORE the shuffle, so the exchange carries at most "
+    f"{RESERVOIR_K}×partitions rows per source, never the corpus.",
+)
+def sample_reservoir_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = F.md5(F.col("doc_id").cast("string"))
+    # hex→int: nibble-by-nibble strpos, mirroring the oracle expression
+    val = F.lit(0).cast("long")
+    for i in range(8):
+        val = val + (
+            (F.instr(F.lit(_HEX), F.substring(h, i + 1, 1)) - 1).cast("long")
+            * F.lit(16 ** (7 - i)).cast("long")
+        )
+    u = (val + 1).cast("double") / F.lit(4294967296.0)
+    key = r4(F.log(u) * 1000000.0 / F.col("n_chars"))
+    w = W.partitionBy("source").orderBy(F.desc("sample_key"), F.asc("doc_id"))
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "source", key.alias("sample_key"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= RESERVOIR_K)
+        .select("source", "doc_id", "sample_key", "rank")
     )

@@ -579,9 +579,54 @@ def sink_pyds_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     manifest = _json.load(open(os.path.join(path, "_SUCCESS")))
     files = [f["file"] for f in manifest["files"]]
-    back = spark.read.json([os.path.join(path, f) for f in files])
+    # explicit schema: inference over an empty store (0 committed rows)
+    # yields an empty struct and unresolvable columns downstream
+    kv_schema = "doc_id bigint, source string, n_chars bigint"
+    if not files:
+        back = spark.createDataFrame([], kv_schema)
+    else:
+        back = spark.read.schema(kv_schema).json(
+            [os.path.join(path, f) for f in files]
+        )
     return (
         back.groupBy("source")
         .agg(F.count("*").cast("bigint").alias("n_docs"))
         .orderBy("source")
+    )
+
+
+@register(
+    "scan_jsonl_roundtrip",
+    oracle="""
+    SELECT source, count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS n_chars
+    FROM documents GROUP BY source
+    """,
+    doc="Interchange-format breadth: write the documents table as JSON "
+    "Lines, read it back with an EXPLICIT schema (inference over 100 TB "
+    "is a full extra pass — and over an empty store yields an "
+    "unresolvable empty struct), and return per-source doc counts + "
+    "char sums. Unlike the ORC twin this one is oracle-paired: the "
+    "DuckDB oracle aggregates the original parquet view, so any "
+    "byte lost or mangled in the JSON round-trip (newline escaping, "
+    "unicode surrogates, column drift) breaks the hash match. Left "
+    "uncompressed: bare JSONL splits by line at any byte offset, so a "
+    "1000-executor scan parallelizes without gzip's whole-file decode "
+    "barrier.",
+)
+def scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import t
+
+    path = os.path.join(tempfile.mkdtemp(prefix="jsonl_"), "docs")
+    (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text", "source")
+        .write.json(path)
+    )
+    back = spark.read.schema("doc_id bigint, text string, source string").json(path)
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+        )
     )

@@ -694,3 +694,55 @@ def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.col("_sv")).alias("signup_value_at_purchase"),
         )
     )
+
+
+@register(
+    "events_attribution",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es
+      FROM events
+    ),
+    attributed AS (
+      SELECT event_type, value,
+             coalesce(
+               last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY es, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               'direct') AS channel
+      FROM ordered
+    )
+    SELECT channel, count(*) AS n_purchases, round(sum(value), 4) AS revenue
+    FROM attributed WHERE event_type = 'purchase' GROUP BY channel
+    """,
+    doc="Last-touch attribution: each purchase is credited to the user's "
+    "most recent preceding non-purchase event type ('direct' when none), "
+    "then purchase count + revenue roll up per channel — the marketing "
+    "twin of sessionization. The ignore-nulls running last_value is the "
+    "one window shape the session/funnel family doesn't already cover. "
+    "Single user_id-partitioned window (one shuffle on the same key the "
+    "session operators already use) + a 4-row aggregate; at 100 TB the "
+    "window state is one string per user, never the event history.",
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    es = F.unix_timestamp("ts")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(es, F.col("event_id"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    chan = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        t(spark, sf_dir, "events")
+        .withColumn("channel", F.coalesce(chan, F.lit("direct")))
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            r4(F.sum("value")).alias("revenue"),
+        )
+    )

@@ -565,3 +565,121 @@ def vector_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .mapInPandas(project, "vec_id long, pca array<double>")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of the sparse (BM25) and dense
+# (cosine) rankings — the standard RAG-stack merge (Cormack et al. 2009).
+
+RRF_K = 60  # the canonical damping constant from the RRF paper
+RRF_POOL = 30  # depth of each source ranking fed into the fusion
+RRF_TOPK = 10
+
+from .curation_queries import BM25_SCORED_CTE  # noqa: E402 (no import cycle)
+
+_RRF_ORACLE = (
+    BM25_SCORED_CTE
+    + f"""
+    , sparse AS (
+      SELECT doc_id, sparse_rank FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS sparse_rank
+        FROM scored
+      ) WHERE sparse_rank <= {RRF_POOL}
+    ),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    pairs AS (
+      SELECT e.vec_id, CAST(unnest(e.embedding) AS DOUBLE) AS x, CAST(unnest(q.qe) AS DOUBLE) AS y
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> 0
+    ),
+    cos AS (
+      SELECT vec_id, sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS c
+      FROM pairs GROUP BY vec_id
+    ),
+    dense AS (
+      SELECT doc_id, dense_rank FROM (
+        SELECT vec_id AS doc_id,
+               row_number() OVER (ORDER BY round(c, 4) DESC, vec_id) AS dense_rank
+        FROM cos
+      ) WHERE dense_rank <= {RRF_POOL}
+    ),
+    fused AS (
+      SELECT doc_id,
+             CAST(s.sparse_rank AS BIGINT) AS sparse_rank,
+             CAST(d.dense_rank AS BIGINT) AS dense_rank,
+             coalesce(1.0 / ({RRF_K} + s.sparse_rank), 0)
+               + coalesce(1.0 / ({RRF_K} + d.dense_rank), 0) AS raw
+      FROM sparse s FULL OUTER JOIN dense d USING (doc_id)
+    )
+    SELECT doc_id, sparse_rank, dense_rank, round(raw, 4) AS rrf_score
+    FROM fused ORDER BY raw DESC, doc_id LIMIT {RRF_TOPK}
+    """
+)
+
+
+@register(
+    "rank_rrf_fusion",
+    oracle=_RRF_ORACLE,
+    doc=f"Reciprocal-rank fusion (k={RRF_K}) of two top-{RRF_POOL} rankings "
+    "over the same corpus: sparse BM25 (fixed 3-term query, shared scorer "
+    "with text_bm25_topk) and dense cosine vs the vec_id-0 query embedding "
+    f"— returns the fused top-{RRF_TOPK}. The production hybrid-retrieval "
+    "merge: each source list is produced by its own scale path (BM25 "
+    "TakeOrderedAndProject, ANN nprobe-bounded candidates), so the fusion "
+    "itself only ever touches 2×pool rows — rank assignment runs on a "
+    "constant-size list (explicit single-partition window AFTER the "
+    "global top-k prune, never over the corpus), and the full-outer merge "
+    "is a broadcast-size join no matter the corpus size.",
+)
+def rank_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .curation_queries import bm25_scored
+
+    # each source list: global top-POOL via TakeOrderedAndProject, THEN rank
+    # the surviving constant-size list. The pool is coalesced to one explicit
+    # partition and the rank window partitions on spark_partition_id() (a
+    # constant 0 there, but non-foldable) — a literal partition key would be
+    # constant-folded away and WindowExec would log the single-partition
+    # warning; here the single partition is the point: it holds ≤POOL rows.
+    rank_w = W.partitionBy(F.spark_partition_id()).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    sparse = (
+        bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(RRF_POOL)
+        .coalesce(1)
+        .withColumn("sparse_rank", F.row_number().over(rank_w))
+        .select("doc_id", "sparse_rank")
+    )
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    dense = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            r4(cosine(F.col("embedding"), F.col("qe"))).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(RRF_POOL)
+        .coalesce(1)
+        .withColumn("dense_rank", F.row_number().over(rank_w))
+        .select("doc_id", "dense_rank")
+    )
+    fused = sparse.join(dense, "doc_id", "full_outer").select(
+        "doc_id",
+        F.col("sparse_rank").cast("bigint").alias("sparse_rank"),
+        F.col("dense_rank").cast("bigint").alias("dense_rank"),
+        (
+            F.coalesce(F.lit(1.0) / (RRF_K + F.col("sparse_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (RRF_K + F.col("dense_rank")), F.lit(0.0))
+        ).alias("raw"),
+    )
+    return (
+        fused.orderBy(F.desc("raw"), F.asc("doc_id"))
+        .limit(RRF_TOPK)
+        .select("doc_id", "sparse_rank", "dense_rank", r4(F.col("raw")).alias("rrf_score"))
+    )
+
+

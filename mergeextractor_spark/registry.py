@@ -158,6 +158,8 @@ _ROWS_ONLY_ORDER: tuple[str, ...] = (
     "agg_percentile_approx", "dedup_bloom_prefilter",
     "text_compression_ratio", "events_approx_distinct",
     "source_pyds_fts", "agg_hll_daily_union",
+    # r5-added rows-only keys (no driver evidence yet)
+    "vector_pca_project", "scan_orc_roundtrip", "sink_pyds_kv",
     # first driver rows recorded in CORRECTNESS_r04 — re-check last
     "sink_csv_append", "sink_csv_union", "sink_kv_store", "scan_kv_store",
 )
@@ -165,9 +167,10 @@ _ROWS_ONLY_ORDER: tuple[str, ...] = (
 # Number of previously-green keys re-checked per round.  Sampled
 # deterministically from _DRIVER_GREEN seeded by _ROUND so a regression in
 # r01-era code cannot stay invisible forever.  3 this round: 19 rotation
-# keys + 28 never-evidenced rows-only keys (the r5-added source_pyds_fts
-# and agg_hll_daily_union joined the backlog) + 3 canaries = the 50-key
-# window the driver demonstrably covers.
+# keys + 31 never-evidenced rows-only keys + 3 canaries = a 53-key front
+# window; the driver demonstrably covers ~50 under its wall-clock budget
+# and most rows-only keys are cheap, so only the r04-evidenced tail (which
+# already holds driver rows) risks falling outside.
 _CANARY_SLOTS: int = 3
 
 

@@ -241,3 +241,31 @@ def test_market_basket_never_self_joins_baskets(spark):
     plan = plan_of(spark, "agg_market_basket")
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_reservoir_sample_prunes_before_shuffle(spark):
+    # Efraimidis-Spirakis top-K must run as WindowGroupLimit with a Partial
+    # (map-side) pass BEFORE the exchange — the shuffle carries at most
+    # K rows per source per task, never the corpus.
+    plan = plan_of(spark, "sample_reservoir_weighted")
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
+
+
+def test_rrf_fusion_pools_via_takeordered(spark):
+    # each retrieval list is a global top-POOL (TakeOrderedAndProject),
+    # and the rank window runs partitioned (over the pooled rows), never
+    # as an unpartitioned window over the corpus
+    plan = plan_of(spark, "rank_rrf_fusion")
+    assert plan.count("TakeOrderedAndProject") >= 3  # 2 pools + final top-k
+    # both rank windows carry a partition key (the projected
+    # spark_partition_id, aliased _w0/_w1) — an unpartitioned spec would
+    # lead with the score ordering instead
+    assert "windowspecdefinition(score" not in plan
+
+
+def test_attribution_single_user_shuffle(spark):
+    # the ignore-nulls running last_value and the purchase filter must share
+    # ONE user_id exchange; the channel rollup is a 4-row aggregate
+    plan = plan_of(spark, "events_attribution")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
