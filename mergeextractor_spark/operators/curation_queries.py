@@ -1272,3 +1272,102 @@ def sample_reservoir_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= RESERVOIR_K)
         .select("source", "doc_id", "sample_key", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer APPLY (step 2 to text_bpe_merge_candidates' step-1 trainer):
+# segment the vocabulary's top words with a fixed, ordered merge table.
+
+BPE_ENCODE_TOPK = 40
+# Ordered merge table. In production this is the trainer's output (the
+# text_bpe_merge_candidates ranking, iterated); fixed here so both engines
+# apply the identical program. Each merge rewrites " a b " -> " ab " over
+# the space-separated symbol string, in rank order — the textbook greedy
+# BPE encode.
+BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"), ("i", "n"), ("e", "r"), ("a", "n"), ("o", "n"),
+    ("r", "e"), ("a", "t"), ("e", "n"), ("o", "r"), ("t", "i"),
+    ("th", "e"), ("in", "g"), ("e", "s"), ("a", "l"), ("s", "t"),
+)
+
+
+def _bpe_oracle_expr() -> str:
+    """Nested DuckDB replace() applying the merge program to column s.
+    Two passes per merge: replace() resumes scanning after each
+    substitution, so a second pass catches the alternating occurrences a
+    single left-to-right sweep skips (identical semantics in Spark)."""
+    expr = "s"
+    for a, b in BPE_MERGES:
+        for _ in range(2):
+            expr = f"replace({expr}, ' {a} {b} ', ' {a}{b} ')"
+    return expr
+
+
+_BPE_ENCODE_ORACLE = f"""
+    WITH words AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w
+      FROM documents
+    ),
+    wc AS (
+      SELECT w, count(*) AS freq FROM words
+      WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w
+    ),
+    top AS (
+      SELECT w, freq FROM (
+        SELECT w, freq, row_number() OVER (ORDER BY freq DESC, w) AS rn FROM wc
+      ) WHERE rn <= {BPE_ENCODE_TOPK}
+    ),
+    seg0 AS (
+      SELECT w, freq, ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s
+      FROM top
+    ),
+    seg AS (SELECT w, freq, {_bpe_oracle_expr()} AS s FROM seg0)
+    SELECT w AS word, CAST(freq AS BIGINT) AS freq, trim(s) AS pieces,
+           CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_pieces
+    FROM seg
+    """
+
+
+@register(
+    "text_bpe_encode",
+    oracle=_BPE_ENCODE_ORACLE,
+    doc=f"BPE tokenizer apply: segment the corpus's top-{BPE_ENCODE_TOPK} "
+    f"alphabetic words with the fixed {len(BPE_MERGES)}-merge program "
+    "(space-separated symbol string; each ' a b '→' ab ' rewrite applied "
+    "twice so alternating occurrences converge — both engines share "
+    "replace()'s resume-after-substitution semantics, so the "
+    "segmentations are bit-identical). Scale shape is the same "
+    "vocabulary trick as the trainer: encode DISTINCT words once "
+    "(vocab-sized, via TakeOrderedAndProject), never the corpus tokens; "
+    "production joins the segmentation table back to the token stream "
+    "by word.",
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = t(spark, sf_dir, "documents").select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+        ).alias("w")
+    )
+    wc = (
+        words.filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("w"))
+        .limit(BPE_ENCODE_TOPK)
+    )
+    # chars interspersed with spaces, space sentinels at both ends
+    s = F.concat(
+        F.lit(" "),
+        F.array_join(F.filter(F.split(F.col("w"), ""), lambda x: x != ""), " "),
+        F.lit(" "),
+    )
+    for a, b in BPE_MERGES:
+        for _ in range(2):
+            s = F.replace(s, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+    pieces = F.trim(s)
+    return wc.select(
+        F.col("w").alias("word"),
+        F.col("freq").cast("bigint").alias("freq"),
+        pieces.alias("pieces"),
+        F.size(F.split(pieces, " ")).cast("bigint").alias("n_pieces"),
+    )

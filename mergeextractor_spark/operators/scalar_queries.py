@@ -386,3 +386,34 @@ def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.avg("value")).alias("avg_value"),
         )
     )
+
+
+@register(
+    "str_xml_extract",
+    oracle="""
+    SELECT doc_id, source, lang, n_chars AS n
+    FROM documents
+    """,
+    doc="Spark 4 native XML parsing (from_xml): each document's metadata "
+    "is serialized to an XML fragment and parsed back with an explicit "
+    "struct schema; the oracle selects the original columns, so the "
+    "whole serialize→parse loop must be lossless for the hash to match. "
+    "The XML path matters for ingest breadth (feeds, sitemaps, legacy "
+    "filing formats are XML); like the JSON keys this is a pure map "
+    "stage — no shuffle, whole-stage codegen around the parse.",
+)
+def str_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # alphanumeric columns only — no escaping concerns in the fragment
+    xml = F.concat(
+        F.lit("<d><s>"), F.col("source"),
+        F.lit("</s><l>"), F.col("lang"),
+        F.lit("</l><n>"), F.col("n_chars").cast("string"),
+        F.lit("</n></d>"),
+    )
+    parsed = F.from_xml(xml, "s string, l string, n bigint")
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        parsed["s"].alias("source"),
+        parsed["l"].alias("lang"),
+        parsed["n"].alias("n"),
+    )

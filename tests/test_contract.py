@@ -125,3 +125,18 @@ def test_sql_view_results_match_dataframe_surface(spark):
         rows_df = sorted(map(tuple, via_df.collect()), key=repr)
         rows_sql = sorted(map(tuple, via_sql.collect()), key=repr)
         assert rows_sql == rows_df, f"SQL view drifted for {key!r}"
+
+
+def test_profiler_reports_hot_nodes(spark, capsys):
+    """tools/profile_query.py walks the executed (post-AQE) plan of the
+    query's OWN QueryExecution and surfaces time-like node metrics —
+    the Spark analogue of the reference's cProfile harness
+    (ref profiler/profile.py:20-53)."""
+    import tools.profile_query as pq
+
+    pq.profile("agg_org_topk", "/root/testdata/sf0.001", min_ms=0.0)
+    out = capsys.readouterr().out
+    assert "wall" in out
+    # at least one plan node above the 0ms floor with a metric detail line
+    assert "ms]" in out
+    assert "nodes >= 0.0 ms shown" in out
