@@ -1249,3 +1249,49 @@ def olap_pricing_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY l_returnflag, l_linestatus
         |> SELECT l_returnflag, l_linestatus, sum_qty, avg_price, n
     """)
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, event_id, event_type, es,
+             first_value(CASE WHEN event_type = 'error' THEN es END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY es, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_error_es
+      FROM e
+    )
+    SELECT user_id, event_id, es, next_error_es
+    FROM marked WHERE event_type = 'click'
+    """,
+    doc="Forward as-of join (the mirror of join_asof): for each click, the "
+    "user's NEXT error timestamp, via first_value(IGNORE NULLS) over a "
+    "following-rows frame — time-to-failure / time-to-conversion analyses "
+    "need both directions. Same scale shape as the backward form: one "
+    "user_id shuffle, no range join, window state bounded to one pending "
+    "timestamp per partition pass.",
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("es"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("es", "event_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    nxt = F.first(
+        F.when(F.col("event_type") == "error", F.col("es")), ignorenulls=True
+    ).over(w)
+    return (
+        e.withColumn("next_error_es", nxt)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", "event_id", "es", "next_error_es")
+    )

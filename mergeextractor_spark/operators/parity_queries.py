@@ -630,3 +630,51 @@ def scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("text")).cast("bigint").alias("n_chars"),
         )
     )
+
+
+@register(
+    "scan_csv_corrupt_permissive",
+    oracle="""
+    SELECT source,
+           count(*) AS n_rows,
+           CAST(count(CASE WHEN doc_id % 50 = 0 THEN 1 END) AS BIGINT) AS n_corrupt,
+           CAST(sum(CASE WHEN doc_id % 50 <> 0 THEN n_chars END) AS BIGINT) AS good_chars
+    FROM documents GROUP BY source
+    """,
+    doc="Malformed-input tolerance: the documents table is serialized to "
+    "CSV with every 50th row's integer column mangled, then read back "
+    "under PERMISSIVE mode with _corrupt_record in the schema — bad rows "
+    "surface as typed nulls plus the captured raw line instead of "
+    "failing the scan (a 100 TB crawl ALWAYS contains garbage lines; "
+    "FAILFAST is not an option mid-pipeline). The oracle derives the "
+    "same per-source good/corrupt counts from the injection rule on the "
+    "original view, so the permissive parser's row accounting is "
+    "value-checked, not just 'did not crash'.",
+)
+def scan_csv_corrupt_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(tempfile.mkdtemp(prefix="csvbad_"), "rows")
+    line = F.concat(
+        F.col("doc_id").cast("string"),
+        F.lit(","),
+        F.col("source"),
+        F.lit(","),
+        # corrupt the integer column on every 50th row
+        F.when(F.col("doc_id") % 50 == 0, F.lit("xx")).otherwise(
+            F.col("n_chars").cast("string")
+        ),
+    )
+    t(spark, sf_dir, "documents").select(line.alias("value")).write.text(path)
+    back = (
+        spark.read.schema(
+            "doc_id bigint, source string, n_chars bigint, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+    return back.groupBy("source").agg(
+        F.count("*").alias("n_rows"),
+        F.count("_corrupt_record").cast("bigint").alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("n_chars")))
+        .cast("bigint")
+        .alias("good_chars"),
+    )

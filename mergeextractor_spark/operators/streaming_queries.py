@@ -746,3 +746,62 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.sum("value")).alias("revenue"),
         )
     )
+
+
+MAD_SIGMA = 1.4826  # normal-consistency constant for MAD-based z-scores
+
+
+@register(
+    "events_anomaly_mad",
+    oracle=f"""
+    WITH med AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, any_value(med) AS med, median(adev) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           round(m.med, 4) AS med,
+           round(m.mad, 4) AS mad,
+           CAST(count(CASE WHEN d.adev > 3 * {MAD_SIGMA} * m.mad THEN 1 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type, m.med, m.mad
+    """,
+    doc="Robust anomaly profile per event_type: exact median, median "
+    "absolute deviation, and the count of |x−med| > 3·1.4826·MAD outliers "
+    "— the robust-statistics twin of events_moving_zscore (mean/stddev "
+    "break under the very outliers they are meant to flag; median/MAD "
+    "do not). Two grouped exact-median passes over a 5-key space plus a "
+    "broadcast join of the 5-row stats back onto the stream — the "
+    "stream-sized work is two scans and one low-cardinality shuffle.",
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("adev"), "med"
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.any_value("med").alias("med"), F.median("adev").alias("mad")
+    )
+    return (
+        dev.select("event_type", "adev")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(
+                F.when(F.col("adev") > 3 * MAD_SIGMA * F.col("mad"), 1)
+            ).cast("bigint").alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            r4(F.col("med")).alias("med"),
+            r4(F.col("mad")).alias("mad"),
+            "n_outliers",
+        )
+    )
