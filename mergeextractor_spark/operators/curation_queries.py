@@ -1371,3 +1371,50 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         pieces.alias("pieces"),
         F.size(F.split(pieces, " ")).cast("bigint").alias("n_pieces"),
     )
+
+
+@register(
+    "dq_completeness_profile",
+    oracle="""
+    WITH cols AS (
+      SELECT 'lang' AS col_name, lang AS v FROM documents
+      UNION ALL SELECT 'source', source FROM documents
+      UNION ALL SELECT 'text', text FROM documents
+    )
+    SELECT col_name,
+           count(*) AS n_rows,
+           CAST(count(CASE WHEN v IS NULL THEN 1 END) AS BIGINT) AS n_null,
+           CAST(count(CASE WHEN v IS NOT NULL AND trim(v) = '' THEN 1 END) AS BIGINT) AS n_blank,
+           CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+           round(avg(length(v)), 4) AS avg_len
+    FROM cols GROUP BY col_name
+    """,
+    doc="Column-completeness profile over the string columns (null / "
+    "blank / distinct counts, average length) — the string-side twin of "
+    "profile_numeric and the first report any data-quality pass runs on "
+    "a new drop. Long form via a generator expression (one row per "
+    "(column, value)), so ONE scan + one aggregate covers every column "
+    "— column count never multiplies scans; at 100 TB the distinct "
+    "count is the only non-sketchable term (swap for approx_count_"
+    "distinct when exactness isn't contractual).",
+)
+def dq_completeness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    long = d.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("lang").alias("col_name"), F.col("lang").alias("v")),
+                F.struct(F.lit("source").alias("col_name"), F.col("source").alias("v")),
+                F.struct(F.lit("text").alias("col_name"), F.col("text").alias("v")),
+            )
+        ).alias("c")
+    ).select("c.col_name", "c.v")
+    return long.groupBy("col_name").agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(F.col("v").isNull(), 1)).cast("bigint").alias("n_null"),
+        F.count(F.when(F.col("v").isNotNull() & (F.trim("v") == ""), 1))
+        .cast("bigint")
+        .alias("n_blank"),
+        F.countDistinct("v").cast("bigint").alias("n_distinct"),
+        r4(F.avg(F.length("v"))).alias("avg_len"),
+    )

@@ -805,3 +805,112 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+FUNNEL_CLICK_SEC = 1800  # view -> click deadline
+FUNNEL_BUY_SEC = 3600  # click -> purchase deadline
+
+
+@register(
+    "events_funnel_windowed",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es
+      FROM events
+    ),
+    nxt AS (
+      SELECT user_id, event_id, event_type, es,
+             first_value(CASE WHEN event_type = 'click' THEN es END IGNORE NULLS)
+               OVER w AS nc_es,
+             first_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+               OVER w AS nc_id,
+             first_value(CASE WHEN event_type = 'purchase' THEN es END IGNORE NULLS)
+               OVER w AS np_es
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    ),
+    views AS (
+      SELECT user_id, es, nc_es, nc_id FROM nxt WHERE event_type = 'view'
+    ),
+    clicks AS (
+      SELECT event_id AS click_id, np_es FROM nxt WHERE event_type = 'click'
+    ),
+    funnel AS (
+      SELECT v.es, v.nc_es,
+             CASE WHEN v.nc_es IS NOT NULL AND v.nc_es <= v.es + {FUNNEL_CLICK_SEC}
+                  THEN 1 ELSE 0 END AS clicked,
+             CASE WHEN v.nc_es IS NOT NULL AND v.nc_es <= v.es + {FUNNEL_CLICK_SEC}
+                       AND c.np_es IS NOT NULL AND c.np_es <= v.nc_es + {FUNNEL_BUY_SEC}
+                  THEN 1 ELSE 0 END AS converted
+      FROM views v LEFT JOIN clicks c ON c.click_id = v.nc_id
+    )
+    SELECT count(*) AS n_views,
+           CAST(sum(clicked) AS BIGINT) AS n_clicked,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           round(sum(converted)::DOUBLE / greatest(count(*), 1), 4) AS conversion_rate
+    FROM funnel
+    """,
+    doc="Time-bounded conversion funnel: view → click within 30 min → "
+    "purchase within 60 min OF THE CLICK. Unlike agg_funnel's whole-"
+    "history ordering, each leg has a deadline, and the purchase clock "
+    "starts at the click — so the first forward as-of pass finds each "
+    "view's next click (es + event_id, two IGNORE-NULLS first_values "
+    "over one frame — both resolve to the same first-click row), and a "
+    "join on the click's unique event_id picks up THAT row's next-"
+    "purchase timestamp from the same pass. One user_id window shuffle "
+    "+ one id equi-join; no range join, no per-user collect.",
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_timestamp("ts").alias("es")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("es", "event_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    is_click = F.col("event_type") == "click"
+    nxt = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "es",
+        F.first(F.when(is_click, F.col("es")), ignorenulls=True).over(w).alias("nc_es"),
+        F.first(F.when(is_click, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("nc_id"),
+        F.first(
+            F.when(F.col("event_type") == "purchase", F.col("es")), ignorenulls=True
+        )
+        .over(w)
+        .alias("np_es"),
+    )
+    views = nxt.filter(F.col("event_type") == "view").select(
+        "es", "nc_es", "nc_id"
+    )
+    clicks = nxt.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "np_es"
+    )
+    clicked = F.col("nc_es").isNotNull() & (
+        F.col("nc_es") <= F.col("es") + FUNNEL_CLICK_SEC
+    )
+    converted = (
+        clicked
+        & F.col("np_es").isNotNull()
+        & (F.col("np_es") <= F.col("nc_es") + FUNNEL_BUY_SEC)
+    )
+    funnel = views.join(
+        clicks, views["nc_id"] == clicks["click_id"], "left"
+    ).select(
+        F.when(clicked, 1).otherwise(0).alias("clicked"),
+        F.when(converted, 1).otherwise(0).alias("converted"),
+    )
+    return funnel.agg(
+        F.count("*").alias("n_views"),
+        F.sum("clicked").cast("bigint").alias("n_clicked"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        r4(
+            F.sum("converted").cast("double") / F.greatest(F.count("*"), F.lit(1))
+        ).alias("conversion_rate"),
+    )

@@ -683,3 +683,31 @@ def rank_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+_HYBRID_SEARCH_ORACLE = f"""
+    WITH fused_q AS ({_RRF_ORACLE})
+    SELECT f.doc_id, d.source, d.lang, substr(d.text, 1, 80) AS snippet,
+           f.rrf_score
+    FROM fused_q f JOIN documents d USING (doc_id)
+"""
+
+
+@register(
+    "pipeline_hybrid_search",
+    oracle=_HYBRID_SEARCH_ORACLE,
+    doc="Flagship #5 — the full hybrid-search answer: rank_rrf_fusion's "
+    "fused top-10 joined back to document metadata (source, lang, 80-char "
+    "snippet), i.e. the result card a search API returns. The fused list "
+    "is 10 rows, so the metadata join BROADCASTS the result side and the "
+    "corpus scan streams past it untouched — at 100 TB the join cost is "
+    "one broadcast of 10 ids, and with an id-partitioned document store "
+    "it collapses further to a pruned point-read per id.",
+)
+def pipeline_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fused = rank_rrf_fusion(spark, sf_dir).select("doc_id", "rrf_score")
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", F.substring("text", 1, 80).alias("snippet")
+    )
+    return docs.join(F.broadcast(fused), "doc_id").select(
+        "doc_id", "source", "lang", "snippet", "rrf_score"
+    )
