@@ -914,3 +914,48 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("converted").cast("double") / F.greatest(F.count("*"), F.lit(1))
         ).alias("conversion_rate"),
     )
+
+
+@register(
+    "agg_incremental_maintain",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value,
+           round(sum(value) / count(*), 4) AS avg_value
+    FROM events GROUP BY event_type
+    """,
+    doc="Incremental view maintenance: the per-type aggregate is computed "
+    "as BASE (event_id % 10 < 8) plus DELTA (the rest) partial states "
+    "merged by a full-outer join on the group key — count and sum are "
+    "additive, avg derives from the merged pair. The oracle is the "
+    "straight full recompute, so the merge algebra itself is "
+    "value-checked: this is the state update every materialized view / "
+    "streaming aggregation applies per micro-batch, and at 100 TB it is "
+    "the difference between touching a day's delta and rescanning the "
+    "corpus. Both partial aggregates reduce map-side; the merge join "
+    "runs on |group-keys| rows.",
+)
+def agg_incremental_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def part(df):
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n"), F.sum("value").alias("s")
+        )
+
+    base = part(ev.filter(F.col("event_id") % 10 < 8))
+    delta = part(ev.filter(F.col("event_id") % 10 >= 8))
+    merged = base.alias("b").join(
+        delta.alias("d"), on="event_type", how="full_outer"
+    ).select(
+        "event_type",
+        (F.coalesce(F.col("b.n"), F.lit(0)) + F.coalesce(F.col("d.n"), F.lit(0))).alias("n"),
+        (F.coalesce(F.col("b.s"), F.lit(0.0)) + F.coalesce(F.col("d.s"), F.lit(0.0))).alias("s"),
+    )
+    return merged.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        r4(F.col("s")).alias("sum_value"),
+        r4(F.col("s") / F.col("n")).alias("avg_value"),
+    )

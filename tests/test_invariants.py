@@ -72,3 +72,68 @@ def test_cms_never_underestimates(spark):
     # with width >> active keys per row, most estimates are exact
     exact_frac = sum(r.n_est == r.n_exact for r in rows) / len(rows)
     assert exact_frac > 0.5, exact_frac
+
+
+def test_attribution_conserves_purchases_and_revenue(spark):
+    # channel rows must partition the purchase set exactly: counts and
+    # revenue across channels equal the unattributed totals, channels
+    # come from the event-type universe (plus 'direct')
+    from mergeextractor_spark.operators.streaming_queries import events_attribution
+    from mergeextractor_spark.sources.fixtures import table
+
+    rows = events_attribution(spark, SF).collect()
+    ev = table(spark, SF, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").agg(
+        F.count("*").alias("n"), F.sum("value").alias("rev")
+    ).collect()[0]
+    assert sum(r.n_purchases for r in rows) == purchases.n
+    assert abs(sum(r.revenue for r in rows) - purchases.rev) < 1e-2
+    types = {r.event_type for r in ev.select("event_type").distinct().collect()}
+    assert {r.channel for r in rows} <= (types - {"purchase"}) | {"direct"}
+
+
+def test_funnel_counts_are_monotone(spark):
+    from mergeextractor_spark.operators.streaming_queries import (
+        events_funnel_windowed,
+    )
+
+    r = events_funnel_windowed(spark, SF).collect()[0]
+    assert r.n_views >= r.n_clicked >= r.n_converted >= 0
+    assert 0.0 <= r.conversion_rate <= 1.0
+
+
+def test_rrf_both_lists_beat_single_list(spark):
+    # a doc present in BOTH pools at rank r scores strictly above a doc
+    # present in one pool at the same rank — the defining RRF property
+    from mergeextractor_spark.operators.vector_queries import rank_rrf_fusion
+
+    rows = rank_rrf_fusion(spark, SF).collect()
+    assert rows
+    both = [r for r in rows if r.sparse_rank is not None and r.dense_rank is not None]
+    single = [r for r in rows if (r.sparse_rank is None) != (r.dense_rank is None)]
+    for b in both:
+        for s in single:
+            worst_b = max(b.sparse_rank, b.dense_rank)
+            s_rank = s.sparse_rank if s.sparse_rank is not None else s.dense_rank
+            if worst_b <= s_rank:
+                assert b.rrf_score > s.rrf_score, (b, s)
+
+
+def test_incremental_merge_equals_full_recompute(spark):
+    from mergeextractor_spark.operators.streaming_queries import (
+        agg_incremental_maintain,
+    )
+    from mergeextractor_spark.sources.fixtures import table
+
+    merged = {r.event_type: r for r in agg_incremental_maintain(spark, SF).collect()}
+    full = {
+        r.event_type: r
+        for r in table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert merged.keys() == full.keys()
+    for k, m in merged.items():
+        assert m.n_events == full[k].n
+        assert abs(m.sum_value - full[k].s) < 1e-2
