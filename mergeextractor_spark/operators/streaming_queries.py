@@ -818,32 +818,31 @@ FUNNEL_BUY_SEC = 3600  # click -> purchase deadline
       SELECT user_id, event_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es
       FROM events
     ),
-    nxt AS (
+    nxt1 AS (
       SELECT user_id, event_id, event_type, es,
              first_value(CASE WHEN event_type = 'click' THEN es END IGNORE NULLS)
                OVER w AS nc_es,
-             first_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
-               OVER w AS nc_id,
              first_value(CASE WHEN event_type = 'purchase' THEN es END IGNORE NULLS)
                OVER w AS np_es
       FROM e
       WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id
                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
     ),
-    views AS (
-      SELECT user_id, es, nc_es, nc_id FROM nxt WHERE event_type = 'view'
-    ),
-    clicks AS (
-      SELECT event_id AS click_id, np_es FROM nxt WHERE event_type = 'click'
+    nxt2 AS (
+      SELECT event_type, es, nc_es,
+             first_value(CASE WHEN event_type = 'click' THEN np_es END IGNORE NULLS)
+               OVER w AS nc_np_es
+      FROM nxt1
+      WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
     ),
     funnel AS (
-      SELECT v.es, v.nc_es,
-             CASE WHEN v.nc_es IS NOT NULL AND v.nc_es <= v.es + {FUNNEL_CLICK_SEC}
+      SELECT CASE WHEN nc_es IS NOT NULL AND nc_es <= es + {FUNNEL_CLICK_SEC}
                   THEN 1 ELSE 0 END AS clicked,
-             CASE WHEN v.nc_es IS NOT NULL AND v.nc_es <= v.es + {FUNNEL_CLICK_SEC}
-                       AND c.np_es IS NOT NULL AND c.np_es <= v.nc_es + {FUNNEL_BUY_SEC}
+             CASE WHEN nc_es IS NOT NULL AND nc_es <= es + {FUNNEL_CLICK_SEC}
+                       AND nc_np_es IS NOT NULL AND nc_np_es <= nc_es + {FUNNEL_BUY_SEC}
                   THEN 1 ELSE 0 END AS converted
-      FROM views v LEFT JOIN clicks c ON c.click_id = v.nc_id
+      FROM nxt2 WHERE event_type = 'view'
     )
     SELECT count(*) AS n_views,
            CAST(sum(clicked) AS BIGINT) AS n_clicked,
@@ -854,12 +853,14 @@ FUNNEL_BUY_SEC = 3600  # click -> purchase deadline
     doc="Time-bounded conversion funnel: view → click within 30 min → "
     "purchase within 60 min OF THE CLICK. Unlike agg_funnel's whole-"
     "history ordering, each leg has a deadline, and the purchase clock "
-    "starts at the click — so the first forward as-of pass finds each "
-    "view's next click (es + event_id, two IGNORE-NULLS first_values "
-    "over one frame — both resolve to the same first-click row), and a "
-    "join on the click's unique event_id picks up THAT row's next-"
-    "purchase timestamp from the same pass. One user_id window shuffle "
-    "+ one id equi-join; no range join, no per-user collect.",
+    "starts at the click — two chained forward as-of window passes: "
+    "pass 1 marks every row's next-click and next-purchase timestamps; "
+    "pass 2 reads pass 1's next-purchase AT the first following click "
+    "row (first_value of a window column), which is exactly the "
+    "purchase-after-THAT-click. Both passes share the user_id "
+    "partitioning, so the plan is one Exchange + two Window operators "
+    "in a single lineage — no self-join, no diamond that would scan "
+    "the stream twice, no range join.",
 )
 def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events").select(
@@ -871,38 +872,33 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(1, W.unboundedFollowing)
     )
     is_click = F.col("event_type") == "click"
-    nxt = e.select(
+    nxt1 = e.select(
         "user_id",
         "event_id",
         "event_type",
         "es",
         F.first(F.when(is_click, F.col("es")), ignorenulls=True).over(w).alias("nc_es"),
-        F.first(F.when(is_click, F.col("event_id")), ignorenulls=True)
-        .over(w)
-        .alias("nc_id"),
         F.first(
             F.when(F.col("event_type") == "purchase", F.col("es")), ignorenulls=True
         )
         .over(w)
         .alias("np_es"),
     )
-    views = nxt.filter(F.col("event_type") == "view").select(
-        "es", "nc_es", "nc_id"
-    )
-    clicks = nxt.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"), "np_es"
+    # pass 2 reads pass 1's np_es AT the first following click row — the
+    # purchase clock restarted at the click, in the same lineage
+    nxt2 = nxt1.withColumn(
+        "nc_np_es",
+        F.first(F.when(is_click, F.col("np_es")), ignorenulls=True).over(w),
     )
     clicked = F.col("nc_es").isNotNull() & (
         F.col("nc_es") <= F.col("es") + FUNNEL_CLICK_SEC
     )
     converted = (
         clicked
-        & F.col("np_es").isNotNull()
-        & (F.col("np_es") <= F.col("nc_es") + FUNNEL_BUY_SEC)
+        & F.col("nc_np_es").isNotNull()
+        & (F.col("nc_np_es") <= F.col("nc_es") + FUNNEL_BUY_SEC)
     )
-    funnel = views.join(
-        clicks, views["nc_id"] == clicks["click_id"], "left"
-    ).select(
+    funnel = nxt2.filter(F.col("event_type") == "view").select(
         F.when(clicked, 1).otherwise(0).alias("clicked"),
         F.when(converted, 1).otherwise(0).alias("converted"),
     )

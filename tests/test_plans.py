@@ -269,3 +269,13 @@ def test_attribution_single_user_shuffle(spark):
     # ONE user_id exchange; the channel rollup is a 4-row aggregate
     plan = plan_of(spark, "events_attribution")
     assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_funnel_single_lineage_no_diamond(spark):
+    # the two forward as-of passes must share ONE user_id exchange in a
+    # single lineage — a views/clicks self-join would scan and shuffle
+    # the stream twice
+    plan = plan_of(spark, "events_funnel_windowed")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan

@@ -92,6 +92,11 @@ QUERIES = [
     "agg_source_overlap",
     "graph_pagerank",
     "pipeline_pretrain_corpus",
+    # retrieval/analytics additions: the BM25-scored corpus scan feeding
+    # constant-size fusion pools, and the two forward as-of window shapes
+    "rank_rrf_fusion",
+    "events_attribution",
+    "events_funnel_windowed",
 ]
 
 
