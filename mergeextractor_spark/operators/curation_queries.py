@@ -1222,6 +1222,20 @@ _U32_SQL = " + ".join(
 )
 
 
+def md5_uniform(key) -> "Column":
+    """Deterministic uniform in (0, 1] from a column's md5 — the portable
+    pseudo-random every sampling operator shares (hex→int nibble-by-nibble
+    via instr, mirroring the ``_U32_SQL`` oracle expression)."""
+    h = F.md5(key.cast("string"))
+    val = F.lit(0).cast("long")
+    for i in range(8):
+        val = val + (
+            (F.instr(F.lit(_HEX), F.substring(h, i + 1, 1)) - 1).cast("long")
+            * F.lit(16 ** (7 - i)).cast("long")
+        )
+    return (val + 1).cast("double") / F.lit(4294967296.0)
+
+
 @register(
     "sample_reservoir_weighted",
     oracle=f"""
@@ -1254,15 +1268,7 @@ _U32_SQL = " + ".join(
     f"{RESERVOIR_K}×partitions rows per source, never the corpus.",
 )
 def sample_reservoir_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    h = F.md5(F.col("doc_id").cast("string"))
-    # hex→int: nibble-by-nibble strpos, mirroring the oracle expression
-    val = F.lit(0).cast("long")
-    for i in range(8):
-        val = val + (
-            (F.instr(F.lit(_HEX), F.substring(h, i + 1, 1)) - 1).cast("long")
-            * F.lit(16 ** (7 - i)).cast("long")
-        )
-    u = (val + 1).cast("double") / F.lit(4294967296.0)
+    u = md5_uniform(F.col("doc_id"))
     key = r4(F.log(u) * 1000000.0 / F.col("n_chars"))
     w = W.partitionBy("source").orderBy(F.desc("sample_key"), F.asc("doc_id"))
     return (
@@ -1418,3 +1424,42 @@ def dq_completeness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("v").cast("bigint").alias("n_distinct"),
         r4(F.avg(F.length("v"))).alias("avg_len"),
     )
+
+
+@register(
+    "sample_balanced_classes",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ),
+    floor_n AS (SELECT min(n) AS m FROM counts),
+    rated AS (
+      SELECT lang, m::DOUBLE / n AS rate FROM counts CROSS JOIN floor_n
+    ),
+    keyed AS (
+      SELECT d.doc_id, d.lang, r.rate,
+             ({_U32_SQL.replace('h', "md5(CAST(d.doc_id AS VARCHAR))")} + 1) / 4294967296.0 AS u
+      FROM documents d JOIN rated r USING (lang)
+    )
+    SELECT doc_id, lang FROM keyed WHERE u <= rate
+    """,
+    doc="Class-balanced downsampling: per-language keep rates computed "
+    "FROM the data (min class count / class count, so the rarest class "
+    "keeps everything) and applied via the deterministic md5-uniform "
+    "hash threshold — the classifier-training prep where "
+    "sample_stratified's rates are inputs, these are derived. "
+    "Reproducible on any engine, no sampling state; expected kept size "
+    "≈ |classes|·min-class. One 5-row aggregate broadcast back onto a "
+    "map-side threshold — the corpus never shuffles.",
+)
+def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n"))
+    floor_n = counts.agg(F.min("n").alias("m"))
+    rated = counts.crossJoin(F.broadcast(floor_n)).select(
+        "lang", (F.col("m").cast("double") / F.col("n")).alias("rate")
+    )
+    keyed = d.select("doc_id", "lang", md5_uniform(F.col("doc_id")).alias("u")).join(
+        F.broadcast(rated), "lang"
+    )
+    return keyed.filter(F.col("u") <= F.col("rate")).select("doc_id", "lang")

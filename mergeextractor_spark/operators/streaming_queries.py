@@ -776,9 +776,12 @@ MAD_SIGMA = 1.4826  # normal-consistency constant for MAD-based z-scores
     "absolute deviation, and the count of |x−med| > 3·1.4826·MAD outliers "
     "— the robust-statistics twin of events_moving_zscore (mean/stddev "
     "break under the very outliers they are meant to flag; median/MAD "
-    "do not). Two grouped exact-median passes over a 5-key space plus a "
-    "broadcast join of the 5-row stats back onto the stream — the "
-    "stream-sized work is two scans and one low-cardinality shuffle.",
+    "do not). THREE stream scans by construction — med, then MAD (an "
+    "order statistic OF deviations from the first), then the outlier "
+    "count against both — each reduced map-side with the 5-row stats "
+    "broadcast back in; exact nested medians cannot collapse further "
+    "without a sort. At 100 TB swap both medians for approx_percentile "
+    "sketches and the three passes become one.",
 )
 def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").select("event_type", "value")

@@ -631,3 +631,114 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_bpe_tokens"),
         F.size(_tokens(F.col("text"))).cast("bigint").alias("n_ws_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyphrase extraction (Rose et al. 2010): candidate phrases are the
+# maximal stopword-free token runs; word score = degree/frequency over the
+# candidate corpus; phrase score = sum of member word scores.
+
+RAKE_STOP = (
+    "the", "of", "and", "to", "a", "in", "is", "for", "on", "with", "as",
+    "by", "at", "an", "be", "are", "that", "this", "it", "or", "from",
+)
+RAKE_TOPK = 20
+_RAKE_STOP_IN = ", ".join(f"'{w}'" for w in RAKE_STOP)
+
+
+@register(
+    "text_keyphrase_rake",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+        FROM documents
+      )
+    ),
+    marked AS (
+      SELECT doc_id, pos, w, (w IN ({_RAKE_STOP_IN})) AS is_stop,
+             sum(CASE WHEN w IN ({_RAKE_STOP_IN}) THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS pid
+      FROM tok
+    ),
+    ptok AS (SELECT doc_id, pid, pos, w FROM marked WHERE NOT is_stop),
+    plen AS (SELECT doc_id, pid, count(*) AS plen FROM ptok GROUP BY doc_id, pid),
+    wstat AS (
+      SELECT w, count(*) AS freq, sum(plen) AS degree
+      FROM ptok JOIN plen USING (doc_id, pid) GROUP BY w
+    ),
+    pscore AS (
+      SELECT t.doc_id, t.pid,
+             sum(s.degree::DOUBLE / s.freq) AS score
+      FROM ptok t JOIN wstat s USING (w) GROUP BY t.doc_id, t.pid
+    ),
+    ptext AS (
+      SELECT doc_id, pid, string_agg(w, ' ' ORDER BY pos) AS phrase
+      FROM ptok GROUP BY doc_id, pid
+    )
+    SELECT doc_id, phrase, round(score, 4) AS score FROM (
+      SELECT p.doc_id, x.phrase, p.score,
+             row_number() OVER (ORDER BY round(p.score, 4) DESC, p.doc_id, x.phrase) AS rn
+      FROM pscore p JOIN ptext x USING (doc_id, pid)
+    ) WHERE rn <= {RAKE_TOPK}
+    """,
+    doc=f"RAKE keyphrase extraction: candidate phrases = maximal "
+    f"stopword-free token runs (gaps-and-islands: the phrase id is the "
+    "running stopword count), word score = degree/frequency over the "
+    "candidate corpus, phrase score = sum of member word scores; global "
+    f"top-{RAKE_TOPK}. Every stage is relational: one tokenize pass, a "
+    "per-doc cumsum window (doc-partitioned), two corpus aggregates on "
+    "(doc, phrase) and word keys, and a TakeOrdered final — no UDF, no "
+    "driver-side text. Shuffles carry tokens and ids, never documents; "
+    "at 100 TB the word-stat table is vocabulary-sized and "
+    "broadcastable.",
+)
+def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+        ).alias("pos0", "w"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    is_stop = F.col("w").isin(*RAKE_STOP)
+    wdoc = W.partitionBy("doc_id").orderBy("pos").rowsBetween(W.unboundedPreceding, 0)
+    marked = tok.select(
+        "doc_id",
+        "pos",
+        "w",
+        is_stop.alias("is_stop"),
+        F.sum(F.when(is_stop, 1).otherwise(0)).over(wdoc).alias("pid"),
+    )
+    ptok = marked.filter(~F.col("is_stop")).select("doc_id", "pid", "pos", "w")
+    plen = ptok.groupBy("doc_id", "pid").agg(F.count("*").alias("plen"))
+    wstat = (
+        ptok.join(plen, ["doc_id", "pid"])
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"), F.sum("plen").alias("degree"))
+    )
+    pscore = (
+        ptok.join(F.broadcast(wstat), "w")
+        .groupBy("doc_id", "pid")
+        .agg(F.sum(F.col("degree").cast("double") / F.col("freq")).alias("score"))
+    )
+    ptext = (
+        ptok.groupBy("doc_id", "pid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("phrase")
+        )
+    )
+    return (
+        pscore.join(ptext, ["doc_id", "pid"])
+        .select("doc_id", "phrase", r4(F.col("score")).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"), F.asc("phrase"))
+        .limit(RAKE_TOPK)
+    )
