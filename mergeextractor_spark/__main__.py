@@ -3,6 +3,7 @@
     python -m mergeextractor_spark list
     python -m mergeextractor_spark run <key> [--sf DIR] [--limit N] [--explain]
     python -m mergeextractor_spark views [--sf DIR]   # register mx_<key> temp views + SQL shell hint
+    python -m mergeextractor_spark profile <key> [--sf DIR] [--min-ms N]   # hot plan nodes
 
 `run` prints the result as JSON lines (driver-side limit applied BEFORE
 collect, so a terabyte result never lands on the driver).
@@ -29,6 +30,13 @@ def main() -> None:
 
     views = sub.add_parser("views", help="register every operator as a temp view (mx_<key>)")
     views.add_argument("--sf", default="/root/testdata/sf0.01")
+
+    prof = sub.add_parser(
+        "profile", help="execute one operator and print hot plan nodes (SQLMetrics)"
+    )
+    prof.add_argument("key")
+    prof.add_argument("--sf", default="/root/testdata/sf0.01")
+    prof.add_argument("--min-ms", type=float, default=10.0)
 
     args = ap.parse_args()
 
@@ -60,6 +68,16 @@ def main() -> None:
     if args.cmd == "views":
         n = register_views(spark, args.sf)
         print(f"registered {n} temp views (mx_<key>); e.g. spark.sql('SELECT * FROM mx_text_quality_score')")
+        return
+
+    if args.cmd == "profile":
+        import os as _os
+        import sys as _sys
+
+        _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+        from tools.profile_query import profile
+
+        profile(args.key, args.sf, args.min_ms)
         return
 
 

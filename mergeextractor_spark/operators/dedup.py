@@ -1103,3 +1103,77 @@ def dedup_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("span_id").cast("bigint").alias("span_id"),
         "span_start", "span_end", "span_tokens", "n_windows",
     )
+
+
+@register(
+    "entity_resolution_clusters",
+    # Same WITH RECURSIVE discipline as dedup_components: only `reach`
+    # recurses; the pair CTE mirrors join_fuzzy_entity's banding + ratio +
+    # similarity filters expression-for-expression so both engines build
+    # the identical edge set.
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT a.n_nationkey AS ka, b.n_nationkey AS kb
+      FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+      WHERE least(length(a.n_name), length(b.n_name))
+              > 0.4 * greatest(length(a.n_name), length(b.n_name), 1)
+        AND abs(floor(ln(CAST(greatest(length(a.n_name), 1) AS DOUBLE)) / ln(2.5))
+                - floor(ln(CAST(greatest(length(b.n_name), 1) AS DOUBLE)) / ln(2.5))) <= 1
+        AND 100.0 * (1.0 - CAST(levenshtein(a.n_name, b.n_name) AS DOUBLE)
+                     / greatest(length(a.n_name), length(b.n_name), 1)) > 40.0
+    ),
+    edges AS (
+      SELECT ka AS src, kb AS dst FROM pairs
+      UNION ALL SELECT kb, ka FROM pairs
+    ),
+    reach AS (
+      SELECT n_nationkey AS src, n_nationkey AS dst FROM nation
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+    ),
+    lab AS (SELECT src AS entity_key, min(dst) AS cluster_id FROM reach GROUP BY src)
+    SELECT l.entity_key, l.cluster_id, n.n_name AS canonical_name
+    FROM lab l JOIN nation n ON n.n_nationkey = l.cluster_id
+    """,
+    doc="Entity resolution: fuzzy name-match pairs (join_fuzzy_entity's "
+    "length-band blocking + native levenshtein — the edges) grouped into "
+    "TRANSITIVE clusters by the same pointer-doubling connected-components "
+    "loop dedup_components uses, with the min-key member's name as each "
+    "cluster's canonical form. This is the composition every master-data/"
+    "dedup-entities pipeline needs: pairwise matchers under-merge chains "
+    "a~b~c, components close them. Scale shape: banding keeps the matcher "
+    "near-linear, the CC loop is O(log diameter) rounds over an edge "
+    "table that only holds MATCHED names — the corpus never enters the "
+    "loop. Oracle: the identical edge set fed to a recursive-CTE "
+    "fixpoint.",
+    eager=True,  # construction runs the iterative propagation loop
+)
+def entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational import join_fuzzy_entity
+
+    pairs = join_fuzzy_entity(spark, sf_dir).select(
+        F.col("left_key").alias("ka"), F.col("right_key").alias("kb")
+    )
+    edges = (
+        pairs.unionByName(
+            pairs.select(F.col("kb").alias("ka"), F.col("ka").alias("kb"))
+        )
+        .select(F.col("ka").alias("src"), F.col("kb").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    labels = connected_components(edges).select(
+        F.col("doc_id").alias("entity_key"), F.col("component_id").alias("cluster_id")
+    )
+    n = t(spark, sf_dir, "nation")
+    isolated = (
+        n.select(F.col("n_nationkey").alias("entity_key"))
+        .join(labels.select("entity_key"), "entity_key", "left_anti")
+        .select("entity_key", F.col("entity_key").alias("cluster_id"))
+    )
+    all_labels = labels.unionByName(isolated)
+    canon = n.select(
+        F.col("n_nationkey").alias("cluster_id"), F.col("n_name").alias("canonical_name")
+    )
+    return all_labels.join(F.broadcast(canon), "cluster_id").select(
+        "entity_key", "cluster_id", "canonical_name"
+    )
