@@ -742,3 +742,120 @@ def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("doc_id"), F.asc("phrase"))
         .limit(RAKE_TOPK)
     )
+
+
+@register(
+    "text_c4_line_filter",
+    oracle=r"""
+    WITH lines AS (
+      SELECT doc_id,
+             list_filter(string_split(text, chr(10)),
+                         l -> len(list_filter(string_split_regex(trim(l), '\s+'), x -> x <> '')) >= 3
+                              AND (ends_with(trim(l), '.') OR ends_with(trim(l), '!')
+                                   OR ends_with(trim(l), '?') OR ends_with(trim(l), '"'))
+                              AND NOT contains(lower(l), 'lorem ipsum')
+                              AND NOT contains(l, '{')) AS kept,
+             len(string_split(text, chr(10))) AS n_lines
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           -- DuckDB's array_to_string returns NULL for an empty list;
+           -- Spark's array_join returns '' — align on ''
+           coalesce(array_to_string(kept, chr(10)), '') AS cleaned
+    FROM lines
+    """,
+    doc="C4-style line-level cleaning: keep only lines with ≥3 words that "
+    "end in terminal punctuation and contain neither 'lorem ipsum' nor a "
+    "curly brace, then rebuild the document from the survivors — the "
+    "line-filter half of the C4 recipe (the page-level half is "
+    "text_gopher_rules' family). Pure map stage: split, higher-order "
+    "list filter, re-join — no shuffle, no UDF, whole-stage codegen; "
+    "composes into any curation scan for free at 100 TB.",
+)
+def text_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nl = "\n"
+    words = lambda l: F.size(
+        F.filter(F.split(F.trim(l), r"\s+"), lambda x: x != "")
+    )
+    keep = lambda l: (
+        (words(l) >= 3)
+        & (
+            F.endswith(F.trim(l), F.lit("."))
+            | F.endswith(F.trim(l), F.lit("!"))
+            | F.endswith(F.trim(l), F.lit("?"))
+            | F.endswith(F.trim(l), F.lit('"'))
+        )
+        & ~F.contains(F.lower(l), F.lit("lorem ipsum"))
+        & ~F.contains(l, F.lit("{"))
+    )
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split("text", nl).alias("ls"),
+    )
+    kept = F.filter(F.col("ls"), keep)
+    return d.select(
+        "doc_id",
+        F.size("ls").cast("bigint").alias("n_lines"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        F.array_join(kept, nl).alias("cleaned"),
+    )
+
+
+@register(
+    "text_code_quality_rules",
+    oracle=r"""
+    WITH lines AS (
+      SELECT doc_id, string_split(text, chr(10)) AS ls, length(text) AS n
+      FROM documents
+    ),
+    stats AS (
+      SELECT doc_id, n,
+             len(ls) AS n_lines,
+             list_max(list_transform(ls, l -> length(l))) AS max_line_len,
+             round(length(array_to_string(ls, ''))::DOUBLE / greatest(len(ls), 1), 4) AS mean_line_len,
+             round(length(regexp_replace(array_to_string(ls, ''), '[^a-zA-Z0-9]', '', 'g'))::DOUBLE
+                   / greatest(length(array_to_string(ls, '')), 1), 4) AS alnum_frac
+      FROM lines
+    )
+    SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(max_line_len AS BIGINT) AS max_line_len,
+           mean_line_len, alnum_frac,
+           (mean_line_len < 100 AND max_line_len < 1000 AND alnum_frac > 0.25) AS passes
+    FROM stats
+    """,
+    doc="The-Stack-style code-quality gate: mean line length < 100, max "
+    "line length < 1000, alphanumeric fraction > 0.25 — the three rules "
+    "that drop minified/generated/binary-ish files from a code corpus. "
+    "Like text_gopher_rules this is one codegen'd scan: split once, "
+    "higher-order transforms for the per-line stats, boolean verdict — "
+    "no shuffle, no UDF.",
+)
+def text_code_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nl = "\n"
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", nl).alias("ls")
+    )
+    joined = F.array_join(F.col("ls"), "")
+    mean_len = r4(
+        F.length(joined).cast("double") / F.greatest(F.size("ls"), F.lit(1))
+    )
+    alnum = r4(
+        F.length(F.regexp_replace(joined, "[^a-zA-Z0-9]", "")).cast("double")
+        / F.greatest(F.length(joined), F.lit(1))
+    )
+    max_len = F.array_max(F.transform(F.col("ls"), lambda l: F.length(l)))
+    out = d.select(
+        "doc_id",
+        F.size("ls").cast("bigint").alias("n_lines"),
+        max_len.cast("bigint").alias("max_line_len"),
+        mean_len.alias("mean_line_len"),
+        alnum.alias("alnum_frac"),
+    )
+    return out.withColumn(
+        "passes",
+        (F.col("mean_line_len") < 100)
+        & (F.col("max_line_len") < 1000)
+        & (F.col("alnum_frac") > 0.25),
+    )
