@@ -279,3 +279,41 @@ def test_funnel_single_lineage_no_diamond(spark):
     assert plan.count("Exchange hashpartitioning(user_id") == 1
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_aqe_skew_join_replans_at_runtime(spark):
+    """The engine leaves AQE skew-join ON (session.py): with thresholds
+    scaled to fixture size, a join against a key holding ~98% of the rows
+    must come back from execution with the skewed partition split
+    (skew=true on the sort-merge join) — the runtime re-plan that keeps a
+    1000-executor shuffle from serializing on one hot key. Read the
+    executed plan of the DataFrame's OWN QueryExecution: a sink write
+    plans separately and would show nothing."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 200000).select(
+            (F.when(F.col("id") % 100 < 98, 7).otherwise(F.col("id") % 1000)).alias("k"),
+            F.md5(F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(0, 1000).select(F.col("id").alias("k"))
+        j = left.join(right, "k")
+        jqe = j._jdf.queryExecution()
+        jqe.toRdd().count()
+        plan = jqe.executedPlan().toString()
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
