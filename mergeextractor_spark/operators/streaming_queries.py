@@ -958,3 +958,90 @@ def agg_incremental_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("s")).alias("sum_value"),
         r4(F.col("s") / F.col("n")).alias("avg_value"),
     )
+
+
+@register(
+    "agg_ab_test_stats",
+    oracle="""
+    WITH assigned AS (
+      SELECT user_id,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7'
+                  THEN 'A' ELSE 'B' END AS arm,
+             max(CASE WHEN event_type = 'purchase' AND value > 200 THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT arm, count(*) AS n, sum(converted) AS conv,
+             sum(converted)::DOUBLE / count(*) AS rate
+      FROM assigned GROUP BY arm
+    ),
+    wide AS (
+      SELECT
+        max(CASE WHEN arm = 'A' THEN n END) AS n_a,
+        max(CASE WHEN arm = 'A' THEN conv END) AS conv_a,
+        max(CASE WHEN arm = 'A' THEN rate END) AS rate_a,
+        max(CASE WHEN arm = 'B' THEN n END) AS n_b,
+        max(CASE WHEN arm = 'B' THEN conv END) AS conv_b,
+        max(CASE WHEN arm = 'B' THEN rate END) AS rate_b
+      FROM arms
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+           round(rate_a, 4) AS rate_a,
+           CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+           round(rate_b, 4) AS rate_b,
+           round((rate_a - rate_b)
+                 / sqrt(((conv_a + conv_b)::DOUBLE / (n_a + n_b))
+                        * (1 - (conv_a + conv_b)::DOUBLE / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 4) AS z_score
+    FROM wide
+    """,
+    doc="Experimentation readout: users hash-split into arms by the "
+    "first md5 nibble (deterministic, assignment-stable under re-runs — "
+    "the sample_hash_split discipline), per-arm conversion (a >200-value purchase — strict enough that both outcomes occur at fixture scale; an everyone-converts corpus makes the pooled-rate z denominator zero), and "
+    "the two-proportion z-score under the pooled rate — the statistic an "
+    "A/B dashboard reads. One user-level aggregate (map-side combinable) "
+    "+ a 2-row pivot; the stream never shuffles twice.",
+)
+def agg_ab_test_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    arm = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) <= "7", "A"
+    ).otherwise("B")
+    assigned = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when((F.col("event_type") == "purchase") & (F.col("value") > 200), 1)
+                .otherwise(0)
+            ).alias("converted")
+        )
+        .select(arm.alias("arm"), "converted")
+    )
+    arms = assigned.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.sum("converted").alias("conv"),
+        (F.sum("converted").cast("double") / F.count("*")).alias("rate"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == "A", F.col("conv"))).alias("conv_a"),
+        F.max(F.when(F.col("arm") == "A", F.col("rate"))).alias("rate_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == "B", F.col("conv"))).alias("conv_b"),
+        F.max(F.when(F.col("arm") == "B", F.col("rate"))).alias("rate_b"),
+    )
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (F.col("rate_a") - F.col("rate_b")) / F.sqrt(
+        pooled * (1 - pooled) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return wide.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("conv_a").cast("bigint").alias("conv_a"),
+        r4(F.col("rate_a")).alias("rate_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("conv_b").cast("bigint").alias("conv_b"),
+        r4(F.col("rate_b")).alias("rate_b"),
+        r4(z).alias("z_score"),
+    )

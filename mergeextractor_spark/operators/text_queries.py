@@ -859,3 +859,74 @@ def text_code_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("max_line_len") < 1000)
         & (F.col("alnum_frac") > 0.25),
     )
+
+
+@register(
+    "text_readability_fk",
+    oracle=r"""
+    WITH parts AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws,
+             len(list_filter(string_split_regex(text, '[.!?]+'),
+                             s -> trim(s) <> '')) AS n_sents
+      FROM documents
+    ),
+    counted AS (
+      SELECT doc_id,
+             len(ws) AS n_words,
+             greatest(n_sents, 1) AS n_sents,
+             list_sum(list_transform(ws,
+               w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1))) AS n_syll
+      FROM parts
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sents AS BIGINT) AS n_sents,
+           CAST(n_syll AS BIGINT) AS n_syllables,
+           round(0.39 * n_words / n_sents
+                 + 11.8 * n_syll / greatest(n_words, 1) - 15.59, 4) AS fk_grade
+    FROM counted
+    """,
+    doc="Flesch-Kincaid grade level per document: sentences split on "
+    "terminal-punctuation runs, syllables approximated as vowel-group "
+    "runs per word (the standard heuristic, min 1/word), grade = "
+    "0.39·(words/sentences) + 11.8·(syllables/words) − 15.59 — the "
+    "readability feature quality-filter stacks use alongside the Gopher "
+    "rules. Pure map stage: two splits + a higher-order transform/sum, "
+    "no shuffle, no UDF.",
+)
+def text_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ws = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    sents = F.size(
+        F.filter(F.split(F.col("text"), r"[.!?]+"), lambda s: F.trim(s) != "")
+    )
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        ws.alias("ws"),
+        F.greatest(sents, F.lit(1)).alias("n_sents"),
+    )
+    syll = F.aggregate(
+        F.transform(
+            F.col("ws"),
+            lambda w: F.greatest(
+                F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), F.lit(0))),
+                F.lit(1),
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    counted = d.select(
+        "doc_id",
+        F.size("ws").cast("bigint").alias("n_words"),
+        F.col("n_sents").cast("bigint").alias("n_sents"),
+        syll.alias("n_syllables"),
+    )
+    grade = (
+        0.39 * F.col("n_words") / F.col("n_sents")
+        + 11.8 * F.col("n_syllables") / F.greatest(F.col("n_words"), F.lit(1))
+        - 15.59
+    )
+    return counted.select(
+        "doc_id", "n_words", "n_sents", "n_syllables", r4(grade).alias("fk_grade")
+    )

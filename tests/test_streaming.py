@@ -260,3 +260,67 @@ def test_checkpoint_makes_restarts_incremental(spark, tmp_path):
     assert final.count() == a.count() + b.count()
     # no duplicates: every event_id appears exactly once
     assert final.select("event_id").distinct().count() == final.count()
+
+
+def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
+    """Late-data semantics: after batch 1 advances the event-time
+    watermark, a batch-2 row older than (max event time − watermark) must
+    be DROPPED from the aggregation, while an in-horizon batch-2 row is
+    counted. Needs two triggered runs over a checkpoint — within a single
+    availableNow batch the watermark starts at -inf and nothing is late."""
+    import shutil
+
+    landing = tmp_path / "landing"
+    ckpt = tmp_path / "ckpt"
+    landing.mkdir()
+
+    def drop_file(rows, name):
+        df = spark.createDataFrame(rows, "ts timestamp, k string")
+        stage = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(stage))
+        part = next(p for p in stage.iterdir() if p.name.endswith(".parquet"))
+        shutil.copy(part, landing / f"{name}.parquet")
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+
+    def m(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    drop_file([(m(0), "early"), (m(60), "head")], "a")
+
+    from pyspark.sql import functions as F
+
+    captured = []
+
+    def run_once():
+        schema = spark.read.parquet(str(landing)).schema
+        agg = (
+            spark.readStream.schema(schema)
+            .parquet(str(landing))
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes"), F.col("k"))
+            .count()
+        )
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(lambda df, _id: captured.extend(df.collect()))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # watermark advances to max(ts) - 10 min = t0 + 50 min
+    keys_b1 = {r.k for r in captured}
+    assert keys_b1 == {"early", "head"}
+
+    captured.clear()
+    # batch 2: one row 30 min BEHIND the watermark (late -> dropped), one
+    # in-horizon row
+    drop_file([(m(20), "late"), (m(61), "fresh")], "b")
+    run_once()
+    keys_b2 = {r.k for r in captured}
+    assert "fresh" in keys_b2
+    assert "late" not in keys_b2, "row behind the watermark leaked into state"
