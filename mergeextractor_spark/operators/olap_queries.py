@@ -1295,3 +1295,77 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type") == "click")
         .select("user_id", "event_id", "es", "next_error_es")
     )
+
+
+@register(
+    "olap_yoy_growth",
+    oracle="""
+    WITH yearly AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             sum(o_totalprice) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT yr, round(revenue, 4) AS revenue,
+           round(100.0 * (revenue - lag(revenue) OVER (ORDER BY yr))
+                 / lag(revenue) OVER (ORDER BY yr), 4) AS yoy_pct
+    FROM yearly
+    """,
+    doc="Year-over-year revenue growth: yearly totals then the lag-based "
+    "percent change (first year NULL) — the period-over-period report "
+    "every finance dashboard opens with. The window runs over the "
+    "ALREADY-AGGREGATED 7-row series, so the single-partition lag is "
+    "constant-size by construction; the corpus-sized work is one "
+    "map-side-combinable year aggregate.",
+)
+def olap_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    yearly = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("yr"))
+        .agg(F.sum("o_totalprice").alias("revenue"))
+        .coalesce(1)
+    )
+    w = W.partitionBy(F.spark_partition_id()).orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "yr",
+        r4(F.col("revenue")).alias("revenue"),
+        r4(100.0 * (F.col("revenue") - prev) / prev).alias("yoy_pct"),
+    )
+
+
+@register(
+    "window_percent_change",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_start,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, hour_start, n,
+           round(100.0 * (n - lag(n) OVER (PARTITION BY event_type ORDER BY hour_start))
+                 / lag(n) OVER (PARTITION BY event_type ORDER BY hour_start), 4) AS pct_change
+    FROM hourly
+    """,
+    doc="Period-over-period change: hourly event counts per type with the "
+    "lag-based percent delta vs the previous hour (first hour NULL) — "
+    "the trend-line transform behind every monitoring panel. The lag "
+    "window runs over the aggregated (type, hour) series partitioned by "
+    "type, so window state is one prior row; the stream-sized work is "
+    "one combinable aggregate.",
+)
+def window_percent_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hour = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("bigint")
+    hourly = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.col("event_type"), hour.alias("hour_start"))
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.partitionBy("event_type").orderBy("hour_start")
+    prev = F.lag("n").over(w)
+    return hourly.select(
+        "event_type",
+        "hour_start",
+        "n",
+        r4(100.0 * (F.col("n") - prev) / prev).alias("pct_change"),
+    )
