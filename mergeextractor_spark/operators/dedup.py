@@ -1177,3 +1177,108 @@ def entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return all_labels.join(F.broadcast(canon), "cluster_id").select(
         "entity_key", "cluster_id", "canonical_name"
     )
+
+
+@register(
+    "eval_minhash_accuracy",
+    oracle=f"""
+    {_MINHASH_PAIRS_SQL.replace("pairs AS (", "pairs0 AS (")},
+    est AS (
+      SELECT c.doc_a, c.doc_b,
+             (CASE WHEN a.m0 = b.m0 THEN 1 ELSE 0 END
+              + CASE WHEN a.m1 = b.m1 THEN 1 ELSE 0 END
+              + CASE WHEN a.m2 = b.m2 THEN 1 ELSE 0 END
+              + CASE WHEN a.m3 = b.m3 THEN 1 ELSE 0 END
+              + CASE WHEN a.m4 = b.m4 THEN 1 ELSE 0 END
+              + CASE WHEN a.m5 = b.m5 THEN 1 ELSE 0 END)::DOUBLE / 6 AS est_j
+      FROM cand c JOIN sig a ON a.doc_id = c.doc_a JOIN sig b ON b.doc_id = c.doc_b
+    ),
+    exact AS (
+      SELECT v.doc_a, v.doc_b,
+             v.common::DOUBLE / (na.n + nb.n - v.common) AS exact_j
+      FROM verified v
+      JOIN sizes na ON na.doc_id = v.doc_a
+      JOIN sizes nb ON nb.doc_id = v.doc_b
+    )
+    SELECT e.doc_a, e.doc_b,
+           round(e.est_j, 4) AS est_jaccard,
+           round(x.exact_j, 4) AS exact_jaccard,
+           round(abs(e.est_j - x.exact_j), 4) AS abs_err
+    FROM est e JOIN exact x USING (doc_a, doc_b)
+    """,
+    doc="Sketch-accuracy evaluation for the MinHash family (the "
+    "eval_ann_recall discipline applied to dedup): for every LSH "
+    "candidate pair, the signature-agreement Jaccard estimate "
+    "(agreeing slots / 6 — the unbiased MinHash estimator, coarse at "
+    "the fixture's 6 hashes by design; production's 128 hashes shrink "
+    "the ±1/√k error band) next to the EXACT shingle Jaccard, with the "
+    "absolute error — computed end-to-end by the engine over its own "
+    "candidate generation, and value-checked by the oracle. Scale "
+    "shape: both sides are candidate-bounded (signatures broadcast-"
+    "sized per pair, exact intersection reuses the banded verify "
+    "join); nothing all-pairs.",
+)
+def eval_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(F.array_distinct(shingles(F.col("text")))).alias("shingle")
+    )
+    sig = sh.groupBy("doc_id").agg(*_minhash_agg_cols())
+    bands = None
+    for band in range(N_HASHES // BAND_SIZE):
+        b = sig.select(
+            "doc_id",
+            F.lit(band).alias("band"),
+            F.md5(
+                F.concat(F.col(f"m{band * BAND_SIZE}"), F.col(f"m{band * BAND_SIZE + 1}"))
+            ).alias("bucket"),
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    agree = sum(
+        F.when(F.col(f"a.m{j}") == F.col(f"b.m{j}"), 1).otherwise(0)
+        for j in range(N_HASHES)
+    )
+    est = (
+        cand.join(sig.alias("a"), F.col("a.doc_id") == F.col("doc_a"))
+        .join(sig.alias("b"), F.col("b.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", (agree.cast("double") / N_HASHES).alias("est_j"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    common = (
+        cand.join(sh.alias("s1"), F.col("s1.doc_id") == F.col("doc_a"))
+        .join(
+            sh.alias("s2"),
+            (F.col("s2.doc_id") == F.col("doc_b"))
+            & (F.col("s2.shingle") == F.col("s1.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    exact = (
+        common.join(sizes.alias("na"), F.col("na.doc_id") == F.col("doc_a"))
+        .join(sizes.alias("nb"), F.col("nb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("common").cast("double")
+                / (F.col("na.n") + F.col("nb.n") - F.col("common"))
+            ).alias("exact_j"),
+        )
+    )
+    return est.join(exact, ["doc_a", "doc_b"]).select(
+        "doc_a",
+        "doc_b",
+        r4(F.col("est_j")).alias("est_jaccard"),
+        r4(F.col("exact_j")).alias("exact_jaccard"),
+        r4(F.abs(F.col("est_j") - F.col("exact_j"))).alias("abs_err"),
+    )
