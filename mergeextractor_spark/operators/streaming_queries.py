@@ -1045,3 +1045,76 @@ def agg_ab_test_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("rate_b")).alias("rate_b"),
         r4(z).alias("z_score"),
     )
+
+
+@register(
+    "agg_rfm_segmentation",
+    oracle="""
+    WITH p AS (
+      SELECT user_id,
+             max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_es,
+             count(*) AS freq,
+             sum(value) AS monetary
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    scored AS (
+      SELECT user_id,
+             ntile(5) OVER (ORDER BY last_es DESC, user_id) AS r_score,
+             ntile(5) OVER (ORDER BY freq DESC, user_id) AS f_score,
+             ntile(5) OVER (ORDER BY monetary DESC, user_id) AS m_score,
+             freq, round(monetary, 4) AS monetary
+      FROM p
+    )
+    SELECT user_id,
+           CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm,
+           CAST(freq AS BIGINT) AS n_purchases, monetary
+    FROM scored
+    """,
+    doc="RFM customer segmentation: per purchaser, quintile scores for "
+    "recency (most recent = 1), frequency, and monetary total, packed "
+    "into the classic 3-digit RFM code — the segmentation every CRM "
+    "report starts from. Ties broken by user_id so the quintile "
+    "assignment is deterministic across engines. One purchase-filtered "
+    "aggregate (map-side combinable) + three ntile windows over the "
+    "USER-level table — at 100 TB the windows run over |users| rows, "
+    "never events, and a production variant swaps ntile for "
+    "approx-percentile cut points to drop the global sort.",
+)
+def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.unix_timestamp("ts")).alias("last_es"),
+            F.count("*").alias("freq"),
+            F.sum("value").alias("monetary"),
+        )
+        .coalesce(1)
+    )
+    one = F.spark_partition_id()
+    r_s = F.ntile(5).over(W.partitionBy(one).orderBy(F.desc("last_es"), F.asc("user_id")))
+    f_s = F.ntile(5).over(W.partitionBy(one).orderBy(F.desc("freq"), F.asc("user_id")))
+    m_s = F.ntile(5).over(W.partitionBy(one).orderBy(F.desc("monetary"), F.asc("user_id")))
+    scored = p.select(
+        "user_id",
+        r_s.cast("bigint").alias("r_score"),
+        f_s.cast("bigint").alias("f_score"),
+        m_s.cast("bigint").alias("m_score"),
+        F.col("freq").cast("bigint").alias("n_purchases"),
+        r4(F.col("monetary")).alias("monetary"),
+    )
+    return scored.select(
+        "user_id",
+        "r_score",
+        "f_score",
+        "m_score",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+        .cast("bigint")
+        .alias("rfm"),
+        "n_purchases",
+        "monetary",
+    )
