@@ -1463,3 +1463,60 @@ def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(rated), "lang"
     )
     return keyed.filter(F.col("u") <= F.col("rate")).select("doc_id", "lang")
+
+
+@register(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT 'orders.custkey->customer' AS relationship,
+           (SELECT count(*) FROM orders) AS n_child,
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.orderkey->orders',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'lineitem.suppkey->supplier',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                              WHERE s.s_suppkey = l.l_suppkey))
+    UNION ALL
+    SELECT 'customer.nationkey->nation',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey))
+    """,
+    doc="Referential-integrity audit across the star schema: for each "
+    "FK relationship, the child row count and the orphan count (child "
+    "keys with no parent) via anti-joins — the dq_ family's cross-table "
+    "member (dq_expectations/dq_completeness_profile are single-table). "
+    "Each check is one LeftAnti join whose parent side is the smaller "
+    "table (broadcast for dims, shuffle for orders←lineitem); orphan "
+    "counts reduce map-side. A warehouse ingest runs exactly this "
+    "before accepting a drop.",
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def check(rel, child, child_key, parent, parent_key):
+        c = t(spark, sf_dir, child)
+        p = t(spark, sf_dir, parent).select(F.col(parent_key).alias(child_key)).distinct()
+        orphans = c.join(p, child_key, "left_anti")
+        return (
+            c.agg(F.count("*").alias("n_child"))
+            .crossJoin(orphans.agg(F.count("*").alias("n_orphans")))
+            .select(F.lit(rel).alias("relationship"), "n_child", "n_orphans")
+        )
+
+    out = check("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey")
+    for args in (
+        ("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("customer.nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ):
+        out = out.unionByName(check(*args))
+    return out
