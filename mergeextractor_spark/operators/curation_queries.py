@@ -198,24 +198,39 @@ def bloom_build(hashed: DataFrame):
     "build is a tree-reduce, probe is map-side.",
 )
 def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id", F.md5("text").alias("h"))
+    bitmap = bloom_build(d.filter(F.col("doc_id") % 2 == 0))
+    incoming = d.filter(F.col("doc_id") % 2 == 1)
+    return (
+        bloom_probe(incoming, bitmap, "h")
+        .filter(~F.col("maybe_dup"))
+        .select("doc_id", "h")
+    )
+
+
+def bloom_probe(df: DataFrame, bitmap, hash_col: str = "h") -> DataFrame:
+    """Map-side membership probe against a ``bloom_build`` bitmap: adds a
+    boolean ``maybe_dup`` column. Arrow-batched numpy-vectorized probe,
+    zero false negatives by construction — rows with ``maybe_dup=False``
+    are DEFINITELY absent and can skip any verify join. Shared by the
+    registered prefilter key and the incremental-ingest flagship."""
     from pyspark.sql.functions import pandas_udf
 
-    d = t(spark, sf_dir, "documents").select("doc_id", F.md5("text").alias("h"))
-    bitmap = spark.sparkContext.broadcast(bloom_build(d.filter(F.col("doc_id") % 2 == 0)))
+    bc = df.sparkSession.sparkContext.broadcast(bitmap)
 
     @pandas_udf("boolean")
     def might_contain(pos: pd.Series) -> pd.Series:
         if len(pos) == 0:  # np.vstack raises on an empty batch (ADVICE r3)
             return pd.Series([], dtype=bool)
-        bm = bitmap.value
+        bm = bc.value
         pv = np.vstack(pos.to_numpy())  # (batch, K) int64 positions
         bits = (bm[pv >> 6] >> (pv & 63).astype(np.uint64)) & np.uint64(1)
         return pd.Series(bits.all(axis=1))
 
-    incoming = d.filter(F.col("doc_id") % 2 == 1).select(
-        "doc_id", "h", F.array(*_bloom_positions(F.col("h"))).alias("pos")
+    withpos = df.withColumn(
+        "_pos", F.array(*_bloom_positions(F.col(hash_col)))
     )
-    return incoming.filter(~might_contain(F.col("pos"))).select("doc_id", "h")
+    return withpos.withColumn("maybe_dup", might_contain(F.col("_pos"))).drop("_pos")
 
 
 MIX_ALPHA = 0.3  # temperature exponent (share^alpha), the multilingual default

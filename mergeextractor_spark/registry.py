@@ -160,6 +160,7 @@ _ROWS_ONLY_ORDER: tuple[str, ...] = (
     "source_pyds_fts", "agg_hll_daily_union",
     # r5-added rows-only keys (no driver evidence yet)
     "vector_pca_project", "scan_orc_roundtrip", "sink_pyds_kv",
+    "pipeline_incremental_ingest",
     # first driver rows recorded in CORRECTNESS_r04 — re-check last
     "sink_csv_append", "sink_csv_union", "sink_kv_store", "scan_kv_store",
 )
@@ -214,7 +215,12 @@ def load_all() -> dict[str, Query]:
         corpus_queries,
         graph_queries,
     )
-    from .plans import extract_pipeline, curation_pipeline, pretrain_pipeline  # noqa: F401
+    from .plans import (  # noqa: F401
+        extract_pipeline,
+        curation_pipeline,
+        pretrain_pipeline,
+        incremental_pipeline,
+    )
 
     first = {k: i for i, k in enumerate(_ROTATION_FIRST)}
     canaries = {k: i for i, k in enumerate(canary_keys())}

@@ -46,11 +46,11 @@ def test_gate_window_rotation_order():
     keys = list(qs)
 
     n_first = len(registry._ROTATION_FIRST)
-    # 19 rotation + 31 unevidenced rows-only + 3 canaries = 53.  The driver
+    # 19 rotation + 32 unevidenced rows-only + 3 canaries = 54.  The driver
     # demonstrably covers ~50 keys per round (wall-clock budget, and most
     # rows-only keys are cheap); anything squeezed out is the r04-evidenced
     # tail, which already holds driver rows.
-    assert n_first + len(registry._ROWS_ONLY_ORDER) - 4 + registry._CANARY_SLOTS == 53
+    assert n_first + len(registry._ROWS_ONLY_ORDER) - 4 + registry._CANARY_SLOTS == 54
     assert keys[:n_first] == list(registry._ROTATION_FIRST)
     for key in registry._ROTATION_FIRST:
         assert key in osql, f"rotation-first key {key!r} lost its oracle"
