@@ -1535,3 +1535,94 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         out = out.unionByName(check(*args))
     return out
+
+
+PMI_MIN_COUNT = 5
+PMI_TOPK = 25
+
+
+@register(
+    "text_collocation_pmi",
+    oracle=f"""
+    WITH words AS (
+      SELECT list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+      FROM documents
+    ),
+    bi AS (
+      SELECT unnest(
+        CASE WHEN len(ws) >= 2
+             THEN list_transform(generate_series(1, len(ws) - 1),
+                                 i -> [ws[i], ws[i + 1]])
+             ELSE [] END) AS pair
+      FROM words
+    ),
+    bc AS (
+      SELECT pair[1] AS w1, pair[2] AS w2, count(*) AS n12 FROM bi
+      GROUP BY 1, 2 HAVING count(*) >= {PMI_MIN_COUNT}
+    ),
+    uni AS (
+      SELECT pair[1] AS w, count(*) AS n FROM bi GROUP BY 1
+    ),
+    nbi AS (SELECT count(*)::DOUBLE AS nn FROM bi),
+    scored AS (
+      SELECT b.w1, b.w2, b.n12,
+             ln(t.nn * b.n12 / (u1.n::DOUBLE * u2.n)) AS pmi
+      FROM bc b
+      JOIN uni u1 ON u1.w = b.w1
+      JOIN uni u2 ON u2.w = b.w2
+      CROSS JOIN nbi t
+    )
+    SELECT w1, w2, CAST(n12 AS BIGINT) AS n_pair, round(pmi, 4) AS pmi FROM (
+      SELECT w1, w2, n12, pmi,
+             row_number() OVER (ORDER BY round(pmi, 4) DESC, w1, w2) AS rn
+      FROM scored
+    ) WHERE rn <= {PMI_TOPK}
+    """,
+    doc=f"Collocation extraction: pointwise mutual information over "
+    f"adjacent word pairs with count ≥ {PMI_MIN_COUNT}, top-{PMI_TOPK} "
+    "— PMI(a,b) = ln(N·c(ab)/(c(a·)·c(b·))) with unigram counts taken "
+    "as first-position bigram occurrences, the standard collocation "
+    "measure behind multi-word-expression mining and tokenizer vocab "
+    "curation (text_bpe_merge_candidates ranks by raw frequency; PMI "
+    "surfaces the RARE-but-exclusive pairs frequency misses). Shuffles "
+    "carry (word, word) pairs; the PMI join runs on the HAVING-floored "
+    "pair table against the vocabulary-sized unigram counts.",
+)
+def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ws = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    pairs = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.struct(
+                F.element_at(ws, i).alias("w1"),
+                F.element_at(ws, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array())
+    bi = t(spark, sf_dir, "documents").select(F.explode(pairs).alias("p")).select(
+        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    bc = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count("*").alias("n12"))
+        .filter(F.col("n12") >= PMI_MIN_COUNT)
+    )
+    uni = bi.groupBy(F.col("w1").alias("w")).agg(F.count("*").alias("n"))
+    nbi = bi.agg(F.count("*").cast("double").alias("nn"))
+    scored = (
+        bc.join(F.broadcast(uni.select(F.col("w").alias("w1"), F.col("n").alias("n1"))), "w1")
+        .join(F.broadcast(uni.select(F.col("w").alias("w2"), F.col("n").alias("n2"))), "w2")
+        .crossJoin(F.broadcast(nbi))
+        .select(
+            "w1",
+            "w2",
+            F.col("n12").cast("bigint").alias("n_pair"),
+            r4(
+                F.log(
+                    F.col("nn") * F.col("n12") / (F.col("n1").cast("double") * F.col("n2"))
+                )
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(PMI_TOPK)
