@@ -711,3 +711,91 @@ def pipeline_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(F.broadcast(fused), "doc_id").select(
         "doc_id", "source", "lang", "snippet", "rrf_score"
     )
+
+
+MRL_DIM = 32  # truncation prefix (full fixture dim: 64)
+
+
+@register(
+    "eval_matryoshka_recall",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+    pairs AS (
+      SELECT q.qid, e.vec_id,
+             generate_subscripts(e.embedding, 1) AS pos,
+             CAST(unnest(e.embedding) AS DOUBLE) AS x,
+             CAST(unnest(q.qe) AS DOUBLE) AS y
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.qid
+    ),
+    cos AS (
+      SELECT qid, vec_id,
+             sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS c_full,
+             sum(CASE WHEN pos <= {MRL_DIM} THEN x * y ELSE 0 END)
+               / (sqrt(sum(CASE WHEN pos <= {MRL_DIM} THEN x * x ELSE 0 END))
+                  * sqrt(sum(CASE WHEN pos <= {MRL_DIM} THEN y * y ELSE 0 END))) AS c_trunc
+      FROM pairs GROUP BY qid, vec_id
+    ),
+    full_top AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY c_full DESC, vec_id) AS rn
+        FROM cos
+      ) WHERE rn <= 5
+    ),
+    trunc_top AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY c_trunc DESC, vec_id) AS rn
+        FROM cos
+      ) WHERE rn <= 5
+    )
+    SELECT f.qid AS query_id,
+           round(count(t.vec_id)::DOUBLE / 5, 4) AS recall_at_5
+    FROM full_top f
+    LEFT JOIN trunc_top t ON t.qid = f.qid AND t.vec_id = f.vec_id
+    GROUP BY f.qid
+    """,
+    doc=f"Matryoshka truncation evaluation: recall@5 of cosine retrieval "
+    f"over the first {MRL_DIM} of 64 dimensions against the full-"
+    "dimension ground truth, per query — the measurement that decides "
+    "whether an MRL-style truncated index (2× smaller, 2× faster dot "
+    "products) is acceptable for the first-stage retriever. Same "
+    "eval-family discipline as eval_ann_recall/eval_minhash_accuracy: "
+    "the engine scores BOTH rankings itself and the oracle value-checks "
+    "the comparison. Both cosines come out of ONE pass over the pair "
+    "rows (conditional sums), so truncation costs no extra scan.",
+)
+def eval_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spread(t(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    trunc = lambda c: F.slice(c, 1, MRL_DIM)
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            cosine(F.col("embedding"), F.col("qe")).alias("c_full"),
+            cosine(trunc(F.col("embedding")), trunc(F.col("qe"))).alias("c_trunc"),
+        )
+    )
+    wf = W.partitionBy("qid").orderBy(F.desc("c_full"), F.asc("vec_id"))
+    wt = W.partitionBy("qid").orderBy(F.desc("c_trunc"), F.asc("vec_id"))
+    ranked = scored.select(
+        "qid",
+        "vec_id",
+        F.row_number().over(wf).alias("rn_full"),
+        F.row_number().over(wt).alias("rn_trunc"),
+    )
+    return (
+        ranked.filter(F.col("rn_full") <= 5)
+        .groupBy(F.col("qid").alias("query_id"))
+        .agg(
+            r4(
+                F.count(F.when(F.col("rn_trunc") <= 5, 1)).cast("double") / 5
+            ).alias("recall_at_5")
+        )
+    )
