@@ -1369,3 +1369,62 @@ def window_percent_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         r4(100.0 * (F.col("n") - prev) / prev).alias("pct_change"),
     )
+
+
+@register(
+    "olap_abc_analysis",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey AS partkey, sum(l_extendedprice) AS revenue
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT sum(revenue) AS total FROM rev),
+    cum AS (
+      SELECT partkey, revenue,
+             sum(revenue) OVER (ORDER BY revenue DESC, partkey
+                                ROWS UNBOUNDED PRECEDING) AS cum_rev,
+             t.total
+      FROM rev CROSS JOIN tot t
+    )
+    SELECT partkey, round(revenue, 4) AS revenue,
+           round(cum_rev / total, 4) AS cum_share,
+           CASE WHEN cum_rev / total <= 0.8 THEN 'A'
+                WHEN cum_rev / total <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM cum
+    """,
+    doc="ABC analysis: parts ranked by revenue with the running cumulative "
+    "share classifying them A (first 80% of revenue), B (next 15%), C "
+    "(tail) — the Pareto cut every inventory/procurement review starts "
+    "from. The running-total window is ordered over the AGGREGATED part "
+    "table (|parts| rows, not |lineitem|); its global ordering is the "
+    "semantics (a production run at 100 TB range-partitions on the "
+    "revenue rank, the window_running_total discipline).",
+)
+def olap_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum("l_extendedprice").alias("revenue"))
+        .coalesce(1)
+    )
+    tot = rev.agg(F.sum("revenue").alias("total"))
+    w = (
+        W.partitionBy(F.spark_partition_id())
+        .orderBy(F.desc("revenue"), F.asc("partkey"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = rev.crossJoin(F.broadcast(tot)).withColumn(
+        "cum_share", F.sum("revenue").over(w) / F.col("total")
+    )
+    abc = (
+        F.when(F.col("cum_share") <= 0.8, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+    )
+    return cum.select(
+        "partkey",
+        r4(F.col("revenue")).alias("revenue"),
+        r4(F.col("cum_share")).alias("cum_share"),
+        abc.alias("abc_class"),
+    )

@@ -1118,3 +1118,31 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_purchases",
         "monetary",
     )
+
+
+@register(
+    "agg_seasonality_profile",
+    oracle="""
+    -- DuckDB dayofweek is 0-based (Sun=0); Spark's is 1-based (Sun=1)
+    SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hod,
+           count(*) AS n,
+           round(avg(value), 4) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Seasonality profile: event count and mean value per (day-of-week, "
+    "hour-of-day) cell — the 7×24 heatmap behind capacity planning and "
+    "anomaly baselines (events_moving_zscore flags deviations; this is "
+    "the baseline it deviates FROM). One map-side-combinable aggregate "
+    "over a 168-key space; the UTC-pinned session keeps both engines' "
+    "calendar functions in agreement.",
+)
+def agg_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.dayofweek("ts").cast("bigint").alias("dow"),
+            F.hour("ts").cast("bigint").alias("hod"),
+        )
+        .agg(F.count("*").alias("n"), r4(F.avg("value")).alias("avg_value"))
+    )
