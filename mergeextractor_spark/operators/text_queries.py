@@ -930,3 +930,97 @@ def text_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counted.select(
         "doc_id", "n_words", "n_sents", "n_syllables", r4(grade).alias("fk_grade")
     )
+
+
+@register(
+    "eval_langid_confusion",
+    oracle=f"""
+    WITH pred AS (
+      SELECT lang,
+             CASE WHEN len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''),
+                                       x -> x IN ({_STOP_SQL})))::DOUBLE /
+                       greatest(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')), 1) > 0.05
+                  THEN 'en' ELSE 'other' END AS pred_lang
+      FROM documents
+    ),
+    tot AS (SELECT count(*)::DOUBLE AS n FROM pred)
+    SELECT p.lang, p.pred_lang, count(*) AS n_docs,
+           round(count(*) / t.n, 4) AS share
+    FROM pred p CROSS JOIN tot t
+    GROUP BY p.lang, p.pred_lang, t.n
+    """,
+    doc="Evaluation of the lang-ID heuristic against the fixture's "
+    "ground-truth lang column: the (true, predicted) confusion matrix "
+    "with corpus shares — the eval-family member for text_lang_id "
+    "(recall/precision per language read straight off the rows). One "
+    "scan producing predictions + one tiny grouped aggregate; the "
+    "classifier under test and its evaluation share a plan, so the "
+    "measured model is exactly the deployed one.",
+)
+def eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text_queries import text_lang_id  # self-module: direct call
+
+    pred = text_lang_id(spark, sf_dir).select("lang", "pred_lang")
+    tot = pred.agg(F.count("*").cast("double").alias("n"))
+    return (
+        pred.groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "pred_lang",
+            "n_docs",
+            r4(F.col("n_docs") / F.col("n")).alias("share"),
+        )
+    )
+
+
+@register(
+    "agg_benford_digit_profile",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(value) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS d
+      FROM events WHERE value >= 1
+    ),
+    tot AS (SELECT count(*)::DOUBLE AS n FROM digits)
+    SELECT d AS digit, count(*) AS n,
+           round(count(*) / t.n, 4) AS observed,
+           round(ln(1.0 + 1.0 / d) / ln(10.0), 4) AS benford_expected,
+           round(abs(count(*) / t.n - ln(1.0 + 1.0 / d) / ln(10.0)), 4) AS abs_dev
+    FROM digits CROSS JOIN tot t
+    GROUP BY d, t.n
+    """,
+    doc="Benford first-digit audit: the leading-digit distribution of "
+    "event values against Benford's law (P(d) = log10(1 + 1/d)) with "
+    "per-digit absolute deviation — the forensic-accounting screen for "
+    "fabricated or truncated numeric columns, and a data-quality "
+    "fingerprint for value distributions. Map-side digit extraction + "
+    "a 9-key aggregate; the deviation column is what an alerting rule "
+    "thresholds.",
+)
+def agg_benford_digit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value") >= 1)
+        .select(
+            F.substring(
+                F.floor("value").cast("bigint").cast("string"), 1, 1
+            )
+            .cast("bigint")
+            .alias("digit")
+        )
+    )
+    tot = d.agg(F.count("*").cast("double").alias("n"))
+    expected = F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+    return (
+        d.groupBy("digit")
+        .agg(F.count("*").alias("n_digit"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.col("n_digit").alias("n"),
+            r4(F.col("n_digit") / F.col("n")).alias("observed"),
+            r4(expected).alias("benford_expected"),
+            r4(F.abs(F.col("n_digit") / F.col("n") - expected)).alias("abs_dev"),
+        )
+    )
