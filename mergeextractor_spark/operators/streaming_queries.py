@@ -1146,3 +1146,78 @@ def agg_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n"), r4(F.avg("value")).alias("avg_value"))
     )
+
+
+SLO_BUDGET = 0.25  # error-budget share (fixture errors run ~20% of events)
+BURN_FAST = 1.2  # 1h-window burn multiplier that pages
+BURN_SLOW = 1.05  # 6h-window burn multiplier that must ALSO be breached
+
+
+@register(
+    "events_slo_burn_rate",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+             count(*) AS n,
+             count(CASE WHEN event_type = 'error' THEN 1 END) AS n_err
+      FROM events GROUP BY 1
+    ),
+    rolled AS (
+      SELECT hr, n, n_err,
+             sum(n) OVER w6 AS n_6h,
+             sum(n_err) OVER w6 AS err_6h
+      FROM hourly
+      WINDOW w6 AS (ORDER BY hr RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+    )
+    SELECT hr AS hour_idx,
+           CAST(n AS BIGINT) AS n, CAST(n_err AS BIGINT) AS n_err,
+           round(n_err::DOUBLE / n, 4) AS rate_1h,
+           round(err_6h::DOUBLE / n_6h, 4) AS rate_6h,
+           (n_err::DOUBLE / n > {BURN_FAST} * {SLO_BUDGET}
+            AND err_6h::DOUBLE / n_6h > {BURN_SLOW} * {SLO_BUDGET}) AS paging
+    FROM rolled
+    """,
+    doc="SRE multi-window burn-rate alerting over the error stream: "
+    "hourly error rate plus the 6-hour rolling rate, paging only when "
+    "BOTH exceed their burn multipliers of the error budget — the "
+    "two-window rule that makes alerts fast on real incidents yet "
+    "immune to single-hour blips (Google SRE workbook shape). The "
+    "rolling window is a RANGE frame over the hourly AGGREGATE (one "
+    "row per hour — ~9k rows/year), so after the one combinable "
+    "count aggregate the alert evaluation is effectively free at any "
+    "event volume.",
+)
+def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("hr"))
+        .agg(
+            F.count("*").alias("n"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("n_err"),
+        )
+        .coalesce(1)
+    )
+    w6 = (
+        W.partitionBy(F.spark_partition_id())
+        .orderBy("hr")
+        .rangeBetween(-5, 0)
+    )
+    rolled = hourly.select(
+        "hr",
+        "n",
+        "n_err",
+        F.sum("n").over(w6).alias("n_6h"),
+        F.sum("n_err").over(w6).alias("err_6h"),
+    )
+    rate_1h = F.col("n_err").cast("double") / F.col("n")
+    rate_6h = F.col("err_6h").cast("double") / F.col("n_6h")
+    return rolled.select(
+        F.col("hr").alias("hour_idx"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_err").cast("bigint").alias("n_err"),
+        r4(rate_1h).alias("rate_1h"),
+        r4(rate_6h).alias("rate_6h"),
+        ((rate_1h > BURN_FAST * SLO_BUDGET) & (rate_6h > BURN_SLOW * SLO_BUDGET)).alias(
+            "paging"
+        ),
+    )
