@@ -1428,3 +1428,97 @@ def olap_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("cum_share")).alias("cum_share"),
         abc.alias("abc_class"),
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, event_id, event_type, es,
+             last_value(CASE WHEN event_type = 'purchase' THEN es END IGNORE NULLS)
+               OVER w_back AS prev_es,
+             first_value(CASE WHEN event_type = 'purchase' THEN es END IGNORE NULLS)
+               OVER w_fwd AS next_es
+      FROM e
+      WINDOW w_back AS (PARTITION BY user_id ORDER BY es, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             w_fwd AS (PARTITION BY user_id ORDER BY es, event_id
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, event_id, es,
+           CASE WHEN prev_es IS NULL THEN next_es
+                WHEN next_es IS NULL THEN prev_es
+                WHEN es - prev_es <= next_es - es THEN prev_es
+                ELSE next_es END AS nearest_purchase_es
+    FROM marked WHERE event_type = 'click'
+    """,
+    doc="Nearest as-of join (pandas merge_asof direction='nearest'): for "
+    "each click, the closest purchase in EITHER direction — backward and "
+    "forward candidates come from the two frame variants over ONE "
+    "user_id-partitioned ordering (ties to the earlier side, the pandas "
+    "convention), completing the asof family (backward join_asof, "
+    "forward join_asof_forward). Still a single user_id shuffle: both "
+    "windows share the exchange and sort.",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_timestamp("ts").alias("es")
+    )
+    base = W.partitionBy("user_id").orderBy("es", "event_id")
+    is_p = F.col("event_type") == "purchase"
+    prev = F.last(F.when(is_p, F.col("es")), ignorenulls=True).over(
+        base.rowsBetween(W.unboundedPreceding, -1)
+    )
+    nxt = F.first(F.when(is_p, F.col("es")), ignorenulls=True).over(
+        base.rowsBetween(1, W.unboundedFollowing)
+    )
+    nearest = (
+        F.when(prev.isNull(), nxt)
+        .when(nxt.isNull(), prev)
+        .when(F.col("es") - prev <= nxt - F.col("es"), prev)
+        .otherwise(nxt)
+    )
+    return (
+        e.withColumn("nearest_purchase_es", nearest)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", "event_id", "es", "nearest_purchase_es")
+    )
+
+
+@register(
+    "agg_histogram_log_bins",
+    oracle="""
+    WITH binned AS (
+      SELECT CAST(floor(ln(value) / ln(2.0)) AS BIGINT) AS log2_bin
+      FROM events WHERE value > 0
+    )
+    SELECT log2_bin,
+           count(*) AS n,
+           round(power(2.0, log2_bin), 4) AS bin_low,
+           round(power(2.0, log2_bin + 1), 4) AS bin_high
+    FROM binned GROUP BY log2_bin
+    """,
+    doc="Log-scale histogram: power-of-two bins over positive values — "
+    "the right binning for heavy-tailed distributions where "
+    "agg_histogram's equi-width bins put everything in bucket 0 (latency, "
+    "revenue, document length all look like this). Map-side floor(log2) "
+    "+ one aggregate over ~40 possible bins; bin edges emitted so the "
+    "result renders without knowing the rule.",
+)
+def agg_histogram_log_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value") > 0)
+        .select(
+            F.floor(F.log("value") / F.log(F.lit(2.0))).cast("bigint").alias("log2_bin")
+        )
+    )
+    return b.groupBy("log2_bin").agg(
+        F.count("*").alias("n"),
+        r4(F.pow(F.lit(2.0), F.col("log2_bin"))).alias("bin_low"),
+        r4(F.pow(F.lit(2.0), F.col("log2_bin") + 1)).alias("bin_high"),
+    )
