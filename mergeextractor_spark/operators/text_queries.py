@@ -1024,3 +1024,126 @@ def agg_benford_digit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.abs(F.col("n_digit") / F.col("n") - expected)).alias("abs_dev"),
         )
     )
+
+
+BOILERPLATE_SHARE = 0.5
+
+
+@register(
+    "text_boilerplate_lines",
+    oracle=f"""
+    WITH seeded AS (
+      -- the synthetic corpus shares no exact lines; seed a per-source
+      -- template header on half the docs (contamination_ngram discipline)
+      -- so the detection path is exercised, not vacuously empty
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 2 = 0
+                  THEN 'NAV HOME | ABOUT | ' || upper(source) || chr(10) || text
+                  ELSE text END AS text
+      FROM documents
+    ),
+    doc_lines AS (
+      SELECT DISTINCT doc_id, source, trim(l) AS line
+      FROM (
+        SELECT doc_id, source, unnest(string_split(text, chr(10))) AS l
+        FROM seeded
+      ) WHERE trim(l) <> ''
+    ),
+    per_source AS (
+      SELECT source, count(DISTINCT doc_id) AS n_docs FROM doc_lines GROUP BY source
+    ),
+    line_counts AS (
+      SELECT source, line, count(*) AS n_with FROM doc_lines GROUP BY source, line
+    )
+    SELECT c.source, c.line,
+           CAST(c.n_with AS BIGINT) AS n_docs_with,
+           round(c.n_with::DOUBLE / p.n_docs, 4) AS share
+    FROM line_counts c JOIN per_source p USING (source)
+    WHERE c.n_with::DOUBLE / p.n_docs >= {BOILERPLATE_SHARE} AND p.n_docs >= 4
+    """,
+    doc="Template-boilerplate detection: lines appearing (as exact trimmed "
+    f"text) in ≥{int(BOILERPLATE_SHARE * 100)}% of a source's documents — "
+    "the per-site navigation/footer templates a crawl cleaner strips "
+    "BEFORE dedup (dedup_paragraph removes cross-doc repeats one pair at "
+    "a time; this finds the systematic per-source templates in one "
+    "aggregate). Per-doc DISTINCT lines map-side, then one (source, "
+    "line) count against per-source doc totals; the shuffle carries "
+    "distinct lines, never documents.",
+)
+def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seeded_text = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit("NAV HOME | ABOUT | "), F.upper("source"), F.lit("\n"), F.col("text")
+        ),
+    ).otherwise(F.col("text"))
+    doc_lines = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.split(seeded_text, "\n")).alias("l"),
+        )
+        .select("doc_id", "source", F.trim("l").alias("line"))
+        .filter(F.col("line") != "")
+        .distinct()
+    )
+    per_source = doc_lines.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    line_counts = doc_lines.groupBy("source", "line").agg(
+        F.count("*").alias("n_with")
+    )
+    share = F.col("n_with").cast("double") / F.col("n_docs")
+    return (
+        line_counts.join(F.broadcast(per_source), "source")
+        .filter((share >= BOILERPLATE_SHARE) & (F.col("n_docs") >= 4))
+        .select(
+            "source",
+            "line",
+            F.col("n_with").cast("bigint").alias("n_docs_with"),
+            r4(share).alias("share"),
+        )
+    )
+
+
+@register(
+    "str_split_identifiers",
+    oracle=r"""
+    WITH ids AS (
+      SELECT doc_id,
+             'doc' || CAST(doc_id AS VARCHAR) || 'Source_' || source || '_v2' AS ident
+      FROM documents
+    )
+    SELECT doc_id, ident,
+           list_transform(
+             regexp_extract_all(
+               regexp_replace(ident, '([a-z0-9])([A-Z])', '\1_\2', 'g'),
+               '[A-Za-z0-9]+'),
+             x -> lower(x)) AS subtokens
+    FROM ids
+    """,
+    doc="Identifier tokenization for code corpora: camelCase boundaries "
+    "become underscores, then alnum runs split and lowercase — the "
+    "subtoken normalization code-search and code-LM pipelines apply to "
+    "symbol names (pairs with text_code_quality_rules for The-Stack-"
+    "style preprocessing). Identifiers are derived deterministically "
+    "from fixture columns so both engines transform the identical "
+    "input; two regexes + a higher-order lowercase, one codegen'd scan.",
+)
+def str_split_identifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ident = F.concat(
+        F.lit("doc"),
+        F.col("doc_id").cast("string"),
+        F.lit("Source_"),
+        F.col("source"),
+        F.lit("_v2"),
+    )
+    snake = F.regexp_replace(ident, r"([a-z0-9])([A-Z])", r"$1_$2")
+    subtokens = F.transform(
+        F.regexp_extract_all(snake, F.lit("[A-Za-z0-9]+"), F.lit(0)),
+        lambda x: F.lower(x),
+    )
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", ident.alias("ident"), subtokens.alias("subtokens")
+    )
