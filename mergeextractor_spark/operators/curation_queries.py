@@ -1626,3 +1626,65 @@ def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(PMI_TOPK)
+
+
+@register(
+    "dq_uniqueness_audit",
+    oracle="""
+    SELECT 'orders.o_orderkey' AS key_col,
+           (SELECT count(*) FROM orders) AS n_rows,
+           (SELECT count(DISTINCT o_orderkey) FROM orders) AS n_distinct,
+           (SELECT count(*) FROM (
+              SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)) AS n_dup_keys
+    UNION ALL
+    SELECT 'customer.c_custkey',
+           (SELECT count(*) FROM customer),
+           (SELECT count(DISTINCT c_custkey) FROM customer),
+           (SELECT count(*) FROM (
+              SELECT c_custkey FROM customer GROUP BY c_custkey HAVING count(*) > 1))
+    UNION ALL
+    SELECT 'documents.doc_id',
+           (SELECT count(*) FROM documents),
+           (SELECT count(DISTINCT doc_id) FROM documents),
+           (SELECT count(*) FROM (
+              SELECT doc_id FROM documents GROUP BY doc_id HAVING count(*) > 1))
+    UNION ALL
+    SELECT 'lineitem.(l_orderkey,l_linenumber)',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)),
+           (SELECT count(*) FROM (
+              SELECT l_orderkey, l_linenumber FROM lineitem
+              GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1))
+    """,
+    doc="Primary-key uniqueness audit: per declared key, row count, "
+    "distinct-key count, and the number of violated keys — the "
+    "companion to dq_referential_integrity (that one finds orphans, "
+    "this finds duplicates; the lineitem composite key is KNOWN dirty "
+    "in the fixtures, so the audit demonstrably reports real "
+    "violations rather than a wall of zeros). One grouped count per "
+    "key, all map-side combinable.",
+)
+def dq_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def audit(label, table, cols):
+        df = t(spark, sf_dir, table)
+        keys = df.select(*cols)
+        dups = keys.groupBy(*cols).count().filter(F.col("count") > 1)
+        return (
+            df.agg(F.count("*").alias("n_rows"))
+            .crossJoin(keys.distinct().agg(F.count("*").alias("n_distinct")))
+            .crossJoin(dups.agg(F.count("*").alias("n_dup_keys")))
+            .select(F.lit(label).alias("key_col"), "n_rows", "n_distinct", "n_dup_keys")
+        )
+
+    out = audit("orders.o_orderkey", "orders", ["o_orderkey"])
+    for label, table, cols in (
+        ("customer.c_custkey", "customer", ["c_custkey"]),
+        ("documents.doc_id", "documents", ["doc_id"]),
+        (
+            "lineitem.(l_orderkey,l_linenumber)",
+            "lineitem",
+            ["l_orderkey", "l_linenumber"],
+        ),
+    ):
+        out = out.unionByName(audit(label, table, cols))
+    return out

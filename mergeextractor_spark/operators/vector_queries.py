@@ -799,3 +799,55 @@ def eval_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_5")
         )
     )
+
+
+@register(
+    "eval_embedding_drift",
+    oracle="""
+    WITH parts AS (
+      SELECT label, vec_id % 2 AS half,
+             generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, half, pos, avg(v) AS c FROM parts GROUP BY label, half, pos
+    ),
+    paired AS (
+      SELECT a.label, a.pos, a.c AS ca, b.c AS cb
+      FROM cent a JOIN cent b ON b.label = a.label AND b.pos = a.pos
+      WHERE a.half = 0 AND b.half = 1
+    )
+    SELECT label,
+           round(sum(ca * cb) / (sqrt(sum(ca * ca)) * sqrt(sum(cb * cb))), 4) AS centroid_cosine,
+           round(sqrt(sum((ca - cb) * (ca - cb))), 4) AS centroid_l2
+    FROM paired GROUP BY label
+    """,
+    doc="Embedding-drift monitor: per label, the cosine and L2 distance "
+    "between the centroids of two snapshot halves (vec_id parity stands "
+    "in for time slices) — the check an embedding-serving pipeline runs "
+    "after a model update or data shift; centroid_cosine near 1 means "
+    "the class geometry held. Row-form centroids (label, half, pos) via "
+    "one partial-agg mean — dimension never materializes driver-side — "
+    "then a |labels|×dim self-join and a per-label reduce.",
+)
+def eval_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = t(spark, sf_dir, "embeddings").select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("pos", "v0"),
+    ).select("label", "half", "pos", F.col("v0").cast("double").alias("v"))
+    cent = parts.groupBy("label", "half", "pos").agg(F.avg("v").alias("c"))
+    a = cent.filter(F.col("half") == 0).select("label", "pos", F.col("c").alias("ca"))
+    b = cent.filter(F.col("half") == 1).select("label", "pos", F.col("c").alias("cb"))
+    paired = a.join(b, ["label", "pos"])
+    return paired.groupBy("label").agg(
+        r4(
+            F.sum(F.col("ca") * F.col("cb"))
+            / (
+                F.sqrt(F.sum(F.col("ca") * F.col("ca")))
+                * F.sqrt(F.sum(F.col("cb") * F.col("cb")))
+            )
+        ).alias("centroid_cosine"),
+        r4(F.sqrt(F.sum(F.pow(F.col("ca") - F.col("cb"), 2)))).alias("centroid_l2"),
+    )
