@@ -1688,3 +1688,65 @@ def dq_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         out = out.unionByName(audit(label, table, cols))
     return out
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=r"""
+    WITH ws AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(w) >= 3
+                         THEN list_transform(generate_series(1, len(w) - 2),
+                                             i -> array_to_string(list_slice(w, i, i + 2), ' '))
+                         ELSE [] END) AS g
+      FROM ws
+    ),
+    firsts AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g)
+    SELECT gr.doc_id,
+           count(*) AS n_grams,
+           CAST(count(CASE WHEN f.first_doc = gr.doc_id THEN 1 END) AS BIGINT) AS n_novel,
+           round(count(CASE WHEN f.first_doc = gr.doc_id THEN 1 END)::DOUBLE
+                 / count(*), 4) AS novelty
+    FROM grams gr JOIN firsts f ON f.g = gr.g
+    GROUP BY gr.doc_id
+    """,
+    doc="N-gram novelty profile: per document (in doc_id ingestion order), "
+    "the share of its distinct 3-gram shingles whose FIRST corpus "
+    "occurrence is this document — the dataset-growth curve that tells "
+    "a crawl operator when a source has gone stale (novelty trending to "
+    "zero means new crawling yields nothing unseen). One distinct-gram "
+    "explode, a min-per-gram aggregate, and a join back — the shuffles "
+    "carry grams, and the min-aggregate reduces map-side; at 100 TB the "
+    "gram table is the same shape the contamination and overlap keys "
+    "already handle.",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ws = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    grams_arr = F.when(
+        F.size(ws) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(ws, i),
+                F.element_at(ws, i + 1),
+                F.element_at(ws, i + 2),
+            ),
+        ),
+    ).otherwise(F.array())
+    grams = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.array_distinct(grams_arr)).alias("g"))
+    )
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    joined = grams.join(firsts, "g")
+    novel = F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1))
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        novel.cast("bigint").alias("n_novel"),
+        r4(novel.cast("double") / F.count("*")).alias("novelty"),
+    )
