@@ -1221,3 +1221,47 @@ def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "paging"
         ),
     )
+
+
+@register(
+    "agg_new_vs_returning",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    daily AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           CAST(count(CASE WHEN f.first_day = d.day THEN 1 END) AS BIGINT) AS new_users,
+           CAST(count(CASE WHEN f.first_day < d.day THEN 1 END) AS BIGINT) AS returning_users
+    FROM daily d JOIN firsts f USING (user_id)
+    GROUP BY d.day
+    """,
+    doc="Daily new-vs-returning active users: each (user, day) active pair "
+    "classified by whether the day is the user's first — the growth-"
+    "accounting split every product dashboard leads with (retention "
+    "cohorts slice the same first-seen fact by offset; this is the "
+    "daily composition). One distinct (user, day) projection + a "
+    "per-user min + a broadcastable first-seen join; everything "
+    "reduces map-side on user_id.",
+)
+def agg_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    daily = ev.distinct()
+    return (
+        daily.join(F.broadcast(firsts), "user_id")
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.when(F.col("first_day") == F.col("day"), 1))
+            .cast("bigint")
+            .alias("new_users"),
+            F.count(F.when(F.col("first_day") < F.col("day"), 1))
+            .cast("bigint")
+            .alias("returning_users"),
+        )
+    )
