@@ -1750,3 +1750,57 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         novel.cast("bigint").alias("n_novel"),
         r4(novel.cast("double") / F.count("*")).alias("novelty"),
     )
+
+
+@register(
+    "agg_entropy_by_source",
+    oracle=r"""
+    WITH words AS (
+      SELECT source, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w
+      FROM documents
+    ),
+    wc AS (SELECT source, w, count(*) AS n FROM words GROUP BY source, w),
+    tot AS (SELECT source, sum(n) AS nt, count(*) AS vocab FROM wc GROUP BY source)
+    SELECT c.source,
+           CAST(t.nt AS BIGINT) AS n_tokens,
+           CAST(t.vocab AS BIGINT) AS vocab,
+           round(-sum((c.n::DOUBLE / t.nt) * ln(c.n::DOUBLE / t.nt)), 4) AS entropy_nats,
+           round(-sum((c.n::DOUBLE / t.nt) * ln(c.n::DOUBLE / t.nt)) / ln(t.vocab), 4) AS normalized
+    FROM wc c JOIN tot t USING (source)
+    GROUP BY c.source, t.nt, t.vocab
+    """,
+    doc="Token-distribution entropy per source (nats, plus the "
+    "vocab-normalized form in [0,1]): the information-theoretic "
+    "diversity profile that separates template-heavy sources (low "
+    "entropy — few tokens dominate) from natural prose, complementing "
+    "text_zipf_slope's power-law fit and text_ttr's per-doc ratio with "
+    "a SOURCE-level corpus statistic. Two grouped aggregates over the "
+    "(source, word) count table — the shuffle carries vocabulary-sized "
+    "rows per source, never token occurrences.",
+)
+def agg_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = t(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+        ).alias("w"),
+    )
+    wc = words.groupBy("source", "w").agg(F.count("*").alias("n"))
+    tot = wc.groupBy("source").agg(
+        F.sum("n").alias("nt"), F.count("*").alias("vocab")
+    )
+    p = F.col("n").cast("double") / F.col("nt")
+    return (
+        wc.join(F.broadcast(tot), "source")
+        .groupBy("source", "nt", "vocab")
+        .agg(
+            (-F.sum(p * F.log(p))).alias("_h"),
+        )
+        .select(
+            "source",
+            F.col("nt").cast("bigint").alias("n_tokens"),
+            F.col("vocab").cast("bigint").alias("vocab"),
+            r4(F.col("_h")).alias("entropy_nats"),
+            r4(F.col("_h") / F.log(F.col("vocab").cast("double"))).alias("normalized"),
+        )
+    )
