@@ -851,3 +851,106 @@ def eval_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("centroid_cosine"),
         r4(F.sqrt(F.sum(F.pow(F.col("ca") - F.col("cb"), 2)))).alias("centroid_l2"),
     )
+
+
+KCENTER_K = 8  # selection budget (seed + 7 greedy picks)
+
+
+def _kcenter_oracle() -> str:
+    """Unrolled greedy k-center in DuckDB: step j picks the point with the
+    maximum min-squared-L2 distance to the selected set (ties to the
+    smaller vec_id), then folds its distances into the running minimum.
+    Generated programmatically — same shape as the pagerank/CC unrolled
+    oracles, so the data-dependent iterative algorithm is VALUE-checked."""
+    parts = [
+        """
+    WITH e0 AS (SELECT embedding AS ce FROM embeddings WHERE vec_id = 0),
+    d1 AS (
+      SELECT e.vec_id, sum((x.v - y.v) * (x.v - y.v)) AS d
+      FROM embeddings e CROSS JOIN e0,
+           LATERAL (SELECT generate_subscripts(e.embedding, 1) AS pos, CAST(unnest(e.embedding) AS DOUBLE) AS v) x,
+           LATERAL (SELECT generate_subscripts(e0.ce, 1) AS pos, CAST(unnest(e0.ce) AS DOUBLE) AS v) y
+      WHERE x.pos = y.pos
+      GROUP BY e.vec_id
+    )"""
+    ]
+    picks = ["SELECT 1 AS rank, 0 AS vec_id, 0.0 AS radius"]
+    for j in range(2, KCENTER_K + 1):
+        prev = f"d{j - 1}"
+        parts.append(
+            f"""
+    c{j} AS (SELECT vec_id, d FROM {prev} ORDER BY d DESC, vec_id LIMIT 1),
+    e{j} AS (SELECT embedding AS ce FROM embeddings JOIN c{j} USING (vec_id)),
+    nd{j} AS (
+      SELECT e.vec_id, sum((x.v - y.v) * (x.v - y.v)) AS nd
+      FROM embeddings e CROSS JOIN e{j},
+           LATERAL (SELECT generate_subscripts(e.embedding, 1) AS pos, CAST(unnest(e.embedding) AS DOUBLE) AS v) x,
+           LATERAL (SELECT generate_subscripts(e{j}.ce, 1) AS pos, CAST(unnest(e{j}.ce) AS DOUBLE) AS v) y
+      WHERE x.pos = y.pos
+      GROUP BY e.vec_id
+    ),
+    d{j} AS (
+      SELECT p.vec_id, least(p.d, n.nd) AS d
+      FROM {prev} p JOIN nd{j} n USING (vec_id)
+    )"""
+        )
+        picks.append(
+            f"SELECT {j} AS rank, vec_id, round(d, 4) AS radius FROM c{j}"
+        )
+    return ",".join(parts) + "\n    " + "\n    UNION ALL ".join(picks)
+
+
+@register(
+    "sample_kcenter_diverse",
+    oracle=_kcenter_oracle(),
+    doc=f"Diversity-based selection: greedy k-center over the embeddings "
+    f"(seed vec_id 0, then {KCENTER_K - 1} picks of the point farthest — "
+    "max min-squared-L2 — from the selected set, ties to the smaller id). "
+    "The core-set recipe behind diverse fine-tuning subsets and "
+    "active-learning batch selection; the reported radius is the "
+    "coverage bound at each pick (the greedy algorithm is a 2-"
+    "approximation of the optimal k-center radius). Execution is the "
+    "pagerank/CC discipline: per round one broadcast of the new "
+    "center's vector, one map-side least() fold of the distance "
+    "column, and a 1-row TakeOrdered argmax — the corpus never "
+    "shuffles, state is one double per row, and the oracle unrolls the "
+    "identical rounds so the data-dependent selection is value-checked.",
+    eager=True,  # construction runs the greedy selection loop
+)
+def sample_kcenter_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def sq_l2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    seed = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("ce")
+    )
+    dist = (
+        e.crossJoin(F.broadcast(seed))
+        .select("vec_id", "embedding", sq_l2(F.col("embedding"), F.col("ce")).alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    picks = [(1, 0, 0.0)]
+    for rank in range(2, KCENTER_K + 1):
+        top = dist.orderBy(F.desc("d"), F.asc("vec_id")).limit(1).collect()[0]
+        picks.append((rank, top.vec_id, top.d))
+        center = e.filter(F.col("vec_id") == top.vec_id).select(
+            F.col("embedding").alias("ce")
+        )
+        dist = (
+            dist.crossJoin(F.broadcast(center))
+            .select(
+                "vec_id",
+                "embedding",
+                F.least(F.col("d"), sq_l2(F.col("embedding"), F.col("ce"))).alias("d"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    rows = [(r, v, float(d)) for r, v, d in picks]
+    out = spark.createDataFrame(rows, "rank int, vec_id long, radius double")
+    return out.select("rank", "vec_id", r4(F.col("radius")).alias("radius"))
