@@ -278,3 +278,37 @@ def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.col("n_both") * F.col("n") / (F.col("na") * F.col("nb"))).alias("lift"),
         )
     )
+
+
+@register(
+    "graph_degree_distribution",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    outd AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+    ind AS (SELECT dst AS node, count(*) AS deg FROM edges GROUP BY dst)
+    SELECT 'out' AS direction, deg, count(*) AS n_nodes FROM outd GROUP BY deg
+    UNION ALL
+    SELECT 'in', deg, count(*) FROM ind GROUP BY deg
+    """,
+    doc="Degree distribution of the item-transition graph (distinct out- "
+    "and in-neighbor counts binned into node counts) — the first "
+    "diagnostic on any derived graph: a heavy-tailed degree histogram "
+    "says hub items exist and the pagerank/transition models are "
+    "operating on the expected topology (and warns which join keys "
+    "will skew). Two aggregates over the EDGE table (|items|² max), "
+    "never the event stream.",
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _transition_edges(spark, sf_dir).select("src", "dst")
+    outd = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
+    ind = edges.groupBy(F.col("dst").alias("node")).agg(F.count("*").alias("deg"))
+    return (
+        outd.groupBy("deg")
+        .agg(F.count("*").alias("n_nodes"))
+        .select(F.lit("out").alias("direction"), "deg", "n_nodes")
+        .unionByName(
+            ind.groupBy("deg")
+            .agg(F.count("*").alias("n_nodes"))
+            .select(F.lit("in").alias("direction"), "deg", "n_nodes")
+        )
+    )

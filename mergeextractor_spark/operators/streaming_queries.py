@@ -1265,3 +1265,44 @@ def agg_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("returning_users"),
         )
     )
+
+
+@register(
+    "events_interarrival_profile",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                 OVER (PARTITION BY event_type ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS gap
+      FROM events
+    )
+    SELECT event_type,
+           count(gap) AS n_gaps,
+           round(avg(gap), 4) AS mean_gap_s,
+           round(median(gap), 4) AS median_gap_s,
+           CAST(max(gap) AS BIGINT) AS max_gap_s
+    FROM gaps WHERE gap IS NOT NULL GROUP BY event_type
+    """,
+    doc="Inter-arrival profile per event type: mean, exact median, and "
+    "max gap between consecutive events of the same type — the queueing "
+    "statistics capacity planning reads next to the seasonality heatmap "
+    "(mean sets throughput, median vs mean exposes burstiness, max "
+    "flags outages). One event_type-partitioned lag window (5 "
+    "partitions) + a grouped aggregate; gap state is one prior "
+    "timestamp per partition.",
+)
+def events_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    es = F.unix_timestamp("ts")
+    w = W.partitionBy("event_type").orderBy(es, F.col("event_id"))
+    gaps = (
+        t(spark, sf_dir, "events")
+        .select("event_type", (es - F.lag(es).over(w)).alias("gap"))
+        .filter(F.col("gap").isNotNull())
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count("gap").alias("n_gaps"),
+        r4(F.avg("gap")).alias("mean_gap_s"),
+        r4(F.median("gap")).alias("median_gap_s"),
+        F.max("gap").cast("bigint").alias("max_gap_s"),
+    )
