@@ -1522,3 +1522,66 @@ def agg_histogram_log_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.pow(F.lit(2.0), F.col("log2_bin"))).alias("bin_low"),
         r4(F.pow(F.lit(2.0), F.col("log2_bin") + 1)).alias("bin_high"),
     )
+
+
+@register(
+    "agg_trend_regression",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(regr_slope(value, epoch(ts) - 1704067200) * 86400, 4) AS slope_per_day,
+           round(regr_intercept(value, epoch(ts) - 1704067200), 4) AS intercept,
+           round(regr_r2(value, epoch(ts) - 1704067200), 4) AS r2
+    FROM events GROUP BY event_type
+    """,
+    doc="Metric trend via the SQL regression aggregates: per event type, "
+    "the least-squares slope of value over time (scaled to per-day), "
+    "intercept, and R² — the is-this-metric-drifting readout a "
+    "monitoring system computes without ever materializing a model. "
+    "regr_* aggregates are single-pass and map-side combinable (sums of "
+    "x, y, xy, x²), so the trend over 100 TB of events costs exactly "
+    "one combinable aggregate.",
+)
+def agg_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # time centered at 2024-01-01 (epoch 1704067200): an intercept
+    # extrapolated to epoch 0 sits 1.7e9 s outside the data and is
+    # cancellation-sensitive enough that the engines' accumulation
+    # orders disagree in the 3rd decimal
+    es = (F.unix_timestamp("ts") - F.lit(1704067200)).cast("double")
+    v = F.col("value")
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            r4(F.regr_slope(v, es) * 86400).alias("slope_per_day"),
+            r4(F.regr_intercept(v, es)).alias("intercept"),
+            r4(F.regr_r2(v, es)).alias("r2"),
+        )
+    )
+
+
+@register(
+    "agg_numeric_correlations",
+    oracle="""
+    SELECT round(corr(l_quantity, l_extendedprice), 4) AS qty_price,
+           round(corr(l_quantity, l_discount), 4) AS qty_discount,
+           round(corr(l_extendedprice, l_discount), 4) AS price_discount,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar
+    FROM lineitem
+    """,
+    doc="Numeric correlation screen over the fact table's measure columns "
+    "(Pearson corr + sample covariance) — the first look any modeling "
+    "or DQ pass takes at which measures move together (a qty↔price "
+    "correlation near 1 would mean price is derived, not independent). "
+    "All four statistics come from ONE single-pass combinable aggregate "
+    "— corr/covar reduce to sums of x, y, xy, x², y².",
+)
+def agg_numeric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q, p, d = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
+    return t(spark, sf_dir, "lineitem").agg(
+        r4(F.corr(q, p)).alias("qty_price"),
+        r4(F.corr(q, d)).alias("qty_discount"),
+        r4(F.corr(p, d)).alias("price_discount"),
+        r4(F.covar_samp(q, p)).alias("qty_price_covar"),
+    )
