@@ -417,3 +417,53 @@ def str_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed["l"].alias("lang"),
         parsed["n"].alias("n"),
     )
+
+
+@register(
+    "str_try_cast_battery",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN 'n/a'
+                  WHEN doc_id % 7 = 1 THEN ' ' || CAST(n_chars AS VARCHAR) || ' '
+                  WHEN doc_id % 7 = 2 THEN CAST(n_chars AS VARCHAR) || '.5'
+                  WHEN doc_id % 7 = 3 THEN '-' || CAST(n_chars AS VARCHAR)
+                  WHEN doc_id % 7 = 4 THEN '12abc'
+                  WHEN doc_id % 7 = 5 THEN ''
+                  ELSE CAST(n_chars AS VARCHAR) END AS s
+      FROM documents
+    )
+    SELECT doc_id, s,
+           TRY_CAST(s AS DOUBLE) AS as_double,
+           (TRY_CAST(s AS DOUBLE) IS NULL) AS unparseable
+    FROM raw
+    """,
+    doc="Garbage-tolerant numeric parsing: a battery of messy numeric "
+    "strings (whitespace-padded, decimal, negative, trailing-garbage, empty, "
+    "sentinel text — built deterministically from fixture columns) "
+    "pushed through try_cast to double with an unparseable flag. Under "
+    "ANSI mode (this engine's default) a plain CAST THROWS on the first "
+    "bad row, so try_cast IS the ingest path for untyped columns. The "
+    "DOUBLE target is where engines agree cell-for-cell; integral "
+    "try_cast is deliberately omitted — DuckDB ROUNDS '103.5' to 104 "
+    "and accepts '1e3' where Spark yields NULL for both, a documented "
+    "cross-engine semantic divergence. Pure map stage.",
+)
+def str_try_cast_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = F.col("n_chars").cast("string")
+    s = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit("n/a"))
+        .when(F.col("doc_id") % 7 == 1, F.concat(F.lit(" "), n, F.lit(" ")))
+        .when(F.col("doc_id") % 7 == 2, F.concat(n, F.lit(".5")))
+        .when(F.col("doc_id") % 7 == 3, F.concat(F.lit("-"), n))
+        .when(F.col("doc_id") % 7 == 4, F.lit("12abc"))
+        .when(F.col("doc_id") % 7 == 5, F.lit(""))
+        .otherwise(n)
+    )
+    d = t(spark, sf_dir, "documents").select("doc_id", s.alias("s"))
+    return d.select(
+        "doc_id",
+        "s",
+        F.expr("try_cast(s AS DOUBLE)").alias("as_double"),
+        F.expr("try_cast(s AS DOUBLE) IS NULL").alias("unparseable"),
+    )

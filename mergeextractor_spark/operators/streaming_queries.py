@@ -1306,3 +1306,59 @@ def events_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.median("gap")).alias("median_gap_s"),
         F.max("gap").cast("bigint").alias("max_gap_s"),
     )
+
+
+@register(
+    "dq_event_order_violations",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup'
+                      THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS first_signup,
+             min(CASE WHEN event_type = 'purchase'
+                      THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS first_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           CAST(count(CASE WHEN first_purchase IS NOT NULL AND first_signup IS NULL
+                           THEN 1 END) AS BIGINT) AS purchase_without_signup,
+           CAST(count(CASE WHEN first_purchase IS NOT NULL AND first_signup IS NOT NULL
+                                AND first_purchase < first_signup
+                           THEN 1 END) AS BIGINT) AS purchase_before_signup,
+           CAST(count(CASE WHEN first_signup IS NOT NULL AND first_purchase IS NOT NULL
+                                AND first_signup <= first_purchase
+                           THEN 1 END) AS BIGINT) AS well_ordered
+    FROM firsts
+    """,
+    doc="Sequence-constraint audit: per user, does the first purchase "
+    "respect the signup-before-purchase business rule — counts of "
+    "purchase-without-signup, purchase-before-signup, and well-ordered "
+    "users. The event-order validation every CDC/ingest sanity pass "
+    "runs (the synthetic stream violates it freely, which is exactly "
+    "what the audit is for). One conditional-min aggregate per user "
+    "(map-side combinable) + a single summary reduce; no window, no "
+    "join.",
+)
+def dq_event_order_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    es = F.unix_timestamp("ts")
+    firsts = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", es)).alias("first_signup"),
+            F.min(F.when(F.col("event_type") == "purchase", es)).alias("first_purchase"),
+        )
+    )
+    p, s = F.col("first_purchase"), F.col("first_signup")
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.count(F.when(p.isNotNull() & s.isNull(), 1))
+        .cast("bigint")
+        .alias("purchase_without_signup"),
+        F.count(F.when(p.isNotNull() & s.isNotNull() & (p < s), 1))
+        .cast("bigint")
+        .alias("purchase_before_signup"),
+        F.count(F.when(s.isNotNull() & p.isNotNull() & (s <= p), 1))
+        .cast("bigint")
+        .alias("well_ordered"),
+    )
