@@ -927,9 +927,12 @@ def sample_kcenter_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, v: acc + v,
         )
 
+    out_schema = "rank int, vec_id long, radius double"
     seed = e.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("ce")
     )
+    if seed.limit(1).count() == 0:  # empty corpus: nothing to select
+        return spark.createDataFrame([], out_schema)
     dist = (
         e.crossJoin(F.broadcast(seed))
         .select("vec_id", "embedding", sq_l2(F.col("embedding"), F.col("ce")).alias("d"))
@@ -937,7 +940,10 @@ def sample_kcenter_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     picks = [(1, 0, 0.0)]
     for rank in range(2, KCENTER_K + 1):
-        top = dist.orderBy(F.desc("d"), F.asc("vec_id")).limit(1).collect()[0]
+        top_rows = dist.orderBy(F.desc("d"), F.asc("vec_id")).limit(1).collect()
+        if not top_rows:  # fewer points than the budget
+            break
+        top = top_rows[0]
         picks.append((rank, top.vec_id, top.d))
         center = e.filter(F.col("vec_id") == top.vec_id).select(
             F.col("embedding").alias("ce")
