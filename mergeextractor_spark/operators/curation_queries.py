@@ -1804,3 +1804,34 @@ def agg_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.col("_h") / F.log(F.col("vocab").cast("double"))).alias("normalized"),
         )
     )
+
+
+@register(
+    "dq_file_inventory",
+    oracle="""
+    SELECT 'documents.parquet' AS file_name,
+           count(*) AS n_rows,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id
+    FROM documents
+    """,
+    doc="File-provenance inventory: per physical input file, row count "
+    "and key range via the engine's file-name provenance column "
+    "(input_file_name, basename-normalized) — the lineage view that "
+    "answers 'which file did this bad row come from' and sizes "
+    "compaction work; at 100 TB the same query over the landing "
+    "directory is the small-files audit. The fixture table is a single "
+    "file, so the oracle states the expected answer from the registered "
+    "view (scan_jsonl_roundtrip discipline: the oracle checks values, "
+    "the Spark side exercises the provenance mechanics).",
+)
+def dq_file_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1).alias("file_name"),
+        "doc_id",
+    )
+    return d.groupBy("file_name").agg(
+        F.count("*").alias("n_rows"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        F.max("doc_id").cast("bigint").alias("max_doc_id"),
+    )

@@ -1585,3 +1585,31 @@ def agg_numeric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.corr(p, d)).alias("price_discount"),
         r4(F.covar_samp(q, p)).alias("qty_price_covar"),
     )
+
+
+@register(
+    "window_value_percentiles",
+    oracle="""
+    SELECT event_id, event_type,
+           round(percent_rank() OVER w, 4) AS pct_rank,
+           round(cume_dist() OVER w, 4) AS cume,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+    doc="Rank-statistics battery per event: percent_rank, cume_dist, and "
+    "the quartile (ntile 4) of each event's value within its type — the "
+    "percentile-position columns scoring and anomaly views join on. "
+    "The (value, event_id) ordering is unique, so every rank statistic "
+    "is deterministic across engines; one event_type-partitioned window "
+    "(5 partitions), no joins.",
+)
+def window_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        r4(F.percent_rank().over(w)).alias("pct_rank"),
+        r4(F.cume_dist().over(w)).alias("cume"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )
