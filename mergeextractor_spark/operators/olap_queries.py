@@ -1613,3 +1613,68 @@ def window_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.cume_dist().over(w)).alias("cume"),
         F.ntile(4).over(w).cast("bigint").alias("quartile"),
     )
+
+
+@register(
+    "olap_price_volume_mix",
+    oracle="""
+    WITH yearly AS (
+      SELECT l_returnflag AS flag, year(l_shipdate) AS yr,
+             sum(l_quantity) AS qty, sum(l_extendedprice) AS rev,
+             sum(l_extendedprice) / sum(l_quantity) AS unit_price
+      FROM lineitem WHERE year(l_shipdate) IN (1996, 1997)
+      GROUP BY 1, 2
+    ),
+    paired AS (
+      SELECT a.flag,
+             a.qty AS qty0, b.qty AS qty1,
+             a.rev AS rev0, b.rev AS rev1,
+             a.unit_price AS p0, b.unit_price AS p1
+      FROM yearly a JOIN yearly b ON b.flag = a.flag
+      WHERE a.yr = 1996 AND b.yr = 1997
+    )
+    SELECT flag,
+           round(rev1 - rev0, 4) AS delta_rev,
+           round((qty1 - qty0) * p0, 4) AS volume_effect,
+           round((p1 - p0) * qty1, 4) AS price_effect
+    FROM paired
+    """,
+    doc="Price-volume decomposition of the 1996→1997 revenue change per "
+    "return flag: Δrev split into the volume effect (Δqty at old unit "
+    "price) and the price effect (Δprice at new volume) — the FP&A "
+    "bridge every revenue review walks, with the two effects summing "
+    "exactly to the delta (pinned in the oracle's arithmetic). Two "
+    "3-row year aggregates self-joined on the flag; the corpus-sized "
+    "work is one combinable aggregate with the year filter pushed to "
+    "the scan.",
+)
+def olap_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    yr = F.year("l_shipdate")
+    yearly = (
+        t(spark, sf_dir, "lineitem")
+        .filter(yr.isin(1996, 1997))
+        .groupBy(F.col("l_returnflag").alias("flag"), yr.alias("yr"))
+        .agg(
+            F.sum("l_quantity").alias("qty"),
+            F.sum("l_extendedprice").alias("rev"),
+        )
+        .withColumn("unit_price", F.col("rev") / F.col("qty"))
+    )
+    a = yearly.filter(F.col("yr") == 1996).select(
+        "flag",
+        F.col("qty").alias("qty0"),
+        F.col("rev").alias("rev0"),
+        F.col("unit_price").alias("p0"),
+    )
+    b = yearly.filter(F.col("yr") == 1997).select(
+        "flag",
+        F.col("qty").alias("qty1"),
+        F.col("rev").alias("rev1"),
+        F.col("unit_price").alias("p1"),
+    )
+    return a.join(b, "flag").select(
+        "flag",
+        r4(F.col("rev1") - F.col("rev0")).alias("delta_rev"),
+        r4((F.col("qty1") - F.col("qty0")) * F.col("p0")).alias("volume_effect"),
+        r4((F.col("p1") - F.col("p0")) * F.col("qty1")).alias("price_effect"),
+    )

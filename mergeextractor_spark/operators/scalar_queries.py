@@ -467,3 +467,59 @@ def str_try_cast_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("try_cast(s AS DOUBLE)").alias("as_double"),
         F.expr("try_cast(s AS DOUBLE) IS NULL").alias("unparseable"),
     )
+
+
+@register(
+    "str_multiformat_dates",
+    oracle="""
+    WITH raw AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 4 = 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+                  WHEN o_orderkey % 4 = 1 THEN strftime(o_orderdate, '%d/%m/%Y')
+                  WHEN o_orderkey % 4 = 2 THEN strftime(o_orderdate, '%m-%d-%Y')
+                  ELSE 'unknown' END AS s
+      FROM orders
+    )
+    SELECT o_orderkey, s,
+           strftime(coalesce(
+             try_strptime(s, '%Y-%m-%d'),
+             try_strptime(s, '%d/%m/%Y'),
+             try_strptime(s, '%m-%d-%Y')), '%Y-%m-%d') AS parsed,
+           (coalesce(
+             try_strptime(s, '%Y-%m-%d'),
+             try_strptime(s, '%d/%m/%Y'),
+             try_strptime(s, '%m-%d-%Y')) IS NULL) AS unparsed
+    FROM raw
+    """,
+    doc="Multi-format date normalization: order dates serialized into "
+    "three regional formats (ISO, day-first, month-first) plus a "
+    "sentinel, then parsed back through a try-parse fallback chain "
+    "(first format that matches wins) and re-emitted as ISO strings — "
+    "the messy-date ingest every cross-source pipeline needs, with "
+    "unparseable rows flagged instead of failing the scan (ANSI-mode "
+    "discipline, same family as str_try_cast_battery). Pure map stage; "
+    "the ISO-string output keeps both engines' timestamp rendering out "
+    "of the comparison. Ambiguity caveat pinned by construction: "
+    "day-first and month-first only disagree when both fields are ≤12, "
+    "and the fallback ORDER is the policy a real pipeline must choose.",
+)
+def str_multiformat_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("o_orderdate")
+    s = (
+        F.when(F.col("o_orderkey") % 4 == 0, F.date_format(d, "yyyy-MM-dd"))
+        .when(F.col("o_orderkey") % 4 == 1, F.date_format(d, "dd/MM/yyyy"))
+        .when(F.col("o_orderkey") % 4 == 2, F.date_format(d, "MM-dd-yyyy"))
+        .otherwise(F.lit("unknown"))
+    )
+    raw = t(spark, sf_dir, "orders").select("o_orderkey", s.alias("s"))
+    parsed_ts = F.coalesce(
+        F.try_to_timestamp(F.col("s"), F.lit("yyyy-MM-dd")),
+        F.try_to_timestamp(F.col("s"), F.lit("dd/MM/yyyy")),
+        F.try_to_timestamp(F.col("s"), F.lit("MM-dd-yyyy")),
+    )
+    return raw.select(
+        "o_orderkey",
+        "s",
+        F.date_format(parsed_ts, "yyyy-MM-dd").alias("parsed"),
+        parsed_ts.isNull().alias("unparsed"),
+    )
