@@ -1362,3 +1362,98 @@ def dq_event_order_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("well_ordered"),
     )
+
+
+@register(
+    "events_peak_concurrency",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             lag(CAST(floor(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS prev_es
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, es,
+             CASE WHEN prev_es IS NULL OR es - prev_es > {SESSION_GAP_SEC} THEN 1 ELSE 0 END AS new_sess
+      FROM ordered
+    ),
+    numbered AS (
+      SELECT user_id, es,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY es, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    ),
+    sessions AS (
+      SELECT user_id, sess_id, min(es) AS s_start, max(es) + {SESSION_GAP_SEC} AS s_end
+      FROM numbered GROUP BY user_id, sess_id
+    ),
+    deltas AS (
+      SELECT s_start AS t, 1 AS d FROM sessions
+      UNION ALL SELECT s_end, -1 FROM sessions
+    ),
+    merged AS (
+      SELECT t, sum(d) AS net FROM deltas GROUP BY t
+    ),
+    swept AS (
+      SELECT t, sum(net) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS live
+      FROM merged
+    )
+    SELECT CAST(max(live) AS BIGINT) AS peak_concurrent,
+           CAST(count(*) AS BIGINT) AS n_change_points,
+           CAST((SELECT count(*) FROM sessions) AS BIGINT) AS n_sessions
+    FROM swept
+    """,
+    doc="Peak concurrent sessions via the sweep line: sessions (the "
+    "events_session_stats gap construction, closed at last-event + gap) "
+    "emit +1/−1 deltas at their boundaries, same-instant deltas merge, "
+    "and a running sum over the ordered change points yields the live "
+    "count whose max is the capacity answer — the interval-concurrency "
+    "algorithm licensing/capacity questions reduce to, done without "
+    "expanding intervals into per-second rows. The global sweep runs "
+    "over CHANGE POINTS (2 per session); at 100 TB range-partition by "
+    "time and carry partition boundary offsets, exactly the "
+    "window_running_total discipline.",
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    es = F.unix_timestamp("ts")
+    w = W.partitionBy("user_id").orderBy(es, F.col("event_id"))
+    flagged = (
+        t(spark, sf_dir, "events")
+        .withColumn("es", es)
+        .withColumn("prev_es", F.lag("es").over(w))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev_es").isNull()
+                | (F.col("es") - F.col("prev_es") > SESSION_GAP_SEC),
+                1,
+            ).otherwise(0),
+        )
+    )
+    numbered = flagged.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    sessions = numbered.groupBy("user_id", "sess_id").agg(
+        F.min("es").alias("s_start"),
+        (F.max("es") + SESSION_GAP_SEC).alias("s_end"),
+    )
+    deltas = sessions.select(F.col("s_start").alias("t"), F.lit(1).alias("d")).unionByName(
+        sessions.select(F.col("s_end").alias("t"), F.lit(-1).alias("d"))
+    )
+    merged = deltas.groupBy("t").agg(F.sum("d").alias("net")).coalesce(1)
+    sweep_w = (
+        W.partitionBy(F.spark_partition_id())
+        .orderBy("t")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    swept = merged.withColumn("live", F.sum("net").over(sweep_w))
+    n_sess = sessions.agg(F.count("*").cast("bigint").alias("n_sessions"))
+    return (
+        swept.agg(
+            F.max("live").cast("bigint").alias("peak_concurrent"),
+            F.count("*").cast("bigint").alias("n_change_points"),
+        )
+        .crossJoin(F.broadcast(n_sess))
+    )
