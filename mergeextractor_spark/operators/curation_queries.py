@@ -1835,3 +1835,59 @@ def dq_file_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("min_doc_id"),
         F.max("doc_id").cast("bigint").alias("max_doc_id"),
     )
+
+
+STOPWORD_TOPK = 20
+
+
+@register(
+    "text_stopword_induction",
+    oracle=f"""
+    WITH docs_n AS (SELECT count(*)::DOUBLE AS nd FROM documents),
+    appear AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w
+      FROM documents
+    ),
+    df AS (SELECT w, count(*) AS docfreq FROM appear GROUP BY w)
+    SELECT w AS word, CAST(docfreq AS BIGINT) AS doc_freq,
+           round(docfreq / n.nd, 4) AS doc_share
+    FROM (
+      SELECT w, docfreq, row_number() OVER (ORDER BY docfreq DESC, w) AS rn FROM df
+    ) CROSS JOIN docs_n n
+    WHERE rn <= {STOPWORD_TOPK}
+    """,
+    doc=f"Corpus-specific stopword induction: the top-{STOPWORD_TOPK} "
+    "words by DOCUMENT frequency (share of docs containing the word) — "
+    "how a pipeline builds the stopword list its BM25/RAKE/quality "
+    "stages consume instead of importing English defaults that miss "
+    "domain boilerplate ('agreement', 'merger' in an M&A corpus). "
+    "Distinct (doc, word) pairs map-side, one vocabulary-sized count, "
+    "TakeOrdered top-k.",
+)
+def text_stopword_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    appear = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+                )
+            ).alias("w"),
+        )
+    )
+    docs_n = t(spark, sf_dir, "documents").agg(
+        F.count("*").cast("double").alias("nd")
+    )
+    df = appear.groupBy("w").agg(F.count("*").alias("docfreq"))
+    return (
+        df.orderBy(F.desc("docfreq"), F.asc("w"))
+        .limit(STOPWORD_TOPK)
+        .crossJoin(F.broadcast(docs_n))
+        .select(
+            F.col("w").alias("word"),
+            F.col("docfreq").cast("bigint").alias("doc_freq"),
+            r4(F.col("docfreq") / F.col("nd")).alias("doc_share"),
+        )
+    )

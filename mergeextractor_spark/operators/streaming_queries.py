@@ -1457,3 +1457,64 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(n_sess))
     )
+
+
+@register(
+    "events_bounce_rate",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             lag(CAST(floor(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS prev_es
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, es,
+             CASE WHEN prev_es IS NULL OR es - prev_es > {SESSION_GAP_SEC} THEN 1 ELSE 0 END AS new_sess,
+             event_id
+      FROM ordered
+    ),
+    numbered AS (
+      SELECT user_id,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY es, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    ),
+    sess AS (SELECT user_id, sess_id, count(*) AS n_events FROM numbered GROUP BY user_id, sess_id)
+    SELECT count(*) AS n_sessions,
+           CAST(count(CASE WHEN n_events = 1 THEN 1 END) AS BIGINT) AS n_bounces,
+           round(count(CASE WHEN n_events = 1 THEN 1 END)::DOUBLE / count(*), 4) AS bounce_rate,
+           round(avg(n_events), 4) AS avg_events_per_session
+    FROM sess
+    """,
+    doc="Bounce rate over gap-sessions: the share of sessions containing "
+    "exactly one event, plus mean session depth — the engagement-"
+    "quality readout next to session counts (a crawler-heavy or "
+    "broken-page corpus shows up as a bounce spike before any revenue "
+    "metric moves). Same single user_id window as the session family, "
+    "then a session-level reduce.",
+)
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    es = F.unix_timestamp("ts")
+    w = W.partitionBy("user_id").orderBy(es, F.col("event_id"))
+    flagged = (
+        t(spark, sf_dir, "events")
+        .withColumn("prev_es", F.lag(es).over(w))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev_es").isNull() | (es - F.col("prev_es") > SESSION_GAP_SEC), 1
+            ).otherwise(0),
+        )
+    )
+    numbered = flagged.withColumn(
+        "sess_id", F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    sess = numbered.groupBy("user_id", "sess_id").agg(F.count("*").alias("n_events"))
+    bounce = F.count(F.when(F.col("n_events") == 1, 1))
+    return sess.agg(
+        F.count("*").alias("n_sessions"),
+        bounce.cast("bigint").alias("n_bounces"),
+        r4(bounce.cast("double") / F.count("*")).alias("bounce_rate"),
+        r4(F.avg("n_events")).alias("avg_events_per_session"),
+    )
