@@ -1678,3 +1678,51 @@ def olap_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4((F.col("qty1") - F.col("qty0")) * F.col("p0")).alias("volume_effect"),
         r4((F.col("p1") - F.col("p0")) * F.col("qty1")).alias("price_effect"),
     )
+
+
+@register(
+    "join_null_safe_dim",
+    oracle="""
+    WITH facts AS (
+      SELECT event_id,
+             CASE WHEN event_type = 'error' THEN NULL
+                  ELSE CAST(json_extract(props, '$.k') AS BIGINT) % 10 END AS item_bucket
+      FROM events
+    ),
+    dim AS (
+      SELECT unnest(range(0, 10)) AS item_bucket, 'bucket' AS kind
+      UNION ALL SELECT NULL, 'unattributed'
+    )
+    SELECT d.kind, count(*) AS n_events
+    FROM facts f JOIN dim d ON f.item_bucket IS NOT DISTINCT FROM d.item_bucket
+    GROUP BY d.kind
+    """,
+    doc="Null-safe dimension join: fact rows with a NULL key (errors "
+    "carry no item) still match the dimension's explicit "
+    "'unattributed' row via null-safe equality (Spark's <=>, SQL's "
+    "IS NOT DISTINCT FROM) — the semantics a plain equi-join silently "
+    "drops rows under, which is how 'totals don't reconcile' bugs are "
+    "born. Null-safe equality remains a hash-join key (both engines "
+    "plan it as an equi-join, not a theta join), so the shape costs "
+    "the same as the ordinary dim join.",
+)
+def join_null_safe_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    facts = t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit(None).cast("bigint"))
+        .otherwise(
+            F.get_json_object("props", "$.k").cast("bigint") % 10
+        )
+        .alias("item_bucket"),
+    )
+    spark_s = facts.sparkSession
+    dim = spark_s.range(0, 10).select(
+        F.col("id").alias("item_bucket"), F.lit("bucket").alias("kind")
+    ).unionByName(
+        spark_s.createDataFrame([(None, "unattributed")], "item_bucket bigint, kind string")
+    )
+    return (
+        facts.join(F.broadcast(dim), facts["item_bucket"].eqNullSafe(dim["item_bucket"]))
+        .groupBy("kind")
+        .agg(F.count("*").alias("n_events"))
+    )

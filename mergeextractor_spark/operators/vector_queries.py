@@ -960,3 +960,47 @@ def sample_kcenter_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(r, v, float(d)) for r, v, d in picks]
     out = spark.createDataFrame(rows, "rank int, vec_id long, radius double")
     return out.select("rank", "vec_id", r4(F.col("radius")).alias("radius"))
+
+
+@register(
+    "dq_embedding_norms",
+    oracle="""
+    WITH norms AS (
+      SELECT vec_id, label,
+             sqrt(sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS l2
+      FROM (SELECT vec_id, label, unnest(embedding) AS v FROM embeddings)
+      GROUP BY vec_id, label
+    )
+    SELECT label,
+           count(*) AS n_vectors,
+           round(min(l2), 4) AS min_l2,
+           round(avg(l2), 4) AS mean_l2,
+           round(max(l2), 4) AS max_l2,
+           CAST(count(CASE WHEN l2 = 0 THEN 1 END) AS BIGINT) AS n_zero_vectors
+    FROM norms GROUP BY label
+    """,
+    doc="Embedding-norm audit per label: min/mean/max L2 plus the "
+    "zero-vector count — the model-QA check every embedding drop gets "
+    "before indexing (zero vectors NaN-poison cosine scores; a norm "
+    "spread far from 1 says the encoder skipped normalization and dot-"
+    "product ANN is invalid). Row-form norms via one grouped sum of "
+    "squares — dimension never drives the shuffle width.",
+)
+def dq_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    norms = t(spark, sf_dir, "embeddings").select(
+        "label",
+        F.sqrt(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda a, v: a + v.cast("double") * v.cast("double"),
+            )
+        ).alias("l2"),
+    )
+    return norms.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        r4(F.min("l2")).alias("min_l2"),
+        r4(F.avg("l2")).alias("mean_l2"),
+        r4(F.max("l2")).alias("max_l2"),
+        F.count(F.when(F.col("l2") == 0, 1)).cast("bigint").alias("n_zero_vectors"),
+    )
