@@ -1518,3 +1518,143 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(bounce.cast("double") / F.count("*")).alias("bounce_rate"),
         r4(F.avg("n_events")).alias("avg_events_per_session"),
     )
+
+
+@register(
+    "agg_activity_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, count(*) AS streak_len
+      FROM islands GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(max(streak_len) AS BIGINT) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks
+    FROM streaks GROUP BY user_id
+    """,
+    doc="Longest consecutive-day activity streak per user via gaps-and-"
+    "islands: distinct active days minus their row_number is constant "
+    "within a consecutive run, so one grouped count per (user, island) "
+    "yields streak lengths — the engagement-streak metric (and the "
+    "canonical islands idiom, here on the epoch-day grid so no calendar "
+    "arithmetic enters the comparison). One user_id window + two "
+    "grouped aggregates on the same key; distinct days per user bound "
+    "the state.",
+)
+def agg_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    days = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
+        )
+        .distinct()
+    )
+    w = W.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn("grp", F.col("day") - F.row_number().over(w))
+    streaks = islands.groupBy("user_id", "grp").agg(F.count("*").alias("streak_len"))
+    return streaks.groupBy("user_id").agg(
+        F.max("streak_len").cast("bigint").alias("longest_streak"),
+        F.count("*").cast("bigint").alias("n_streaks"),
+    )
+
+
+ERROR_GAP_SEC = 600  # error-burst sessionization gap
+
+
+@register(
+    "events_error_impact",
+    oracle=f"""
+    WITH err AS (
+      SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             lag(CAST(floor(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS prev_es
+      FROM events WHERE event_type = 'error'
+    ),
+    flagged AS (
+      SELECT user_id, es,
+             CASE WHEN prev_es IS NULL OR es - prev_es > {ERROR_GAP_SEC} THEN 1 ELSE 0 END AS new_b,
+             event_id
+      FROM err
+    ),
+    numbered AS (
+      SELECT user_id, es,
+             sum(new_b) OVER (PARTITION BY user_id ORDER BY es, event_id
+                              ROWS UNBOUNDED PRECEDING) AS burst_id
+      FROM flagged
+    ),
+    bursts AS (
+      SELECT user_id, burst_id, min(es) AS b_start, max(es) + {ERROR_GAP_SEC} AS b_end
+      FROM numbered GROUP BY user_id, burst_id
+    ),
+    purchases AS (
+      SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    hits AS (
+      SELECT DISTINCT p.event_id, p.value
+      FROM purchases p JOIN bursts b
+        ON b.user_id = p.user_id AND p.es >= b.b_start AND p.es < b.b_end
+    )
+    SELECT (SELECT count(*) FROM purchases) AS n_purchases,
+           CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_during_errors,
+           round(coalesce((SELECT sum(value) FROM hits), 0), 4) AS revenue_at_risk
+    """,
+    doc="Incident impact: purchases landing inside the same user's "
+    "error-burst windows (errors sessionized with a 10-min gap, bursts "
+    "closed at last-error + gap) — the revenue-at-risk readout an "
+    "incident review pairs with the burn-rate alert. Point-in-interval "
+    "containment joins on the USER key first (co-partitioned with the "
+    "burst construction), so the interval predicate only filters "
+    "within-user pairs — no bucketing or cross join needed when the "
+    "interval side is keyed; at 100 TB both sides shuffle once on "
+    "user_id.",
+)
+def events_error_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    es = F.unix_timestamp("ts")
+    w = W.partitionBy("user_id").orderBy(es, F.col("event_id"))
+    err = (
+        ev.filter(F.col("event_type") == "error")
+        .withColumn("es", es)
+        .withColumn("prev_es", F.lag("es").over(w))
+        .withColumn(
+            "new_b",
+            F.when(
+                F.col("prev_es").isNull()
+                | (F.col("es") - F.col("prev_es") > ERROR_GAP_SEC),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "burst_id", F.sum("new_b").over(w.rowsBetween(W.unboundedPreceding, 0))
+        )
+    )
+    bursts = err.groupBy("user_id", "burst_id").agg(
+        F.min("es").alias("b_start"), (F.max("es") + ERROR_GAP_SEC).alias("b_end")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", es.alias("es"), "value"
+    )
+    hits = (
+        purchases.join(bursts, "user_id")
+        .filter((F.col("es") >= F.col("b_start")) & (F.col("es") < F.col("b_end")))
+        .select("event_id", "value")
+        .distinct()
+    )
+    n_p = purchases.agg(F.count("*").alias("n_purchases"))
+    return n_p.crossJoin(
+        hits.agg(
+            F.count("*").cast("bigint").alias("n_during_errors"),
+            r4(F.coalesce(F.sum("value"), F.lit(0.0))).alias("revenue_at_risk"),
+        )
+    )
