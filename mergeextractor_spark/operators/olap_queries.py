@@ -1726,3 +1726,34 @@ def join_null_safe_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("kind")
         .agg(F.count("*").alias("n_events"))
     )
+
+
+@register(
+    "olap_median_order_by_segment",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n_orders,
+           round(median(o.o_totalprice), 4) AS median_order_value,
+           round(avg(o.o_totalprice), 4) AS mean_order_value
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Median vs mean order value per market segment — the robust-"
+    "center comparison that exposes whale-skewed segments (mean far "
+    "above median) a plain average hides. The customer dimension "
+    "broadcasts into the orders scan; exact median is grouped over 5 "
+    "segments (at 100 TB swap for approx_percentile, the "
+    "events_anomaly_mad note).",
+)
+def olap_median_order_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            r4(F.median("o_totalprice")).alias("median_order_value"),
+            r4(F.avg("o_totalprice")).alias("mean_order_value"),
+        )
+    )

@@ -1658,3 +1658,54 @@ def events_error_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.coalesce(F.sum("value"), F.lit(0.0))).alias("revenue_at_risk"),
         )
     )
+
+
+@register(
+    "events_time_to_value",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup'
+                      THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS t_signup,
+             min(CASE WHEN event_type = 'purchase'
+                      THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS t_purchase
+      FROM events GROUP BY user_id
+    ),
+    ttv AS (
+      SELECT t_purchase - t_signup AS ttv_s FROM firsts
+      WHERE t_signup IS NOT NULL AND t_purchase IS NOT NULL AND t_purchase >= t_signup
+    )
+    SELECT count(*) AS n_converted,
+           round(median(ttv_s), 4) AS median_ttv_s,
+           round(avg(ttv_s), 4) AS mean_ttv_s,
+           CAST(max(ttv_s) AS BIGINT) AS max_ttv_s
+    FROM ttv
+    """,
+    doc="Time-to-value: latency from a user's first signup to their first "
+    "subsequent purchase (median/mean/max over well-ordered converters) "
+    "— the activation metric growth teams track alongside funnels; the "
+    "dq_event_order_violations key audits the mis-ordered users this "
+    "one excludes. One conditional-min aggregate per user + a 1-row "
+    "reduce.",
+)
+def events_time_to_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    es = F.unix_timestamp("ts")
+    firsts = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", es)).alias("t_signup"),
+            F.min(F.when(F.col("event_type") == "purchase", es)).alias("t_purchase"),
+        )
+    )
+    ttv = firsts.filter(
+        F.col("t_signup").isNotNull()
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_purchase") >= F.col("t_signup"))
+    ).select((F.col("t_purchase") - F.col("t_signup")).alias("ttv_s"))
+    return ttv.agg(
+        F.count("*").alias("n_converted"),
+        r4(F.median("ttv_s")).alias("median_ttv_s"),
+        r4(F.avg("ttv_s")).alias("mean_ttv_s"),
+        F.max("ttv_s").cast("bigint").alias("max_ttv_s"),
+    )
