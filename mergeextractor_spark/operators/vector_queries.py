@@ -1004,3 +1004,129 @@ def dq_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.max("l2")).alias("max_l2"),
         F.count(F.when(F.col("l2") == 0, 1)).cast("bigint").alias("n_zero_vectors"),
     )
+
+
+MMR_POOL = 20  # relevance-ranked candidate pool fed to the re-ranker
+MMR_K = 10  # diversified picks
+MMR_LAMBDA = 0.7  # relevance weight (1-λ penalizes similarity to selected)
+
+
+def _mmr_oracle() -> str:
+    """Unrolled MMR: pool = cosine top-POOL vs the vec_id-0 query; step j
+    picks argmax of λ·rel − (1−λ)·max-sim-to-selected (ties to the
+    smaller vec_id). The pairwise-sim table is computed once; each step
+    is a max-join against the explicit union of prior picks."""
+    head = f"""
+    WITH q AS MATERIALIZED (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    relp AS (
+      SELECT e.vec_id, CAST(unnest(e.embedding) AS DOUBLE) AS x, CAST(unnest(q.qe) AS DOUBLE) AS y
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+    ),
+    rel0 AS (
+      SELECT vec_id, sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS rel
+      FROM relp GROUP BY vec_id
+    ),
+    pool AS MATERIALIZED (
+      SELECT vec_id, rel FROM (
+        SELECT vec_id, rel, row_number() OVER (ORDER BY rel DESC, vec_id) AS rn FROM rel0
+      ) WHERE rn <= {MMR_POOL}
+    ),
+    pp AS (
+      SELECT a.vec_id AS ca, b.vec_id AS cb,
+             CAST(unnest(ea.embedding) AS DOUBLE) AS x, CAST(unnest(eb.embedding) AS DOUBLE) AS y
+      FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+    ),
+    ps AS MATERIALIZED (
+      SELECT ca, cb, sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS sim
+      FROM pp GROUP BY ca, cb
+    ),
+    p1 AS MATERIALIZED (
+      SELECT vec_id, rel FROM pool ORDER BY rel DESC, vec_id LIMIT 1
+    )"""
+    parts = [head]
+    sel_union = "SELECT vec_id FROM p1"
+    picks = ["SELECT 1 AS rank, vec_id, round(rel, 4) AS score FROM p1"]
+    for j in range(2, MMR_K + 1):
+        parts.append(
+            f"""
+    sel{j} AS MATERIALIZED ({sel_union}),
+    sc{j} AS (
+      SELECT p.vec_id, p.rel,
+             {MMR_LAMBDA} * p.rel - {round(1 - MMR_LAMBDA, 10)} * max(s.sim) AS score
+      FROM pool p
+      JOIN ps s ON s.ca = p.vec_id AND s.cb IN (SELECT vec_id FROM sel{j})
+      WHERE p.vec_id NOT IN (SELECT vec_id FROM sel{j})
+      GROUP BY p.vec_id, p.rel
+    ),
+    p{j} AS MATERIALIZED (SELECT vec_id, score FROM sc{j} ORDER BY score DESC, vec_id LIMIT 1)"""
+        )
+        picks.append(f"SELECT {j} AS rank, vec_id, round(score, 4) AS score FROM p{j}")
+        sel_union += f" UNION ALL SELECT vec_id FROM p{j}"
+    return ",".join(parts) + "\n    " + "\n    UNION ALL ".join(picks)
+
+
+@register(
+    "rank_mmr_diversify",
+    oracle=_mmr_oracle(),
+    doc=f"Maximal Marginal Relevance re-ranking: the cosine top-{MMR_POOL} "
+    f"pool vs the query embedding diversified into {MMR_K} picks — each "
+    f"step takes argmax of λ·relevance − (1−λ)·max-similarity-to-"
+    f"selected (λ={MMR_LAMBDA}) — the standard redundancy-removal stage "
+    "after retrieval/fusion (pipeline_hybrid_search returns the list; "
+    "this dedups its near-identical hits). Pool-bounded throughout: "
+    "relevance is one broadcast-query scan, the pairwise-sim table is "
+    f"{MMR_POOL}² rows computed once, and each greedy step is a "
+    "constant-size argmax (kcenter discipline) — corpus cost is "
+    "identical to the underlying top-k retrieval. The oracle unrolls "
+    "the identical data-dependent steps.",
+    eager=True,  # construction runs the greedy selection loop
+)
+def rank_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    rel = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "embedding", cosine(F.col("embedding"), F.col("qe")).alias("rel"))
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(MMR_POOL)
+        .localCheckpoint(eager=True)
+    )
+    pool = [
+        (r.vec_id, r.rel, r.embedding) for r in rel.collect()
+    ]  # POOL rows — constant-size by construction
+    import math
+
+    def cos_py(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return d / (na * nb)
+
+    # the greedy loop runs over the CONSTANT-SIZE pool; driver-side here
+    # is honest because the pool was already the result of a distributed
+    # top-k (the same boundary where any serving layer leaves the cluster)
+    sims = {
+        (a[0], b[0]): cos_py(a[2], b[2])
+        for a in pool
+        for b in pool
+        if a[0] != b[0]
+    }
+    first = max(pool, key=lambda r: (r[1], -r[0]))
+    selected = [first[0]]
+    out = [(1, first[0], float(first[1]))]
+    for rank in range(2, MMR_K + 1):
+        best = None
+        for vid, r_rel, _ in pool:
+            if vid in selected:
+                continue
+            mx = max(sims[(vid, s)] for s in selected)
+            score = MMR_LAMBDA * r_rel - (1 - MMR_LAMBDA) * mx
+            if best is None or score > best[1] or (score == best[1] and vid < best[0]):
+                best = (vid, score)
+        selected.append(best[0])
+        out.append((rank, best[0], float(best[1])))
+    df = spark.createDataFrame(out, "rank int, vec_id long, score double")
+    return df.select("rank", "vec_id", r4(F.col("score")).alias("score"))
