@@ -1891,3 +1891,78 @@ def text_stopword_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.col("docfreq") / F.col("nd")).alias("doc_share"),
         )
     )
+
+
+VOCAB_CHECKPOINTS = (10, 100, 1000, 10000)
+
+
+@register(
+    "text_vocab_coverage_curve",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w
+      FROM documents
+    ),
+    wc AS (SELECT w, count(*) AS n FROM words GROUP BY w),
+    ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, w) AS rn,
+             sum(n) OVER (ORDER BY n DESC, w ROWS UNBOUNDED PRECEDING) AS cum
+      FROM wc
+    ),
+    tot AS (SELECT sum(n)::DOUBLE AS total, count(*) AS vocab FROM wc)
+    SELECT k AS vocab_size,
+           round(coalesce(max(CASE WHEN rn <= k THEN cum END) / t.total, 0.0), 4) AS token_coverage,
+           CAST(t.vocab AS BIGINT) AS full_vocab
+    FROM ranked CROSS JOIN tot t
+    CROSS JOIN (SELECT unnest({list(VOCAB_CHECKPOINTS)}) AS k)
+    GROUP BY k, t.total, t.vocab
+    """,
+    doc="Vocabulary coverage curve: the fraction of all token occurrences "
+    f"covered by the top-{{{', '.join(map(str, VOCAB_CHECKPOINTS))}}} "
+    "words — the sizing curve tokenizer and embedding-table decisions "
+    "read (Zipf says the first 100 words carry most of the mass; this "
+    "measures exactly how much for THIS corpus). The rank/cumsum "
+    "window runs over the vocabulary-sized count table; checkpoints "
+    "are a 4-row broadcast.",
+)
+def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = t(spark, sf_dir, "documents").select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+        ).alias("w")
+    )
+    wc = words.groupBy("w").agg(F.count("*").alias("n")).coalesce(1)
+    w_ord = W.partitionBy(F.spark_partition_id()).orderBy(F.desc("n"), F.asc("w"))
+    ranked = wc.select(
+        "n",
+        F.row_number().over(w_ord).alias("rn"),
+        F.sum("n").over(w_ord.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+    )
+    tot = wc.agg(
+        F.sum("n").cast("double").alias("total"), F.count("*").alias("vocab")
+    )
+    ks = F.explode(
+        F.array(*[F.lit(k) for k in VOCAB_CHECKPOINTS])
+    ).alias("vocab_size")
+    checkpoints = t(spark, sf_dir, "documents").limit(1).select(ks)
+    return (
+        ranked.crossJoin(F.broadcast(checkpoints))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("vocab_size", "total", "vocab")
+        .agg(
+            r4(
+                F.coalesce(
+                    F.max(
+                        F.when(F.col("rn") <= F.col("vocab_size"), F.col("cum"))
+                    )
+                    / F.col("total"),
+                    F.lit(0.0),
+                )
+            ).alias("token_coverage")
+        )
+        .select(
+            "vocab_size",
+            "token_coverage",
+            F.col("vocab").cast("bigint").alias("full_vocab"),
+        )
+    )

@@ -1709,3 +1709,45 @@ def events_time_to_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.avg("ttv_s")).alias("mean_ttv_s"),
         F.max("ttv_s").cast("bigint").alias("max_ttv_s"),
     )
+
+
+@register(
+    "eval_forecast_seasonal_naive",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, count(*) AS n
+      FROM events GROUP BY 1
+    ),
+    paired AS (
+      SELECT a.day, a.n AS actual, b.n AS forecast
+      FROM daily a JOIN daily b ON b.day = a.day - 7
+    )
+    SELECT count(*) AS n_days,
+           round(avg(abs(actual - forecast)), 4) AS mae,
+           round(avg(abs(actual - forecast)::DOUBLE / actual), 4) AS mape,
+           round(avg(actual), 4) AS mean_actual
+    FROM paired
+    """,
+    doc="Seasonal-naive forecast evaluation: tomorrow = same weekday last "
+    "week, scored by MAE and MAPE over daily event counts — the "
+    "baseline every real forecasting model must beat, and the first "
+    "number a capacity-planning review asks for (agg_trend_regression "
+    "gives the trend; this gives the benchmark error floor). One daily "
+    "aggregate self-joined at lag 7 — a |days|-row equi-join.",
+)
+def eval_forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    a = daily.select("day", F.col("n").alias("actual"))
+    b = daily.select((F.col("day") + 7).alias("day"), F.col("n").alias("forecast"))
+    paired = a.join(b, "day")
+    err = F.abs(F.col("actual") - F.col("forecast"))
+    return paired.agg(
+        F.count("*").alias("n_days"),
+        r4(F.avg(err)).alias("mae"),
+        r4(F.avg(err.cast("double") / F.col("actual"))).alias("mape"),
+        r4(F.avg("actual")).alias("mean_actual"),
+    )
