@@ -1751,3 +1751,68 @@ def eval_forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.avg(err.cast("double") / F.col("actual"))).alias("mape"),
         r4(F.avg("actual")).alias("mean_actual"),
     )
+
+
+@register(
+    "events_pit_features",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es
+      FROM events
+    ),
+    feat AS (
+      SELECT user_id, event_id, event_type, es,
+             count(CASE WHEN event_type = 'click' THEN 1 END)
+               OVER (PARTITION BY user_id ORDER BY es
+                     RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING) AS clicks_1h,
+             coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END)
+               OVER (PARTITION BY user_id ORDER BY es, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS spend_to_date
+      FROM e
+    )
+    SELECT event_id, user_id,
+           CAST(clicks_1h AS BIGINT) AS clicks_1h,
+           round(spend_to_date, 4) AS spend_to_date
+    FROM feat WHERE event_type = 'purchase'
+    """,
+    doc="Point-in-time feature generation: for every purchase, the user's "
+    "trailing-hour click count (RANGE frame ending 1s before now) and "
+    "cumulative prior spend — features computed strictly from the past, "
+    "the leakage-free construction a feature store must guarantee for "
+    "training-serving parity (a naive groupBy-join would leak the "
+    "label's own row and future events into the feature). One user_id "
+    "window pass serves every feature column; at 100 TB this is the "
+    "same single shuffle the session family pays.",
+)
+def events_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    es = F.unix_timestamp("ts")
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value", es.alias("es")
+    )
+    w_range = (
+        W.partitionBy("user_id").orderBy("es").rangeBetween(-3600, -1)
+    )
+    w_rows = (
+        W.partitionBy("user_id")
+        .orderBy("es", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    feat = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.count(F.when(F.col("event_type") == "click", 1))
+        .over(w_range)
+        .cast("bigint")
+        .alias("clicks_1h"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))).over(
+                w_rows
+            ),
+            F.lit(0.0),
+        ).alias("spend_to_date"),
+    )
+    return feat.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "clicks_1h", r4(F.col("spend_to_date")).alias("spend_to_date")
+    )

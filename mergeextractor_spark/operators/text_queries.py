@@ -1249,3 +1249,98 @@ def text_langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         correct.cast("bigint").alias("n_correct"),
         r4(correct.cast("double") / F.count("*")).alias("accuracy"),
     )
+
+
+LM_LAMBDA = 0.8  # bigram weight; (1-λ) backs off to the unigram
+
+
+@register(
+    "text_bigram_logprob",
+    oracle=f"""
+    WITH ws AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+      FROM documents
+    ),
+    uni AS (
+      SELECT unnest(w) AS t FROM ws
+    ),
+    uc AS (SELECT t, count(*) AS n FROM uni GROUP BY t),
+    utot AS (SELECT sum(n)::DOUBLE AS total FROM uc),
+    bi AS (
+      SELECT unnest(CASE WHEN len(w) >= 2
+                         THEN list_transform(generate_series(1, len(w) - 1),
+                                             i -> [w[i], w[i + 1]])
+                         ELSE [] END) AS pair
+      FROM ws
+    ),
+    bc AS (SELECT pair[1] AS w1, pair[2] AS w2, count(*) AS n12 FROM bi GROUP BY 1, 2),
+    doc_bi AS (
+      SELECT doc_id, pair[1] AS w1, pair[2] AS w2
+      FROM (
+        SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+                                   THEN list_transform(generate_series(1, len(w) - 1),
+                                                       i -> [w[i], w[i + 1]])
+                                   ELSE [] END) AS pair
+        FROM ws
+      )
+    ),
+    scored AS (
+      SELECT d.doc_id,
+             ln({LM_LAMBDA} * coalesce(b.n12, 0)::DOUBLE / u1.n
+                + {round(1 - LM_LAMBDA, 10)} * u2.n / t.total) AS lp
+      FROM doc_bi d
+      JOIN uc u1 ON u1.t = d.w1
+      JOIN uc u2 ON u2.t = d.w2
+      LEFT JOIN bc b ON b.w1 = d.w1 AND b.w2 = d.w2
+      CROSS JOIN utot t
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(lp), 4) AS mean_logprob
+    FROM scored GROUP BY doc_id
+    """,
+    doc=f"Interpolated bigram LM scoring: per-bigram log of "
+    f"λ·P(w2|w1) + (1−λ)·P(w2) with λ={LM_LAMBDA} (Jelinek-Mercer "
+    "smoothing — unseen bigrams back off to the unigram instead of "
+    "−∞), averaged per document — the second-order fluency signal one "
+    "step above text_unigram_logprob, the CCNet-style quality scorer's "
+    "natural upgrade. The bigram and unigram count tables are "
+    "vocabulary-sized and join against the document bigram stream; "
+    "every join is on token keys, never text.",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ws = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    pair_arr = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.struct(
+                F.element_at(ws, i).alias("w1"), F.element_at(ws, i + 1).alias("w2")
+            ),
+        ),
+    ).otherwise(F.array())
+    docs = t(spark, sf_dir, "documents")
+    uni = docs.select(F.explode(ws).alias("t"))
+    uc = uni.groupBy("t").agg(F.count("*").alias("n"))
+    utot = uc.agg(F.sum("n").cast("double").alias("total"))
+    doc_bi = docs.select("doc_id", F.explode(pair_arr).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    bc = doc_bi.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
+    lp = F.log(
+        LM_LAMBDA * F.coalesce(F.col("n12"), F.lit(0)).cast("double") / F.col("n1")
+        + (1 - LM_LAMBDA) * F.col("n2") / F.col("total")
+    )
+    scored = (
+        doc_bi.join(
+            F.broadcast(uc.select(F.col("t").alias("w1"), F.col("n").alias("n1"))), "w1"
+        )
+        .join(
+            F.broadcast(uc.select(F.col("t").alias("w2"), F.col("n").alias("n2"))), "w2"
+        )
+        .join(bc, ["w1", "w2"], "left")
+        .crossJoin(F.broadcast(utot))
+        .select("doc_id", lp.alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"), r4(F.avg("lp")).alias("mean_logprob")
+    )
