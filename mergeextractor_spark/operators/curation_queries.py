@@ -1966,3 +1966,60 @@ def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vocab").cast("bigint").alias("full_vocab"),
         )
     )
+
+
+@register(
+    "dq_chi_square_independence",
+    oracle="""
+    WITH obs AS (
+      SELECT lang, source, count(*)::DOUBLE AS o FROM documents GROUP BY lang, source
+    ),
+    margins AS (
+      SELECT o.lang, o.source, o.o,
+             sum(o.o) OVER (PARTITION BY o.lang) AS row_n,
+             sum(o.o) OVER (PARTITION BY o.source) AS col_n,
+             sum(o.o) OVER () AS total
+      FROM obs o
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           round(sum((o - row_n * col_n / total) * (o - row_n * col_n / total)
+                     / (row_n * col_n / total)), 4) AS chi_square,
+           CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) AS BIGINT) AS dof
+    FROM margins
+    """,
+    doc="Chi-square independence test on the lang × source contingency "
+    "table (statistic + degrees of freedom; compare to the critical "
+    "value for the dependence verdict) — the categorical-DQ screen that "
+    "answers 'is language balanced across sources or do some sources "
+    "skew monolingual', which decides whether per-source mixtures also "
+    "need per-language correction. One |langs|×|sources| contingency "
+    "aggregate; margins via windows over the tiny cell table. Note the "
+    "observed-cells-only convention: absent (lang, source) pairs "
+    "contribute no term (both engines agree by construction).",
+)
+def dq_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    obs = (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count("*").cast("double").alias("o"))
+        .coalesce(1)
+    )
+    wl = W.partitionBy("lang")
+    ws = W.partitionBy("source")
+    wall = W.partitionBy(F.spark_partition_id())
+    m = obs.select(
+        "lang",
+        "source",
+        "o",
+        F.sum("o").over(wl).alias("row_n"),
+        F.sum("o").over(ws).alias("col_n"),
+        F.sum("o").over(wall).alias("total"),
+    )
+    e = F.col("row_n") * F.col("col_n") / F.col("total")
+    return m.agg(
+        F.count("*").cast("bigint").alias("n_cells"),
+        r4(F.sum((F.col("o") - e) * (F.col("o") - e) / e)).alias("chi_square"),
+        (
+            (F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)
+        ).cast("bigint").alias("dof"),
+    )

@@ -1816,3 +1816,73 @@ def events_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feat.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "clicks_1h", r4(F.col("spend_to_date")).alias("spend_to_date")
     )
+
+
+PSI_BINS = 10
+
+
+@register(
+    "eval_psi_drift",
+    oracle=f"""
+    WITH halves AS (
+      SELECT value, event_id % 2 AS half FROM events
+    ),
+    edges AS (
+      SELECT quantile_cont(value, [x / {PSI_BINS}.0 FOR x IN range(1, {PSI_BINS})]) AS qs
+      FROM halves WHERE half = 0
+    ),
+    binned AS (
+      SELECT h.half,
+             len(list_filter(e.qs, q -> q < h.value)) AS bin
+      FROM halves h CROSS JOIN edges e
+    ),
+    counts AS (
+      SELECT bin,
+             count(CASE WHEN half = 0 THEN 1 END)::DOUBLE AS na,
+             count(CASE WHEN half = 1 THEN 1 END)::DOUBLE AS nb
+      FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM counts)
+    SELECT CAST(count(*) AS BIGINT) AS n_bins,
+           round(sum((c.na / t.ta - c.nb / t.tb)
+                     * ln((c.na / t.ta) / (c.nb / t.tb))), 4) AS psi
+    FROM counts c CROSS JOIN tot t
+    """,
+    doc="Population Stability Index between the event stream's two halves "
+    "(event_id parity stands in for reference vs current windows): "
+    "decile edges from the reference half via exact interpolated quantiles (quantile_cont ↔ Spark percentile — the discrete variant picks elements and drifts at small n), "
+    "both halves binned against them, PSI = Σ(pa−pb)·ln(pa/pb) — THE "
+    "production drift alarm for model scores and features (rule of "
+    "thumb: >0.1 investigate, >0.25 retrain). Edges are a 9-value "
+    "broadcast; binning is map-side; the parity halves guarantee "
+    "every decile is populated on both sides so the log never sees a "
+    "zero.",
+)
+def eval_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    halves = t(spark, sf_dir, "events").select(
+        "value", (F.col("event_id") % 2).alias("half")
+    )
+    probs = [i / PSI_BINS for i in range(1, PSI_BINS)]
+    edges = (
+        halves.filter(F.col("half") == 0)
+        .agg(F.percentile("value", F.lit(probs).cast("array<double>"), F.lit(1)).alias("qs0"))
+        .select(F.col("qs0").alias("qs"))
+    )
+    binned = halves.crossJoin(F.broadcast(edges)).select(
+        "half",
+        F.size(F.filter(F.col("qs"), lambda q: q < F.col("value"))).alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.count(F.when(F.col("half") == 0, 1)).cast("double").alias("na"),
+        F.count(F.when(F.col("half") == 1, 1)).cast("double").alias("nb"),
+    )
+    tot = counts.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    pa = F.col("na") / F.col("ta")
+    pb = F.col("nb") / F.col("tb")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .agg(
+            F.count("*").cast("bigint").alias("n_bins"),
+            r4(F.sum((pa - pb) * F.log(pa / pb))).alias("psi"),
+        )
+    )
