@@ -1344,3 +1344,68 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"), r4(F.avg("lp")).alias("mean_logprob")
     )
+
+
+@register(
+    "eval_langid_auc",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             (lang = 'en') AS label,
+             len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''),
+                             x -> x IN ({_STOP_SQL})))::DOUBLE /
+               greatest(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')), 1) AS score
+      FROM documents
+    ),
+    ranked AS (
+      SELECT label,
+             rank() OVER (ORDER BY score)
+               + (count(*) OVER (PARTITION BY score) - 1) / 2.0 AS midrank
+      FROM scored
+    ),
+    sums AS (
+      SELECT sum(CASE WHEN label THEN midrank END) AS rpos,
+             count(CASE WHEN label THEN 1 END)::DOUBLE AS np,
+             count(CASE WHEN NOT label THEN 1 END)::DOUBLE AS nn
+      FROM ranked
+    )
+    SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+           round((rpos - np * (np + 1) / 2) / (np * nn), 4) AS auc
+    FROM sums
+    """,
+    doc="AUC-ROC of the stopword-ratio language score against the "
+    "ground-truth en label, via the Mann-Whitney rank-sum with MIDRANKS "
+    "for ties (rank() plus half the tie-group size — the exact tie-"
+    "corrected AUC, not the optimistic/pessimistic variants) — the "
+    "threshold-free headline metric completing the classifier-eval "
+    "family (eval_langid_confusion is the thresholded view). One "
+    "global rank over scores; at 100 TB sort-by-score once or bucket "
+    "scores and correct with the same midrank algebra.",
+)
+def eval_langid_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens(F.col("text"))
+    scored = t(spark, sf_dir, "documents").select(
+        (F.col("lang") == "en").alias("label"),
+        (
+            F.size(F.filter(toks, lambda x: x.isin(EN_STOPWORDS))).cast("double")
+            / F.greatest(F.size(toks), F.lit(1))
+        ).alias("score"),
+    ).coalesce(1)
+    one = F.spark_partition_id()
+    midrank = F.rank().over(W.partitionBy(one).orderBy("score")) + (
+        F.count("*").over(W.partitionBy(one, "score")) - 1
+    ) / 2.0
+    ranked = scored.select("label", midrank.alias("midrank"))
+    sums = ranked.agg(
+        F.sum(F.when(F.col("label"), F.col("midrank"))).alias("rpos"),
+        F.count(F.when(F.col("label"), 1)).cast("double").alias("np"),
+        F.count(F.when(~F.col("label"), 1)).cast("double").alias("nn"),
+    )
+    return sums.select(
+        F.col("np").cast("bigint").alias("n_pos"),
+        F.col("nn").cast("bigint").alias("n_neg"),
+        r4(
+            (F.col("rpos") - F.col("np") * (F.col("np") + 1) / 2)
+            / (F.col("np") * F.col("nn"))
+        ).alias("auc"),
+    )
