@@ -2023,3 +2023,104 @@ def dq_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)
         ).cast("bigint").alias("dof"),
     )
+
+
+@register(
+    "eval_jackknife_se",
+    oracle="""
+    WITH per_source AS (
+      SELECT source, sum(n_chars)::DOUBLE AS s, count(*)::DOUBLE AS c
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(s) AS ts, sum(c) AS tc, count(*)::DOUBLE AS g FROM per_source),
+    loo AS (
+      SELECT (t.ts - p.s) / (t.tc - p.c) AS theta_i, t.g
+      FROM per_source p CROSS JOIN tot t
+    ),
+    agg2 AS (
+      SELECT any_value(l.g) AS g,
+             avg(l.theta_i) AS theta_bar,
+             sum(power(l.theta_i - (SELECT avg(theta_i) FROM loo), 2)) AS ss
+      FROM loo l
+    )
+    SELECT CAST(g AS BIGINT) AS n_groups,
+           round(theta_bar, 4) AS jackknife_mean,
+           round(sqrt((g - 1) / g * ss), 4) AS jackknife_se
+    FROM agg2
+    """,
+    doc="Delete-one-group jackknife over sources: leave-one-source-out "
+    "means of document length, their average, and the jackknife "
+    "standard error sqrt((g−1)/g·Σ(θᵢ−θ̄)²) — the uncertainty bar for "
+    "any corpus-level statistic WITHOUT resampling randomness "
+    "(clustered data makes naive SEs overconfident; deleting whole "
+    "sources respects the cluster structure). Leave-one-out means come "
+    "from totals minus per-source sums — one |sources|-row table, no "
+    "second corpus pass.",
+)
+def eval_jackknife_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_source = (
+        t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.sum("n_chars").cast("double").alias("s"),
+            F.count("*").cast("double").alias("c"),
+        )
+    )
+    tot = per_source.agg(
+        F.sum("s").alias("ts"), F.sum("c").alias("tc"), F.count("*").cast("double").alias("g")
+    )
+    loo = per_source.crossJoin(F.broadcast(tot)).select(
+        ((F.col("ts") - F.col("s")) / (F.col("tc") - F.col("c"))).alias("theta_i"),
+        "g",
+    )
+    tb = loo.agg(F.avg("theta_i").alias("theta_bar"))
+    return (
+        loo.crossJoin(F.broadcast(tb))
+        .agg(
+            F.any_value("g").cast("bigint").alias("n_groups"),
+            r4(F.any_value("theta_bar")).alias("jackknife_mean"),
+            r4(
+                F.sqrt(
+                    (F.any_value("g") - 1)
+                    / F.any_value("g")
+                    * F.sum(F.pow(F.col("theta_i") - F.col("theta_bar"), 2))
+                )
+            ).alias("jackknife_se"),
+        )
+    )
+
+
+@register(
+    "text_hapax_ratio",
+    oracle=r"""
+    WITH words AS (
+      SELECT source, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w
+      FROM documents
+    ),
+    wc AS (SELECT source, w, count(*) AS n FROM words GROUP BY source, w)
+    SELECT source,
+           count(*) AS vocab,
+           CAST(count(CASE WHEN n = 1 THEN 1 END) AS BIGINT) AS hapax,
+           round(count(CASE WHEN n = 1 THEN 1 END)::DOUBLE / count(*), 4) AS hapax_ratio
+    FROM wc GROUP BY source
+    """,
+    doc="Hapax legomena share per source: the fraction of the vocabulary "
+    "occurring exactly once — the vocabulary-health metric beside "
+    "entropy and the Zipf slope (a hapax ratio collapsing toward zero "
+    "flags template spam; Zipf predicts ~50% for natural text). One "
+    "(source, word) count plus a per-source reduce.",
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = t(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+        ).alias("w"),
+    )
+    wc = words.groupBy("source", "w").agg(F.count("*").alias("n"))
+    hapax = F.count(F.when(F.col("n") == 1, 1))
+    return wc.groupBy("source").agg(
+        F.count("*").alias("vocab"),
+        hapax.cast("bigint").alias("hapax"),
+        r4(hapax.cast("double") / F.count("*")).alias("hapax_ratio"),
+    )
