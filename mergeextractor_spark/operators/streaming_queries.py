@@ -1886,3 +1886,69 @@ def eval_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.sum((pa - pb) * F.log(pa / pb))).alias("psi"),
         )
     )
+
+
+@register(
+    "events_changepoint_cusum",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, count(*)::DOUBLE AS n
+      FROM events GROUP BY 1
+    ),
+    mu AS (SELECT avg(n) AS m FROM daily),
+    cusum AS (
+      SELECT day,
+             sum(n - m.m) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cs
+      FROM daily CROSS JOIN mu m
+    ),
+    peak AS (
+      SELECT day, cs FROM cusum ORDER BY abs(cs) DESC, day LIMIT 1
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
+           p.day AS changepoint_day,
+           round(p.cs, 4) AS peak_cusum,
+           round((SELECT max(abs(cs)) FROM cusum)
+                 / (SELECT stddev_samp(n) FROM daily), 4) AS normalized_peak
+    FROM peak p
+    """,
+    doc="CUSUM changepoint detection on daily event volume: the running "
+    "sum of deviations from the global mean peaks (in absolute value) "
+    "at the most likely level-shift point — the classic offline "
+    "changepoint locator behind 'when did traffic actually change', "
+    "with the peak normalized by the daily stddev for a scale-free "
+    "signal (≳ a few means a real shift, not noise). The running sum "
+    "walks the |days|-row aggregate; the corpus-sized work is one "
+    "combinable daily count.",
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"))
+        .agg(F.count("*").cast("double").alias("n"))
+        .coalesce(1)
+    )
+    mu = daily.agg(F.avg("n").alias("m"))
+    w = (
+        W.partitionBy(F.spark_partition_id())
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cusum = daily.crossJoin(F.broadcast(mu)).select(
+        "day", F.sum(F.col("n") - F.col("m")).over(w).alias("cs")
+    )
+    peak = cusum.orderBy(F.abs(F.col("cs")).desc(), F.asc("day")).limit(1)
+    stats = daily.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.stddev_samp("n").alias("sd"),
+    )
+    mx = cusum.agg(F.max(F.abs(F.col("cs"))).alias("mx"))
+    return (
+        peak.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "n_days",
+            F.col("day").alias("changepoint_day"),
+            r4(F.col("cs")).alias("peak_cusum"),
+            r4(F.col("mx") / F.col("sd")).alias("normalized_peak"),
+        )
+    )

@@ -1130,3 +1130,91 @@ def rank_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.append((rank, best[0], float(best[1])))
     df = spark.createDataFrame(out, "rank int, vec_id long, score double")
     return df.select("rank", "vec_id", r4(F.col("score")).alias("score"))
+
+
+_RANK_CORR_ORACLE = (
+    BM25_SCORED_CTE
+    + f"""
+    , sparse AS (
+      SELECT doc_id, sparse_rank FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS sparse_rank
+        FROM scored
+      ) WHERE sparse_rank <= {RRF_POOL}
+    ),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    pairs AS (
+      SELECT e.vec_id, CAST(unnest(e.embedding) AS DOUBLE) AS x, CAST(unnest(q.qe) AS DOUBLE) AS y
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> 0
+    ),
+    cos AS (
+      SELECT vec_id, sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS c
+      FROM pairs GROUP BY vec_id
+    ),
+    dense AS (
+      SELECT doc_id, dense_rank FROM (
+        SELECT vec_id AS doc_id,
+               row_number() OVER (ORDER BY round(c, 4) DESC, vec_id) AS dense_rank
+        FROM cos
+      ) WHERE dense_rank <= {RRF_POOL}
+    ),
+    common AS (
+      SELECT s.sparse_rank, d.dense_rank
+      FROM sparse s JOIN dense d USING (doc_id)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_common,
+           round(coalesce(corr(sparse_rank, dense_rank), 0.0), 4) AS spearman_rho
+    FROM common
+    """
+)
+
+
+@register(
+    "eval_retrieval_rank_corr",
+    oracle=_RANK_CORR_ORACLE,
+    doc=f"Retrieval-agreement analysis: Spearman correlation between the "
+    f"BM25 and dense-cosine rankings over documents in BOTH top-{RRF_POOL} "
+    "pools (ranks are already unique, so Pearson-of-ranks IS Spearman) — "
+    "the diagnostic that justifies hybrid fusion: a rho near 1 means the "
+    "retrievers are redundant and fusion buys nothing; near 0 means they "
+    "see different relevance and RRF adds real recall. Pool-bounded "
+    "(two top-k lists joined on doc id); zero-overlap degenerates to "
+    "rho=0 via coalesce rather than NULL.",
+)
+def eval_retrieval_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .curation_queries import bm25_scored
+
+    rank_w = W.partitionBy(F.spark_partition_id()).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    sparse = (
+        bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(RRF_POOL)
+        .coalesce(1)
+        .withColumn("sparse_rank", F.row_number().over(rank_w))
+        .select("doc_id", "sparse_rank")
+    )
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    dense = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            r4(cosine(F.col("embedding"), F.col("qe"))).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(RRF_POOL)
+        .coalesce(1)
+        .withColumn("dense_rank", F.row_number().over(rank_w))
+        .select("doc_id", "dense_rank")
+    )
+    common = sparse.join(dense, "doc_id")
+    return common.agg(
+        F.count("*").cast("bigint").alias("n_common"),
+        r4(
+            F.coalesce(F.corr("sparse_rank", "dense_rank"), F.lit(0.0))
+        ).alias("spearman_rho"),
+    )
