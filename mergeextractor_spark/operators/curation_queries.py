@@ -2124,3 +2124,72 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         hapax.cast("bigint").alias("hapax"),
         r4(hapax.cast("double") / F.count("*")).alias("hapax_ratio"),
     )
+
+
+BURST_TOPK = 15
+
+
+@register(
+    "text_word_burstiness",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT doc_id, w, count(*) AS k FROM (
+        SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w
+        FROM documents
+      ) GROUP BY doc_id, w
+    ),
+    totals AS (
+      SELECT w, sum(k) AS n, count(*) AS docs_with FROM per_doc GROUP BY w
+    ),
+    top AS (
+      SELECT w, n, docs_with FROM (
+        SELECT w, n, docs_with, row_number() OVER (ORDER BY n DESC, w) AS rn FROM totals
+      ) WHERE rn <= {BURST_TOPK}
+    )
+    SELECT t.w AS word, CAST(t.n AS BIGINT) AS total_count,
+           CAST(t.docs_with AS BIGINT) AS docs_with,
+           round(avg(p.k), 4) AS mean_in_doc,
+           round(coalesce(var_samp(p.k), 0.0) / avg(p.k), 4) AS burstiness_vmr
+    FROM top t JOIN per_doc p USING (w)
+    GROUP BY t.w, t.n, t.docs_with
+    """,
+    doc=f"Word burstiness (Church-Gale): variance-to-mean ratio of "
+    f"per-document counts for the top-{BURST_TOPK} words over documents "
+    "containing them — VMR ≈ 1 is Poisson (function words), VMR ≫ 1 is "
+    "bursty (topical words cluster; pathological VMR flags keyword "
+    "stuffing the flat frequency counts miss). Per-doc counts reduce "
+    "map-side; the VMR aggregate joins the broadcast top-word list.",
+)
+def text_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_doc = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+            ).alias("w"),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("k"))
+    )
+    totals = per_doc.groupBy("w").agg(
+        F.sum("k").alias("n"), F.count("*").alias("docs_with")
+    )
+    top = totals.orderBy(F.desc("n"), F.asc("w")).limit(BURST_TOPK)
+    return (
+        per_doc.join(F.broadcast(top), "w")
+        .groupBy("w", "n", "docs_with")
+        .agg(
+            r4(F.avg("k")).alias("mean_in_doc"),
+            r4(
+                F.coalesce(F.var_samp("k"), F.lit(0.0)) / F.avg("k")
+            ).alias("burstiness_vmr"),
+        )
+        .select(
+            F.col("w").alias("word"),
+            F.col("n").cast("bigint").alias("total_count"),
+            F.col("docs_with").cast("bigint").alias("docs_with"),
+            "mean_in_doc",
+            "burstiness_vmr",
+        )
+    )

@@ -1952,3 +1952,55 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.col("mx") / F.col("sd")).alias("normalized_peak"),
         )
     )
+
+
+@register(
+    "agg_winsorized_mean",
+    oracle="""
+    WITH bounds AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*) AS n,
+           round(avg(e.value), 4) AS raw_mean,
+           round(avg(least(greatest(e.value, b.lo), b.hi)), 4) AS winsorized_mean,
+           CAST(count(CASE WHEN e.value < b.lo OR e.value > b.hi THEN 1 END) AS BIGINT) AS n_clipped
+    FROM events e JOIN bounds b USING (event_type)
+    GROUP BY e.event_type
+    """,
+    doc="Winsorized mean per event type: values clipped to the exact "
+    "[p5, p95] band before averaging, next to the raw mean and the "
+    "clip count — the robust central tendency dashboards use when a "
+    "single whale would swing the average (the trimmed cousin of the "
+    "MAD profile's outlier flags). Exact interpolated percentiles "
+    "(quantile_cont ↔ Spark percentile) on a 5-group key broadcast "
+    "back over one stream scan.",
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bounds = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile("value", F.lit(0.05)).alias("lo"),
+            F.percentile("value", F.lit(0.95)).alias("hi"),
+        )
+    )
+    e = t(spark, sf_dir, "events").select("event_type", "value")
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        e.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            r4(F.avg("value")).alias("raw_mean"),
+            r4(F.avg(clipped)).alias("winsorized_mean"),
+            F.count(
+                F.when((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1)
+            )
+            .cast("bigint")
+            .alias("n_clipped"),
+        )
+    )
