@@ -1757,3 +1757,38 @@ def olap_median_order_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.avg("o_totalprice")).alias("mean_order_value"),
         )
     )
+
+
+@register(
+    "dq_duplicate_invoices",
+    oracle="""
+    WITH dups AS (
+      SELECT o_custkey, o_totalprice, CAST(o_orderdate AS DATE) AS od, count(*) AS n
+      FROM orders
+      GROUP BY 1, 2, 3 HAVING count(*) > 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_dup_groups,
+           CAST(coalesce(sum(n), 0) AS BIGINT) AS n_orders_involved,
+           round(coalesce(sum(o_totalprice * (n - 1)), 0), 4) AS amount_at_risk
+    FROM dups
+    """,
+    doc="Duplicate-invoice screen: orders sharing (customer, exact amount, "
+    "same day) — the double-billing audit every AP/forensic review runs "
+    "first, with the amount at risk counting each group's redundant "
+    "copies. No self-join: one grouped count with HAVING, so the screen "
+    "costs a single combinable aggregate at any order volume.",
+)
+def dq_duplicate_invoices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dups = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_totalprice", F.to_date("o_orderdate").alias("od"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    return dups.agg(
+        F.count("*").cast("bigint").alias("n_dup_groups"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_orders_involved"),
+        r4(
+            F.coalesce(F.sum(F.col("o_totalprice") * (F.col("n") - 1)), F.lit(0.0))
+        ).alias("amount_at_risk"),
+    )

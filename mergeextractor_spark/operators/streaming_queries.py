@@ -2004,3 +2004,54 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_clipped"),
         )
     )
+
+
+VELOCITY_WINDOW_SEC = 3600
+VELOCITY_LIMIT = 1  # purchases allowed per trailing window
+
+
+@register(
+    "events_fraud_velocity",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    vel AS (
+      SELECT user_id, event_id, es, value,
+             count(*) OVER (PARTITION BY user_id ORDER BY es
+                            RANGE BETWEEN {VELOCITY_WINDOW_SEC} PRECEDING AND CURRENT ROW) AS n_window
+      FROM p
+    )
+    SELECT user_id, event_id, es,
+           CAST(n_window AS BIGINT) AS purchases_in_window,
+           round(value, 4) AS value
+    FROM vel WHERE n_window > {VELOCITY_LIMIT}
+    """,
+    doc=f"Velocity check: purchases whose trailing {VELOCITY_WINDOW_SEC}-"
+    f"second window (RANGE frame, self-inclusive) holds more than "
+    f"{VELOCITY_LIMIT} purchases by the same user — the first-line "
+    "card-testing / bot-buying signal every fraud stack runs before "
+    "anything model-based. One user-partitioned RANGE window over the "
+    "purchase-filtered stream; flagged rows carry the window count so "
+    "the review queue can rank by severity.",
+)
+def events_fraud_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", F.unix_timestamp("ts").alias("es"), "value")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("es")
+        .rangeBetween(-VELOCITY_WINDOW_SEC, 0)
+    )
+    vel = p.withColumn("n_window", F.count("*").over(w))
+    return vel.filter(F.col("n_window") > VELOCITY_LIMIT).select(
+        "user_id",
+        "event_id",
+        "es",
+        F.col("n_window").cast("bigint").alias("purchases_in_window"),
+        r4(F.col("value")).alias("value"),
+    )
