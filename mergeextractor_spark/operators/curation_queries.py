@@ -2193,3 +2193,44 @@ def text_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "burstiness_vmr",
         )
     )
+
+
+@register(
+    "text_charset_profile",
+    oracle=r"""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           CAST(sum(length(text) - length(regexp_replace(text, '[^\x00-\x7F]', '', 'g'))) AS BIGINT) AS non_ascii_chars,
+           round(sum(length(text) - length(regexp_replace(text, '[^\x00-\x7F]', '', 'g')))::DOUBLE
+                 / greatest(sum(length(text)), 1), 4) AS non_ascii_ratio,
+           CAST(sum(length(text) - length(replace(text, chr(65533), ''))) AS BIGINT) AS replacement_chars
+    FROM documents GROUP BY source
+    """,
+    doc="Charset-health profile per source: non-ASCII character share and "
+    "U+FFFD replacement-character counts — the encoding audit that "
+    "catches mojibake AT INGEST (replacement chars mean bytes were "
+    "already lost upstream; a non-ASCII spike on an ASCII-expected "
+    "source flags a charset misdetect; str_mojibake_repair fixes what "
+    "this finds). Two regex/replace length diffs in one codegen'd "
+    "scan + a per-source reduce.",
+)
+def text_charset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    non_ascii = F.length("text") - F.length(
+        F.regexp_replace("text", r"[^\x00-\x7F]", "")
+    )
+    repl = F.length("text") - F.length(F.replace(F.col("text"), F.lit("�"), F.lit("")))
+    return (
+        t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+            F.sum(non_ascii).cast("bigint").alias("non_ascii_chars"),
+            r4(
+                F.sum(non_ascii).cast("double")
+                / F.greatest(F.sum(F.length("text")), F.lit(1))
+            ).alias("non_ascii_ratio"),
+            F.sum(repl).cast("bigint").alias("replacement_chars"),
+        )
+    )

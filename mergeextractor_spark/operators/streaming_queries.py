@@ -2055,3 +2055,82 @@ def events_fraud_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_window").cast("bigint").alias("purchases_in_window"),
         r4(F.col("value")).alias("value"),
     )
+
+
+@register(
+    "agg_ltv_curve",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(CAST(floor(epoch(ts) / 86400) AS BIGINT)) AS first_day,
+             max(CAST(floor(epoch(ts) / 86400) AS BIGINT)) AS last_day
+      FROM events GROUP BY user_id
+    ),
+    rev AS (
+      SELECT e.user_id,
+             CAST(floor(epoch(e.ts) / 86400) AS BIGINT) - f.first_day AS age,
+             e.value
+      FROM events e JOIN firsts f USING (user_id)
+      WHERE e.event_type = 'purchase'
+    ),
+    by_age AS (
+      SELECT age, sum(value) AS day_rev FROM rev GROUP BY age
+    ),
+    cum AS (
+      SELECT age, sum(day_rev) OVER (ORDER BY age ROWS UNBOUNDED PRECEDING) AS cum_rev
+      FROM by_age
+    ),
+    reach AS (
+      SELECT c.age,
+             (SELECT count(*) FROM firsts f WHERE f.last_day - f.first_day >= c.age) AS n_reached
+      FROM cum c
+    )
+    SELECT c.age, round(c.cum_rev, 4) AS cum_revenue,
+           CAST(r.n_reached AS BIGINT) AS users_reached,
+           round(c.cum_rev / r.n_reached, 4) AS ltv_per_reached_user
+    FROM cum c JOIN reach r USING (age)
+    """,
+    doc="LTV curve by user age: cumulative purchase revenue at each day "
+    "since a user's first event, normalized by how many users survive "
+    "to that age — the payback-period curve that prices acquisition "
+    "(retention cohorts say WHO returns; this says what returning is "
+    "WORTH). Revenue buckets by age in one pass; the running sum and "
+    "the survivor counts walk |ages|- and |users|-row tables.",
+)
+def agg_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("bigint")
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", day.alias("day"), "event_type", "value"
+    )
+    firsts = ev.groupBy("user_id").agg(
+        F.min("day").alias("first_day"), F.max("day").alias("last_day")
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(firsts), "user_id")
+        .select((F.col("day") - F.col("first_day")).alias("age"), "value")
+    )
+    by_age = rev.groupBy("age").agg(F.sum("value").alias("day_rev")).coalesce(1)
+    w = (
+        W.partitionBy(F.spark_partition_id())
+        .orderBy("age")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = by_age.select("age", F.sum("day_rev").over(w).alias("cum_rev"))
+    tenures = firsts.select(
+        (F.col("last_day") - F.col("first_day")).alias("tenure")
+    )
+    reach = (
+        cum.crossJoin(F.broadcast(tenures))
+        .groupBy("age", "cum_rev")
+        .agg(
+            F.count(F.when(F.col("tenure") >= F.col("age"), 1))
+            .cast("bigint")
+            .alias("users_reached")
+        )
+    )
+    return reach.select(
+        "age",
+        r4(F.col("cum_rev")).alias("cum_revenue"),
+        "users_reached",
+        r4(F.col("cum_rev") / F.col("users_reached")).alias("ltv_per_reached_user"),
+    )
