@@ -1282,3 +1282,41 @@ def eval_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("exact_j")).alias("exact_jaccard"),
         r4(F.abs(F.col("est_j") - F.col("exact_j"))).alias("abs_err"),
     )
+
+
+@register(
+    "dedup_source_flow",
+    oracle=f"""
+    {_MINHASH_PAIRS_SQL},
+    flow AS (
+      SELECT da.source AS source_a, db.source AS source_b
+      FROM pairs p
+      JOIN documents da ON da.doc_id = p.doc_a
+      JOIN documents db ON db.doc_id = p.doc_b
+    )
+    SELECT source_a, source_b, count(*) AS n_pairs
+    FROM flow GROUP BY source_a, source_b
+    """,
+    doc="Cross-source duplication flow: the verified MinHash near-dup "
+    "pairs rolled up into a source×source matrix (keep-first order: "
+    "source_a holds the lower doc_id) — the provenance view that shows "
+    "WHICH sources mirror which, deciding crawl dedup priorities and "
+    "whether a source is worth fetching at all. Joins the pair list "
+    "(near-dup-sized) against the doc→source projection; the corpus-"
+    "sized work is the minhash pipeline the pairs already paid for.",
+)
+def dedup_source_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    src = t(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("source_a")),
+            "doc_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b")),
+            "doc_b",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_pairs"))
+    )

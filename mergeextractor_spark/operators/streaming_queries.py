@@ -2134,3 +2134,73 @@ def agg_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "users_reached",
         r4(F.col("cum_rev") / F.col("users_reached")).alias("ltv_per_reached_user"),
     )
+
+
+@register(
+    "eval_ab_power_mde",
+    oracle="""
+    WITH assigned AS (
+      SELECT user_id,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7'
+                  THEN 'A' ELSE 'B' END AS arm,
+             max(CASE WHEN event_type = 'purchase' AND value > 200 THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ),
+    stats AS (
+      SELECT count(*)::DOUBLE AS n_total,
+             least(count(CASE WHEN arm = 'A' THEN 1 END),
+                   count(CASE WHEN arm = 'B' THEN 1 END))::DOUBLE AS n_min_arm,
+             sum(converted)::DOUBLE / count(*) AS p
+      FROM assigned
+    )
+    SELECT CAST(n_total AS BIGINT) AS n_users,
+           CAST(n_min_arm AS BIGINT) AS n_min_arm,
+           round(p, 4) AS base_rate,
+           round((1.95996 + 0.84162) * sqrt(2 * p * (1 - p) / n_min_arm), 4) AS mde_abs,
+           round((1.95996 + 0.84162) * sqrt(2 * p * (1 - p) / n_min_arm) / p, 4) AS mde_rel
+    FROM stats
+    """,
+    doc="A/B power analysis: the minimum detectable effect at alpha=0.05 "
+    "(two-sided) and 80% power for the experiment agg_ab_test_stats "
+    "reads out — MDE = (z_{{0.975}}+z_{{0.8}})·sqrt(2p(1−p)/n) on the "
+    "smaller arm, absolute and relative to the base rate. The "
+    "don't-ship-an-underpowered-test guardrail: if the effect you hope "
+    "for is below mde_rel, the readout's z-score is noise regardless "
+    "of its value. One user-level aggregate; z constants are literals "
+    "in both engines.",
+)
+def eval_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    arm = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) <= "7", "A"
+    ).otherwise("B")
+    assigned = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > 200), 1
+                ).otherwise(0)
+            ).alias("converted")
+        )
+        .select(arm.alias("arm"), "converted")
+    )
+    stats = assigned.agg(
+        F.count("*").cast("double").alias("n_total"),
+        F.least(
+            F.count(F.when(F.col("arm") == "A", 1)),
+            F.count(F.when(F.col("arm") == "B", 1)),
+        )
+        .cast("double")
+        .alias("n_min_arm"),
+        (F.sum("converted").cast("double") / F.count("*")).alias("p"),
+    )
+    z = 1.95996 + 0.84162
+    mde = z * F.sqrt(2 * F.col("p") * (1 - F.col("p")) / F.col("n_min_arm"))
+    return stats.select(
+        F.col("n_total").cast("bigint").alias("n_users"),
+        F.col("n_min_arm").cast("bigint").alias("n_min_arm"),
+        r4(F.col("p")).alias("base_rate"),
+        r4(mde).alias("mde_abs"),
+        r4(mde / F.col("p")).alias("mde_rel"),
+    )
