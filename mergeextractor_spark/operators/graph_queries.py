@@ -312,3 +312,45 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit("in").alias("direction"), "deg", "n_nodes")
         )
     )
+
+
+@register(
+    "eval_markov_predictor",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    best AS (
+      SELECT src, max(n) AS best_n FROM edges GROUP BY src
+    ),
+    tot AS (SELECT sum(n)::DOUBLE AS total FROM edges)
+    SELECT CAST(count(*) AS BIGINT) AS n_states,
+           CAST(sum(b.best_n) AS BIGINT) AS correct_transitions,
+           CAST(t.total AS BIGINT) AS total_transitions,
+           round(sum(b.best_n) / t.total, 4) AS map_accuracy
+    FROM best b CROSS JOIN tot t GROUP BY t.total
+    """,
+    doc="Predictive evaluation of the transition matrix: the accuracy of "
+    "the MAP next-item predictor (always guess each state's most "
+    "frequent successor) equals the summed max-count mass over total "
+    "transitions — the ceiling a first-order Markov recommender "
+    "achieves on its own training stream, and the baseline any "
+    "sequence model must beat (eval-family member for "
+    "graph_item_transitions). Two aggregates over the edge table.",
+)
+def eval_markov_predictor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _transition_edges(spark, sf_dir).select("src", "dst", "n")
+    best = edges.groupBy("src").agg(F.max("n").alias("best_n"))
+    tot = edges.agg(F.sum("n").cast("double").alias("total"))
+    return (
+        best.crossJoin(F.broadcast(tot))
+        .groupBy("total")
+        .agg(
+            F.count("*").cast("bigint").alias("n_states"),
+            F.sum("best_n").cast("bigint").alias("correct_transitions"),
+        )
+        .select(
+            "n_states",
+            "correct_transitions",
+            F.col("total").cast("bigint").alias("total_transitions"),
+            r4(F.col("correct_transitions") / F.col("total")).alias("map_accuracy"),
+        )
+    )

@@ -1409,3 +1409,81 @@ def eval_langid_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("np") * F.col("nn"))
         ).alias("auc"),
     )
+
+
+SUMMARY_K = 2  # sentences kept per document
+
+
+@register(
+    "text_extractive_summary",
+    oracle=rf"""
+    WITH sents AS (
+      SELECT doc_id, trim(s) AS sent,
+             generate_subscripts(string_split_regex(text, '[.!?]+'), 1) AS pos
+      FROM (
+        SELECT doc_id, text, unnest(string_split_regex(text, '[.!?]+')) AS s
+        FROM documents
+      ) WHERE trim(s) <> ''
+    ),
+    words AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w
+      FROM documents
+    ),
+    tf AS (SELECT w, count(*) AS n FROM words GROUP BY w),
+    scored AS (
+      SELECT s.doc_id, s.sent, s.pos,
+             sum(t.n) / greatest(len(list_filter(string_split_regex(lower(s.sent), '\s+'), x -> x <> '')), 1) AS score
+      FROM sents s,
+           LATERAL (SELECT unnest(list_filter(string_split_regex(lower(s.sent), '\s+'), x -> x <> '')) AS w) sw
+      JOIN tf t ON t.w = sw.w
+      GROUP BY s.doc_id, s.sent, s.pos
+    )
+    SELECT doc_id, sent_rank, sent FROM (
+      SELECT doc_id, sent,
+             row_number() OVER (PARTITION BY doc_id ORDER BY round(score, 4) DESC, pos) AS sent_rank
+      FROM scored
+    ) WHERE sent_rank <= {SUMMARY_K}
+    """,
+    doc=f"Extractive summarization: each document's top-{SUMMARY_K} "
+    "sentences by mean corpus term frequency of their words (the "
+    "Luhn-style significance baseline every fancier summarizer is "
+    "benchmarked against), ties broken by sentence position. The "
+    "corpus TF table is vocabulary-sized and joins the exploded "
+    "sentence words; the per-doc rank window runs over sentences, "
+    "not tokens.",
+)
+def text_extractive_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    sents = (
+        docs.select("doc_id", F.posexplode(F.split("text", r"[.!?]+")).alias("pos0", "s"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), F.trim("s").alias("sent"))
+        .filter(F.col("sent") != "")
+    )
+    words = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+        ).alias("w")
+    )
+    tf = words.groupBy("w").agg(F.count("*").alias("n"))
+    sent_words = sents.select(
+        "doc_id",
+        "pos",
+        "sent",
+        F.explode(
+            F.filter(F.split(F.lower("sent"), r"\s+"), lambda x: x != "")
+        ).alias("w"),
+    )
+    nw = F.greatest(
+        F.size(F.filter(F.split(F.lower("sent"), r"\s+"), lambda x: x != "")), F.lit(1)
+    )
+    scored = (
+        sent_words.join(F.broadcast(tf), "w")
+        .groupBy("doc_id", "sent", "pos")
+        .agg((F.sum("n") / nw).alias("score"))
+    )
+    w_rank = W.partitionBy("doc_id").orderBy(r4(F.col("score")).desc(), F.asc("pos"))
+    return (
+        scored.withColumn("sent_rank", F.row_number().over(w_rank))
+        .filter(F.col("sent_rank") <= SUMMARY_K)
+        .select("doc_id", F.col("sent_rank").cast("bigint").alias("sent_rank"), "sent")
+    )
