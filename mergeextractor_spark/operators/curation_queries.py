@@ -2234,3 +2234,63 @@ def text_charset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(repl).cast("bigint").alias("replacement_chars"),
         )
     )
+
+
+@register(
+    "pipeline_dq_scorecard",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, lang, source, text, md5(text) AS h,
+             len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS n_tokens
+      FROM documents
+    ),
+    dups AS (SELECT count(*) - count(DISTINCT h) AS n_dup FROM d),
+    base AS (
+      SELECT count(*)::DOUBLE AS n_docs,
+             avg(n_tokens) AS mean_tokens,
+             count(CASE WHEN lang = 'en' THEN 1 END)::DOUBLE / count(*) AS en_share,
+             count(DISTINCT source) AS n_sources
+      FROM d
+    )
+    SELECT CAST(b.n_docs AS BIGINT) AS n_docs,
+           CAST(b.n_sources AS BIGINT) AS n_sources,
+           round(b.mean_tokens, 4) AS mean_tokens,
+           round(b.en_share, 4) AS en_share,
+           CAST(u.n_dup AS BIGINT) AS exact_dup_docs,
+           round(u.n_dup / b.n_docs, 4) AS exact_dup_rate
+    FROM base b CROSS JOIN dups u
+    """,
+    doc="One-row corpus scorecard: document and source counts, mean "
+    "token length, English share, and the exact-duplicate count/rate "
+    "(rows minus distinct content hashes) — the executive summary a "
+    "data drop is accepted or bounced on before any deep audit runs; "
+    "every figure reduces map-side except the two distincts, which "
+    "shuffle 32-byte hashes and source names. The deep versions of "
+    "each cell live in the dedicated dq_/text_/dedup_ keys.",
+)
+def pipeline_dq_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.md5("text").alias("h"),
+        F.size(F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")).alias(
+            "n_tokens"
+        ),
+    )
+    base = d.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.avg("n_tokens").alias("mean_tokens"),
+        (
+            F.count(F.when(F.col("lang") == "en", 1)).cast("double") / F.count("*")
+        ).alias("en_share"),
+        (F.count("*") - F.countDistinct("h")).alias("n_dup"),
+    )
+    return base.select(
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_sources").cast("bigint").alias("n_sources"),
+        r4(F.col("mean_tokens")).alias("mean_tokens"),
+        r4(F.col("en_share")).alias("en_share"),
+        F.col("n_dup").cast("bigint").alias("exact_dup_docs"),
+        r4(F.col("n_dup") / F.col("n_docs")).alias("exact_dup_rate"),
+    )

@@ -2204,3 +2204,49 @@ def eval_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(mde).alias("mde_abs"),
         r4(mde / F.col("p")).alias("mde_rel"),
     )
+
+
+@register(
+    "agg_user_growth_curve",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(CAST(floor(epoch(ts) / 86400) AS BIGINT)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    per_day AS (
+      SELECT first_day AS day, count(*) AS new_users FROM firsts GROUP BY first_day
+    )
+    SELECT day,
+           CAST(new_users AS BIGINT) AS new_users,
+           CAST(sum(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS total_users
+    FROM per_day
+    """,
+    doc="Cumulative user growth: first-appearance counts per day with the "
+    "running total — the registered-users curve every growth chart "
+    "leads with, and the denominator DAU/MAU ratios divide by. "
+    "Cumulative DISTINCT reduced to a running SUM of first appearances "
+    "(the standard rewrite — distinct-over-window is not directly "
+    "computable); the running sum walks the |days|-row aggregate.",
+)
+def agg_user_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("bigint")
+    firsts = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min(day).alias("first_day"))
+    )
+    per_day = (
+        firsts.groupBy(F.col("first_day").alias("day"))
+        .agg(F.count("*").alias("new_users"))
+        .coalesce(1)
+    )
+    w = (
+        W.partitionBy(F.spark_partition_id())
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return per_day.select(
+        "day",
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.sum("new_users").over(w).cast("bigint").alias("total_users"),
+    )
