@@ -1097,6 +1097,8 @@ def rank_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     pool = [
         (r.vec_id, r.rel, r.embedding) for r in rel.collect()
     ]  # POOL rows — constant-size by construction
+    if not pool:  # empty corpus: nothing to diversify
+        return spark.createDataFrame([], "rank int, vec_id long, score double")
     import math
 
     def cos_py(a, b):
@@ -1126,6 +1128,8 @@ def rank_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             score = MMR_LAMBDA * r_rel - (1 - MMR_LAMBDA) * mx
             if best is None or score > best[1] or (score == best[1] and vid < best[0]):
                 best = (vid, score)
+        if best is None:  # pool exhausted before the budget
+            break
         selected.append(best[0])
         out.append((rank, best[0], float(best[1])))
     df = spark.createDataFrame(out, "rank int, vec_id long, score double")
