@@ -2250,3 +2250,57 @@ def agg_user_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("new_users").cast("bigint").alias("new_users"),
         F.sum("new_users").over(w).cast("bigint").alias("total_users"),
     )
+
+
+@register(
+    "agg_dau_mau_stickiness",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) // 30 AS period,
+             user_id
+      FROM events
+    ),
+    dau AS (SELECT period, day, count(*) AS dau FROM du GROUP BY period, day),
+    mau AS (SELECT period, count(DISTINCT user_id) AS mau FROM du GROUP BY period)
+    SELECT d.period,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(avg(d.dau), 4) AS avg_dau,
+           CAST(m.mau AS BIGINT) AS mau,
+           round(avg(d.dau) / m.mau, 4) AS stickiness
+    FROM dau d JOIN mau m USING (period)
+    GROUP BY d.period, m.mau
+    """,
+    doc="DAU/MAU stickiness per 30-day period: average daily actives over "
+    "the period's distinct actives — the how-often-do-users-come-back "
+    "ratio (1.0 = daily habit, ~0.03 = monthly) that pairs with the "
+    "growth curve and retention triangle. Periods are fixed epoch-day "
+    "buckets so no calendar arithmetic enters the comparison; two "
+    "distinct aggregates over (period, day, user) — at 100 TB the "
+    "distincts swap for the HLL sketches agg_hll_daily_union already "
+    "persists.",
+)
+def agg_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("bigint")
+    du = (
+        t(spark, sf_dir, "events")
+        .select(day.alias("day"), (day / 30).cast("bigint").alias("period"), "user_id")
+        .distinct()
+    )
+    dau = du.groupBy("period", "day").agg(F.count("*").alias("dau"))
+    mau = du.groupBy("period").agg(F.countDistinct("user_id").alias("mau"))
+    return (
+        dau.join(mau, "period")
+        .groupBy("period", "mau")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            r4(F.avg("dau")).alias("avg_dau"),
+        )
+        .select(
+            "period",
+            "n_days",
+            "avg_dau",
+            F.col("mau").cast("bigint").alias("mau"),
+            r4(F.col("avg_dau") / F.col("mau")).alias("stickiness"),
+        )
+    )
