@@ -111,23 +111,48 @@ def main() -> None:
         print(f"  {key}: {timings[key]}s ±{stdevs[key]}", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
+    # Full record (stdev, host context) goes to STDERR — the driver's
+    # stdout tail-capture buffer clipped the r5 JSON line once it carried
+    # 45 queries x (timing + stdev + host fields), so BENCH_r05 recorded
+    # `parsed: null` (VERDICT r5 item 2).  The stdout line stays compact:
+    # contract fields only, tightest separators, and a safety valve that
+    # keeps only the slowest queries if the line would outgrow the buffer.
     print(
         json.dumps(
             {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
                 "stdev": stdevs,
                 "runs_per_query": n_runs,
-                "sf": sf,
                 # host context: a uniform shift across unrelated queries is
                 # the box, not the code (PERFORMANCE.md box-drift caveat)
                 "load_avg_1m": round(os.getloadavg()[0], 2),
                 "uptime_s": round(time.clock_gettime(time.CLOCK_BOOTTIME)),
             }
-        )
+        ),
+        file=sys.stderr,
+        flush=True,
     )
+
+    def _line(queries: dict[str, float]) -> str:
+        return json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "runs_per_query": n_runs,
+                "sf": sf,
+            },
+            separators=(",", ":"),
+        )
+
+    out = _line(timings)
+    if len(out) > 2000:  # stay under the driver's tail-capture buffer
+        keep = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
+        while len(_line(keep)) > 1900 and len(keep) > 1:
+            keep.pop(next(reversed(keep)))
+        keep["_omitted_fastest"] = len(timings) - len(keep)
+        out = _line(keep)
+    print(out, flush=True)
 
 
 if __name__ == "__main__":

@@ -56,7 +56,7 @@ def register(key: str, oracle: str | None = None, doc: str = "", eager: bool = F
 # CORRECTNESS file is folded into _DRIVER_GREEN below; seeds the canary
 # sample so each round re-checks a different deterministic slice of the
 # already-green keys (VERDICT r3 "Next round" item 3).
-_ROUND: int = 5
+_ROUND: int = 6
 
 # Keys that already hold a green hash-checked row in CORRECTNESS_r01–r03
 # (historical fact, frozen).  The driver's correctness gate walks the dict
@@ -119,34 +119,111 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "events_moving_zscore", "window_running_total", "join_salted_skew",
     "text_unigram_logprob", "text_token_count_bpe", "text_ngram_topk",
     "text_tfidf_topk",
+    # CORRECTNESS_r05.json (19 hash-green rows: the r05 rotation-first keys)
+    "join_bucketed_colocated", "dedup_substring_spans", "ann_ivf_pq_refine",
+    "text_gopher_rules", "dedup_paragraph", "dedup_span_merge",
+    "text_dsir_select", "olap_customer_orders_dist",
+    "olap_small_quantity_revenue", "olap_large_orders",
+    "olap_late_sole_supplier", "olap_volume_shipping", "olap_market_share",
+    "olap_product_profit", "olap_best_supplier_per_part",
+    "olap_important_parts", "olap_supplier_part_counts",
+    "olap_forecast_revenue", "olap_excess_shippers",
 })
 
-# Explicit front-of-window order for the 19 oracle keys with no driver row
-# in any round (VERDICT r4 "Next round" item 3).  The two just-fixed red
-# keys lead (first driver evidence doubles as the regression check), then
-# the refine/quality flagships (the r5-added CCNet paragraph dedup and
-# Lee-et-al span merge slot here), then the TPC-H-shaped OLAP batch.
-_ROTATION_FIRST: tuple[str, ...] = (
-    "join_bucketed_colocated", "dedup_substring_spans",
-    "ann_ivf_pq_refine", "text_gopher_rules", "dedup_paragraph",
-    "dedup_span_merge", "text_dsir_select",
-    # OLAP (TPC-H Q13/Q17/Q18/Q21-shaped and friends)
-    "olap_customer_orders_dist", "olap_small_quantity_revenue",
-    "olap_large_orders", "olap_late_sole_supplier",
-    "olap_volume_shipping", "olap_market_share", "olap_product_profit",
-    "olap_best_supplier_per_part", "olap_important_parts",
-    "olap_supplier_part_counts", "olap_forecast_revenue",
-    "olap_excess_shippers",
+# The two keys without CLEAN driver evidence as of r05 lead the window
+# (VERDICT r5 items 1 and 3): vector_pca_project's r05 row was red
+# (driver canonicalizer died on array<double>; output now exploded to
+# scalar rows) and pipeline_incremental_ingest sat at rows-only queue
+# position 32 when the 50-key window closed.  Both are rows-only by
+# contract design; their first clean rows double as the regression check.
+_EVIDENCE_FIX: tuple[str, ...] = (
+    "vector_pca_project", "pipeline_incremental_ingest",
 )
 
-# Rows-only keys (oracle=None by contract design) ordered by user impact
-# (VERDICT r3 "Next round" item 2): sinks and sources first — they mirror
-# the reference's side-effecting surface — then multimodal codecs, then
-# cascade/chunking/LLM seams.  This round the whole backlog sits directly
-# behind the 16 rotation-first oracle keys (VERDICT r4 item 3) so every
-# registered key finally has driver evidence; the 4 keys that got their
-# first driver rows in r04 queue at the back.
-_ROWS_ONLY_ORDER: tuple[str, ...] = (
+# Explicit order for the first 44 of the 109 oracle keys with no driver
+# row in any round (VERDICT r5 item 3): flagships first
+# (pipeline_pretrain_corpus, pipeline_hybrid_search, graph_pagerank,
+# agg_source_overlap, eval_ann_recall — the judge called these out by
+# name), then the vector/ANN/dedup/graph scale families, then
+# parsers/scalars, then the first OLAP batch.  With the 2 evidence-fix
+# keys and 4 canaries ahead, this fills positions 7..50 of the window.
+_ROTATION_FIRST: tuple[str, ...] = (
+    # flagships
+    "pipeline_pretrain_corpus", "pipeline_hybrid_search",
+    "graph_pagerank", "agg_source_overlap", "eval_ann_recall",
+    # vector / retrieval-stack
+    "rank_rrf_fusion", "rank_mmr_diversify", "sample_kcenter_diverse",
+    "dedup_semantic_semdedup", "agg_embedding_covariance",
+    "eval_matryoshka_recall", "eval_embedding_drift",
+    "dq_embedding_norms", "eval_retrieval_rank_corr",
+    # ANN store / sketch scale paths
+    "ann_ivf_pq_refine_probe", "ann_ivf_pq_stored", "sort_zorder",
+    "agg_cms_estimate",
+    # dedup / entity resolution
+    "dedup_containment", "entity_resolution_clusters",
+    "eval_minhash_accuracy", "dedup_source_flow",
+    # graph / market-basket
+    "graph_item_transitions", "agg_market_basket",
+    "graph_degree_distribution", "eval_markov_predictor",
+    # corpus-level curation stats
+    "sample_logprob_bucket", "text_hash_classifier", "text_zipf_slope",
+    # parsers / scalar batteries
+    "scan_jsonl_roundtrip", "scan_csv_corrupt_permissive",
+    "json_variant_extract", "str_xml_extract", "str_try_cast_battery",
+    "str_multiformat_dates",
+    # OLAP batch 1 (as-of joins + product analytics)
+    "olap_pricing_pipe", "join_asof_forward", "join_asof_nearest",
+    "olap_yoy_growth", "window_percent_change", "olap_abc_analysis",
+    "agg_histogram_log_bins", "agg_trend_regression", "join_null_safe_dim",
+)
+
+# r07 burn-down plan (VERDICT r5 item 8): the 65 oracle keys still
+# unevidenced after the r06 window, ranked directly behind
+# _ROTATION_FIRST so any r06 budget surplus eats into them, and promoted
+# wholesale to _ROTATION_FIRST in r07 (47 fit alongside ~3 canaries; the
+# ~18 remainder — the cheap text/curation tail — closes out in r08).
+# Until this list is empty, new-key registration stays below the
+# ~50/round evidence budget (new oracle keys rank BEHIND this backlog).
+_R07_BACKLOG: tuple[str, ...] = (
+    # OLAP remainder
+    "agg_numeric_correlations", "window_value_percentiles",
+    "olap_price_volume_mix", "olap_median_order_by_segment",
+    "dq_duplicate_invoices",
+    # text analytics
+    "text_keyphrase_rake", "text_c4_line_filter",
+    "text_code_quality_rules", "text_readability_fk",
+    "eval_langid_confusion", "eval_langid_auc", "text_langid_trained",
+    "text_bigram_logprob", "agg_benford_digit_profile",
+    "text_boilerplate_lines", "str_split_identifiers",
+    "text_extractive_summary",
+    # curation / DQ
+    "text_bm25_topk", "text_bpe_encode", "text_bpe_merge_candidates",
+    "sample_reservoir_weighted", "sample_balanced_classes",
+    "text_collocation_pmi", "text_ngram_novelty", "agg_entropy_by_source",
+    "text_stopword_induction", "text_vocab_coverage_curve",
+    "text_hapax_ratio", "text_word_burstiness", "text_charset_profile",
+    "dq_skew_report", "dq_completeness_profile",
+    "dq_referential_integrity", "dq_uniqueness_audit", "dq_file_inventory",
+    "dq_chi_square_independence", "eval_jackknife_se",
+    "pipeline_dq_scorecard",
+    # events / streaming analytics
+    "join_scd2_pointintime", "events_attribution", "events_anomaly_mad",
+    "events_funnel_windowed", "agg_incremental_maintain",
+    "agg_ab_test_stats", "agg_rfm_segmentation", "agg_seasonality_profile",
+    "events_slo_burn_rate", "agg_new_vs_returning",
+    "events_interarrival_profile", "dq_event_order_violations",
+    "events_peak_concurrency", "events_bounce_rate",
+    "agg_activity_streaks", "events_error_impact", "events_time_to_value",
+    "eval_forecast_seasonal_naive", "events_pit_features",
+    "eval_psi_drift", "events_changepoint_cusum", "agg_winsorized_mean",
+    "events_fraud_velocity", "agg_ltv_curve", "eval_ab_power_mde",
+    "agg_user_growth_curve", "agg_dau_mau_stickiness",
+)
+
+# Rows-only keys WITH driver evidence (r04 gave the first 4 their rows,
+# r05 covered the other 30).  They queue behind the oracle backlog —
+# every key here already holds a clean CORRECTNESS row.
+_ROWS_ONLY_EVIDENCED: tuple[str, ...] = (
     "sink_kv_roundtrip", "sink_kv_upsert", "sink_fs_dump",
     "source_http_fts", "source_http_doc",
     "multimodal_image_meta", "multimodal_audio_meta",
@@ -158,21 +235,18 @@ _ROWS_ONLY_ORDER: tuple[str, ...] = (
     "agg_percentile_approx", "dedup_bloom_prefilter",
     "text_compression_ratio", "events_approx_distinct",
     "source_pyds_fts", "agg_hll_daily_union",
-    # r5-added rows-only keys (no driver evidence yet)
-    "vector_pca_project", "scan_orc_roundtrip", "sink_pyds_kv",
-    "pipeline_incremental_ingest",
-    # first driver rows recorded in CORRECTNESS_r04 — re-check last
+    "scan_orc_roundtrip", "sink_pyds_kv",
     "sink_csv_append", "sink_csv_union", "sink_kv_store", "scan_kv_store",
 )
 
-# Number of previously-green keys re-checked per round.  Sampled
-# deterministically from _DRIVER_GREEN seeded by _ROUND so a regression in
-# r01-era code cannot stay invisible forever.  3 this round: 19 rotation
-# keys + 31 never-evidenced rows-only keys + 3 canaries = a 53-key front
-# window; the driver demonstrably covers ~50 under its wall-clock budget
-# and most rows-only keys are cheap, so only the r04-evidenced tail (which
-# already holds driver rows) risks falling outside.
-_CANARY_SLOTS: int = 3
+# Number of previously-green keys re-checked per round, sampled
+# deterministically from _DRIVER_GREEN seeded by _ROUND so a regression
+# in r01-era code cannot stay invisible forever.  r5 ranked canaries
+# BEHIND the rows-only backlog and the window closed before any executed
+# (VERDICT r5 item 4) — they now sit at positions 3..6, directly after
+# the two evidence-fix keys, so they cannot be squeezed out again:
+# 2 fixes + 4 canaries + 44 rotation-first = exactly the 50-key window.
+_CANARY_SLOTS: int = 4
 
 
 def canary_keys(round_no: int = _ROUND) -> tuple[str, ...]:
@@ -186,17 +260,19 @@ def canary_keys(round_no: int = _ROUND) -> tuple[str, ...]:
 def load_all() -> dict[str, Query]:
     """Import every module that registers queries (idempotent).
 
-    Returned order implements the gate-window rotation documented above
-    (VERDICT r4 "Next round" item 3):
-      1. the 19 oracle-paired keys never covered by a CORRECTNESS round,
-         in ``_ROTATION_FIRST`` order (the two just-fixed keys first);
-      2. the 28 rows-only keys with no driver evidence yet, highest
-         impact first — after this round every registered key has
-         appeared in some CORRECTNESS file;
-      3. 3 canary re-checks of previously-green keys (seeded by round);
-      4. the 4 rows-only keys whose first driver rows landed in r04;
-      5. oracle-paired keys registered after the r05 snapshot;
-      6. the remaining already-green keys.
+    Returned order implements the r06 gate-window rotation (VERDICT r5
+    items 3 and 4):
+      0. the 2 keys without clean driver evidence (_EVIDENCE_FIX);
+      1. 4 canary re-checks of previously-green keys (seeded by round) —
+         INSIDE the window this time, r5's sat behind the backlog and
+         never ran;
+      2. 44 never-driver-checked oracle keys (_ROTATION_FIRST, flagships
+         first) — 2+4+44 fills the driver's demonstrated 50-key budget;
+      3. the 65 remaining unevidenced oracle keys (_R07_BACKLOG) so any
+         budget surplus eats into r07's work;
+      4. oracle keys registered after the r06 snapshot;
+      5. rows-only keys that already hold driver rows;
+      6. the remaining already-green oracle keys.
     """
     from .operators import (  # noqa: F401
         relational,
@@ -222,22 +298,27 @@ def load_all() -> dict[str, Query]:
         incremental_pipeline,
     )
 
-    first = {k: i for i, k in enumerate(_ROTATION_FIRST)}
+    fixes = {k: i for i, k in enumerate(_EVIDENCE_FIX)}
     canaries = {k: i for i, k in enumerate(canary_keys())}
-    rows_only = {k: i for i, k in enumerate(_ROWS_ONLY_ORDER)}
-    n_unevidenced = len(_ROWS_ONLY_ORDER) - 4  # tail 4 already have r04 rows
+    first = {k: i for i, k in enumerate(_ROTATION_FIRST)}
+    backlog = {k: i for i, k in enumerate(_R07_BACKLOG)}
+    rows_only = {k: i for i, k in enumerate(_ROWS_ONLY_EVIDENCED)}
 
     def rank(kv: tuple[str, Query]) -> tuple[int, int]:
         key, q = kv
-        if q.oracle is None:
-            i = rows_only.get(key, len(_ROWS_ONLY_ORDER))
-            return (1, i) if i < n_unevidenced else (3, i)
-        if key in first:
-            return (0, first[key])
+        if key in fixes:
+            return (0, fixes[key])
         if key in canaries:
-            return (2, canaries[key])
+            return (1, canaries[key])
+        if key in first:
+            return (2, first[key])
+        if key in backlog:
+            return (3, backlog[key])
+        if q.oracle is None:
+            # rows-only: all evidenced by r05 except the two fix keys above
+            return (5, rows_only.get(key, len(_ROWS_ONLY_EVIDENCED)))
         if key in _DRIVER_GREEN:
-            return (5, 0)
-        return (4, 0)  # new oracle key, queued behind the backlog
+            return (6, 0)
+        return (4, 0)  # new oracle key, queued behind the r07 backlog
 
     return dict(sorted(REGISTRY.items(), key=rank))

@@ -33,51 +33,57 @@ def test_every_oracle_key_has_a_query(spark):
 
 def test_gate_window_rotation_order():
     """The driver walks queries() in order under a wall-clock budget that
-    historically covers ~50 keys per round.  The r05 rotation (VERDICT r4
-    item 3) must put: (a) the 17 never-driver-checked oracle keys in
-    positions 0..16, (b) the 28 never-evidenced rows-only keys next — so
-    after this round EVERY registered key has driver evidence — then
-    (c) the seeded canary re-checks, (d) the 4 rows-only keys that got
-    first rows in r04, before any remaining already-green key."""
+    historically covers ~50 keys per round.  The r06 rotation (VERDICT r5
+    items 3+4) must put: (a) the 2 evidence-fix keys at positions 0..1,
+    (b) the 4 canaries at 2..5 — INSIDE the window this time, (c) the 44
+    never-driver-checked oracle keys at 6..49 — 2+4+44 = exactly the
+    demonstrated 50-key budget, (d) the 65-key r07 oracle backlog next so
+    budget surplus eats into it, before any rows-only or green key."""
     from mergeextractor_spark import registry
 
     mod = _load_entry()
     qs, osql = mod.queries(), mod.oracle_sql()
     keys = list(qs)
 
+    n_fix = len(registry._EVIDENCE_FIX)
     n_first = len(registry._ROTATION_FIRST)
-    # 19 rotation + 32 unevidenced rows-only + 3 canaries = 54.  The driver
-    # demonstrably covers ~50 keys per round (wall-clock budget, and most
-    # rows-only keys are cheap); anything squeezed out is the r04-evidenced
-    # tail, which already holds driver rows.
-    assert n_first + len(registry._ROWS_ONLY_ORDER) - 4 + registry._CANARY_SLOTS == 54
-    assert keys[:n_first] == list(registry._ROTATION_FIRST)
-    for key in registry._ROTATION_FIRST:
-        assert key in osql, f"rotation-first key {key!r} lost its oracle"
-        assert key not in registry._DRIVER_GREEN
-
-    rows_only = [k for k in keys if k not in osql]
-    unevidenced = list(registry._ROWS_ONLY_ORDER[:-4])
-    assert keys[n_first : n_first + len(unevidenced)] == unevidenced
+    # exact window arithmetic: 2 fixes + 4 canaries + 44 rotation = 50
+    assert n_fix + registry._CANARY_SLOTS + n_first == 50
+    assert keys[:n_fix] == list(registry._EVIDENCE_FIX)
+    for key in registry._EVIDENCE_FIX:
+        assert key not in osql, f"evidence-fix key {key!r} is rows-only"
 
     canaries = registry.canary_keys()
-    at = n_first + len(unevidenced)
-    assert keys[at : at + len(canaries)] == list(canaries)
+    assert keys[n_fix : n_fix + len(canaries)] == list(canaries)
     # Canaries are a deterministic per-round sample of driver-green keys.
     assert registry.canary_keys() == registry.canary_keys()
     assert set(canaries) <= registry._DRIVER_GREEN
     assert canaries != registry.canary_keys(registry._ROUND + 1)
 
-    # The r04-evidenced rows-only tail precedes every remaining
-    # already-green oracle key.
-    assert rows_only == list(registry._ROWS_ONLY_ORDER[:-4]) + list(
-        registry._ROWS_ONLY_ORDER[-4:]
-    )
+    at = n_fix + len(canaries)
+    assert keys[at : at + n_first] == list(registry._ROTATION_FIRST)
+    for key in registry._ROTATION_FIRST + registry._R07_BACKLOG:
+        assert key in osql, f"rotation key {key!r} lost its oracle"
+        assert key not in registry._DRIVER_GREEN, key
+
+    at += n_first
+    n_backlog = len(registry._R07_BACKLOG)
+    assert keys[at : at + n_backlog] == list(registry._R07_BACKLOG)
+
+    # every rows-only key (beyond the 2 fixes) already holds driver
+    # evidence and queues behind the oracle backlog
+    rows_only = [k for k in keys if k not in osql and k not in registry._EVIDENCE_FIX]
+    assert sorted(rows_only) == sorted(registry._ROWS_ONLY_EVIDENCED)
+    assert min(keys.index(k) for k in rows_only) >= at + n_backlog
+
+    # already-green oracle keys come last
     last_rows_only = max(keys.index(k) for k in rows_only)
     tail_green = [
         k
         for k in keys
-        if k in osql and k not in registry._ROTATION_FIRST and k not in canaries
+        if k in osql
+        and k in registry._DRIVER_GREEN
+        and k not in canaries
     ]
     if tail_green:
         assert min(keys.index(k) for k in tail_green) > last_rows_only

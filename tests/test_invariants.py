@@ -54,7 +54,13 @@ def test_pca_projection_diagonalizes_covariance(spark):
     from mergeextractor_spark.operators.vector_queries import vector_pca_project
 
     rows = vector_pca_project(spark, SF).collect()
-    P = np.array([r.pca for r in rows])
+    # output is exploded (vec_id, component, value) — rebuild the matrix
+    ids = sorted({r.vec_id for r in rows})
+    k = max(r.component for r in rows) + 1
+    idx = {v: i for i, v in enumerate(ids)}
+    P = np.zeros((len(ids), k))
+    for r in rows:
+        P[idx[r.vec_id], r.component] = r.value
     C = np.cov(P, rowvar=False)
     diag = np.diag(C).copy()
     # components ordered by explained variance, covariance ~diagonal
