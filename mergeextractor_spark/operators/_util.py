@@ -98,3 +98,30 @@ def date_str(c: Column) -> Column:
 def ts_str(c: Column) -> Column:
     """Emit timestamps as 'yyyy-MM-dd HH:mm:ss' strings on both sides."""
     return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+
+def truncate_lineage(df: DataFrame) -> DataFrame:
+    """Cut the logical lineage between rounds of an iterative plan
+    (PageRank, connected components, k-center, survivor-LM staging).
+
+    Default (local mode): ``localCheckpoint(eager=True)`` — materializes
+    to executor storage blocks, no filesystem round-trip. CAVEAT for real
+    clusters (VERDICT r5 item 7): localCheckpoint pins those blocks to
+    the *live executors* that computed them — under dynamic allocation
+    or any executor loss the blocks vanish and the job fails, because
+    the lineage needed to recompute them was just thrown away.
+
+    Cluster opt-in: set ``spark.mergeextractor.checkpointDir`` (session
+    conf) or call ``sc.setCheckpointDir(...)`` before running, and every
+    iterative operator writes RELIABLE checkpoints (``df.checkpoint``)
+    to that durable directory instead — survives executor churn, costs
+    one write+read of the (iteration-sized, never corpus-sized)
+    intermediate per round. No behavior change locally.
+    """
+    sc = df.sparkSession.sparkContext
+    conf_dir = df.sparkSession.conf.get("spark.mergeextractor.checkpointDir", None)
+    if conf_dir and not sc.getCheckpointDir():
+        sc.setCheckpointDir(conf_dir)
+    if sc.getCheckpointDir():
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..registry import register
-from ._util import t, r4, spread
+from ._util import t, r4, spread, truncate_lineage
 
 N_HASHES = 6  # fixture-default minhash signature length (production: ~128)
 BAND_SIZE = 2  # fixture-default rows per LSH band → 3 bands (production: r≈13)
@@ -698,7 +698,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .localCheckpoint(eager=True)
+        .transform(truncate_lineage)
     )
     labels = connected_components(edges)
     isolated = (
@@ -735,7 +735,7 @@ def connected_components(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .select("doc_id", F.col("doc_id").alias("component_id"))
-        .localCheckpoint(eager=True)
+        .transform(truncate_lineage)
     )
     converged = False
     # Cap is a safety valve, not the convergence criterion: the loop exits
@@ -761,7 +761,7 @@ def connected_components(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
         new_labels = (
             prop.join(parent, "component_id")
             .select("doc_id", F.col("_short").alias("component_id"))
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
         changed = (
             new_labels.alias("n")
@@ -1159,7 +1159,7 @@ def entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs.select(F.col("kb").alias("ka"), F.col("ka").alias("kb"))
         )
         .select(F.col("ka").alias("src"), F.col("kb").alias("dst"))
-        .localCheckpoint(eager=True)
+        .transform(truncate_lineage)
     )
     labels = connected_components(edges).select(
         F.col("doc_id").alias("entity_key"), F.col("component_id").alias("cluster_id")

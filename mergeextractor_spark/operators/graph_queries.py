@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import t, r4
+from ._util import t, r4, truncate_lineage
 
 PR_DAMPING = 0.85
 PR_ITERS = 5
@@ -151,12 +151,12 @@ def pagerank(
 ) -> DataFrame:
     """Damped PageRank over a ``(src, dst, p)`` probability-weighted edge
     table; returns ``(node, rank)``. Lineage is truncated per round."""
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.transform(truncate_lineage)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(truncate_lineage)
     )
     ncnt = F.broadcast(nodes.agg(F.count("*").cast("double").alias("cnt")))
     ranks = nodes.crossJoin(ncnt).select(
@@ -179,7 +179,7 @@ def pagerank(
                     + damping * F.coalesce(F.col("m"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
     return ranks
 

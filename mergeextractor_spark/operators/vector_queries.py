@@ -14,7 +14,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import t, r4, spread
+from ._util import t, r4, spread, truncate_lineage
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -939,7 +939,7 @@ def sample_kcenter_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = (
         e.crossJoin(F.broadcast(seed))
         .select("vec_id", "embedding", sq_l2(F.col("embedding"), F.col("ce")).alias("d"))
-        .localCheckpoint(eager=True)
+        .transform(truncate_lineage)
     )
     picks = [(1, 0, 0.0)]
     for rank in range(2, KCENTER_K + 1):
@@ -958,7 +958,7 @@ def sample_kcenter_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "embedding",
                 F.least(F.col("d"), sq_l2(F.col("embedding"), F.col("ce"))).alias("d"),
             )
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
     rows = [(r, v, float(d)) for r, v, d in picks]
     out = spark.createDataFrame(rows, "rank int, vec_id long, radius double")
@@ -1095,7 +1095,7 @@ def rank_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding", cosine(F.col("embedding"), F.col("qe")).alias("rel"))
         .orderBy(F.desc("rel"), F.asc("vec_id"))
         .limit(MMR_POOL)
-        .localCheckpoint(eager=True)
+        .transform(truncate_lineage)
     )
     pool = [
         (r.vec_id, r.rel, r.embedding) for r in rel.collect()

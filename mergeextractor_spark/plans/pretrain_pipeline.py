@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..operators._util import t, r4
+from ..operators._util import t, r4, truncate_lineage
 from ..operators.corpus_queries import CLF_WEIGHT_SQL, clf_weight
 from ..operators.text_queries import EN_STOPWORDS, _STOP_SQL, _tokens
 from ..registry import register
@@ -129,7 +129,7 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("en_ratio") > EN_RATIO_MIN)
         & F.col("n_tokens").between(TOKEN_FLOOR, TOKEN_CEIL)
         & (F.col("clf_score") > 0.0)
-    ).localCheckpoint(eager=True)
+    ).transform(truncate_lineage)
     # stage 2: unigram LM over the survivors only
     tok_stream = kept.select("doc_id", F.explode("w").alias("tok"))
     vocab = tok_stream.groupBy("tok").agg(F.count("*").alias("cnt"))

@@ -67,3 +67,34 @@ def test_pagerank_cycle_stays_uniform(spark):
     )
     got = {r.node: r.rank for r in pagerank(df).collect()}
     assert all(abs(v - 1.0 / 3.0) < 1e-12 for v in got.values())
+
+
+def test_truncate_lineage_reliable_checkpoint_optin(spark, tmp_path):
+    """Setting spark.mergeextractor.checkpointDir switches every iterative
+    operator from executor-pinned localCheckpoint to durable reliable
+    checkpoints (VERDICT r5 item 7) — and the default stays local."""
+    from pyspark.sql import functions as F
+
+    from mergeextractor_spark.operators._util import truncate_lineage
+
+    sc = spark.sparkContext
+    df = spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("v"))
+
+    # default path: no checkpoint dir -> localCheckpoint, nothing on disk
+    assert sc.getCheckpointDir() is None
+    out = truncate_lineage(df)
+    assert out.count() == 100
+    assert sc.getCheckpointDir() is None
+
+    ckpt = tmp_path / "ckpt"
+    spark.conf.set("spark.mergeextractor.checkpointDir", str(ckpt))
+    try:
+        out = truncate_lineage(df)
+        assert out.count() == 100
+        # reliable checkpoint wrote RDD blocks under the configured dir
+        files = list(ckpt.rglob("*"))
+        assert any(p.name.startswith("part-") for p in files), files
+    finally:
+        spark.conf.unset("spark.mergeextractor.checkpointDir")
+        sc.setCheckpointDir(None)  # Option(null) resets to None JVM-side
+    assert sc.getCheckpointDir() is None
