@@ -184,6 +184,22 @@ def pipeline_crawler(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_crawler_audit",
+    oracle=None,  # composed UDF pipeline → rows-only
+    doc="Per-deal crawler outcome with the reference's exact reject "
+    "classes (logs.txt taxonomy: accepted / no_document / "
+    "no_relevant_document / no_background_section — CrawlerSupport.py:"
+    "414,435,445, Processor.py:299). Yield-parity value checks against "
+    "the reference's 80.8% output.csv acceptance rate run over a "
+    "110-deal labeled corpus in tests/test_yield_parity.py.",
+)
+def pipeline_crawler_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.filing_pipeline import crawler_audit
+
+    return crawler_audit(_deals_df(spark), _filings_df(spark))
+
+
+@register(
     "pipeline_separator",
     oracle=None,  # composed UDF pipeline → rows-only
     doc="Separator lifecycle end-to-end on fixtures (SURVEY §3.2): chunk → "

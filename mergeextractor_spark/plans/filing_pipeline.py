@@ -34,18 +34,10 @@ from ..operators.llm import llm_extract_initiator
 DATE_MARGIN = 4  # months, ref crawl.py:6
 
 
-def crawler_pipeline(deals: DataFrame, filings: DataFrame, done: DataFrame | None = None) -> DataFrame:
-    """deals + candidate filing documents → accepted (main_index, url) rows
-    (output.csv semantics, CrawlerHandler.py:21-49).
-
-    ``filings``: (main_index, url, content) candidate documents per deal.
-    """
-    todo = deals
-    if done is not None:
-        todo = deals.join(done.select("main_index"), "main_index", "left_anti")
-
+def _windowed_deals(todo: DataFrame) -> DataFrame:
+    """Deals + their [date_lb, date_ub] crawl window as ISO strings."""
     d = F.to_date("announcement_date", "M/d/yyyy")
-    windowed = todo.select(
+    return todo.select(
         "main_index",
         "announcement_date",
         "company_a",
@@ -54,14 +46,15 @@ def crawler_pipeline(deals: DataFrame, filings: DataFrame, done: DataFrame | Non
         F.date_format(date_window_ub(d, DATE_MARGIN), "yyyy-MM-dd").alias("date_ub"),
     )
 
-    cand = windowed.join(filings.select("main_index", "url", "content"), "main_index")
 
-    # Company-presence filter over the 11k header prefix (Processor.py:154-187),
-    # with the hyphen→space retry folded in as a disjunction (O5 ordering:
-    # this cheap native filter runs before the chunking UDF).
+def _company_present() -> "F.Column":
+    """Company-presence predicate over the 11k header prefix
+    (Processor.py:154-187), with the hyphen→space retry folded in as a
+    disjunction (O5 ordering: this cheap native filter runs before the
+    chunking UDF). Parenthesized alternate names are stripped before
+    matching, as the reference does everywhere it searches
+    (Processor.py:45)."""
     prefix = F.lower(F.substring("content", 1, 11000))
-    # Parenthesized alternate names are stripped before matching, as the
-    # reference does everywhere it searches (Processor.py:45).
     na = strip_parens(F.lower("company_a"))
     nb = strip_parens(F.lower("company_b"))
     pa = word_boundary_pattern(na, flex_whitespace=True)
@@ -72,7 +65,22 @@ def crawler_pipeline(deals: DataFrame, filings: DataFrame, done: DataFrame | Non
     retry = F.rlike(F.regexp_replace(prefix, "-", " "), pa2) & F.rlike(
         F.regexp_replace(prefix, "-", " "), pb2
     )
-    present = cand.filter(direct | retry)
+    return direct | retry
+
+
+def crawler_pipeline(deals: DataFrame, filings: DataFrame, done: DataFrame | None = None) -> DataFrame:
+    """deals + candidate filing documents → accepted (main_index, url) rows
+    (output.csv semantics, CrawlerHandler.py:21-49).
+
+    ``filings``: (main_index, url, content) candidate documents per deal.
+    """
+    todo = deals
+    if done is not None:
+        todo = deals.join(done.select("main_index"), "main_index", "left_anti")
+
+    windowed = _windowed_deals(todo)
+    cand = windowed.join(filings.select("main_index", "url", "content"), "main_index")
+    present = cand.filter(_company_present())
 
     # fused chunk+cascade: one mapInPandas pass, no second Arrow round-trip
     # of chunk text (VERDICT r2 item 6)
@@ -97,6 +105,75 @@ def crawler_pipeline(deals: DataFrame, filings: DataFrame, done: DataFrame | Non
             "announcement_date",
             F.col("company_a").alias("tmanames"),
             F.col("company_b").alias("amanames"),
+            "url",
+        )
+    )
+
+
+def crawler_audit(deals: DataFrame, filings: DataFrame, done: DataFrame | None = None) -> DataFrame:
+    """Per-deal crawler outcome with the reference's exact reject classes
+    (logs.txt failure taxonomy — the closest thing the reference has to an
+    end-to-end acceptance spec, VERDICT r5 item 6):
+
+      accepted               [+] Successfully created document  (Processor.py:299)
+      no_document            [-] No document found              (CrawlerSupport.py:414)
+                             — zero candidate filings inside the deal's
+                             date window (the reference's FTS search is
+                             date-bounded server-side; locally the
+                             optional ``filing_date`` column reproduces
+                             that bound)
+      no_relevant_document   [-] No relevant document found     (CrawlerSupport.py:435)
+                             — candidates exist, none passes the
+                             company-presence filter incl. hyphen retry
+      no_background_section  [-] Confirmed no background section (CrawlerSupport.py:445)
+                             — presence passed, the chunk+cascade found
+                             no background passage in any candidate
+
+    Returns (main_index, status, url) — url is the deterministic
+    first-match winner for accepted deals, NULL otherwise. One presence
+    aggregation + one cascade pass; both shuffle on main_index only.
+    """
+    todo = deals
+    if done is not None:
+        todo = deals.join(done.select("main_index"), "main_index", "left_anti")
+
+    windowed = _windowed_deals(todo)
+    cols = ["main_index", "url", "content"]
+    if "filing_date" in filings.columns:
+        cols.append("filing_date")
+    cand = windowed.join(filings.select(*cols), "main_index")
+    if "filing_date" in filings.columns:
+        # ISO strings compare lexicographically == chronologically
+        cand = cand.filter(F.col("filing_date").between(F.col("date_lb"), F.col("date_ub")))
+
+    flagged = cand.withColumn("present", _company_present())
+    per_deal = flagged.groupBy("main_index").agg(
+        F.count("*").alias("n_cand"),
+        F.max(F.col("present").cast("int")).alias("any_present"),
+    )
+
+    fused = chunk_and_cascade(
+        flagged.filter("present").select("main_index", "url", "content"),
+        text_col="content",
+        id_cols=["main_index", "url"],
+    )
+    winners = (
+        fused.filter(F.col("passage").isNotNull())
+        .groupBy("main_index")
+        .agg(F.expr("min_by(url, struct(url, chunk_idx))").alias("url"))
+    )
+
+    return (
+        todo.select("main_index")
+        .join(per_deal, "main_index", "left")
+        .join(winners, "main_index", "left")
+        .select(
+            "main_index",
+            F.when(F.col("url").isNotNull(), F.lit("accepted"))
+            .when(F.coalesce(F.col("n_cand"), F.lit(0)) == 0, F.lit("no_document"))
+            .when(F.col("any_present") == 0, F.lit("no_relevant_document"))
+            .otherwise(F.lit("no_background_section"))
+            .alias("status"),
             "url",
         )
     )
