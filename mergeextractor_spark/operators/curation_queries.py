@@ -2294,3 +2294,58 @@ def pipeline_dq_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_dup").cast("bigint").alias("exact_dup_docs"),
         r4(F.col("n_dup") / F.col("n_docs")).alias("exact_dup_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffling: multi-epoch training needs a DIFFERENT
+# but REPRODUCIBLE document order per epoch (and identical under task
+# retries / engine swaps) — hash-keyed ordering, no RNG state.
+
+EPOCHS = 3
+EPOCH_HEAD = 50  # positions materialized per epoch (the contract sample)
+
+
+@register(
+    "sample_epoch_shuffle",
+    oracle=f"""
+    WITH e AS (SELECT unnest(generate_series(0, {EPOCHS - 1})) AS epoch),
+    keyed AS (
+      SELECT epoch, doc_id,
+             md5(epoch::VARCHAR || ':' || doc_id::VARCHAR) AS shuffle_key
+      FROM documents CROSS JOIN e
+    ),
+    ranked AS (
+      SELECT epoch, doc_id, shuffle_key,
+             row_number() OVER (PARTITION BY epoch ORDER BY shuffle_key, doc_id)
+               AS position
+      FROM keyed
+    )
+    SELECT CAST(epoch AS BIGINT) AS epoch,
+           CAST(position AS BIGINT) AS position,
+           doc_id
+    FROM ranked WHERE position <= {EPOCH_HEAD}
+    """,
+    doc=f"Deterministic per-epoch corpus shuffle: order docs by "
+    "md5(epoch:doc_id) — a different, content-independent, "
+    "engine-portable permutation each epoch, identical under task "
+    f"retries. Materializes the first {EPOCH_HEAD} positions of each of "
+    f"{EPOCHS} epochs as the contract sample; at scale the same key is "
+    "a sort-write column (no global rank needed), and the per-epoch "
+    "rank<=k here is pruned map-side by WindowGroupLimit before the "
+    "shuffle, so the exchanged rows are k per partition, not the corpus.",
+)
+def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(EPOCHS - 1))).alias("epoch")
+    )
+    keyed = d.select(
+        F.col("epoch").cast("bigint").alias("epoch"),
+        "doc_id",
+        F.md5(F.concat_ws(":", F.col("epoch"), F.col("doc_id"))).alias("shuffle_key"),
+    )
+    w = W.partitionBy("epoch").orderBy("shuffle_key", "doc_id")
+    return (
+        keyed.withColumn("position", F.row_number().over(w))
+        .filter(F.col("position") <= EPOCH_HEAD)
+        .select("epoch", F.col("position").cast("bigint").alias("position"), "doc_id")
+    )

@@ -150,7 +150,11 @@ def pagerank(
     edges: DataFrame, iters: int = PR_ITERS, damping: float = PR_DAMPING
 ) -> DataFrame:
     """Damped PageRank over a ``(src, dst, p)`` probability-weighted edge
-    table; returns ``(node, rank)``. Lineage is truncated per round."""
+    table; returns ``(node, rank)``. Lineage is truncated every SECOND
+    round (and on the final one): each eager truncation is a blocking
+    materialization job, and a two-round-deep plan (2 joins + 1
+    aggregate per round) is still trivially small for Catalyst — halving
+    the barrier count without letting the composed plan grow unbounded."""
     edges = edges.transform(truncate_lineage)
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -162,25 +166,24 @@ def pagerank(
     ranks = nodes.crossJoin(ncnt).select(
         "node", (F.lit(1.0) / F.col("cnt")).alias("rank")
     )
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (
             edges.join(ranks, edges.src == ranks.node)
             .select("dst", (F.col("rank") * F.col("p")).alias("m"))
             .groupBy("dst")
             .agg(F.sum("m").alias("m"))
         )
-        ranks = (
-            nodes.crossJoin(ncnt)
-            .join(contrib, nodes.node == contrib.dst, "left")
-            .select(
-                "node",
-                (
-                    (1.0 - damping) / F.col("cnt")
-                    + damping * F.coalesce(F.col("m"), F.lit(0.0))
-                ).alias("rank"),
-            )
-            .transform(truncate_lineage)
+        ranks = nodes.crossJoin(ncnt).join(
+            contrib, nodes.node == contrib.dst, "left"
+        ).select(
+            "node",
+            (
+                (1.0 - damping) / F.col("cnt")
+                + damping * F.coalesce(F.col("m"), F.lit(0.0))
+            ).alias("rank"),
         )
+        if i % 2 == 1 or i == iters - 1:
+            ranks = ranks.transform(truncate_lineage)
     return ranks
 
 

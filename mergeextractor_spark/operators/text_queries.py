@@ -1487,3 +1487,93 @@ def text_extractive_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sent_rank") <= SUMMARY_K)
         .select("doc_id", F.col("sent_rank").cast("bigint").alias("sent_rank"), "sent")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility + context-window budgeting: the two numbers a
+# training pipeline reads before fixing max_seq_len and the token budget.
+
+CONTEXT_LENGTHS = (512, 2048, 8192)
+
+
+@register(
+    "eval_tokenizer_fertility",
+    oracle=f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(len(regexp_extract_all(text, '{_BPE_PATTERN_SQL}'))) AS DOUBLE)
+                 / sum(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))),
+                 4) AS fertility,
+           round(CAST(sum(length(text)) AS DOUBLE)
+                 / sum(len(regexp_extract_all(text, '{_BPE_PATTERN_SQL}'))),
+                 4) AS bytes_per_token
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="Tokenizer fertility per language: BPE-ish tokens per whitespace "
+    "word (the standard multilingual-tokenizer efficiency metric — "
+    "fertility >> 1 means the tokenizer fragments that language and its "
+    "effective context shrinks) plus chars per token. One map-side "
+    "tokenize feeding a partial-aggregated groupBy on lang — the shuffle "
+    "carries |langs| partial sums, never text. Same pre-tokenizer "
+    "expression as text_token_count_bpe.",
+)
+def eval_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nb = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 0))
+    nw = F.size(_tokens(F.col("text")))
+    return (
+        t(spark, sf_dir, "documents")
+        .select("lang", nb.alias("nb"), nw.alias("nw"), F.length("text").alias("nc"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            r4(F.sum("nb").cast("double") / F.sum("nw")).alias("fertility"),
+            r4(F.sum("nc").cast("double") / F.sum("nb")).alias("bytes_per_token"),
+        )
+    )
+
+
+@register(
+    "agg_context_window_share",
+    oracle=f"""
+    WITH n AS (
+      SELECT source,
+             len(regexp_extract_all(text, '{_BPE_PATTERN_SQL}')) AS nt
+      FROM documents
+    ),
+    l AS (SELECT unnest([{', '.join(str(x) for x in CONTEXT_LENGTHS)}]) AS max_len)
+    SELECT source,
+           CAST(max_len AS BIGINT) AS max_len,
+           CAST(sum(CASE WHEN nt <= max_len THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_fit,
+           round(avg(CASE WHEN nt <= max_len THEN 1.0 ELSE 0.0 END), 4) AS fit_share,
+           round(CAST(sum(least(nt, max_len)) AS DOUBLE) / sum(nt), 4) AS token_retention
+    FROM n CROSS JOIN l
+    GROUP BY source, max_len
+    """,
+    doc="Context-window budgeting per source: for each candidate "
+    "max_seq_len, the share of documents that fit whole and the share "
+    "of tokens retained under truncation — the table that decides "
+    "whether a corpus needs 2k, 4k or 8k packing. Map-side tokenize, "
+    "3x row fan-out over the candidate lengths (constant), one "
+    "partial-aggregated shuffle on (source, max_len).",
+)
+def agg_context_window_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nt = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 0))
+    lens = F.array(*[F.lit(x) for x in CONTEXT_LENGTHS])
+    return (
+        t(spark, sf_dir, "documents")
+        .select("source", nt.alias("nt"), F.explode(lens).alias("max_len"))
+        .groupBy("source", F.col("max_len").cast("bigint").alias("max_len"))
+        .agg(
+            F.sum((F.col("nt") <= F.col("max_len")).cast("int"))
+            .cast("bigint")
+            .alias("n_docs_fit"),
+            r4(F.avg((F.col("nt") <= F.col("max_len")).cast("double"))).alias(
+                "fit_share"
+            ),
+            r4(
+                F.sum(F.least(F.col("nt"), F.col("max_len"))).cast("double")
+                / F.sum("nt")
+            ).alias("token_retention"),
+        )
+    )
