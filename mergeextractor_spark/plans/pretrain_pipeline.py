@@ -158,3 +158,89 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("bucket") != "tail")
     )
+
+
+# ---------------------------------------------------------------------------
+# Flagship #7: training-shard export — the last mile between a curated
+# corpus and the trainer's data loader, composed as ONE oracle-checked
+# plan: quality floor → exact-dedup keep-first → deterministic epoch-0
+# shuffle key → 16-way sharding → per-shard sequence packing.
+
+EXPORT_TOKEN_FLOOR = 50
+EXPORT_PACK_BUDGET = 2048
+EXPORT_EPOCH = 0
+
+
+@register(
+    "pipeline_training_export",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, text,
+             len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS n
+      FROM documents
+    ),
+    floored AS (SELECT * FROM tok WHERE n >= {EXPORT_TOKEN_FLOOR}),
+    dd AS (
+      SELECT doc_id, n,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM floored
+    ),
+    keyed AS (
+      SELECT doc_id, n,
+             md5('{EXPORT_EPOCH}:' || CAST(doc_id AS VARCHAR)) AS k
+      FROM dd WHERE rn = 1
+    ),
+    packed AS (
+      SELECT substr(k, 1, 1) AS shard, doc_id, n,
+             CAST(floor((sum(n) OVER (PARTITION BY substr(k, 1, 1)
+                                      ORDER BY k, doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n)
+                        / {EXPORT_PACK_BUDGET}) AS BIGINT) AS pack_id
+      FROM keyed
+    )
+    SELECT shard, pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS pack_tokens
+    FROM packed GROUP BY shard, pack_id
+    """,
+    doc=f"Training-shard export flagship: whitespace-token floor "
+    f"(≥{EXPORT_TOKEN_FLOOR}) → exact-dedup keep-first (row_number over "
+    "md5(text)) → deterministic epoch-0 shuffle key (same md5(epoch:id) "
+    "currency as sample_epoch_shuffle) → 16-way sharding by the key's "
+    f"first nibble → {EXPORT_PACK_BUDGET}-token greedy packing per shard "
+    "(the sample_pack_sequences cumsum formulation). Emits one row per "
+    "(shard, pack) — the shard manifest a data loader consumes. Scale "
+    "shape: the dedup window shuffles on md5(text) (hashes, never "
+    "text), the packing window partitions on the 16 shards exactly as "
+    "a distributed writer would split output files, and no window in "
+    "the plan is unpartitioned.",
+)
+def pipeline_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.size(_tokens(F.col("text"))).alias("n")
+    )
+    floored = d.filter(F.col("n") >= EXPORT_TOKEN_FLOOR)
+    w_dd = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    survivors = (
+        floored.withColumn("rn", F.row_number().over(w_dd))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "n",
+            F.md5(F.concat_ws(":", F.lit(EXPORT_EPOCH), F.col("doc_id"))).alias("k"),
+        )
+    )
+    keyed = survivors.withColumn("shard", F.substring("k", 1, 1))
+    w_pack = W.partitionBy("shard").orderBy("k", "doc_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    packed = keyed.withColumn(
+        "pack_id",
+        F.floor(
+            (F.sum("n").over(w_pack) - F.col("n")) / EXPORT_PACK_BUDGET
+        ).cast("bigint"),
+    )
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n").cast("bigint").alias("pack_tokens"),
+    )

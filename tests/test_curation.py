@@ -256,3 +256,41 @@ def test_compression_ratio_orders_text_classes(spark):
     out = {r.doc_id: r.compression_ratio for r in text_compression_ratio(spark, d).collect()}
     assert out[0] < out[1] < out[2]
     assert out[0] < 0.1 and out[2] > 0.5
+
+
+def test_training_export_packs_are_exhaustive_and_dense(spark):
+    """pipeline_training_export: packs partition the survivor set exactly,
+    pack ids are contiguous per shard, and every non-final pack is DENSE
+    (its cumulative mass crosses the next budget boundary — the greedy
+    cumsum guarantee)."""
+    from pyspark.sql import functions as F
+
+    from mergeextractor_spark.plans.pretrain_pipeline import (
+        EXPORT_PACK_BUDGET,
+        EXPORT_TOKEN_FLOOR,
+        pipeline_training_export,
+    )
+    from mergeextractor_spark.operators.text_queries import _tokens
+    from mergeextractor_spark.sources.fixtures import table
+
+    SF = "/root/testdata/sf0.001"
+    rows = pipeline_training_export(spark, SF).collect()
+    assert rows
+
+    # survivors recomputed independently: token floor + exact-dedup keep-first
+    d = table(spark, SF, "documents").select(
+        "doc_id", F.md5("text").alias("h"), F.size(_tokens(F.col("text"))).alias("n")
+    ).filter(F.col("n") >= EXPORT_TOKEN_FLOOR)
+    n_survivors = d.groupBy("h").count().count()
+    assert sum(r.n_docs for r in rows) == n_survivors
+
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, packs in by_shard.items():
+        packs.sort(key=lambda r: r.pack_id)
+        assert [p.pack_id for p in packs] == list(range(len(packs))), shard
+        cum = 0
+        for p in packs[:-1]:  # every non-final pack crosses its boundary
+            cum += p.pack_tokens
+            assert cum >= (p.pack_id + 1) * EXPORT_PACK_BUDGET, (shard, p)

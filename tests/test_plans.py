@@ -317,3 +317,27 @@ def test_aqe_skew_join_replans_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_epoch_shuffle_rank_is_group_limited(spark):
+    # the per-epoch rank<=50 must prune map-side (WindowGroupLimit) so the
+    # exchange carries k rows per partition, not the whole corpus x epochs
+    plan = plan_of(spark, "sample_epoch_shuffle")
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_fertility_is_single_partial_aggregate(spark):
+    # one scan, map-side tokenize, partial agg before the lang shuffle;
+    # no window, no join
+    plan = plan_of(spark, "eval_tokenizer_fertility")
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan and "Window" not in plan
+    assert "ReadSchema: struct<text:string,lang:string>" in plan
+
+
+def test_context_window_share_stages_tokenize_once(spark):
+    # the token count is projected BEFORE the 3x explode over candidate
+    # lengths — the regex must not be re-evaluated per fan-out row
+    plan = plan_of(spark, "agg_context_window_share")
+    assert plan.count("regexp_extract_all") <= 2, plan  # project + codegen echo
+    assert plan.count("Exchange") == 1, plan
