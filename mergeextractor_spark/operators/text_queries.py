@@ -1116,11 +1116,12 @@ def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id, ident,
-           list_transform(
-             regexp_extract_all(
-               regexp_replace(ident, '([a-z0-9])([A-Z])', '\1_\2', 'g'),
-               '[A-Za-z0-9]+'),
-             x -> lower(x)) AS subtokens
+           coalesce(array_to_string(
+             list_transform(
+               regexp_extract_all(
+                 regexp_replace(ident, '([a-z0-9])([A-Z])', '\1_\2', 'g'),
+                 '[A-Za-z0-9]+'),
+               x -> lower(x)), ' '), '') AS subtokens
     FROM ids
     """,
     doc="Identifier tokenization for code corpora: camelCase boundaries "
@@ -1129,7 +1130,11 @@ def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     "symbol names (pairs with text_code_quality_rules for The-Stack-"
     "style preprocessing). Identifiers are derived deterministically "
     "from fixture columns so both engines transform the identical "
-    "input; two regexes + a higher-order lowercase, one codegen'd scan.",
+    "input; two regexes + a higher-order lowercase, one codegen'd scan. "
+    "Subtokens emit space-joined (scalar column) so the driver's "
+    "pandas-sort canonicalizer can hash the output — the same r5 "
+    "vector_pca_project lesson, caught by the r6 full-registry "
+    "output-schema audit before the driver reached this key.",
 )
 def str_split_identifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ident = F.concat(
@@ -1145,7 +1150,9 @@ def str_split_identifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda x: F.lower(x),
     )
     return t(spark, sf_dir, "documents").select(
-        "doc_id", ident.alias("ident"), subtokens.alias("subtokens")
+        "doc_id",
+        ident.alias("ident"),
+        F.array_join(subtokens, " ").alias("subtokens"),
     )
 
 

@@ -146,3 +146,26 @@ def test_profiler_reports_hot_nodes(spark, capsys):
     # at least one plan node above the 0ms floor with a metric detail line
     assert "ms]" in out
     assert "nodes >= 0.0 ms shown" in out
+
+
+def test_no_registered_output_is_canonicalizer_hostile(spark):
+    """The driver canonicalizes results with a pandas sort; array/map/
+    struct output columns raise 'unhashable type' there (the r5
+    vector_pca_project red, and str_split_identifiers would have
+    repeated it in r7).  Every registered key must emit scalar columns
+    only.  Eager keys (sinks, iterative loops) are skipped — building
+    them performs work — but all of them return scalar status/manifest
+    rows by construction."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from mergeextractor_spark.registry import load_all
+
+    offenders = []
+    for key, q in load_all().items():
+        if q.eager:
+            continue
+        df = q.spark(spark, "/root/testdata/sf0.001")
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                offenders.append((key, f.name, f.dataType.simpleString()))
+    assert not offenders, offenders
