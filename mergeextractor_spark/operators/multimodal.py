@@ -55,9 +55,16 @@ def encode_fake_image(width: int, height: int, fill: int = 0) -> bytes:
     return FAKE_MAGIC + struct.pack("<II", width, height) + bytes([fill % 256]) * (width * height)
 
 
-def encode_png(width: int, height: int, shade: int = 128) -> bytes:
+def encode_png(
+    width: int,
+    height: int,
+    shade: int = 128,
+    pixel_fn: Callable[[int, int], int] | None = None,
+) -> bytes:
     """A complete, valid grayscale PNG (stdlib zlib only) — real container
-    bytes for exercising the metadata path without Pillow."""
+    bytes for exercising the metadata path without Pillow. ``pixel_fn(x,
+    y) -> 0..255`` renders patterned content (gradients, near-duplicate
+    pairs for the perceptual-hash path); default is a uniform shade."""
 
     def chunk(tag: bytes, body: bytes) -> bytes:
         return (
@@ -68,7 +75,13 @@ def encode_png(width: int, height: int, shade: int = 128) -> bytes:
         )
 
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
-    raw = b"".join(b"\x00" + bytes([shade % 256]) * width for _ in range(height))
+    if pixel_fn is None:
+        raw = b"".join(b"\x00" + bytes([shade % 256]) * width for _ in range(height))
+    else:
+        raw = b"".join(
+            b"\x00" + bytes(pixel_fn(x, y) % 256 for x in range(width))
+            for y in range(height)
+        )
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
@@ -149,6 +162,158 @@ def image_metadata(
 
     return media.filter(F.col("kind") == "image").select("media_id", "payload").mapInPandas(
         _run, IMAGE_META_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (dHash) over a pixel-decode seam.  Unlike the
+# metadata codecs above, this path needs PIXELS: the stdlib codec fully
+# decodes the two fixture formats (our filter-0 grayscale PNG subset via
+# zlib, and FAKEIMG raw bytes); anything else raises NotImplementedError
+# — the same injectable-codec seam as decode_image (Pillow/libvips in a
+# real deployment decodes, the dHash math below is unchanged).
+
+
+def stdlib_pixel_codec(payload: bytes) -> list[list[int]]:
+    """payload → row-major grayscale pixel matrix (stdlib only)."""
+    if payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        w, h = struct.unpack_from(">II", payload, 16)
+        bit_depth, color_type = payload[24], payload[25]
+        if (bit_depth, color_type) != (8, 0):
+            raise NotImplementedError("stdlib codec decodes 8-bit grayscale PNG only")
+        # walk chunks, concatenate IDAT
+        idat = b""
+        i = 8
+        while i + 8 <= len(payload):
+            (ln,) = struct.unpack_from(">I", payload, i)
+            tag = payload[i + 4 : i + 8]
+            if tag == b"IDAT":
+                idat += payload[i + 8 : i + 8 + ln]
+            if tag == b"IEND":
+                break
+            i += 12 + ln
+        raw = zlib.decompress(idat)
+        stride = w + 1
+        rows = []
+        for y in range(h):
+            line = raw[y * stride : (y + 1) * stride]
+            if line[0] != 0:
+                raise NotImplementedError("stdlib codec handles filter 0 only")
+            rows.append(list(line[1:]))
+        return rows
+    if payload.startswith(FAKE_MAGIC):
+        w, h = struct.unpack_from("<II", payload, len(FAKE_MAGIC))
+        px = payload[len(FAKE_MAGIC) + 8 :]
+        return [list(px[y * w : (y + 1) * w]) for y in range(h)]
+    raise NotImplementedError("inject a pixel codec (Pillow/libvips) for this format")
+
+
+def dhash64(rows: list[list[int]]) -> int:
+    """64-bit difference hash: nearest-neighbor resample to 9×8, compare
+    horizontally adjacent cells. Robust to resizing and uniform
+    brightness shifts — the standard cheap image near-dup signature."""
+    h, w = len(rows), len(rows[0])
+    grid = [
+        [rows[(y * h) // 8][(x * w) // 9] for x in range(9)]
+        for y in range(8)
+    ]
+    bits = 0
+    for y in range(8):
+        for x in range(8):
+            bits = (bits << 1) | (1 if grid[y][x] > grid[y][x + 1] else 0)
+    return bits
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def image_phash(
+    media: DataFrame,
+    codec: Callable[[bytes], list[list[int]]] = stdlib_pixel_codec,
+) -> DataFrame:
+    """binary images → (media_id, 64-bit dHash) via mapInPandas; payload
+    bytes never leave the executor, only the 8-byte signature shuffles."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    px = codec(bytes(payload))
+                    # shift into signed-64 space for a LongType column
+                    ph = dhash64(px) - (1 << 63)
+                except Exception:
+                    ph = None
+                rows.append({"media_id": mid, "phash": ph})
+            yield pd.DataFrame(rows, columns=["media_id", "phash"])
+
+    return media.filter(F.col("kind") == "image").select("media_id", "payload").mapInPandas(
+        _run, PHASH_SCHEMA
+    )
+
+
+PHASH_HAMMING_MAX = 6  # near-dup threshold on the 64-bit dHash
+
+
+def dedup_image_phash_frame(media: DataFrame) -> DataFrame:
+    """Perceptual near-dup dedup: dHash → 4×16-bit band equi-join (the
+    dedup_simhash_neardup posture — pigeonhole: hamming ≤ 6 < 16 shares
+    at least one of 4 bands... for ≤3 corrupt bands; with threshold 6 a
+    colliding pair keeps ≥1 clean band whenever its flipped bits hit ≤3
+    bands, and the verify join re-checks exact hamming) → keep-first
+    canonical rep. Output is one row PER IMAGE (linear in N)."""
+    sig = image_phash(media).filter(F.col("phash").isNotNull())
+    # the stored long is the dHash with bit 63 flipped (signed-range
+    # shift); the flip is uniform across rows, so band equi-joins and
+    # XOR hamming distances are unchanged — no unshift needed
+    bands = sig.select(
+        "media_id",
+        "phash",
+        *[
+            F.shiftrightunsigned(F.col("phash"), 16 * b)
+            .bitwiseAND(F.lit(0xFFFF).cast("long"))
+            .cast("int")
+            .alias(f"b{b}")
+            for b in range(4)
+        ],
+    )
+    pairs = None
+    for b in range(4):
+        a = bands.select(F.col(f"b{b}").alias("band"), F.lit(b).alias("bi"), "media_id", "phash")
+        pairs = a if pairs is None else pairs.unionByName(a)
+    cand = (
+        pairs.alias("x")
+        .join(
+            pairs.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bi") == F.col("y.bi"))
+            & (F.col("x.media_id") < F.col("y.media_id")),
+        )
+        .select(
+            F.col("x.media_id").alias("a"),
+            F.col("y.media_id").alias("b"),
+            F.col("x.phash").alias("pa"),
+            F.col("y.phash").alias("pb"),
+        )
+        .distinct()
+    )
+    near = cand.filter(
+        F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))) <= PHASH_HAMMING_MAX
+    ).select("a", "b")
+    rep = near.groupBy(F.col("b").alias("media_id")).agg(F.min("a").alias("rep_via"))
+    return (
+        sig.join(rep, "media_id", "left")
+        .select(
+            "media_id",
+            "phash",
+            F.coalesce(F.col("rep_via"), F.col("media_id")).alias("rep_id"),
+            F.col("rep_via").isNotNull().alias("is_dup"),
+        )
     )
 
 
@@ -356,6 +521,47 @@ def _media_df(spark: SparkSession) -> DataFrame:
                 "mime": "video/mp4",
             }
         )
+    # perceptual-hash battery (media_id 600+): patterned PNGs defined in
+    # RELATIVE coordinates so the same pattern re-rendered at 2× size
+    # produces a near-identical dHash (resize invariance is the point of
+    # the signature). 600=base gradient, 601=sparse ±4 perturbation
+    # (near-dup), 602=same pattern at 2× (near-dup), 603=checkerboard,
+    # 604=inverted gradient (both distinct).
+    def gradient(w, h, invert=False, jitter=False):
+        # piecewise-constant on the dHash's own 9×8 grid in RELATIVE
+        # coordinates: re-rendering at any size samples identical cell
+        # values (a smooth monotone gradient would dHash to ~all-zero
+        # bits and collide with uniform images — a real property of the
+        # signature, so the fixture uses a balanced-bit pattern)
+        def f(x, y):
+            i, j = (x * 9) // w, (y * 8) // h
+            v = (37 * i + 11 * j * j + 7 * i * j) % 256
+            if jitter and (x * 7 + y * 11) % 53 == 0:
+                v += 4
+            v %= 256
+            return 255 - v if invert else v
+
+        return f
+
+    def checker(w, h):
+        return lambda x, y: 255 * (((x * 6) // w + (y * 4) // h) % 2)
+
+    phash_rows = [
+        (600, 36, 24, gradient(36, 24)),
+        (601, 36, 24, gradient(36, 24, jitter=True)),
+        (602, 72, 48, gradient(72, 48)),
+        (603, 36, 24, checker(36, 24)),
+        (604, 36, 24, gradient(36, 24, invert=True)),
+    ]
+    for mid, w, h, fn in phash_rows:
+        rows.append(
+            {
+                "media_id": mid,
+                "kind": "image",
+                "payload": encode_png(w, h, pixel_fn=fn),
+                "mime": "image/png",
+            }
+        )
     # pandas/Arrow build (not list-of-dicts): keeps the payload bytes as
     # JVM-local batches instead of a Python RDD re-pickled on every action.
     df = spark.createDataFrame(pd.DataFrame(rows), schema=MEDIA_SCHEMA).coalesce(1)
@@ -532,3 +738,34 @@ def video_metadata(
 )
 def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_metadata(_media_df(spark))
+
+
+@register(
+    "multimodal_image_phash",
+    oracle=None,  # binary mapInPandas decode → rows-only
+    doc="64-bit dHash perceptual signature per image: stdlib pixel codec "
+    "(full zlib decode of the filter-0 grayscale PNG subset + FAKEIMG "
+    "raw bytes; injectable Pillow seam for everything else) → 9×8 "
+    "nearest-neighbor resample → adjacent-cell comparison. Only the "
+    "8-byte signature leaves the map stage. Value checks in "
+    "tests/test_multimodal.py: resize invariance, perturbation "
+    "tolerance, pattern discrimination.",
+)
+def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return image_phash(_media_df(spark))
+
+
+@register(
+    "dedup_image_phash",
+    oracle=None,  # built on the UDF signature → rows-only
+    doc="Image near-dup dedup over the dHash signature: 4×16-bit band "
+    "equi-join (dedup_simhash_neardup posture — banded candidates, "
+    f"never all-pairs), exact hamming ≤ {PHASH_HAMMING_MAX} verify via "
+    "bit_count(xor), keep-first canonical rep; one output row per "
+    "image. The multimodal twin of the text near-dup family: gradient "
+    "re-rendered at 2× size and sparse-perturbed variants cluster with "
+    "their base, checkerboard/inverted patterns stay distinct "
+    "(tests/test_multimodal.py).",
+)
+def dedup_image_phash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_image_phash_frame(_media_df(spark))

@@ -153,3 +153,55 @@ def test_video_metadata_real_and_fake(spark):
     # 200-series byte-stream fakes fail the box walk -> -1 rows
     for i in range(8):
         assert out[200 + i].duration_ms == -1
+
+
+def test_dhash_resize_and_perturbation_invariance(spark):
+    """The dHash battery in the media fixture: base gradient (600), its
+    sparse perturbation (601) and its 2x re-render (602) must cluster;
+    checkerboard (603) and inverted gradient (604) must stay distinct."""
+    from mergeextractor_spark.operators.multimodal import (
+        PHASH_HAMMING_MAX,
+        _media_df,
+        dedup_image_phash_frame,
+        image_phash,
+    )
+
+    sig = {r.media_id: r.phash for r in image_phash(_media_df(spark)).collect()}
+    assert sig[600] is not None
+
+    def ham(a, b):
+        return bin((sig[a] ^ sig[b]) & ((1 << 64) - 1)).count("1")
+
+    assert ham(600, 601) <= PHASH_HAMMING_MAX, ham(600, 601)
+    assert ham(600, 602) <= PHASH_HAMMING_MAX, ham(600, 602)
+    assert ham(600, 603) > PHASH_HAMMING_MAX, ham(600, 603)
+    assert ham(600, 604) > PHASH_HAMMING_MAX, ham(600, 604)
+
+    out = {r.media_id: r for r in dedup_image_phash_frame(_media_df(spark)).collect()}
+    assert out[601].rep_id == 600 and out[601].is_dup
+    assert out[602].rep_id == 600 and out[602].is_dup
+    assert out[600].rep_id == 600 and not out[600].is_dup
+    assert not out[603].is_dup and out[603].rep_id == 603
+    assert not out[604].is_dup and out[604].rep_id == 604
+    # uniform images (flat PNGs + FAKEIMG) all hash to 0 and collapse to
+    # the smallest uniform media_id — identical blank frames ARE dups
+    uniform = [m for m in out if m < 600]
+    rep0 = min(uniform)
+    assert all(out[m].rep_id == rep0 for m in uniform), {
+        m: out[m].rep_id for m in uniform
+    }
+
+
+def test_stdlib_pixel_codec_decodes_own_png(spark):
+    from mergeextractor_spark.operators.multimodal import (
+        encode_png,
+        stdlib_pixel_codec,
+    )
+
+    px = stdlib_pixel_codec(encode_png(5, 3, pixel_fn=lambda x, y: x * 10 + y))
+    assert len(px) == 3 and len(px[0]) == 5
+    assert px[2][4] == 42
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        stdlib_pixel_codec(b"\x89PNG\r\n\x1a\n" + b"\x00" * 20)  # wrong depth
