@@ -261,14 +261,22 @@ PHASH_HAMMING_MAX = 6  # near-dup threshold on the 64-bit dHash
 
 
 def dedup_image_phash_frame(media: DataFrame) -> DataFrame:
-    """Perceptual near-dup dedup: dHash → 4×16-bit band equi-join (the
-    dedup_simhash_neardup posture — pigeonhole: hamming ≤ 6 < 16 shares
-    at least one of 4 bands... for ≤3 corrupt bands; with threshold 6 a
-    colliding pair keeps ≥1 clean band whenever its flipped bits hit ≤3
-    bands, and the verify join re-checks exact hamming) → keep-first
-    canonical rep. Output is one row PER IMAGE (linear in N)."""
-    sig = image_phash(media).filter(F.col("phash").isNotNull())
-    # the stored long is the dHash with bit 63 flipped (signed-range
+    """Perceptual near-dup dedup of images: dHash signatures through the
+    shared banded-Hamming pipeline below."""
+    return _banded_hamming_dedup(image_phash(media))
+
+
+def _banded_hamming_dedup(
+    sig: DataFrame, max_hamming: int = PHASH_HAMMING_MAX
+) -> DataFrame:
+    """(media_id, phash) signatures → keep-first near-dup assignment via
+    4×16-bit band equi-join (the dedup_simhash_neardup posture —
+    pigeonhole: a pair within hamming ≤ max_hamming whose flipped bits
+    touch ≤ 3 bands shares at least one clean band, and the verify join
+    re-checks exact hamming on candidates only) → keep-first canonical
+    rep. Output is one row PER SIGNATURE (linear in N)."""
+    sig = sig.filter(F.col("phash").isNotNull())
+    # the stored long is the hash with bit 63 flipped (signed-range
     # shift); the flip is uniform across rows, so band equi-joins and
     # XOR hamming distances are unchanged — no unshift needed
     bands = sig.select(
@@ -303,7 +311,7 @@ def dedup_image_phash_frame(media: DataFrame) -> DataFrame:
         .distinct()
     )
     near = cand.filter(
-        F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))) <= PHASH_HAMMING_MAX
+        F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))) <= max_hamming
     ).select("a", "b")
     rep = near.groupBy(F.col("b").alias("media_id")).agg(F.min("a").alias("rep_via"))
     return (
@@ -315,6 +323,77 @@ def dedup_image_phash_frame(media: DataFrame) -> DataFrame:
             F.col("rep_via").isNotNull().alias("is_dup"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprinting: the audio twin of the dHash — a 64-bit
+# energy-envelope difference hash over the decoded PCM, invariant to
+# amplitude scaling and duration re-rendering (relative frames).
+
+
+def stdlib_pcm_codec(payload: bytes) -> list[int]:
+    """WAV payload → first-channel 16-bit PCM samples (stdlib ``wave``).
+    Non-WAV payloads (FAKEAUD headers carry no samples) raise for an
+    injected ffmpeg/soundfile codec — the same seam as the pixel codec."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("inject an audio codec (ffmpeg/soundfile) for this format")
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise NotImplementedError("stdlib codec decodes 16-bit PCM only")
+        ch, n = w.getnchannels(), w.getnframes()
+        raw = w.readframes(n)
+    all_samples = struct.unpack(f"<{n * ch}h", raw)
+    return list(all_samples[::ch])
+
+
+def audiohash64(samples: list[int]) -> int:
+    """65 equal frames by relative position → mean |amplitude| per frame
+    → adjacent comparison. Amplitude scaling preserves every comparison;
+    re-rendering at a different duration samples the same envelope."""
+    n = len(samples)
+    if n < 65:
+        raise ValueError("too short to fingerprint")
+    energies = []
+    for k in range(65):
+        lo, hi = (k * n) // 65, ((k + 1) * n) // 65
+        seg = samples[lo:hi] or [0]
+        energies.append(sum(abs(s) for s in seg) / len(seg))
+    bits = 0
+    for k in range(64):
+        bits = (bits << 1) | (1 if energies[k] > energies[k + 1] else 0)
+    return bits
+
+
+def audio_fingerprint(
+    media: DataFrame,
+    codec: Callable[[bytes], list[int]] = stdlib_pcm_codec,
+) -> DataFrame:
+    """binary audio → (media_id, 64-bit envelope hash) via mapInPandas;
+    only the 8-byte signature leaves the map stage."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    ph = audiohash64(codec(bytes(payload))) - (1 << 63)
+                except Exception:
+                    ph = None
+                rows.append({"media_id": mid, "phash": ph})
+            yield pd.DataFrame(rows, columns=["media_id", "phash"])
+
+    return media.filter(F.col("kind") == "audio").select("media_id", "payload").mapInPandas(
+        _run, PHASH_SCHEMA
+    )
+
+
+def dedup_audio_fingerprint_frame(media: DataFrame) -> DataFrame:
+    """Audio near-dup dedup: envelope hashes through the shared
+    banded-Hamming pipeline."""
+    return _banded_hamming_dedup(audio_fingerprint(media))
 
 
 FRAME_SCHEMA = T.StructType(
@@ -367,9 +446,17 @@ def encode_fake_audio(channels: int, rate: int, bits: int, n_frames: int) -> byt
     return FAKE_AUDIO_MAGIC + struct.pack("<HIHI", channels, rate, bits, n_frames)
 
 
-def encode_wav(n_frames: int, sample_rate: int = 16000, channels: int = 1, tone: int = 0) -> bytes:
+def encode_wav(
+    n_frames: int,
+    sample_rate: int = 16000,
+    channels: int = 1,
+    tone: int = 0,
+    sample_fn: Callable[[int, int], int] | None = None,
+) -> bytes:
     """A complete, valid 16-bit PCM WAV container (stdlib ``wave`` only) —
-    real audio bytes for exercising the metadata path without ffmpeg."""
+    real audio bytes for exercising the metadata path without ffmpeg.
+    ``sample_fn(i, n_frames) -> int16`` renders shaped waveforms (energy
+    envelopes for the fingerprint path); default is a flat tone."""
     import io
     import wave
 
@@ -378,8 +465,16 @@ def encode_wav(n_frames: int, sample_rate: int = 16000, channels: int = 1, tone:
         w.setnchannels(channels)
         w.setsampwidth(2)
         w.setframerate(sample_rate)
-        frame = struct.pack("<h", (tone % 128) * 256) * channels
-        w.writeframes(frame * n_frames)
+        if sample_fn is None:
+            w.writeframes(struct.pack("<h", (tone % 128) * 256) * channels * n_frames)
+        else:
+            w.writeframes(
+                b"".join(
+                    struct.pack("<h", max(-32768, min(32767, sample_fn(i, n_frames))))
+                    * channels
+                    for i in range(n_frames)
+                )
+            )
     return buf.getvalue()
 
 
@@ -560,6 +655,36 @@ def _media_df(spark: SparkSession) -> DataFrame:
                 "kind": "image",
                 "payload": encode_png(w, h, pixel_fn=fn),
                 "mime": "image/png",
+            }
+        )
+    # audio-fingerprint battery (media_id 700+): shaped envelopes defined
+    # on the hash's own 65-frame grid in relative position. 700=base,
+    # 701=half amplitude (near-dup), 702=2× duration (near-dup),
+    # 703=inverted envelope (distinct).
+    def envelope(n_total, scale=1.0, invert=False):
+        def f(i, n):
+            cell = (i * 65) // n
+            amp = (37 * cell + 11 * cell * cell) % 200 * 100
+            if invert:
+                amp = 19900 - amp
+            v = int(amp * scale)
+            return v if i % 2 == 0 else -v
+
+        return f
+
+    audio_rows = [
+        (700, 6500, 1.0, False),
+        (701, 6500, 0.5, False),
+        (702, 13000, 1.0, False),
+        (703, 6500, 1.0, True),
+    ]
+    for mid, n, scale, inv in audio_rows:
+        rows.append(
+            {
+                "media_id": mid,
+                "kind": "audio",
+                "payload": encode_wav(n, sample_fn=envelope(n, scale, inv)),
+                "mime": "audio/wav",
             }
         )
     # pandas/Arrow build (not list-of-dicts): keeps the payload bytes as
@@ -769,3 +894,30 @@ def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_image_phash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_image_phash_frame(_media_df(spark))
+
+
+@register(
+    "multimodal_audio_fingerprint",
+    oracle=None,  # binary mapInPandas decode → rows-only
+    doc="64-bit energy-envelope fingerprint per audio clip: stdlib WAV "
+    "PCM decode (injectable ffmpeg/soundfile seam for other formats) → "
+    "65 relative frames → mean-|amplitude| envelope → adjacent-frame "
+    "comparison. Invariant to amplitude scaling and duration "
+    "re-rendering; only the 8-byte signature leaves the map stage. "
+    "Value checks in tests/test_multimodal.py.",
+)
+def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return audio_fingerprint(_media_df(spark))
+
+
+@register(
+    "dedup_audio_fingerprint",
+    oracle=None,  # built on the UDF signature → rows-only
+    doc="Audio near-dup dedup over the envelope fingerprint through the "
+    "same banded-Hamming pipeline as dedup_image_phash (4×16-bit band "
+    "candidates, exact bit_count verify, keep-first rep, one row per "
+    "clip). Half-amplitude and double-duration re-renders cluster with "
+    "their base; an inverted envelope stays distinct.",
+)
+def dedup_audio_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_audio_fingerprint_frame(_media_df(spark))

@@ -205,3 +205,50 @@ def test_stdlib_pixel_codec_decodes_own_png(spark):
 
     with _pytest.raises(NotImplementedError):
         stdlib_pixel_codec(b"\x89PNG\r\n\x1a\n" + b"\x00" * 20)  # wrong depth
+
+
+def test_audio_fingerprint_invariance_and_dedup(spark):
+    """Audio battery: base envelope (700), half-amplitude (701) and
+    2x-duration (702) re-renders cluster; inverted envelope (703) stays
+    distinct. Flat-tone WAVs (300+) all hash to zero and collapse to
+    one rep; FAKEAUD payloads (no samples) yield NULL signatures."""
+    from mergeextractor_spark.operators.multimodal import (
+        PHASH_HAMMING_MAX,
+        _media_df,
+        audio_fingerprint,
+        dedup_audio_fingerprint_frame,
+    )
+
+    sig = {r.media_id: r.phash for r in audio_fingerprint(_media_df(spark)).collect()}
+    assert all(sig[m] is None for m in sig if 400 <= m < 500)  # FAKEAUD
+    assert sig[700] is not None
+
+    def ham(a, b):
+        return bin((sig[a] ^ sig[b]) & ((1 << 64) - 1)).count("1")
+
+    assert ham(700, 701) <= PHASH_HAMMING_MAX, ham(700, 701)
+    assert ham(700, 702) <= PHASH_HAMMING_MAX, ham(700, 702)
+    assert ham(700, 703) > PHASH_HAMMING_MAX, ham(700, 703)
+
+    out = {r.media_id: r for r in dedup_audio_fingerprint_frame(_media_df(spark)).collect()}
+    assert out[701].rep_id == 700 and out[701].is_dup
+    assert out[702].rep_id == 700 and out[702].is_dup
+    assert out[700].rep_id == 700 and not out[700].is_dup
+    assert out[703].rep_id == 703 and not out[703].is_dup
+    flat = [m for m in out if 300 <= m < 400]
+    assert flat and all(out[m].rep_id == min(flat) for m in flat)
+
+
+def test_pcm_codec_roundtrip():
+    from mergeextractor_spark.operators.multimodal import (
+        encode_wav,
+        stdlib_pcm_codec,
+    )
+
+    samples = stdlib_pcm_codec(encode_wav(100, sample_fn=lambda i, n: i * 10 - 500))
+    assert len(samples) == 100
+    assert samples[0] == -500 and samples[99] == 490
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        stdlib_pcm_codec(b"FAKEAUD\x00\x00")
