@@ -396,6 +396,50 @@ def dedup_audio_fingerprint_frame(media: DataFrame) -> DataFrame:
     return _banded_hamming_dedup(audio_fingerprint(media))
 
 
+def video_fingerprint(
+    media: DataFrame,
+    frame_signal: Callable[[bytes], float] | None = None,
+) -> DataFrame:
+    """binary video → (media_id, 64-bit temporal-envelope hash): 65
+    byte-range "frames" by relative position, one scalar per frame
+    (default: mean byte value — a REAL decoder injected via
+    ``frame_signal`` would return per-frame mean luma; the temporal
+    difference hash below is unchanged), adjacent comparison. Duration
+    re-renders of the same stream sample the same envelope."""
+    signal = frame_signal or (lambda b: sum(b) / len(b) if b else 0.0)
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    raw = bytes(payload)
+                    if len(raw) < 65:
+                        raise ValueError("too short to fingerprint")
+                    vals = []
+                    for k in range(65):
+                        lo, hi = (k * len(raw)) // 65, ((k + 1) * len(raw)) // 65
+                        vals.append(signal(raw[lo:hi]))
+                    bits = 0
+                    for k in range(64):
+                        bits = (bits << 1) | (1 if vals[k] > vals[k + 1] else 0)
+                    ph = bits - (1 << 63)
+                except Exception:
+                    ph = None
+                rows.append({"media_id": mid, "phash": ph})
+            yield pd.DataFrame(rows, columns=["media_id", "phash"])
+
+    return media.filter(F.col("kind") == "video").select("media_id", "payload").mapInPandas(
+        _run, PHASH_SCHEMA
+    )
+
+
+def dedup_video_fingerprint_frame(media: DataFrame) -> DataFrame:
+    """Video near-dup dedup: temporal-envelope hashes through the shared
+    banded-Hamming pipeline."""
+    return _banded_hamming_dedup(video_fingerprint(media))
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -687,6 +731,31 @@ def _media_df(spark: SparkSession) -> DataFrame:
                 "mime": "audio/wav",
             }
         )
+    # video-fingerprint battery (media_id 800+): shaped byte streams on
+    # the 65-frame relative grid. 800=base, 801=2× duration re-render
+    # (near-dup), 802=inverted envelope (distinct).
+    def stream(n_total, invert=False):
+        out = bytearray()
+        for i in range(n_total):
+            cell = (i * 65) // n_total
+            v = (37 * cell + 11 * cell * cell) % 200
+            out.append(199 - v if invert else v)
+        return bytes(out)
+
+    video_rows = [
+        (800, 6500, False),
+        (801, 13000, False),
+        (802, 6500, True),
+    ]
+    for mid, n, inv in video_rows:
+        rows.append(
+            {
+                "media_id": mid,
+                "kind": "video",
+                "payload": stream(n, inv),
+                "mime": "video/fake",
+            }
+        )
     # pandas/Arrow build (not list-of-dicts): keeps the payload bytes as
     # JVM-local batches instead of a Python RDD re-pickled on every action.
     df = spark.createDataFrame(pd.DataFrame(rows), schema=MEDIA_SCHEMA).coalesce(1)
@@ -921,3 +990,28 @@ def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_audio_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_audio_fingerprint_frame(_media_df(spark))
+
+
+@register(
+    "multimodal_video_fingerprint",
+    oracle=None,  # binary mapInPandas decode → rows-only
+    doc="64-bit temporal-envelope fingerprint per video: 65 byte-range "
+    "frames by relative position, per-frame scalar (mean byte value by "
+    "default; an injected decoder supplies per-frame mean luma), "
+    "adjacent-frame difference hash. Completes the image/audio/video "
+    "signature triad; duration re-renders cluster, inverted envelopes "
+    "stay distinct (tests/test_multimodal.py).",
+)
+def multimodal_video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return video_fingerprint(_media_df(spark))
+
+
+@register(
+    "dedup_video_fingerprint",
+    oracle=None,  # built on the UDF signature → rows-only
+    doc="Video near-dup dedup over the temporal-envelope fingerprint "
+    "through the shared banded-Hamming pipeline (band candidates, "
+    "bit_count verify, keep-first rep, one row per video).",
+)
+def dedup_video_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_video_fingerprint_frame(_media_df(spark))

@@ -145,15 +145,16 @@ _EVIDENCE_FIX: tuple[str, ...] = (
     # dedup — rows-only (UDF pixel/PCM decode), value checks in pytest
     "multimodal_image_phash", "dedup_image_phash",
     "multimodal_audio_fingerprint", "dedup_audio_fingerprint",
+    "multimodal_video_fingerprint", "dedup_video_fingerprint",
 )
 
-# Explicit order for the first 39 of the 109 oracle keys with no driver
+# Explicit order for the first 37 of the 109 oracle keys with no driver
 # row in any round (VERDICT r5 item 3): flagships first
 # (pipeline_pretrain_corpus, pipeline_hybrid_search, graph_pagerank,
 # agg_source_overlap, eval_ann_recall — the judge called these out by
 # name), then the vector/ANN/dedup/graph scale families, then
-# parsers/scalars, then the first OLAP batch.  With the 7 evidence-fix
-# keys and 4 canaries ahead, this fills positions 12..50 of the window.
+# parsers/scalars, then the first OLAP batch.  With the 9 evidence-fix
+# keys and 4 canaries ahead, this fills positions 14..50 of the window.
 _ROTATION_FIRST: tuple[str, ...] = (
     # flagships
     "pipeline_pretrain_corpus", "pipeline_hybrid_search",
@@ -179,11 +180,10 @@ _ROTATION_FIRST: tuple[str, ...] = (
     "json_variant_extract", "str_xml_extract", "str_try_cast_battery",
     "str_multiformat_dates",
     # OLAP batch 1 (as-of joins + product analytics)
-    "olap_pricing_pipe", "join_asof_forward", "join_asof_nearest",
-    "olap_yoy_growth",
+    "olap_pricing_pipe", "join_asof_forward",
 )
 
-# r07 burn-down plan (VERDICT r5 item 8): the 70 oracle keys still
+# r07 burn-down plan (VERDICT r5 item 8): the 72 oracle keys still
 # unevidenced after the r06 window, ranked directly behind
 # _ROTATION_FIRST so any r06 budget surplus eats into them, and promoted
 # wholesale to _ROTATION_FIRST in r07 (47 fit alongside ~3 canaries; the
@@ -192,7 +192,8 @@ _ROTATION_FIRST: tuple[str, ...] = (
 # ~50/round evidence budget (new oracle keys rank BEHIND this backlog).
 _R07_BACKLOG: tuple[str, ...] = (
     # OLAP remainder
-    "window_percent_change", "olap_abc_analysis",
+    "join_asof_nearest", "olap_yoy_growth", "window_percent_change",
+    "olap_abc_analysis",
     "agg_histogram_log_bins", "agg_trend_regression", "join_null_safe_dim",
     "agg_numeric_correlations", "window_value_percentiles",
     "olap_price_volume_mix", "olap_median_order_by_segment",
@@ -253,7 +254,7 @@ _ROWS_ONLY_EVIDENCED: tuple[str, ...] = (
 # BEHIND the rows-only backlog and the window closed before any executed
 # (VERDICT r5 item 4) — they now sit at positions 3..6, directly after
 # the evidence-fix keys, so they cannot be squeezed out again:
-# 7 fixes + 4 canaries + 39 rotation-first = exactly the 50-key window.
+# 9 fixes + 4 canaries + 37 rotation-first = exactly the 50-key window.
 _CANARY_SLOTS: int = 4
 
 
@@ -270,13 +271,13 @@ def load_all() -> dict[str, Query]:
 
     Returned order implements the r06 gate-window rotation (VERDICT r5
     items 3 and 4):
-      0. the 7 keys without clean driver evidence (_EVIDENCE_FIX);
+      0. the 9 keys without clean driver evidence (_EVIDENCE_FIX);
       1. 4 canary re-checks of previously-green keys (seeded by round) —
          INSIDE the window this time, r5's sat behind the backlog and
          never ran;
-      2. 39 never-driver-checked oracle keys (_ROTATION_FIRST, flagships
-         first) — 7+4+39 fills the driver's demonstrated 50-key budget;
-      3. the 70 remaining unevidenced oracle keys (_R07_BACKLOG) so any
+      2. 37 never-driver-checked oracle keys (_ROTATION_FIRST, flagships
+         first) — 9+4+37 fills the driver's demonstrated 50-key budget;
+      3. the 72 remaining unevidenced oracle keys (_R07_BACKLOG) so any
          budget surplus eats into r07's work;
       4. oracle keys registered after the r06 snapshot;
       5. rows-only keys that already hold driver rows;

@@ -34,11 +34,11 @@ def test_every_oracle_key_has_a_query(spark):
 def test_gate_window_rotation_order():
     """The driver walks queries() in order under a wall-clock budget that
     historically covers ~50 keys per round.  The r06 rotation (VERDICT r5
-    items 3+4) must put: (a) the 7 evidence-fix keys first (the r5 red,
-    the missed rows-only key, and the five new-in-r6 rows-only keys),
-    (b) the 4 canaries next — INSIDE the window this time, (c) the 39
-    never-driver-checked oracle keys after — 7+4+39 = exactly the
-    demonstrated 50-key budget, (d) the 70-key r07 oracle backlog next so
+    items 3+4) must put: (a) the 9 evidence-fix keys first (the r5 red,
+    the missed rows-only key, and the seven new-in-r6 rows-only keys),
+    (b) the 4 canaries next — INSIDE the window this time, (c) the 37
+    never-driver-checked oracle keys after — 9+4+37 = exactly the
+    demonstrated 50-key budget, (d) the 72-key r07 oracle backlog next so
     budget surplus eats into it, before any rows-only or green key."""
     from mergeextractor_spark import registry
 
@@ -48,7 +48,7 @@ def test_gate_window_rotation_order():
 
     n_fix = len(registry._EVIDENCE_FIX)
     n_first = len(registry._ROTATION_FIRST)
-    # exact window arithmetic: 7 fixes + 4 canaries + 39 rotation = 50
+    # exact window arithmetic: 9 fixes + 4 canaries + 37 rotation = 50
     assert n_fix + registry._CANARY_SLOTS + n_first == 50
     assert keys[:n_fix] == list(registry._EVIDENCE_FIX)
     for key in registry._EVIDENCE_FIX:

@@ -252,3 +252,28 @@ def test_pcm_codec_roundtrip():
 
     with _pytest.raises(NotImplementedError):
         stdlib_pcm_codec(b"FAKEAUD\x00\x00")
+
+
+def test_video_fingerprint_invariance_and_dedup(spark):
+    """Video battery: base byte-stream envelope (800) and its 2x-duration
+    re-render (801) cluster; the inverted envelope (802) stays distinct."""
+    from mergeextractor_spark.operators.multimodal import (
+        PHASH_HAMMING_MAX,
+        _media_df,
+        dedup_video_fingerprint_frame,
+        video_fingerprint,
+    )
+
+    sig = {r.media_id: r.phash for r in video_fingerprint(_media_df(spark)).collect()}
+    assert sig[800] is not None
+
+    def ham(a, b):
+        return bin((sig[a] ^ sig[b]) & ((1 << 64) - 1)).count("1")
+
+    assert ham(800, 801) <= PHASH_HAMMING_MAX, ham(800, 801)
+    assert ham(800, 802) > PHASH_HAMMING_MAX, ham(800, 802)
+
+    out = {r.media_id: r for r in dedup_video_fingerprint_frame(_media_df(spark)).collect()}
+    assert out[801].rep_id == 800 and out[801].is_dup
+    assert out[800].rep_id == 800 and not out[800].is_dup
+    assert out[802].rep_id == 802 and not out[802].is_dup
