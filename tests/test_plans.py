@@ -341,3 +341,12 @@ def test_context_window_share_stages_tokenize_once(spark):
     plan = plan_of(spark, "agg_context_window_share")
     assert plan.count("regexp_extract_all") <= 2, plan  # project + codegen echo
     assert plan.count("Exchange") == 1, plan
+
+
+def test_banded_phash_dedup_never_cartesian(spark):
+    # the image/audio/video near-dup join must stay a band equi-join —
+    # no CartesianProduct/BNLJ even though it is a self-join
+    for key in ("dedup_image_phash", "dedup_audio_fingerprint", "dedup_video_fingerprint"):
+        plan = plan_of(spark, key)
+        assert "CartesianProduct" not in plan, key
+        assert "BroadcastNestedLoopJoin" not in plan, key
