@@ -277,3 +277,45 @@ def test_video_fingerprint_invariance_and_dedup(spark):
     assert out[801].rep_id == 800 and out[801].is_dup
     assert out[800].rep_id == 800 and not out[800].is_dup
     assert out[802].rep_id == 802 and not out[802].is_dup
+
+
+def test_banded_dedup_matches_allpairs_within_pigeonhole(spark):
+    """On signatures whose near-dup flips touch <= 3 of the 4 bands (the
+    pigeonhole regime the banding guarantees), the banded pipeline must
+    agree EXACTLY with brute-force all-pairs hamming <= 6."""
+    from pyspark.sql import functions as F
+
+    from mergeextractor_spark.operators.multimodal import (
+        PHASH_HAMMING_MAX,
+        _banded_hamming_dedup,
+    )
+
+    # 900 uniques + 100 near-dups: flip up to 3 bits, all inside the low
+    # band-pair (bits 0..31 -> touches at most 2 of the 4 16-bit bands)
+    df = spark.range(1000).select(
+        F.col("id").alias("media_id"),
+        F.when(
+            F.col("id") < 900, F.xxhash64("id")
+        ).otherwise(
+            F.expr(
+                "xxhash64(id % 900) ^ shiftleft(1L, cast(id % 32 as int))"
+                " ^ shiftleft(1L, cast((id * 7) % 32 as int))"
+            )
+        ).alias("phash"),
+    )
+    banded = {r.media_id: r.rep_id for r in _banded_hamming_dedup(df).collect()}
+
+    sig = df.collect()
+    vals = {r.media_id: r.phash for r in sig}
+    ids = sorted(vals)
+    brute = {}
+    for i in ids:
+        rep = i
+        for j in ids:
+            if j >= i:
+                break
+            if bin((vals[i] ^ vals[j]) & ((1 << 64) - 1)).count("1") <= PHASH_HAMMING_MAX:
+                rep = j
+                break
+        brute[i] = rep
+    assert banded == brute
