@@ -1792,3 +1792,128 @@ def dq_duplicate_invoices(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum(F.col("o_totalprice") * (F.col("n") - 1)), F.lit(0.0))
         ).alias("amount_at_risk"),
     )
+
+
+@register(
+    "dq_outlier_iqr",
+    oracle="""
+    WITH fences AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.25) AS q1,
+             quantile_cont(l_extendedprice, 0.75) AS q3
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT f.l_returnflag,
+           round(q1, 4) AS q1,
+           round(q3, 4) AS q3,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN l.l_extendedprice < q1 - 1.5 * (q3 - q1)
+                           OR l.l_extendedprice > q3 + 1.5 * (q3 - q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM lineitem l JOIN fences f USING (l_returnflag)
+    GROUP BY f.l_returnflag, q1, q3
+    """,
+    doc="Classic Tukey-fence outlier audit per group: exact Q1/Q3 "
+    "(Spark percentile ≡ DuckDB quantile_cont), 1.5×IQR fences, "
+    "per-group outlier counts. Complements events_anomaly_mad (robust "
+    "time-series residuals) with the batch-profiling fence every DQ "
+    "suite runs. Two passes over the fact table: a percentile "
+    "aggregate (|groups| rows) broadcast back into a counting "
+    "aggregate — no row-level sort, no window.",
+)
+def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    fences = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.25)).alias("q1"),
+        F.percentile("l_extendedprice", F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    out = (
+        li.join(F.broadcast(fences), "l_returnflag")
+        .withColumn(
+            "is_out",
+            (F.col("l_extendedprice") < F.col("q1") - 1.5 * iqr)
+            | (F.col("l_extendedprice") > F.col("q3") + 1.5 * iqr),
+        )
+        .groupBy("l_returnflag", "q1", "q3")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("is_out").cast("int")).cast("bigint").alias("n_outliers"),
+        )
+    )
+    return out.select(
+        "l_returnflag",
+        r4(F.col("q1")).alias("q1"),
+        r4(F.col("q3")).alias("q3"),
+        "n_rows",
+        "n_outliers",
+    )
+
+
+@register(
+    "olap_skyline_suppliers",
+    oracle="""
+    WITH s AS (
+      SELECT s_nationkey, s_suppkey, s_acctbal,
+             length(s_name) AS c_len
+      FROM supplier
+    )
+    SELECT a.s_nationkey, a.s_suppkey,
+           round(a.s_acctbal, 4) AS acctbal,
+           CAST(a.c_len AS BIGINT) AS name_len
+    FROM s a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM s b
+      WHERE b.s_nationkey = a.s_nationkey
+        AND b.s_acctbal >= a.s_acctbal AND b.c_len <= a.c_len
+        AND (b.s_acctbal > a.s_acctbal OR b.c_len < a.c_len)
+    )
+    """,
+    doc="2-D skyline (Pareto front) per nation: suppliers not dominated "
+    "on (maximize acctbal, minimize name length). The oracle is the "
+    "textbook NOT EXISTS dominance anti-join; the Spark plan is the "
+    "sort-scan formulation — reduce each (nation, acctbal) tie-group to "
+    "its best name length, take a running minimum over strictly-richer "
+    "groups, and keep rows beaten by neither that minimum nor a "
+    "tie-group mate (one partitioned window, no self-join, no pair "
+    "space). "
+    "Dominance ties on both axes keep ALL co-optimal rows, matching "
+    "the strict-dominance oracle.",
+)
+def olap_skyline_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    s = t(spark, sf_dir, "supplier").select(
+        "s_nationkey",
+        "s_suppkey",
+        "s_acctbal",
+        F.length("s_name").cast("bigint").alias("c_len"),
+    )
+    # strict dominance with ties, no self-join:
+    #   m1 = best (min) c_len among rows with STRICTLY greater acctbal —
+    #        reduce each (nation, acctbal) group to its min c_len, then a
+    #        rows-frame running min over strictly-prior groups (acct DESC);
+    #   m2 = min c_len within the same-acctbal tie group (self included —
+    #        harmless under the strict '<').
+    # dominated  ⇔  m1 ≤ c_len  OR  m2 < c_len.
+    g = s.groupBy("s_nationkey", "s_acctbal").agg(F.min("c_len").alias("gmin"))
+    wg = (
+        W.partitionBy("s_nationkey")
+        .orderBy(F.col("s_acctbal").desc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    g = g.withColumn("m1", F.min("gmin").over(wg))
+    out = s.join(g, ["s_nationkey", "s_acctbal"])
+    dominated = (
+        (F.col("m1").isNotNull() & (F.col("m1") <= F.col("c_len")))
+        | (F.col("gmin") < F.col("c_len"))
+    )
+    return (
+        out.filter(~dominated)
+        .select(
+            "s_nationkey",
+            "s_suppkey",
+            r4(F.col("s_acctbal")).alias("acctbal"),
+            F.col("c_len").alias("name_len"),
+        )
+    )
