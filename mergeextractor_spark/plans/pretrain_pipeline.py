@@ -216,11 +216,13 @@ EXPORT_EPOCH = 0
     "the plan is unpartitioned.",
 )
 def pipeline_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # project text down to (hash, token count) BEFORE the dedup window —
+    # the exchange must carry 32-byte hashes, never document text
     d = t(spark, sf_dir, "documents").select(
-        "doc_id", "text", F.size(_tokens(F.col("text"))).alias("n")
+        "doc_id", F.md5("text").alias("h"), F.size(_tokens(F.col("text"))).alias("n")
     )
     floored = d.filter(F.col("n") >= EXPORT_TOKEN_FLOOR)
-    w_dd = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    w_dd = W.partitionBy("h").orderBy("doc_id")
     survivors = (
         floored.withColumn("rn", F.row_number().over(w_dd))
         .filter(F.col("rn") == 1)

@@ -350,3 +350,15 @@ def test_banded_phash_dedup_never_cartesian(spark):
         plan = plan_of(spark, key)
         assert "CartesianProduct" not in plan, key
         assert "BroadcastNestedLoopJoin" not in plan, key
+
+
+def test_training_export_shuffles_hashes_not_text(spark):
+    # the export flagship's two exchanges must carry (id, hash, count)
+    # projections only — document text is consumed map-side computing
+    # md5/token-count, and the keep-first dedup rank must be pruned
+    # map-side (WindowGroupLimit) before the shuffle
+    plan = plan_of(spark, "pipeline_training_export")
+    for seg in plan.split("Exchange hashpartitioning")[1:]:
+        first_node = seg.split("+- ")[1] if "+- " in seg else seg
+        assert "text#" not in first_node.split("\n")[0], first_node[:200]
+    assert "WindowGroupLimit" in plan
