@@ -274,12 +274,22 @@ def _banded_hamming_dedup(
     pigeonhole: a pair within hamming ≤ max_hamming whose flipped bits
     touch ≤ 3 bands shares at least one clean band, and the verify join
     re-checks exact hamming on candidates only) → keep-first canonical
-    rep. Output is one row PER SIGNATURE (linear in N)."""
+    rep. Output is one row PER SIGNATURE (linear in N).
+
+    Exact-collapse-first ordering (the same invariant as the text dedup
+    family): IDENTICAL signatures — blank frames, re-encoded copies —
+    form the heaviest clusters at corpus scale, and a band join over
+    raw rows would emit c² candidate pairs inside each such cluster.
+    Signatures therefore first collapse to one representative per
+    DISTINCT phash (gid = min media_id); the banded join runs over
+    distinct signatures only, and group membership maps every row to
+    its final rep afterwards with a hash join."""
     sig = sig.filter(F.col("phash").isNotNull())
+    groups = sig.groupBy("phash").agg(F.min("media_id").alias("media_id"))
     # the stored long is the hash with bit 63 flipped (signed-range
     # shift); the flip is uniform across rows, so band equi-joins and
     # XOR hamming distances are unchanged — no unshift needed
-    bands = sig.select(
+    bands = groups.select(
         "media_id",
         "phash",
         *[
@@ -313,14 +323,20 @@ def _banded_hamming_dedup(
     near = cand.filter(
         F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))) <= max_hamming
     ).select("a", "b")
+    # rep per distinct-signature group: the smallest neighboring group id
+    # (every group id is its group's min member, so this equals the
+    # smallest qualifying raw media_id — single-hop keep-first semantics)
     rep = near.groupBy(F.col("b").alias("media_id")).agg(F.min("a").alias("rep_via"))
+    grp_rep = groups.join(rep, "media_id", "left").select(
+        "phash", F.coalesce(F.col("rep_via"), F.col("media_id")).alias("grp_rep")
+    )
     return (
-        sig.join(rep, "media_id", "left")
+        sig.join(grp_rep, "phash")
         .select(
             "media_id",
             "phash",
-            F.coalesce(F.col("rep_via"), F.col("media_id")).alias("rep_id"),
-            F.col("rep_via").isNotNull().alias("is_dup"),
+            F.least(F.col("grp_rep"), F.col("media_id")).alias("rep_id"),
+            (F.col("grp_rep") < F.col("media_id")).alias("is_dup"),
         )
     )
 
