@@ -274,6 +274,36 @@ def main() -> None:
 
     probe("pq subvector explode (K-replicated)", pq_encode_at_k)
 
+    # Banded signature dedup (image/audio/video near-dup path): uniques +
+    # single-bit-flipped near-dups, and the dup-heavy blank-frame shape
+    # where 200 rows share each distinct signature — exact-collapse-first
+    # keeps the band join at distinct-signature cardinality (r6).
+    from mergeextractor_spark.operators.multimodal import _banded_hamming_dedup
+
+    n_sig = 10_000 * args.k
+
+    def sig_dedup_mixed():
+        uniq = (n_sig * 9) // 10
+        df = spark.range(n_sig).select(
+            F.col("id").alias("media_id"),
+            F.when(F.col("id") < uniq, F.xxhash64("id"))
+            .otherwise(
+                F.expr(f"xxhash64(id % {uniq}) ^ shiftleft(1L, cast(id % 60 as int))")
+            )
+            .alias("phash"),
+        )
+        return _banded_hamming_dedup(df).filter("is_dup").count()
+
+    def sig_dedup_dup_heavy():
+        df = spark.range(n_sig).select(
+            F.col("id").alias("media_id"),
+            F.xxhash64(F.col("id") % F.lit(max(n_sig // 200, 1))).alias("phash"),
+        )
+        return _banded_hamming_dedup(df).filter("is_dup").count()
+
+    probe("banded sig dedup, 10% near-dups", sig_dedup_mixed)
+    probe("banded sig dedup, 200x dup-heavy", sig_dedup_dup_heavy)
+
     total = sum(dt for _, _, dt in probes)
     print(f"TOTAL {total:.1f}s at K={args.k}", flush=True)
 
