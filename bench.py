@@ -72,7 +72,7 @@ HEADLINE = [
     "sort_zorder",               # Morton clustering key (pure bitwise map stage)
     "rank_rrf_fusion",           # hybrid retrieval: BM25 + cosine pools -> reciprocal-rank fusion
     # round 6 additions
-    "pipeline_training_export",  # flagship #6: floor -> exact dedup -> epoch key -> shard -> pack
+    "pipeline_training_export",  # flagship #7: floor -> exact dedup -> epoch key -> shard -> pack
     "eval_tokenizer_fertility",  # per-language BPE/word fertility (single partial agg)
     "agg_context_window_share",  # per-source fit share + truncation retention at 512/2k/8k
     "sample_epoch_shuffle",      # hash-keyed epoch permutation (WindowGroupLimit-pruned)
