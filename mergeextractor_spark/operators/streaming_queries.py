@@ -2304,3 +2304,53 @@ def agg_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.col("avg_dau") / F.col("mau")).alias("stickiness"),
         )
     )
+
+
+TOP_PATHS_K = 20
+
+
+@register(
+    "events_top_paths",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type AS e1,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n_paths
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY e1, e2, e3
+    ORDER BY n_paths DESC, e1, e2, e3
+    LIMIT {TOP_PATHS_K}
+    """,
+    doc=f"Top-{TOP_PATHS_K} 3-step user journeys: consecutive event-type "
+    "triples per user (lead windows over the per-user timeline, "
+    "event_id tiebreak for cross-engine determinism) counted corpus-"
+    "wide. The sequence-mining primitive behind funnel discovery and "
+    "next-action suggestions. One user_id-partitioned window shuffle "
+    "carrying (user_id, ts, event_id, type); the triple count is a "
+    "partial-aggregated groupBy on |types|³-bounded keys; the top-k is "
+    "a TakeOrderedAndProject heap, never a global sort.",
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .filter(F.col("e3").isNotNull())
+    )
+    counts = seq.groupBy("e1", "e2", "e3").agg(
+        F.count("*").cast("bigint").alias("n_paths")
+    )
+    return counts.orderBy(
+        F.desc("n_paths"), F.asc("e1"), F.asc("e2"), F.asc("e3")
+    ).limit(TOP_PATHS_K)

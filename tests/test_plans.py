@@ -362,3 +362,8 @@ def test_training_export_shuffles_hashes_not_text(spark):
         first_node = seg.split("+- ")[1] if "+- " in seg else seg
         assert "text#" not in first_node.split("\n")[0], first_node[:200]
     assert "WindowGroupLimit" in plan
+
+
+def test_top_paths_uses_heap_topk(spark):
+    plan = plan_of(spark, "events_top_paths")
+    assert "TakeOrderedAndProject" in plan
