@@ -2349,3 +2349,53 @@ def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("position") <= EPOCH_HEAD)
         .select("epoch", F.col("position").cast("bigint").alias("position"), "doc_id")
     )
+
+
+NEYMAN_BUDGET = 1000  # total sample size to allocate across strata
+
+
+@register(
+    "sample_strata_neyman",
+    oracle=f"""
+    WITH strata AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             stddev_samp(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))) AS sd
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT sum(n_docs * sd) AS z FROM strata)
+    SELECT lang, n_docs,
+           round(sd, 4) AS stddev_tokens,
+           round({NEYMAN_BUDGET} * n_docs * sd / z, 4) AS alloc
+    FROM strata CROSS JOIN tot
+    """,
+    doc=f"Neyman optimal allocation for stratified sampling: a "
+    f"{NEYMAN_BUDGET}-unit sample budget split across language strata "
+    "proportionally to N_h x S_h (stratum size x token-count standard "
+    "deviation) — minimum-variance estimation under a fixed budget, the "
+    "principled successor to proportional stratified sampling "
+    "(sample_stratified). One partial-aggregated groupBy + a broadcast "
+    "1-row normalizer join (the sample_temperature posture — no global "
+    "window).",
+)
+def sample_strata_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text_queries import _tokens
+
+    strata = (
+        t(spark, sf_dir, "documents")
+        .select("lang", F.size(_tokens(F.col("text"))).alias("nt"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.stddev_samp("nt").alias("sd"),
+        )
+    )
+    tot = strata.agg(F.sum(F.col("n_docs") * F.col("sd")).alias("z"))
+    return strata.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        r4(F.col("sd")).alias("stddev_tokens"),
+        r4(F.lit(NEYMAN_BUDGET) * F.col("n_docs") * F.col("sd") / F.col("z")).alias(
+            "alloc"
+        ),
+    )

@@ -1917,3 +1917,57 @@ def olap_skyline_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_len").alias("name_len"),
         )
     )
+
+
+WILSON_Z = 1.96  # 95% two-sided
+
+
+@register(
+    "agg_rate_wilson_ci",
+    oracle=f"""
+    WITH g AS (
+      SELECT l_linestatus,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS x
+      FROM lineitem GROUP BY l_linestatus
+    )
+    SELECT l_linestatus, n, x,
+           round(CAST(x AS DOUBLE) / n, 4) AS rate,
+           round((CAST(x AS DOUBLE) / n + {WILSON_Z} * {WILSON_Z} / (2 * n)
+                  - {WILSON_Z} * sqrt((CAST(x AS DOUBLE) / n) * (1 - CAST(x AS DOUBLE) / n) / n
+                                      + {WILSON_Z} * {WILSON_Z} / (4.0 * n * n)))
+                 / (1 + {WILSON_Z} * {WILSON_Z} / n), 4) AS ci_lo,
+           round((CAST(x AS DOUBLE) / n + {WILSON_Z} * {WILSON_Z} / (2 * n)
+                  + {WILSON_Z} * sqrt((CAST(x AS DOUBLE) / n) * (1 - CAST(x AS DOUBLE) / n) / n
+                                      + {WILSON_Z} * {WILSON_Z} / (4.0 * n * n)))
+                 / (1 + {WILSON_Z} * {WILSON_Z} / n), 4) AS ci_hi
+    FROM g
+    """,
+    doc="Wilson 95% confidence interval on the returned-line rate per "
+    "line status — the binomial interval that stays inside [0,1] and "
+    "behaves at small n, the reporting primitive dashboards should use "
+    "instead of ±1.96·SE. Single partial-aggregated scan; the interval "
+    "arithmetic is post-aggregation scalar math on |groups| rows.",
+)
+def agg_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    z = WILSON_Z
+    g = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum((F.col("l_returnflag") == "R").cast("int")).cast("bigint").alias("x"),
+        )
+    )
+    p = F.col("x").cast("double") / F.col("n")
+    denom = 1 + z * z / F.col("n")
+    center = p + z * z / (2 * F.col("n"))
+    half = z * F.sqrt(p * (1 - p) / F.col("n") + z * z / (4.0 * F.col("n") * F.col("n")))
+    return g.select(
+        "l_linestatus",
+        "n",
+        "x",
+        r4(p).alias("rate"),
+        r4((center - half) / denom).alias("ci_lo"),
+        r4((center + half) / denom).alias("ci_hi"),
+    )
