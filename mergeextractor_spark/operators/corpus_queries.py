@@ -299,3 +299,74 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_vocab"),
         r4(F.covar_pop(x, y) / F.var_pop(x)).alias("zipf_slope"),
     )
+
+
+SELF_SIM_K = 32  # sampled docs — bounded at any corpus size
+SELF_SIM_N = 4  # gram width
+
+
+@register(
+    "eval_self_similarity_sample",
+    oracle=rf"""
+    WITH sample AS (
+      SELECT doc_id, text FROM documents
+      ORDER BY md5(doc_id::VARCHAR), doc_id LIMIT {SELF_SIM_K}
+    ),
+    ws AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+      FROM sample
+    ),
+    dg AS (
+      SELECT DISTINCT doc_id,
+             substr(md5(unnest(list_transform(generate_series(1, len(w) - {SELF_SIM_N - 1}),
+                                   i -> array_to_string(list_slice(w, i, i + {SELF_SIM_N - 1}), ' ')))), 1, 16) AS gh
+      FROM ws WHERE len(w) >= {SELF_SIM_N}
+    ),
+    dfreq AS (SELECT gh, count(*) AS df FROM dg GROUP BY gh)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           round(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS self_sim
+    FROM dg JOIN dfreq USING (gh)
+    GROUP BY doc_id
+    """,
+    doc=f"Self-BLEU-style corpus diversity probe: for a deterministic "
+    f"{SELF_SIM_K}-doc sample (smallest md5(doc_id) — TakeOrdered, "
+    "bounded at ANY corpus size), the share of each document's distinct "
+    f"{SELF_SIM_N}-grams that appear in at least one OTHER sampled "
+    "document. High self_sim across the board = templated/repetitive "
+    "corpus; the diversity twin of the dedup family's containment "
+    "metrics. Gram doc-frequency within the sample comes from one "
+    "groupBy over 16-char gram hashes; pair space never materializes.",
+)
+def eval_self_similarity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = SELF_SIM_N
+    sample = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text", F.md5(F.col("doc_id").cast("string")).alias("mk"))
+        .orderBy("mk", "doc_id")
+        .limit(SELF_SIM_K)
+    )
+    ws = _tokens(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+        lambda i: F.substring(F.md5(F.concat_ws(" ", F.slice(ws, i, n))), 1, 16),
+    )
+    dg = (
+        sample.filter(F.size(ws) >= n)
+        .select("doc_id", F.explode(grams).alias("gh"))
+        .distinct()
+    )
+    dfreq = dg.groupBy("gh").agg(F.count("*").alias("df"))
+    return (
+        dg.join(dfreq, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum((F.col("df") >= 2).cast("int")).cast("bigint").alias("n_shared"),
+            r4(
+                F.sum((F.col("df") >= 2).cast("int")).cast("double") / F.count("*")
+            ).alias("self_sim"),
+        )
+    )
