@@ -190,6 +190,12 @@ _ROTATION_FIRST: tuple[str, ...] = (
 # ~18 remainder — the cheap text/curation tail — closes out in r08).
 # Until this list is empty, new-key registration stays below the
 # ~50/round evidence budget (new oracle keys rank BEHIND this backlog).
+# Ten r6-added oracle keys queue at that behind-backlog rank — promote
+# them alongside the backlog when composing r07/r08 windows:
+# eval_tokenizer_fertility, agg_context_window_share,
+# sample_epoch_shuffle, pipeline_training_export (flagship #7 — front
+# it in r07), dq_outlier_iqr, olap_skyline_suppliers, events_top_paths,
+# sample_strata_neyman, agg_rate_wilson_ci, eval_self_similarity_sample.
 _R07_BACKLOG: tuple[str, ...] = (
     # OLAP remainder
     "join_asof_nearest", "olap_yoy_growth", "window_percent_change",
