@@ -137,6 +137,17 @@ def main() -> None:
         flush=True,
     )
 
+    print(build_stdout_line(timings, total, n_runs, sf), flush=True)
+
+
+def build_stdout_line(
+    timings: dict[str, float], total: float, n_runs: int, sf: float
+) -> str:
+    """The ONE stdout JSON line the driver parses. Must stay under its
+    tail-capture buffer (~2000 bytes, learned from the r5 parse failure):
+    compact separators, and if the full per-query dict would overflow,
+    keep only the slowest queries plus an explicit omission count."""
+
     def _line(queries: dict[str, float]) -> str:
         return json.dumps(
             {
@@ -157,7 +168,7 @@ def main() -> None:
             keep.pop(next(reversed(keep)))
         keep["_omitted_fastest"] = len(timings) - len(keep)
         out = _line(keep)
-    print(out, flush=True)
+    return out
 
 
 if __name__ == "__main__":

@@ -170,3 +170,32 @@ def test_no_registered_output_is_canonicalizer_hostile(spark):
             if isinstance(f.dataType, (ArrayType, MapType, StructType)):
                 offenders.append((key, f.name, f.dataType.simpleString()))
     assert not offenders, offenders
+
+
+def test_bench_stdout_line_stays_parseable_and_small():
+    """BENCH_r05 failed to parse because the stdout JSON outgrew the
+    driver's tail-capture buffer. The line builder must stay under 2000
+    bytes for the real suite AND for pathological suites, keeping the
+    slowest queries and an explicit omission count."""
+    import json
+
+    from bench import HEADLINE, build_stdout_line
+
+    # the real suite shape
+    timings = {k: 1.234 for k in HEADLINE}
+    line = build_stdout_line(timings, 60.0, 5, 0.1)
+    assert len(line) < 2000, len(line)
+    d = json.loads(line)
+    assert d["metric"] == "headline_suite_seconds" and len(d["queries"]) == len(HEADLINE)
+
+    # pathological: 300 long-named queries must trigger the valve
+    big = {f"extremely_long_query_name_number_{i:03d}": i / 7 for i in range(300)}
+    line = build_stdout_line(big, 999.9, 5, 0.1)
+    assert len(line) < 2000, len(line)
+    d = json.loads(line)
+    assert d["queries"]["_omitted_fastest"] > 0
+    kept = [k for k in d["queries"] if k != "_omitted_fastest"]
+    # the kept set is the slowest ones
+    assert min(big[k] for k in kept) >= max(
+        v for k, v in big.items() if k not in kept
+    )
