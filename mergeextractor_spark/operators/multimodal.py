@@ -266,15 +266,32 @@ def dedup_image_phash_frame(media: DataFrame) -> DataFrame:
     return _banded_hamming_dedup(image_phash(media))
 
 
+# 7 bands over the 64 signature bits (sizes 10+9×6): k+1 = 7 bands for a
+# guaranteed clean band at hamming <= 6 (PHASH_HAMMING_MAX).  The 4×16-bit
+# layout this replaces only pigeonholed <= 3 flips (ADVICE r6, medium).
+_BAND_OFFSETS: tuple[tuple[int, int], ...] = (
+    (0, 10), (10, 9), (19, 9), (28, 9), (37, 9), (46, 9), (55, 9),
+)
+# 8 byte-blocks over the SAME 64 bits: <= 6 flips corrupt <= 6 of 8 blocks,
+# so some block is intact too.  Band and block intactness both follow from
+# the one flip set, so every true pair shares a compound (band, block) key.
+_N_BLOCKS: int = 8
+
+
 def _banded_hamming_dedup(
     sig: DataFrame, max_hamming: int = PHASH_HAMMING_MAX
 ) -> DataFrame:
-    """(media_id, phash) signatures → keep-first near-dup assignment via
-    4×16-bit band equi-join (the dedup_simhash_neardup posture —
-    pigeonhole: a pair within hamming ≤ max_hamming whose flipped bits
-    touch ≤ 3 bands shares at least one clean band, and the verify join
-    re-checks exact hamming on candidates only) → keep-first canonical
-    rep. Output is one row PER SIGNATURE (linear in N).
+    """(media_id, phash) signatures → keep-first near-dup assignment via a
+    double-pigeonhole compound-key equi-join (the dedup_simhash_neardup
+    posture): 7 bands × 8 byte-blocks of the 64-bit signature give 56
+    (band_value, block_value) keys per distinct signature.  A pair within
+    hamming ≤ 6 leaves ≥ 1 of the 7 bands AND ≥ 2 of the 8 blocks intact
+    (both pigeonholes apply to the same flip set), so it always shares a
+    compound key — recall equals the all-pairs scan, which the
+    dedup_signature_banded oracle keeps to prove it.  The ~18-bit compound
+    key (vs a 9-bit band alone) keeps buckets small at corpus scale; the
+    exact bit_count(xor) verify then runs on candidates only.  Keep-first
+    canonical rep; output is one row PER SIGNATURE (linear in N).
 
     Exact-collapse-first ordering (the same invariant as the text dedup
     family): IDENTICAL signatures — blank frames, re-encoded copies —
@@ -284,32 +301,42 @@ def _banded_hamming_dedup(
     DISTINCT phash (gid = min media_id); the banded join runs over
     distinct signatures only, and group membership maps every row to
     its final rep afterwards with a hash join."""
+    if max_hamming > len(_BAND_OFFSETS) - 1:
+        raise ValueError(
+            f"7-band pigeonhole guarantees recall only for hamming <= 6, got {max_hamming}"
+        )
     sig = sig.filter(F.col("phash").isNotNull())
     groups = sig.groupBy("phash").agg(F.min("media_id").alias("media_id"))
     # the stored long is the hash with bit 63 flipped (signed-range
     # shift); the flip is uniform across rows, so band equi-joins and
     # XOR hamming distances are unchanged — no unshift needed
-    bands = groups.select(
+    entries = F.array(*[
+        F.struct(
+            F.lit(k * _N_BLOCKS + j).alias("kj"),
+            F.shiftrightunsigned(F.col("phash"), off)
+            .bitwiseAND(F.lit((1 << size) - 1).cast("long"))
+            .cast("int")
+            .alias("bv"),
+            F.shiftrightunsigned(F.col("phash"), 8 * j)
+            .bitwiseAND(F.lit(0xFF).cast("long"))
+            .cast("int")
+            .alias("sv"),
+        )
+        for k, (off, size) in enumerate(_BAND_OFFSETS)
+        for j in range(_N_BLOCKS)
+    ])
+    keyed = groups.select(
         "media_id",
         "phash",
-        *[
-            F.shiftrightunsigned(F.col("phash"), 16 * b)
-            .bitwiseAND(F.lit(0xFFFF).cast("long"))
-            .cast("int")
-            .alias(f"b{b}")
-            for b in range(4)
-        ],
-    )
-    pairs = None
-    for b in range(4):
-        a = bands.select(F.col(f"b{b}").alias("band"), F.lit(b).alias("bi"), "media_id", "phash")
-        pairs = a if pairs is None else pairs.unionByName(a)
+        F.explode(entries).alias("e"),
+    ).select("media_id", "phash", "e.kj", "e.bv", "e.sv")
     cand = (
-        pairs.alias("x")
+        keyed.alias("x")
         .join(
-            pairs.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bi") == F.col("y.bi"))
+            keyed.alias("y"),
+            (F.col("x.kj") == F.col("y.kj"))
+            & (F.col("x.bv") == F.col("y.bv"))
+            & (F.col("x.sv") == F.col("y.sv"))
             & (F.col("x.media_id") < F.col("y.media_id")),
         )
         .select(
@@ -968,9 +995,11 @@ def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_image_phash",
     oracle=None,  # built on the UDF signature → rows-only
-    doc="Image near-dup dedup over the dHash signature: 4×16-bit band "
-    "equi-join (dedup_simhash_neardup posture — banded candidates, "
-    f"never all-pairs), exact hamming ≤ {PHASH_HAMMING_MAX} verify via "
+    doc="Image near-dup dedup over the dHash signature: 7-band × "
+    "8-block double-pigeonhole compound-key equi-join "
+    "(dedup_simhash_neardup posture — banded candidates, never "
+    f"all-pairs, recall GUARANTEED at hamming ≤ {PHASH_HAMMING_MAX}), "
+    f"exact hamming ≤ {PHASH_HAMMING_MAX} verify via "
     "bit_count(xor), keep-first canonical rep; one output row per "
     "image. The multimodal twin of the text near-dup family: gradient "
     "re-rendered at 2× size and sparse-perturbed variants cluster with "
@@ -999,8 +1028,9 @@ def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_audio_fingerprint",
     oracle=None,  # built on the UDF signature → rows-only
     doc="Audio near-dup dedup over the envelope fingerprint through the "
-    "same banded-Hamming pipeline as dedup_image_phash (4×16-bit band "
-    "candidates, exact bit_count verify, keep-first rep, one row per "
+    "same banded-Hamming pipeline as dedup_image_phash (7-band × "
+    "8-block compound-key candidates with guaranteed hamming-≤-6 "
+    "recall, exact bit_count verify, keep-first rep, one row per "
     "clip). Half-amplitude and double-duration re-renders cluster with "
     "their base; an inverted envelope stays distinct.",
 )
@@ -1031,3 +1061,80 @@ def multimodal_video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_video_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_video_fingerprint_frame(_media_df(spark))
+
+
+# ---------------------------------------------------------------------------
+# Oracle-paired twin of the banded-Hamming stage (VERDICT r6 item 4): the
+# decode UDFs above are rows-only by contract, but the band join +
+# bit_count verify + keep-first rep is pure SQL over signatures — so feed
+# it a DETERMINISTIC signature table derived from documents.parquet and
+# hash-check it against a naive all-pairs DuckDB oracle.  Because the
+# 7-band × 8-block double pigeonhole guarantees recall at hamming ≤ 6,
+# matching the naive scan is exact, not probabilistic.
+
+_SIG_CLUSTERS = 50  # base signatures; members differ by planted bit flips
+
+
+def _planted_sig_sql(engine: str) -> str:
+    """Deterministic 60-bit signature per doc_id, identical in both
+    engines: base = 15 md5 nibbles of the cluster id (hex→int
+    nibble-by-nibble, the portable currency), xor a mask of f = doc_id%8
+    flipped bits (0..7 — straddling the ≤6 threshold) at positions
+    (doc_id*7 + i*13) % 60, which are pairwise distinct for i < 7."""
+    pos = "instr" if engine == "spark" else "strpos"
+    cast_str = "string" if engine == "spark" else "VARCHAR"
+    base = " + ".join(
+        f"cast(({pos}('0123456789abcdef', substr(md5(cast(doc_id % {_SIG_CLUSTERS} "
+        f"as {cast_str})), {i + 1}, 1)) - 1) as bigint) * {1 << (4 * i)}"
+        for i in range(15)
+    )
+    if engine == "spark":
+        flips = " + ".join(
+            f"(CASE WHEN doc_id % 8 > {i} THEN shiftleft(cast(1 as bigint), "
+            f"cast((doc_id * 7 + {i * 13}) % 60 as int)) ELSE cast(0 as bigint) END)"
+            for i in range(7)
+        )
+        return f"(cast({base} as bigint) ^ cast({flips} as bigint))"
+    flips = " + ".join(
+        f"(CASE WHEN doc_id % 8 > {i} THEN (1::BIGINT << ((doc_id * 7 + {i * 13}) % 60)::INT) "
+        f"ELSE 0::BIGINT END)"
+        for i in range(7)
+    )
+    return f"xor(({base})::BIGINT, ({flips})::BIGINT)"
+
+
+@register(
+    "dedup_signature_banded",
+    oracle=f"""
+    WITH sig AS (
+      SELECT doc_id, {_planted_sig_sql("duckdb")} AS phash FROM documents
+    )
+    SELECT a.doc_id, a.phash,
+           coalesce(min(b.doc_id), a.doc_id) AS rep_id,
+           (coalesce(min(b.doc_id), a.doc_id) < a.doc_id) AS is_dup
+    FROM sig a LEFT JOIN sig b
+      ON b.doc_id < a.doc_id AND bit_count(xor(a.phash, b.phash)) <= {PHASH_HAMMING_MAX}
+    GROUP BY a.doc_id, a.phash
+    """,
+    doc="The shared banded-Hamming near-dup stage under a DuckDB hash "
+    "check: deterministic planted signatures (md5-derived 60-bit base "
+    "per cluster, 0..7 flipped bits per member) run through the exact "
+    "7-band × 8-block compound-key pipeline the image/audio/video "
+    "dedup keys use (_banded_hamming_dedup); the oracle is the NAIVE "
+    "all-pairs hamming ≤ 6 keep-first scan, so a green row proves the "
+    "double-pigeonhole candidate generation loses no pair — the "
+    "value-level driver check the rows-only multimodal triad cannot "
+    "carry itself (decode is UDF-bound). Single-hop keep-first "
+    "semantics on both sides.",
+)
+def dedup_signature_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import t
+
+    docs = t(spark, sf_dir, "documents")
+    sig = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.expr(_planted_sig_sql("spark")).alias("phash"),
+    )
+    return _banded_hamming_dedup(sig).select(
+        F.col("media_id").alias("doc_id"), "phash", "rep_id", "is_dup"
+    )

@@ -56,7 +56,7 @@ def register(key: str, oracle: str | None = None, doc: str = "", eager: bool = F
 # CORRECTNESS file is folded into _DRIVER_GREEN below; seeds the canary
 # sample so each round re-checks a different deterministic slice of the
 # already-green keys (VERDICT r3 "Next round" item 3).
-_ROUND: int = 6
+_ROUND: int = 7
 
 # Keys that already hold a green hash-checked row in CORRECTNESS_r01–r03
 # (historical fact, frozen).  The driver's correctness gate walks the dict
@@ -128,75 +128,46 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "olap_product_profit", "olap_best_supplier_per_part",
     "olap_important_parts", "olap_supplier_part_counts",
     "olap_forecast_revenue", "olap_excess_shippers",
-})
-
-# The two keys without CLEAN driver evidence as of r05 lead the window
-# (VERDICT r5 items 1 and 3): vector_pca_project's r05 row was red
-# (driver canonicalizer died on array<double>; output now exploded to
-# scalar rows) and pipeline_incremental_ingest sat at rows-only queue
-# position 32 when the 50-key window closed.  Both are rows-only by
-# contract design; their first clean rows double as the regression check.
-_EVIDENCE_FIX: tuple[str, ...] = (
-    "vector_pca_project", "pipeline_incremental_ingest",
-    # new in r6: end-to-end crawler accept/reject-class audit (VERDICT r5
-    # item 6) — rows-only, yield-parity value checks in pytest
-    "pipeline_crawler_audit",
-    # new in r6: image/audio perceptual signatures + banded near-dup
-    # dedup — rows-only (UDF pixel/PCM decode), value checks in pytest
-    "multimodal_image_phash", "dedup_image_phash",
-    "multimodal_audio_fingerprint", "dedup_audio_fingerprint",
-    "multimodal_video_fingerprint", "dedup_video_fingerprint",
-)
-
-# Explicit order for the first 37 of the 109 oracle keys with no driver
-# row in any round (VERDICT r5 item 3): flagships first
-# (pipeline_pretrain_corpus, pipeline_hybrid_search, graph_pagerank,
-# agg_source_overlap, eval_ann_recall — the judge called these out by
-# name), then the vector/ANN/dedup/graph scale families, then
-# parsers/scalars, then the first OLAP batch.  With the 9 evidence-fix
-# keys and 4 canaries ahead, this fills positions 14..50 of the window.
-_ROTATION_FIRST: tuple[str, ...] = (
-    # flagships
+    # CORRECTNESS_r06.json (41 hash-green rows: the 37 r06 rotation-first
+    # keys below; the other 4 were canary re-passes already listed above)
     "pipeline_pretrain_corpus", "pipeline_hybrid_search",
     "graph_pagerank", "agg_source_overlap", "eval_ann_recall",
-    # vector / retrieval-stack
     "rank_rrf_fusion", "rank_mmr_diversify", "sample_kcenter_diverse",
     "dedup_semantic_semdedup", "agg_embedding_covariance",
     "eval_matryoshka_recall", "eval_embedding_drift",
     "dq_embedding_norms", "eval_retrieval_rank_corr",
-    # ANN store / sketch scale paths
     "ann_ivf_pq_refine_probe", "ann_ivf_pq_stored", "sort_zorder",
-    "agg_cms_estimate",
-    # dedup / entity resolution
-    "dedup_containment", "entity_resolution_clusters",
+    "agg_cms_estimate", "dedup_containment", "entity_resolution_clusters",
     "eval_minhash_accuracy", "dedup_source_flow",
-    # graph / market-basket
     "graph_item_transitions", "agg_market_basket",
     "graph_degree_distribution", "eval_markov_predictor",
-    # corpus-level curation stats
     "sample_logprob_bucket", "text_hash_classifier", "text_zipf_slope",
-    # parsers / scalar batteries
     "scan_jsonl_roundtrip", "scan_csv_corrupt_permissive",
     "json_variant_extract", "str_xml_extract", "str_try_cast_battery",
-    "str_multiformat_dates",
-    # OLAP batch 1 (as-of joins + product analytics)
-    "olap_pricing_pipe", "join_asof_forward",
-)
+    "str_multiformat_dates", "olap_pricing_pipe", "join_asof_forward",
+})
 
-# r07 burn-down plan (VERDICT r5 item 8): the 72 oracle keys still
-# unevidenced after the r06 window, ranked directly behind
-# _ROTATION_FIRST so any r06 budget surplus eats into them, and promoted
-# wholesale to _ROTATION_FIRST in r07 (47 fit alongside ~3 canaries; the
-# ~18 remainder — the cheap text/curation tail — closes out in r08).
-# Until this list is empty, new-key registration stays below the
-# ~50/round evidence budget (new oracle keys rank BEHIND this backlog).
-# Ten r6-added oracle keys queue at that behind-backlog rank — promote
-# them alongside the backlog when composing r07/r08 windows:
-# eval_tokenizer_fertility, agg_context_window_share,
-# sample_epoch_shuffle, pipeline_training_export (flagship #7 — front
-# it in r07), dq_outlier_iqr, olap_skyline_suppliers, events_top_paths,
-# sample_strata_neyman, agg_rate_wilson_ci, eval_self_similarity_sample.
-_R07_BACKLOG: tuple[str, ...] = (
+# Keys without CLEAN driver evidence lead the window.  r07: none — every
+# registered key held a clean CORRECTNESS_r06 row (41 oracle-green + 9
+# rows-only), so the window is canaries + rotation only this round.
+_EVIDENCE_FIX: tuple[str, ...] = ()
+
+# Explicit order for the 46 oracle keys of the r07 window (VERDICT r6
+# item 1): the 10 r6-registered oracle keys first (pipeline_training_export
+# — flagship #7 — fronted, per the judge), then dedup_signature_banded
+# (VERDICT r6 item 4's new oracle twin of the banded multimodal dedup
+# stage), then the first 35 keys of the r07 backlog in its encoded order.
+# With 4 canaries ahead, this fills positions 5..50 of the window.
+_ROTATION_FIRST: tuple[str, ...] = (
+    # flagship #7 + the other nine r6-registered oracle keys
+    "pipeline_training_export", "eval_tokenizer_fertility",
+    "agg_context_window_share", "sample_epoch_shuffle",
+    "dq_outlier_iqr", "olap_skyline_suppliers", "events_top_paths",
+    "sample_strata_neyman", "agg_rate_wilson_ci",
+    "eval_self_similarity_sample",
+    # VERDICT r6 item 4: oracle-paired banded-Hamming dedup stage
+    "dedup_signature_banded",
+    # r07 backlog burn-down, first 35 in the encoded order:
     # OLAP remainder
     "join_asof_nearest", "olap_yoy_growth", "window_percent_change",
     "olap_abc_analysis",
@@ -211,12 +182,25 @@ _R07_BACKLOG: tuple[str, ...] = (
     "text_bigram_logprob", "agg_benford_digit_profile",
     "text_boilerplate_lines", "str_split_identifiers",
     "text_extractive_summary",
-    # curation / DQ
+    # curation / DQ batch 1
     "text_bm25_topk", "text_bpe_encode", "text_bpe_merge_candidates",
     "sample_reservoir_weighted", "sample_balanced_classes",
     "text_collocation_pmi", "text_ngram_novelty", "agg_entropy_by_source",
     "text_stopword_induction", "text_vocab_coverage_curve",
-    "text_hapax_ratio", "text_word_burstiness", "text_charset_profile",
+    "text_hapax_ratio",
+)
+
+# r08 burn-down plan (VERDICT r6 item 2): the 37 oracle keys still
+# unevidenced after the r07 window, ranked directly behind
+# _ROTATION_FIRST so any r07 budget surplus eats into them, and promoted
+# wholesale to _ROTATION_FIRST in r08 (37 + ~4 canaries + any r07-adjudged
+# re-checks fit comfortably in the 50-key budget, emptying the backlog).
+# Until then the registration freeze holds: new oracle keys rank BEHIND
+# this backlog (rank 4 below), except judge-mandated additions like
+# dedup_signature_banded which the r6 verdict explicitly windowed.
+_R08_BACKLOG: tuple[str, ...] = (
+    # curation / DQ remainder
+    "text_word_burstiness", "text_charset_profile",
     "dq_skew_report", "dq_completeness_profile",
     "dq_referential_integrity", "dq_uniqueness_audit", "dq_file_inventory",
     "dq_chi_square_independence", "eval_jackknife_se",
@@ -236,9 +220,15 @@ _R07_BACKLOG: tuple[str, ...] = (
 )
 
 # Rows-only keys WITH driver evidence (r04 gave the first 4 their rows,
-# r05 covered the other 30).  They queue behind the oracle backlog —
-# every key here already holds a clean CORRECTNESS row.
+# r05 covered the next 30, r06 the last 9).  They queue behind the oracle
+# backlog — every key here already holds a clean CORRECTNESS row.
 _ROWS_ONLY_EVIDENCED: tuple[str, ...] = (
+    # CORRECTNESS_r06 (the 9 r06 evidence-fix keys, all clean)
+    "vector_pca_project", "pipeline_incremental_ingest",
+    "pipeline_crawler_audit",
+    "multimodal_image_phash", "dedup_image_phash",
+    "multimodal_audio_fingerprint", "dedup_audio_fingerprint",
+    "multimodal_video_fingerprint", "dedup_video_fingerprint",
     "sink_kv_roundtrip", "sink_kv_upsert", "sink_fs_dump",
     "source_http_fts", "source_http_doc",
     "multimodal_image_meta", "multimodal_audio_meta",
@@ -256,11 +246,10 @@ _ROWS_ONLY_EVIDENCED: tuple[str, ...] = (
 
 # Number of previously-green keys re-checked per round, sampled
 # deterministically from _DRIVER_GREEN seeded by _ROUND so a regression
-# in r01-era code cannot stay invisible forever.  r5 ranked canaries
-# BEHIND the rows-only backlog and the window closed before any executed
-# (VERDICT r5 item 4) — they now sit at positions 3..6, directly after
-# the evidence-fix keys, so they cannot be squeezed out again:
-# 9 fixes + 4 canaries + 37 rotation-first = exactly the 50-key window.
+# in r01-era code cannot stay invisible forever.  Canaries sit at
+# positions 1..4 (no evidence-fix keys this round), ahead of the
+# rotation so they cannot be squeezed out of the window:
+# 0 fixes + 4 canaries + 46 rotation-first = exactly the 50-key window.
 _CANARY_SLOTS: int = 4
 
 
@@ -275,17 +264,18 @@ def canary_keys(round_no: int = _ROUND) -> tuple[str, ...]:
 def load_all() -> dict[str, Query]:
     """Import every module that registers queries (idempotent).
 
-    Returned order implements the r06 gate-window rotation (VERDICT r5
-    items 3 and 4):
-      0. the 9 keys without clean driver evidence (_EVIDENCE_FIX);
-      1. 4 canary re-checks of previously-green keys (seeded by round) —
-         INSIDE the window this time, r5's sat behind the backlog and
-         never ran;
-      2. 37 never-driver-checked oracle keys (_ROTATION_FIRST, flagships
-         first) — 9+4+37 fills the driver's demonstrated 50-key budget;
-      3. the 72 remaining unevidenced oracle keys (_R07_BACKLOG) so any
-         budget surplus eats into r07's work;
-      4. oracle keys registered after the r06 snapshot;
+    Returned order implements the r07 gate-window rotation (VERDICT r6
+    items 1 and 2):
+      0. keys without clean driver evidence (_EVIDENCE_FIX — empty in
+         r07, every key held a clean r06 row);
+      1. 4 canary re-checks of previously-green keys (seeded by round);
+      2. 46 never-driver-checked oracle keys (_ROTATION_FIRST: the 10
+         r6-registered keys with pipeline_training_export fronted, the
+         judge-mandated dedup_signature_banded, then 35 backlog keys) —
+         4+46 fills the driver's demonstrated 50-key budget;
+      3. the 37 remaining unevidenced oracle keys (_R08_BACKLOG) so any
+         budget surplus eats into r08's work;
+      4. oracle keys registered after the r07 snapshot;
       5. rows-only keys that already hold driver rows;
       6. the remaining already-green oracle keys.
     """
@@ -316,7 +306,7 @@ def load_all() -> dict[str, Query]:
     fixes = {k: i for i, k in enumerate(_EVIDENCE_FIX)}
     canaries = {k: i for i, k in enumerate(canary_keys())}
     first = {k: i for i, k in enumerate(_ROTATION_FIRST)}
-    backlog = {k: i for i, k in enumerate(_R07_BACKLOG)}
+    backlog = {k: i for i, k in enumerate(_R08_BACKLOG)}
     rows_only = {k: i for i, k in enumerate(_ROWS_ONLY_EVIDENCED)}
 
     def rank(kv: tuple[str, Query]) -> tuple[int, int]:

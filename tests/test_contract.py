@@ -33,12 +33,12 @@ def test_every_oracle_key_has_a_query(spark):
 
 def test_gate_window_rotation_order():
     """The driver walks queries() in order under a wall-clock budget that
-    historically covers ~50 keys per round.  The r06 rotation (VERDICT r5
-    items 3+4) must put: (a) the 9 evidence-fix keys first (the r5 red,
-    the missed rows-only key, and the seven new-in-r6 rows-only keys),
-    (b) the 4 canaries next — INSIDE the window this time, (c) the 37
-    never-driver-checked oracle keys after — 9+4+37 = exactly the
-    demonstrated 50-key budget, (d) the 72-key r07 oracle backlog next so
+    historically covers ~50 keys per round.  The r07 rotation (VERDICT r6
+    items 1+2) must put: (a) any evidence-fix keys first (none this
+    round — every key held a clean r06 row), (b) the 4 canaries next,
+    (c) the 46 never-driver-checked oracle keys after (10 r6-registered
+    keys, dedup_signature_banded, 35 backlog keys) — 0+4+46 = exactly the
+    demonstrated 50-key budget, (d) the 37-key r08 oracle backlog next so
     budget surplus eats into it, before any rows-only or green key."""
     from mergeextractor_spark import registry
 
@@ -48,7 +48,7 @@ def test_gate_window_rotation_order():
 
     n_fix = len(registry._EVIDENCE_FIX)
     n_first = len(registry._ROTATION_FIRST)
-    # exact window arithmetic: 9 fixes + 4 canaries + 37 rotation = 50
+    # exact window arithmetic: 0 fixes + 4 canaries + 46 rotation = 50
     assert n_fix + registry._CANARY_SLOTS + n_first == 50
     assert keys[:n_fix] == list(registry._EVIDENCE_FIX)
     for key in registry._EVIDENCE_FIX:
@@ -63,13 +63,13 @@ def test_gate_window_rotation_order():
 
     at = n_fix + len(canaries)
     assert keys[at : at + n_first] == list(registry._ROTATION_FIRST)
-    for key in registry._ROTATION_FIRST + registry._R07_BACKLOG:
+    for key in registry._ROTATION_FIRST + registry._R08_BACKLOG:
         assert key in osql, f"rotation key {key!r} lost its oracle"
         assert key not in registry._DRIVER_GREEN, key
 
     at += n_first
-    n_backlog = len(registry._R07_BACKLOG)
-    assert keys[at : at + n_backlog] == list(registry._R07_BACKLOG)
+    n_backlog = len(registry._R08_BACKLOG)
+    assert keys[at : at + n_backlog] == list(registry._R08_BACKLOG)
 
     # every rows-only key (beyond the 2 fixes) already holds driver
     # evidence and queues behind the oracle backlog
@@ -193,8 +193,12 @@ def test_bench_stdout_line_stays_parseable_and_small():
     line = build_stdout_line(big, 999.9, 5, 0.1)
     assert len(line) < 2000, len(line)
     d = json.loads(line)
-    assert d["queries"]["_omitted_fastest"] > 0
-    kept = [k for k in d["queries"] if k != "_omitted_fastest"]
+    # omission count is a TOP-LEVEL sibling, never a fake queries entry —
+    # summing queries values must stay a pure sum of timings (ADVICE r6)
+    assert d["omitted_fastest"] > 0
+    kept = list(d["queries"])
+    assert all(isinstance(v, float) for v in d["queries"].values())
+    assert d["omitted_fastest"] == len(big) - len(kept)
     # the kept set is the slowest ones
     assert min(big[k] for k in kept) >= max(
         v for k, v in big.items() if k not in kept

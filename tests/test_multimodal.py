@@ -280,9 +280,10 @@ def test_video_fingerprint_invariance_and_dedup(spark):
 
 
 def test_banded_dedup_matches_allpairs_within_pigeonhole(spark):
-    """On signatures whose near-dup flips touch <= 3 of the 4 bands (the
-    pigeonhole regime the banding guarantees), the banded pipeline must
-    agree EXACTLY with brute-force all-pairs hamming <= 6."""
+    """On ARBITRARY flip sets up to hamming 6 — spanning any of the 7
+    bands and 8 blocks — the banded pipeline must agree EXACTLY with
+    brute-force all-pairs hamming <= 6 (double-pigeonhole recall is
+    guaranteed, not probabilistic; ADVICE r6 medium)."""
     from pyspark.sql import functions as F
 
     from mergeextractor_spark.operators.multimodal import (
@@ -290,17 +291,20 @@ def test_banded_dedup_matches_allpairs_within_pigeonhole(spark):
         _banded_hamming_dedup,
     )
 
-    # 900 uniques + 100 near-dups: flip up to 3 bits, all inside the low
-    # band-pair (bits 0..31 -> touches at most 2 of the 4 16-bit bands)
+    # 900 uniques + 100 near-dups: flip f = id % 7 bits (0..6) at
+    # positions (id*7 + i*13) % 64 — i*13 mod 64 are distinct for i < 7,
+    # so exactly f bits flip, anywhere in the 64-bit word (the old
+    # 4x16-band layout missed pairs whose flips spanned all 4 bands)
+    flips = " ^ ".join(
+        f"(CASE WHEN id % 7 > {i} THEN shiftleft(1L, cast((id * 7 + {i * 13}) % 64 as int)) ELSE 0L END)"
+        for i in range(6)
+    )
     df = spark.range(1000).select(
         F.col("id").alias("media_id"),
         F.when(
             F.col("id") < 900, F.xxhash64("id")
         ).otherwise(
-            F.expr(
-                "xxhash64(id % 900) ^ shiftleft(1L, cast(id % 32 as int))"
-                " ^ shiftleft(1L, cast((id * 7) % 32 as int))"
-            )
+            F.expr(f"xxhash64(id % 900) ^ ({flips})")
         ).alias("phash"),
     )
     banded = {r.media_id: r.rep_id for r in _banded_hamming_dedup(df).collect()}
