@@ -148,26 +148,28 @@ def build_stdout_line(
     compact separators, and if the full per-query dict would overflow,
     keep only the slowest queries plus an explicit omission count."""
 
-    def _line(queries: dict[str, float]) -> str:
-        return json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": queries,
-                "runs_per_query": n_runs,
-                "sf": sf,
-            },
-            separators=(",", ":"),
-        )
+    def _line(queries: dict[str, float], omitted: int = 0) -> str:
+        payload = {
+            "metric": "headline_suite_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": queries,
+            "runs_per_query": n_runs,
+            "sf": sf,
+        }
+        if omitted:
+            # top-level sibling, NOT a fake queries entry — consumers that
+            # iterate queries as name->seconds must never see a count
+            # masquerading as a timing (ADVICE r6)
+            payload["omitted_fastest"] = omitted
+        return json.dumps(payload, separators=(",", ":"))
 
     out = _line(timings)
     if len(out) > 2000:  # stay under the driver's tail-capture buffer
         keep = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
-        while len(_line(keep)) > 1900 and len(keep) > 1:
+        while len(_line(keep, len(timings) - len(keep))) > 1900 and len(keep) > 1:
             keep.pop(next(reversed(keep)))
-        keep["_omitted_fastest"] = len(timings) - len(keep)
-        out = _line(keep)
+        out = _line(keep, len(timings) - len(keep))
     return out
 
 

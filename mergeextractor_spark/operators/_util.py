@@ -117,11 +117,39 @@ def truncate_lineage(df: DataFrame) -> DataFrame:
     to that durable directory instead — survives executor churn, costs
     one write+read of the (iteration-sized, never corpus-sized)
     intermediate per round. No behavior change locally.
+
+    Checkpoint-file lifecycle (ADVICE r6): reliable checkpoint files are
+    only deleted by the ContextCleaner when the checkpointed RDD is
+    GC'd AND ``spark.cleaner.referenceTracking.cleanCheckpoints=true``
+    (a SparkContext-startup conf, default false) — otherwise a 64-round
+    connected-components run accumulates every superseded round's files
+    in the durable dir for the application's lifetime. Set it alongside
+    the checkpoint dir when building the session; since it cannot be
+    enabled post-startup, this helper logs a one-time warning when
+    reliable mode is active without it.
     """
     sc = df.sparkSession.sparkContext
     conf_dir = df.sparkSession.conf.get("spark.mergeextractor.checkpointDir", None)
     if conf_dir and not sc.getCheckpointDir():
         sc.setCheckpointDir(conf_dir)
     if sc.getCheckpointDir():
+        cleaner_on = (
+            df.sparkSession.conf.get(
+                "spark.cleaner.referenceTracking.cleanCheckpoints", "false"
+            ).lower()
+            == "true"
+        )
+        if not cleaner_on and not getattr(truncate_lineage, "_warned_cleaner", False):
+            truncate_lineage._warned_cleaner = True
+            import warnings
+
+            warnings.warn(
+                "reliable checkpoints are enabled but "
+                "spark.cleaner.referenceTracking.cleanCheckpoints is false; "
+                "superseded per-round checkpoint files will accumulate in "
+                f"{sc.getCheckpointDir()} for the life of the application. "
+                "Set it to true when building the SparkSession.",
+                stacklevel=2,
+            )
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)

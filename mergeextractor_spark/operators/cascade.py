@@ -185,8 +185,31 @@ def extract_passage(chunk: str, start_phrases: list[str]) -> str | None:
 
 def two_pass_passage(chunk: str) -> str | None:
     """Specific phrases first; bare 'Background' only as the fallback pass
-    (ref Processor.py:266-269)."""
+    (ref Processor.py:266-269). This is the CRAWLER's locate."""
     return extract_passage(chunk, START_PHRASES) or extract_passage(chunk, FALLBACK_PHRASES)
+
+
+# The SEPARATOR's phrase list: the full catalog with bare "Background"
+# LAST (ref config.py:32-62 lists it as the final entry;
+# SeperatorHandler.py:68 passes the whole list in ONE locate call — only
+# the crawler splits it into two passes, Processor.py:266-269).
+SEPARATOR_PHRASES = START_PHRASES + FALLBACK_PHRASES
+
+
+def separator_passage(chunk: str) -> str | None:
+    """Single-pass locate with the full catalog (SeperatorHandler.py:68).
+
+    Inside a multi-phrase list the bare 'Background' entry matches by
+    CONTAINMENT (the exact-line rule only applies to a single-phrase
+    list, ChunkProcessor.py:63-66), so an early sentence that merely
+    mentions 'background' can win the locate and anchor the TOC check on
+    that decoy line — the deterministic core of the reference's
+    '[x] FLAGGED for Manual Inspection' separator outcomes
+    (SeperatorHandler.py:69-77; 20 occurrences in logs.txt). Documents
+    the crawler accepted via a specific title phrase can therefore fail
+    here, exactly as the reference's separator stage can fail on
+    crawler-accepted documents."""
+    return extract_passage(chunk, SEPARATOR_PHRASES)
 
 
 _PASSAGE_TYPE = T.StringType()
@@ -218,6 +241,7 @@ def chunk_and_cascade(
     id_cols: list[str] | None = None,
     chunk_size: int | None = None,
     chunk_overlap: int | None = None,
+    passage_fn: Callable[[str], str | None] | None = None,
 ) -> DataFrame:
     """Fused chunk + cascade: ONE ``mapInPandas`` pass emitting every chunk
     of every document together with its cascade passage (NULL when the
@@ -237,6 +261,8 @@ def chunk_and_cascade(
     id_cols = id_cols or ["doc_id"]
     size = chunk_size or CHUNK_SIZE
     overlap = chunk_overlap or CHUNK_OVERLAP
+    # crawler two-pass by default; separator callers pass separator_passage
+    locate = passage_fn or two_pass_passage
     out_schema = T.StructType(
         [docs.schema[c] for c in id_cols]
         + [
@@ -254,7 +280,7 @@ def chunk_and_cascade(
                 text = row[text_col] or ""
                 for i, c in enumerate(split_text(text, size, overlap)):
                     passage = (
-                        two_pass_passage(c) if "background" in c.lower() else None
+                        locate(c) if "background" in c.lower() else None
                     )
                     for ic in id_cols:
                         out[ic].append(row[ic])

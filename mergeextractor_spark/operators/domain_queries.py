@@ -186,12 +186,16 @@ def pipeline_crawler(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "pipeline_crawler_audit",
     oracle=None,  # composed UDF pipeline → rows-only
-    doc="Per-deal crawler outcome with the reference's exact reject "
-    "classes (logs.txt taxonomy: accepted / no_document / "
-    "no_relevant_document / no_background_section — CrawlerSupport.py:"
-    "414,435,445, Processor.py:299). Yield-parity value checks against "
-    "the reference's 80.8% output.csv acceptance rate run over a "
-    "110-deal labeled corpus in tests/test_yield_parity.py.",
+    doc="Per-deal lifecycle outcome with the reference's exact log "
+    "classes (the FULL logs.txt taxonomy: accepted / no_document / "
+    "no_relevant_document / no_background_section / "
+    "flagged_manual_inspection — CrawlerSupport.py:414,435,445, "
+    "Processor.py:299, SeperatorHandler.py:69-77). The flagged class is "
+    "the separator-stage QA outcome (20 of ~1,400 crawler accepts in "
+    "logs.txt): the stored winner document fails the separator's "
+    "single-pass locate. Yield-parity value checks against the "
+    "reference's 80.8% output.csv acceptance rate run over a 110-deal "
+    "labeled corpus in tests/test_yield_parity.py.",
 )
 def pipeline_crawler_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.filing_pipeline import crawler_audit

@@ -47,6 +47,26 @@ def _windowed_deals(todo: DataFrame) -> DataFrame:
     )
 
 
+def _window_candidates(windowed: DataFrame, filings: DataFrame) -> DataFrame:
+    """Candidate filings inside each deal's crawl window.
+
+    The reference's FTS search is date-bounded SERVER-side
+    (CrawlerSupport.py:385-401 passes LB/UB into the query); locally the
+    optional ``filing_date`` column reproduces that bound.  Factored so
+    the production pipeline and the audit apply the SAME bound and agree
+    on identical inputs (ADVICE r6: crawler_pipeline previously skipped
+    it, so a dated corpus could be accepted by the pipeline but
+    classified no_document by the audit)."""
+    cols = ["main_index", "url", "content"]
+    if "filing_date" in filings.columns:
+        cols.append("filing_date")
+    cand = windowed.join(filings.select(*cols), "main_index")
+    if "filing_date" in filings.columns:
+        # ISO strings compare lexicographically == chronologically
+        cand = cand.filter(F.col("filing_date").between(F.col("date_lb"), F.col("date_ub")))
+    return cand
+
+
 def _company_present() -> "F.Column":
     """Company-presence predicate over the 11k header prefix
     (Processor.py:154-187), with the hyphen→space retry folded in as a
@@ -79,7 +99,7 @@ def crawler_pipeline(deals: DataFrame, filings: DataFrame, done: DataFrame | Non
         todo = deals.join(done.select("main_index"), "main_index", "left_anti")
 
     windowed = _windowed_deals(todo)
-    cand = windowed.join(filings.select("main_index", "url", "content"), "main_index")
+    cand = _window_candidates(windowed, filings)
     present = cand.filter(_company_present())
 
     # fused chunk+cascade: one mapInPandas pass, no second Arrow round-trip
@@ -128,23 +148,31 @@ def crawler_audit(deals: DataFrame, filings: DataFrame, done: DataFrame | None =
       no_background_section  [-] Confirmed no background section (CrawlerSupport.py:445)
                              — presence passed, the chunk+cascade found
                              no background passage in any candidate
+      flagged_manual_inspection
+                             [x] FLAGGED for Manual Inspection (SeperatorHandler.py:69-77;
+                             20 of ~1,400 in logs.txt)
+                             — the crawler ACCEPTED a document, but the
+                             separator stage's single-pass locate (full
+                             phrase catalog incl. bare 'Background',
+                             SeperatorHandler.py:68 — vs the crawler's
+                             two-pass split, Processor.py:266-269) finds
+                             no background chunk in the stored winner
 
     Returns (main_index, status, url) — url is the deterministic
-    first-match winner for accepted deals, NULL otherwise. One presence
-    aggregation + one cascade pass; both shuffle on main_index only.
+    first-match winner for crawler-accepted deals (accepted AND flagged
+    — the flag is a separator-stage QA outcome on a stored document),
+    NULL otherwise. One presence aggregation + two cascade passes (the
+    separator re-check runs over winner documents only); all shuffles
+    are on main_index.
     """
+    from ..operators.cascade import separator_passage
+
     todo = deals
     if done is not None:
         todo = deals.join(done.select("main_index"), "main_index", "left_anti")
 
     windowed = _windowed_deals(todo)
-    cols = ["main_index", "url", "content"]
-    if "filing_date" in filings.columns:
-        cols.append("filing_date")
-    cand = windowed.join(filings.select(*cols), "main_index")
-    if "filing_date" in filings.columns:
-        # ISO strings compare lexicographically == chronologically
-        cand = cand.filter(F.col("filing_date").between(F.col("date_lb"), F.col("date_ub")))
+    cand = _window_candidates(windowed, filings)
 
     flagged = cand.withColumn("present", _company_present())
     per_deal = flagged.groupBy("main_index").agg(
@@ -163,13 +191,35 @@ def crawler_audit(deals: DataFrame, filings: DataFrame, done: DataFrame | None =
         .agg(F.expr("min_by(url, struct(url, chunk_idx))").alias("url"))
     )
 
+    # Separator-stage re-check over the STORED winner documents only
+    # (SeperatorHandler.py:63 "Use the stored unprocessed content"): the
+    # single-pass locate with the full catalog, which can fail where the
+    # crawler's two-pass succeeded → flagged_manual_inspection.
+    winner_docs = winners.join(
+        cand.select("main_index", "url", "content"), ["main_index", "url"]
+    )
+    sep_ok = (
+        chunk_and_cascade(
+            winner_docs,
+            text_col="content",
+            id_cols=["main_index"],
+            passage_fn=separator_passage,
+        )
+        .filter(F.col("passage").isNotNull())
+        .select("main_index")
+        .distinct()
+        .withColumn("sep_ok", F.lit(True))
+    )
+
     return (
         todo.select("main_index")
         .join(per_deal, "main_index", "left")
         .join(winners, "main_index", "left")
+        .join(sep_ok, "main_index", "left")
         .select(
             "main_index",
-            F.when(F.col("url").isNotNull(), F.lit("accepted"))
+            F.when(F.col("sep_ok"), F.lit("accepted"))
+            .when(F.col("url").isNotNull(), F.lit("flagged_manual_inspection"))
             .when(F.coalesce(F.col("n_cand"), F.lit(0)) == 0, F.lit("no_document"))
             .when(F.col("any_present") == 0, F.lit("no_relevant_document"))
             .otherwise(F.lit("no_background_section"))
@@ -186,7 +236,16 @@ def separator_pipeline(documents: DataFrame, done: DataFrame | None = None) -> D
     Ranking uses the deterministic stand-in score (token overlap with the
     phrase vocabulary — FIXTURES.md §2.7) in place of embed+rerank; the
     pluggable pandas-UDF scorers drop in via operators/llm.py's pattern.
+
+    Chunk location is the separator's own SINGLE-pass locate over the
+    full phrase catalog (SeperatorHandler.py:68) — not the crawler's
+    two-pass split — so documents whose only evidence fails that pass
+    emit NO section rows, the reference's '[x] FLAGGED for Manual
+    Inspection' outcome (SeperatorHandler.py:69-77; crawler_audit above
+    classifies them explicitly).
     """
+    from ..operators.cascade import separator_passage
+
     if done is not None:
         documents = documents.join(done.select("main_index"), "main_index", "left_anti")
 
@@ -196,6 +255,7 @@ def separator_pipeline(documents: DataFrame, done: DataFrame | None = None) -> D
         documents.select("main_index", "content"),
         text_col="content",
         id_cols=["main_index"],
+        passage_fn=separator_passage,
     ).cache()
     chunks = fused.select("main_index", "chunk_idx", "chunk")
     hits = fused.filter(F.col("passage").isNotNull())

@@ -6,9 +6,15 @@ The reference's own acceptance record is output.csv (1,375 accepted of
   292 "No relevant document found"        (17.2%)
    32 "Confirmed no background section"    (1.9%)
     3 "No document found"                  (0.2%)
+   20 "[x] FLAGGED for Manual Inspection"  (1.4% of the ~1,400
+      crawler-accepted deals — a SEPARATOR-stage outcome: the stored
+      document fails the separator's single-pass chunk locate,
+      SeperatorHandler.py:69-77)
 This corpus mirrors those proportions at 110 deals with every deal
 LABELED with its expected class, so the pipeline's accept set and its
 reject *reasons* are asserted exactly — not just an aggregate rate.
+Flagged deals count as crawler ACCEPTS (they are in output.csv); the
+flag is the downstream QA class.
 
 All text is original; it reuses the filing *shapes* from
 tests/fixtures/filings.py (TOC blocks, wrapped prose, section-title
@@ -19,7 +25,8 @@ from __future__ import annotations
 
 from .filings import NARRATIVE, TOC_BLOCK, _filing
 
-N_ACCEPT = 88  # 88 / 110 deals = 80.0% vs the reference's 80.8%
+N_ACCEPT = 86  # crawler accepts = 86 + 2 flagged = 88 / 110 = 80.0% vs 80.8%
+N_FLAGGED = 2  # 2 / 110 = 1.8% vs the reference's 20 / ~1,400 = 1.4%
 N_NO_RELEVANT = 18
 N_NO_SECTION = 2
 N_NO_DOC = 1  # 1 with zero filings + (separately) 1 with out-of-window filing
@@ -112,6 +119,38 @@ def build_yield_corpus() -> tuple[list[tuple], list[dict], dict[int, str]]:
                 + ("General corporate information and routine disclosures follow. " * 40)
             )
             add_filing(i, a, b, decoy, date, n=1)
+
+    # -- flagged_manual_inspection: the crawler's two-pass locate accepts
+    # (specific title phrase in a later sentence; the custom TOC has no
+    # 'Background' entry, so the crawler's TOC check anchors at the real
+    # title), but the separator's SINGLE-pass locate — bare 'Background'
+    # inside the multi-phrase list, SeperatorHandler.py:68 — matches the
+    # early decoy sentence first, anchoring is_not_toc inside the TOC run
+    # (toc_like >= 3, para_like < 3 from the decoy) → no background chunk
+    # → '[x] FLAGGED for Manual Inspection' (SeperatorHandler.py:69-77)
+    for _ in range(N_FLAGGED):
+        a, b = _name(idx, "a"), _name(idx, "b")
+        i, date = add_deal(a, b, "flagged_manual_inspection")
+        passage = (
+            "On January 12, representatives of both parties met with their financial "
+            "advisors to review strategic alternatives and the proposed exchange ratio in detail.\n"
+            "The board then instructed management to proceed with confirmatory diligence "
+            "and to negotiate definitive documentation with outside counsel present.\n"
+            "Following further negotiation of the termination provisions, the board "
+            "unanimously approved the agreement and recommended it to shareholders.\n"
+        )
+        body = (
+            f"SECURITIES AND EXCHANGE COMMISSION\n\nS-4\n\nRegistration "
+            f"statement of {a} and {b}.\n\n"
+            "Certain background information concerning the companies is provided herein.\n\n"
+            "TABLE OF CONTENTS\n\n"
+            "Summary of the Transaction....3\n\n"
+            "Opinion of the Financial Advisor....24\n\n"
+            "Interests of Directors....31\n\n"
+            "Selected Financial Data....44\n\n"
+            "Background of the Merger\n\n" + passage
+        )
+        add_filing(i, a, b, body, date)
 
     # -- no_relevant_document: candidates exist, company_b never appears
     for _ in range(N_NO_RELEVANT):

@@ -89,8 +89,19 @@ def test_truncate_lineage_reliable_checkpoint_optin(spark, tmp_path):
     ckpt = tmp_path / "ckpt"
     spark.conf.set("spark.mergeextractor.checkpointDir", str(ckpt))
     try:
-        out = truncate_lineage(df)
-        assert out.count() == 100
+        # reliable mode without the startup-only cleaner conf warns ONCE
+        # that superseded checkpoint files accumulate (ADVICE r6)
+        import warnings
+
+        truncate_lineage._warned_cleaner = False
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            out = truncate_lineage(df)
+            assert out.count() == 100
+            out2 = truncate_lineage(df)
+            assert out2.count() == 100
+        hits = [x for x in w if "cleanCheckpoints" in str(x.message)]
+        assert len(hits) == 1, [str(x.message) for x in w]
         # reliable checkpoint wrote RDD blocks under the configured dir
         files = list(ckpt.rglob("*"))
         assert any(p.name.startswith("part-") for p in files), files
