@@ -76,6 +76,11 @@ HEADLINE = [
     "eval_tokenizer_fertility",  # per-language BPE/word fertility (single partial agg)
     "agg_context_window_share",  # per-source fit share + truncation retention at 512/2k/8k
     "sample_epoch_shuffle",      # hash-keyed epoch permutation (WindowGroupLimit-pruned)
+    # round 7 additions (VERDICT r6 item 6: perf evidence tracks coverage)
+    "pipeline_hybrid_search",    # flagship #5: BM25 + dense pools -> RRF -> MMR diversify
+    "agg_market_basket",         # pairwise lift/confidence over order baskets
+    "events_top_paths",          # top session paths (ordered collect -> n-gram count)
+    "dedup_signature_banded",    # banded-Hamming near-dup stage (7-band x 8-block keys)
 ]
 
 
