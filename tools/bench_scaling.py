@@ -97,6 +97,14 @@ QUERIES = [
     "rank_rrf_fusion",
     "events_attribution",
     "events_funnel_windowed",
+    # round-7 shapes: the guaranteed-recall banded-Hamming stage (56
+    # compound keys per distinct signature — the exponent proves the key
+    # fan-out stays linear), the fused RRF+MMR retrieval flagship, the
+    # basket pair-expansion, and the session-path n-gram count
+    "dedup_signature_banded",
+    "pipeline_hybrid_search",
+    "agg_market_basket",
+    "events_top_paths",
 ]
 
 
