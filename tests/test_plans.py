@@ -352,6 +352,23 @@ def test_banded_phash_dedup_never_cartesian(spark):
         assert "BroadcastNestedLoopJoin" not in plan, key
 
 
+def test_banded_dedup_candidate_join_is_shuffled_hash(spark):
+    # both sides of the compound-key self-join are 56x|distinct sigs|
+    # rows — corpus-sized by construction. Catalyst's size estimate does
+    # not propagate through Generate, so without the pinned shuffle_hash
+    # hint it builds a multi-million-row broadcast hash table (measured
+    # 86.7 s vs 9.9 s at 200k signatures, PERFORMANCE.md r7). Pin the
+    # ShuffledHashJoin on the oracle key that exercises the shared stage.
+    plan = plan_of(spark, "dedup_signature_banded")
+    assert "ShuffledHashJoin" in plan, plan[:500]
+    # the keyed self-join itself must not be the broadcast side; the only
+    # legitimate broadcasts here are the small rep/group maps downstream
+    inner_joins = [seg for seg in plan.split("\n") if "Join Inner" in seg or "HashJoin Inner" in seg]
+    assert not any(
+        "BroadcastHashJoin" in seg and "bkey" in seg for seg in inner_joins
+    ), inner_joins
+
+
 def test_training_export_shuffles_hashes_not_text(spark):
     # the export flagship's two exchanges must carry (id, hash, count)
     # projections only — document text is consumed map-side computing
