@@ -320,10 +320,10 @@ def load_all() -> dict[str, Query]:
         if key in backlog:
             return (3, backlog[key])
         if q.oracle is None:
-            # rows-only: all evidenced by r05 except the two fix keys above
+            # rows-only: every key here holds driver evidence (r04-r06)
             return (5, rows_only.get(key, len(_ROWS_ONLY_EVIDENCED)))
         if key in _DRIVER_GREEN:
             return (6, 0)
-        return (4, 0)  # new oracle key, queued behind the r07 backlog
+        return (4, 0)  # new oracle key, queued behind the r08 backlog
 
     return dict(sorted(REGISTRY.items(), key=rank))
