@@ -323,3 +323,51 @@ def test_banded_dedup_matches_allpairs_within_pigeonhole(spark):
                 break
         brute[i] = rep
     assert banded == brute
+
+
+def test_banded_dedup_matches_allpairs_on_seeded_random_corpus(spark):
+    """Randomized complement to the structured-flip test: 300 signatures
+    drawn from a seeded generator mixing uniform randoms, low-entropy
+    clusters and exact duplicates — the banded pipeline must agree with
+    brute force EXACTLY, whatever hamming structure the draw produces."""
+    import random
+
+    from mergeextractor_spark.operators.multimodal import (
+        PHASH_HAMMING_MAX,
+        _banded_hamming_dedup,
+    )
+
+    rng = random.Random(0xB4D5EED)
+    sigs = {}
+    mid = 0
+    for _ in range(40):  # cluster seeds
+        base = rng.getrandbits(64)
+        for _ in range(rng.randint(1, 12)):
+            flips = rng.randint(0, 9)  # 0..9 bits — straddles the threshold
+            mask = 0
+            for pos in rng.sample(range(64), flips):
+                mask |= 1 << pos
+            sigs[mid] = (base ^ mask) - (1 << 63)  # signed-long domain
+            mid += 1
+        if mid >= 300:
+            break
+
+    df = spark.createDataFrame(
+        [(k, v) for k, v in sigs.items()], "media_id long, phash long"
+    )
+    banded = {r.media_id: r.rep_id for r in _banded_hamming_dedup(df).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    brute = {}
+    for i in sorted(sigs):
+        rep = i
+        for j in sorted(sigs):
+            if j >= i:
+                break
+            if ham(sigs[i], sigs[j]) <= PHASH_HAMMING_MAX:
+                rep = j
+                break
+        brute[i] = rep
+    assert banded == brute
