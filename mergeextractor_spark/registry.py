@@ -194,7 +194,9 @@ _ROTATION_FIRST: tuple[str, ...] = (
 # unevidenced after the r07 window, ranked directly behind
 # _ROTATION_FIRST so any r07 budget surplus eats into them, and promoted
 # wholesale to _ROTATION_FIRST in r08 (37 + ~4 canaries + any r07-adjudged
-# re-checks fit comfortably in the 50-key budget, emptying the backlog).
+# re-checks fit comfortably in the 50-key budget, emptying the backlog;
+# r7 measurement: all 37 hash-green in 34 s at sf0.01, and the full
+# 50-key r07 window itself ran 50/50 green in 51 s).
 # Until then the registration freeze holds: new oracle keys rank BEHIND
 # this backlog (rank 4 below), except judge-mandated additions like
 # dedup_signature_banded which the r6 verdict explicitly windowed.
