@@ -216,6 +216,42 @@ def sink_fs_dump_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sink_log",
+    oracle=None,  # side-effecting sink → rows-only
+    doc="Timestamped run-log sink with the reference's logs.txt line "
+    "taxonomy (ref src/utils/Logger.py:12-24; line formats "
+    "Processor.py:299, CrawlerSupport.py:414/435/445, "
+    "SeperatorHandler.py:70): the 5-class crawler/separator audit "
+    "formatted byte-exact and appended as a text sink, then read back "
+    "and re-parsed into per-class counts. Closes SURVEY §2.1's last "
+    "row — the reference's driver-side Logger re-expressed as a "
+    "distributed sink over pipeline outcomes. Line-format parity vs "
+    "verbatim logs.txt samples pinned in tests/test_sources_sinks.py.",
+    eager=True,  # construction appends the log file
+)
+def sink_log_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.filing_pipeline import crawler_audit
+    from ..sources.sinks import sink_log
+    from .domain_queries import _deals_df, _filings_df
+
+    deals = _deals_df(spark)
+    audit = crawler_audit(deals, _filings_df(spark)).join(
+        deals.select("main_index", "company_a", "company_b"), "main_index"
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="runlog_"), "logs")
+    sink_log(audit, path)
+    back = spark.read.text(path)
+    return (
+        back.select(
+            F.regexp_extract("value", r"^\[([0-9: -]+)\] (\[.\])", 2).alias("tag")
+        )
+        .groupBy("tag")
+        .agg(F.count("*").alias("n"))
+        .orderBy("tag")
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.2 filters
 

@@ -147,17 +147,21 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "str_multiformat_dates", "olap_pricing_pipe", "join_asof_forward",
 })
 
-# Keys without CLEAN driver evidence lead the window.  r07: none — every
-# registered key held a clean CORRECTNESS_r06 row (41 oracle-green + 9
-# rows-only), so the window is canaries + rotation only this round.
-_EVIDENCE_FIX: tuple[str, ...] = ()
+# Keys without CLEAN driver evidence lead the window.  r07: sink_log —
+# registered this round (it closes SURVEY §2.1's last "no" row: the
+# reference's Logger taxonomy as a distributed text sink), rows-only by
+# contract (side-effecting sink), byte-exact line parity pinned in
+# tests/test_sources_sinks.py.  Every other key held a clean
+# CORRECTNESS_r06 row (41 oracle-green + 9 rows-only).
+_EVIDENCE_FIX: tuple[str, ...] = ("sink_log",)
 
-# Explicit order for the 46 oracle keys of the r07 window (VERDICT r6
+# Explicit order for the 45 oracle keys of the r07 window (VERDICT r6
 # item 1): the 10 r6-registered oracle keys first (pipeline_training_export
 # — flagship #7 — fronted, per the judge), then dedup_signature_banded
 # (VERDICT r6 item 4's new oracle twin of the banded multimodal dedup
-# stage), then the first 35 keys of the r07 backlog in its encoded order.
-# With 4 canaries ahead, this fills positions 5..50 of the window.
+# stage), then the first 34 keys of the r07 backlog in its encoded order.
+# With the sink_log evidence-fix and 4 canaries ahead, this fills
+# positions 6..50 of the window.
 _ROTATION_FIRST: tuple[str, ...] = (
     # flagship #7 + the other nine r6-registered oracle keys
     "pipeline_training_export", "eval_tokenizer_fertility",
@@ -167,7 +171,7 @@ _ROTATION_FIRST: tuple[str, ...] = (
     "eval_self_similarity_sample",
     # VERDICT r6 item 4: oracle-paired banded-Hamming dedup stage
     "dedup_signature_banded",
-    # r07 backlog burn-down, first 35 in the encoded order:
+    # r07 backlog burn-down, first 34 in the encoded order:
     # OLAP remainder
     "join_asof_nearest", "olap_yoy_growth", "window_percent_change",
     "olap_abc_analysis",
@@ -187,22 +191,22 @@ _ROTATION_FIRST: tuple[str, ...] = (
     "sample_reservoir_weighted", "sample_balanced_classes",
     "text_collocation_pmi", "text_ngram_novelty", "agg_entropy_by_source",
     "text_stopword_induction", "text_vocab_coverage_curve",
-    "text_hapax_ratio",
 )
 
-# r08 burn-down plan (VERDICT r6 item 2): the 37 oracle keys still
+# r08 burn-down plan (VERDICT r6 item 2): the 38 oracle keys still
 # unevidenced after the r07 window, ranked directly behind
 # _ROTATION_FIRST so any r07 budget surplus eats into them, and promoted
-# wholesale to _ROTATION_FIRST in r08 (37 + ~4 canaries + any r07-adjudged
+# wholesale to _ROTATION_FIRST in r08 (38 + ~4 canaries + any r07-adjudged
 # re-checks fit comfortably in the 50-key budget, emptying the backlog;
-# r7 measurement: all 37 hash-green in 34 s at sf0.01, and the full
+# r7 measurement: all of them hash-green in 34 s at sf0.01, and the full
 # 50-key r07 window itself ran 50/50 green in 51 s).
 # Until then the registration freeze holds: new oracle keys rank BEHIND
 # this backlog (rank 4 below), except judge-mandated additions like
 # dedup_signature_banded which the r6 verdict explicitly windowed.
 _R08_BACKLOG: tuple[str, ...] = (
-    # curation / DQ remainder
-    "text_word_burstiness", "text_charset_profile",
+    # curation / DQ remainder (text_hapax_ratio ceded its r07 window slot
+    # to sink_log, the r07-registered evidence-fix key)
+    "text_hapax_ratio", "text_word_burstiness", "text_charset_profile",
     "dq_skew_report", "dq_completeness_profile",
     "dq_referential_integrity", "dq_uniqueness_audit", "dq_file_inventory",
     "dq_chi_square_independence", "eval_jackknife_se",
@@ -249,9 +253,9 @@ _ROWS_ONLY_EVIDENCED: tuple[str, ...] = (
 # Number of previously-green keys re-checked per round, sampled
 # deterministically from _DRIVER_GREEN seeded by _ROUND so a regression
 # in r01-era code cannot stay invisible forever.  Canaries sit at
-# positions 1..4 (no evidence-fix keys this round), ahead of the
+# positions 2..5 (behind the sink_log evidence-fix key), ahead of the
 # rotation so they cannot be squeezed out of the window:
-# 0 fixes + 4 canaries + 46 rotation-first = exactly the 50-key window.
+# 1 fix + 4 canaries + 45 rotation-first = exactly the 50-key window.
 _CANARY_SLOTS: int = 4
 
 
@@ -268,14 +272,14 @@ def load_all() -> dict[str, Query]:
 
     Returned order implements the r07 gate-window rotation (VERDICT r6
     items 1 and 2):
-      0. keys without clean driver evidence (_EVIDENCE_FIX — empty in
-         r07, every key held a clean r06 row);
+      0. keys without clean driver evidence (_EVIDENCE_FIX — the
+         r07-registered sink_log, rows-only by contract);
       1. 4 canary re-checks of previously-green keys (seeded by round);
-      2. 46 never-driver-checked oracle keys (_ROTATION_FIRST: the 10
+      2. 45 never-driver-checked oracle keys (_ROTATION_FIRST: the 10
          r6-registered keys with pipeline_training_export fronted, the
-         judge-mandated dedup_signature_banded, then 35 backlog keys) —
-         4+46 fills the driver's demonstrated 50-key budget;
-      3. the 37 remaining unevidenced oracle keys (_R08_BACKLOG) so any
+         judge-mandated dedup_signature_banded, then 34 backlog keys) —
+         1+4+45 fills the driver's demonstrated 50-key budget;
+      3. the 38 remaining unevidenced oracle keys (_R08_BACKLOG) so any
          budget surplus eats into r08's work;
       4. oracle keys registered after the r07 snapshot;
       5. rows-only keys that already hold driver rows;

@@ -184,3 +184,65 @@ def sink_fs_dump(df: DataFrame, path: str) -> None:
     with_bucket(df).select("bucket", body.alias("value")).write.mode(
         "overwrite"
     ).partitionBy("bucket").text(path)
+
+
+def sink_log(
+    audit: DataFrame, path: str, ts: str = "2025-06-14 05:35:46"
+) -> None:
+    """Audit rows → the reference's logs.txt line taxonomy, appended as a
+    text sink (ref src/utils/Logger.py:12-24: ``[YYYY-MM-DD HH:MM:SS]``
+    prefix + message + newline; LOG_FILE_PATH append mode).
+
+    One line per deal, formats byte-exact to the five outcome classes:
+      accepted               → Processor.py:299
+      no_document            → CrawlerSupport.py:414
+      no_relevant_document   → CrawlerSupport.py:435
+      no_background_section  → CrawlerSupport.py:445
+      flagged_manual_inspection → SeperatorHandler.py:70
+
+    ``ts`` is a fixed timestamp string: the engine is a deterministic
+    batch system, so the stamp is an input (a pipeline-run id), not
+    wall-clock — re-running a registered query must be byte-stable.
+    ``audit`` needs (main_index, status, company_a, company_b)."""
+    i = F.col("main_index").cast("string")
+    a, b = F.col("company_a"), F.col("company_b")
+    pair = F.concat(a, F.lit(" & "), b)
+    msg = (
+        F.when(
+            F.col("status") == "accepted",
+            F.concat(F.lit("[+] Successfully created document for: "), pair),
+        )
+        .when(
+            F.col("status") == "no_document",
+            F.concat(F.lit("[-] No document found for: "), pair),
+        )
+        .when(
+            F.col("status") == "no_relevant_document",
+            F.concat(
+                F.lit("[-] No relevant document found for index "), i, F.lit(": "), pair
+            ),
+        )
+        .when(
+            F.col("status") == "no_background_section",
+            F.concat(
+                F.lit("[-] Confirmed no background section found for index "),
+                i,
+                F.lit(": "),
+                pair,
+                F.lit("."),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit(
+                    "[x] FLAGGED for Manual Inspection: Failed to locate a "
+                    "background chunk for index: "
+                ),
+                i,
+                F.lit("; Companies: "),
+                pair,
+            )
+        )
+    )
+    line = F.concat(F.lit(f"[{ts}] "), msg)
+    audit.select(line.alias("value")).write.mode("append").text(path)

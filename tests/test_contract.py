@@ -34,12 +34,13 @@ def test_every_oracle_key_has_a_query(spark):
 def test_gate_window_rotation_order():
     """The driver walks queries() in order under a wall-clock budget that
     historically covers ~50 keys per round.  The r07 rotation (VERDICT r6
-    items 1+2) must put: (a) any evidence-fix keys first (none this
-    round — every key held a clean r06 row), (b) the 4 canaries next,
-    (c) the 46 never-driver-checked oracle keys after (10 r6-registered
-    keys, dedup_signature_banded, 35 backlog keys) — 0+4+46 = exactly the
-    demonstrated 50-key budget, (d) the 37-key r08 oracle backlog next so
-    budget surplus eats into it, before any rows-only or green key."""
+    items 1+2) must put: (a) the evidence-fix key first (sink_log, the
+    one r07-registered rows-only key without a driver row), (b) the 4
+    canaries next, (c) the 45 never-driver-checked oracle keys after
+    (10 r6-registered keys, dedup_signature_banded, 34 backlog keys) —
+    1+4+45 = exactly the demonstrated 50-key budget, (d) the 38-key r08
+    oracle backlog next so budget surplus eats into it, before any other
+    rows-only or green key."""
     from mergeextractor_spark import registry
 
     mod = _load_entry()
@@ -48,7 +49,7 @@ def test_gate_window_rotation_order():
 
     n_fix = len(registry._EVIDENCE_FIX)
     n_first = len(registry._ROTATION_FIRST)
-    # exact window arithmetic: 0 fixes + 4 canaries + 46 rotation = 50
+    # exact window arithmetic: 1 fix + 4 canaries + 45 rotation = 50
     assert n_fix + registry._CANARY_SLOTS + n_first == 50
     assert keys[:n_fix] == list(registry._EVIDENCE_FIX)
     for key in registry._EVIDENCE_FIX:

@@ -163,3 +163,83 @@ def test_orc_roundtrip_matches_parquet_source(spark):
         .collect()
     }
     assert got == want
+
+
+def test_sink_log_lines_are_byte_exact_to_reference_logs(spark, tmp_path):
+    """sink_log must reproduce the reference's logs.txt lines BYTE-exact:
+    each case below is a verbatim line from /root/reference/logs.txt,
+    regenerated from an audit row with the matching timestamp."""
+    from mergeextractor_spark.sources.sinks import sink_log
+
+    cases = [
+        # (ts, main_index, a, b, status, expected verbatim logs.txt line)
+        (
+            "2025-06-14 05:35:46", 0,
+            "Prime Response Inc", "Chordiant Software Inc", "accepted",
+            "[2025-06-14 05:35:46] [+] Successfully created document for: "
+            "Prime Response Inc & Chordiant Software Inc",
+        ),
+        (
+            "2025-06-14 05:37:21", 1,
+            "Fritz Cos Inc", "United Parcel Service Inc", "no_relevant_document",
+            "[2025-06-14 05:37:21] [-] No relevant document found for index 1: "
+            "Fritz Cos Inc & United Parcel Service Inc",
+        ),
+        (
+            "2025-06-14 19:33:46", 238,
+            "Gish Biomedical Inc", "CardioTech International Inc", "no_background_section",
+            "[2025-06-14 19:33:46] [-] Confirmed no background section found for "
+            "index 238: Gish Biomedical Inc & CardioTech International Inc.",
+        ),
+        (
+            "2025-06-14 22:56:17", 2,
+            "Commonwealth Telephone Entrp", "Frontier Commun Parent Inc", "no_document",
+            "[2025-06-14 22:56:17] [-] No document found for: "
+            "Commonwealth Telephone Entrp & Frontier Commun Parent Inc",
+        ),
+        (
+            "2025-06-14 19:11:50", 104,
+            "Triton Energy Ltd", "Amerada Hess Corp", "flagged_manual_inspection",
+            "[2025-06-14 19:11:50] [x] FLAGGED for Manual Inspection: Failed to "
+            "locate a background chunk for index: 104; Companies: "
+            "Triton Energy Ltd & Amerada Hess Corp",
+        ),
+    ]
+    for n, (ts, i, a, b, status, want) in enumerate(cases):
+        df = spark.createDataFrame(
+            [(i, status, a, b)],
+            "main_index long, status string, company_a string, company_b string",
+        )
+        path = str(tmp_path / f"log{n}")
+        sink_log(df, path, ts=ts)
+        got = [r.value for r in spark.read.text(path).collect()]
+        assert got == [want], (got, want)
+
+
+def test_sink_log_appends_and_counts_per_class(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mergeextractor_spark.sources.sinks import sink_log
+
+    df = spark.createDataFrame(
+        [
+            (1, "accepted", "A Corp", "B Inc"),
+            (2, "accepted", "C Corp", "D Inc"),
+            (3, "no_document", "E Corp", "F Inc"),
+        ],
+        "main_index long, status string, company_a string, company_b string",
+    )
+    path = str(tmp_path / "logs")
+    sink_log(df, path)
+    sink_log(df.filter("main_index = 3"), path)  # append mode, like Logger
+    back = spark.read.text(path)
+    counts = {
+        r.tag: r.n
+        for r in back.select(
+            F.regexp_extract("value", r"^\[[0-9: -]+\] (\[.\])", 1).alias("tag")
+        )
+        .groupBy("tag")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert counts == {"[+]": 2, "[-]": 2}
