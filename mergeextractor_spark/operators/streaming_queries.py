@@ -590,18 +590,22 @@ ZSCORE_TRAIL = 6  # trailing slots in the rolling frame (exclusive of current)
       WINDOW w AS (PARTITION BY event_type ORDER BY slot
                    ROWS BETWEEN {ZSCORE_TRAIL} PRECEDING AND 1 PRECEDING)
     )
-    SELECT event_type, slot, CAST(n AS BIGINT) AS n,
-           round((n - mu) / sigma, 4) AS zscore
-    FROM stats
-    WHERE m = {ZSCORE_TRAIL} AND sigma > 0 AND abs((n - mu) / sigma) > 2.0
+    SELECT event_type, slot, CAST(n AS BIGINT) AS n, zscore
+    FROM (SELECT *, round((n - mu) / sigma, 4) AS zscore FROM stats
+          WHERE m = {ZSCORE_TRAIL} AND sigma > 0)
+    WHERE abs(zscore) > 2.0
     """,
     doc=f"Rolling z-score anomaly flags: each hourly count compared "
     f"against its own trailing {ZSCORE_TRAIL}-slot mean/stddev (frame "
     "excludes the current row, so an anomaly can't dilute its own "
     "baseline), flagging |z| > 2. Warm-up slots with an incomplete frame "
-    "or zero variance are excluded on both engines. The ROWS-bounded "
-    "trailing frame is the distinct shape here — state per group is "
-    f"O({ZSCORE_TRAIL}), so the same plan runs as an unbounded stream.",
+    "or zero variance are excluded on both engines. The threshold is "
+    "applied to the ROUNDED z on BOTH engines: counts sitting exactly "
+    "at |z| = 2 otherwise flip with stddev float noise (sf0.1 has two "
+    "such rows — one engine computes sigma 3.9999999999999996, the "
+    "other exactly 4). The ROWS-bounded trailing frame is the distinct "
+    f"shape here — state per group is O({ZSCORE_TRAIL}), so the same "
+    "plan runs as an unbounded stream.",
 )
 def events_moving_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
@@ -620,12 +624,12 @@ def events_moving_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.stddev_samp("n").over(w).alias("sigma"),
         F.count("*").over(w).alias("m"),
     )
-    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    z = r4((F.col("n") - F.col("mu")) / F.col("sigma"))
     return (
-        stats.filter(
-            (F.col("m") == ZSCORE_TRAIL) & (F.col("sigma") > 0) & (F.abs(z) > 2.0)
-        )
-        .select("event_type", "slot", F.col("n").cast("bigint").alias("n"), r4(z).alias("zscore"))
+        stats.filter((F.col("m") == ZSCORE_TRAIL) & (F.col("sigma") > 0))
+        .withColumn("zscore", z)
+        .filter(F.abs(F.col("zscore")) > 2.0)
+        .select("event_type", "slot", F.col("n").cast("bigint").alias("n"), "zscore")
     )
 
 

@@ -883,8 +883,9 @@ def text_code_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_words AS BIGINT) AS n_words,
            CAST(n_sents AS BIGINT) AS n_sents,
            CAST(n_syll AS BIGINT) AS n_syllables,
-           round(0.39 * n_words / n_sents
-                 + 11.8 * n_syll / greatest(n_words, 1) - 15.59, 4) AS fk_grade
+           round(0.39::DOUBLE * n_words / n_sents
+                 + 11.8::DOUBLE * n_syll / greatest(n_words, 1)
+                 - 15.59::DOUBLE, 4) AS fk_grade
     FROM counted
     """,
     doc="Flesch-Kincaid grade level per document: sentences split on "
