@@ -108,6 +108,15 @@ def main() -> None:
     stdevs: dict[str, float] = {}
     for key in HEADLINE:
         q = reg[key]
+        # Per-query cache isolation (r7): keys whose plans .cache()
+        # internally leave relations in the CacheManager for the REST of
+        # the suite (plan-canonicalization matching means later
+        # constructions reuse them), so storage residue grows with suite
+        # position — the late-suite agg_source_overlap spike (median
+        # 2.51 s, stdev 4.3, vs 1.08 s isolated). Clearing ONCE before
+        # each query's warm run removes cross-query residue while the
+        # warm + timed runs of THIS query still share their own cache.
+        spark.catalog.clearCache()
         df = q.spark(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warm
         samples = []
