@@ -79,8 +79,11 @@ HEADLINE = [
     # round 7 additions (VERDICT r6 item 6: perf evidence tracks coverage)
     "pipeline_hybrid_search",    # flagship #5: BM25 + dense pools -> RRF -> MMR diversify
     "agg_market_basket",         # pairwise lift/confidence over order baskets
-    "events_top_paths",          # top session paths (ordered collect -> n-gram count)
+    "events_top_paths",          # top 3-step paths (lead-windows -> groupBy count)
     "dedup_signature_banded",    # banded-Hamming near-dup stage (7-band x 8-block keys)
+    # round 8 additions (VERDICT r7 item 5: Arrow-decode throughput tracked)
+    "multimodal_image_phash",    # mapInPandas binary decode -> dHash (codec hot path)
+    "dedup_image_phash",         # decode -> signature -> banded near-dup end-to-end
 ]
 
 

@@ -90,6 +90,31 @@ _SPREAD_MEMO: "weakref.WeakKeyDictionary[DataFrame, DataFrame]" = (
 )
 
 
+def scratch_dir(prefix: str) -> str:
+    """Scratch directory for side-effecting sink keys.
+
+    Every sink/roundtrip query used to call ``tempfile.mkdtemp`` at
+    construction and never clean up, leaking one directory per registry
+    materialization (ADVICE r7).  All scratch dirs now nest under ONE
+    process-scoped root removed at interpreter exit, so repeated
+    materializations cost directories only until the process ends and
+    nothing survives it.
+    """
+    global _SCRATCH_ROOT
+    import tempfile
+
+    if _SCRATCH_ROOT is None:
+        import atexit
+        import shutil
+
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="mx_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
+
+
+_SCRATCH_ROOT: str | None = None
+
+
 def date_str(c: Column) -> Column:
     """Emit dates as ISO strings on both sides (oracle uses strftime)."""
     return F.date_format(c, "yyyy-MM-dd")

@@ -188,15 +188,28 @@ def pagerank(
 
 
 BASKET_MIN_USERS = 5  # minimum co-occurrence support (absolute users)
+# Per-user basket cap (VERDICT r7 item 2): pairs expand map-side bounded
+# by |basket|², so ONE bot user with 10⁵ distinct items would emit ~5×10⁹
+# structs inside a single task at 100 TB (straggler/OOM).  The cap keeps
+# every basket's expansion ≤ CAP² with a deterministic truncation (first
+# CAP items of the sorted distinct set), mirrored exactly in the oracle.
+BASKET_CAP = 100
 
 
 @register(
     "agg_market_basket",
     oracle=f"""
-    WITH baskets AS (
+    WITH distinct_items AS (
       SELECT DISTINCT user_id,
              CAST(json_extract_string(props, '$.k') AS INTEGER) AS item
       FROM events
+    ),
+    baskets AS (
+      SELECT user_id, item FROM (
+        SELECT user_id, item,
+               row_number() OVER (PARTITION BY user_id ORDER BY item) AS rn
+        FROM distinct_items
+      ) WHERE rn <= {BASKET_CAP}
     ),
     n_users AS (SELECT count(DISTINCT user_id)::DOUBLE AS n FROM baskets),
     item_n AS (SELECT item, count(*) AS nu FROM baskets GROUP BY item),
@@ -221,20 +234,34 @@ BASKET_MIN_USERS = 5  # minimum co-occurrence support (absolute users)
     "lift (>1 = the pair co-occurs more than independence predicts) — "
     "the a-priori pair-counting pass behind 'users who touched X also "
     "touch Y'. Scale shape: baskets aggregate to sorted per-user item "
-    "sets in ONE shuffle, pairs expand MAP-SIDE from each basket "
-    "(bounded by the per-user basket size squared — cap baskets "
-    "upstream for power users, the standard guard), and per-item "
-    "user counts fall out of the same aggregate via singleton structs "
-    "(the agg_source_overlap fusion); the user-count is a broadcast "
-    "1-row aggregate. The user-basket table is never self-joined.",
+    f"sets in ONE shuffle CAPPED at {BASKET_CAP} items (deterministic "
+    "slice of the sorted distinct set, the standard power-user guard — "
+    "a bot basket can no longer blow up one task), pairs expand "
+    "MAP-SIDE from each capped basket (≤ CAP² structs per user), and "
+    "per-item user counts fall out of the same aggregate via singleton "
+    "structs (the agg_source_overlap fusion); the user-count is a "
+    "broadcast 1-row aggregate. The user-basket table is never "
+    "self-joined.",
 )
 def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").select(
         "user_id",
         F.get_json_object("props", "$.k").cast("int").alias("item"),
     )
+    return market_basket_frame(ev)
+
+
+def market_basket_frame(
+    ev: DataFrame, min_users: int = BASKET_MIN_USERS, cap: int = BASKET_CAP
+) -> DataFrame:
+    """(user_id, item) interactions → frequent-pair association stats.
+    ``cap`` deterministically truncates each user's basket to the first
+    ``cap`` items of its sorted distinct set BEFORE pair expansion, so a
+    single power user can never expand more than cap² structs in one
+    task (the r7 scale-killer finding; bound pytest-pinned in
+    tests/test_invariants.py)."""
     baskets = ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_set("item")).alias("items")
+        F.slice(F.sort_array(F.collect_set("item")), 1, cap).alias("items")
     )
     n_users = F.broadcast(
         baskets.agg(F.count("*").cast("double").alias("n"))
@@ -270,7 +297,7 @@ def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = F.broadcast(item_n.withColumnsRenamed({"item": "item_a", "nu": "na"}))
     nb = F.broadcast(item_n.withColumnsRenamed({"item": "item_b", "nu": "nb"}))
     return (
-        pair_n.filter(F.col("n_both") >= BASKET_MIN_USERS)
+        pair_n.filter(F.col("n_both") >= min_users)
         .join(na, "item_a")
         .join(nb, "item_b")
         .crossJoin(n_users)

@@ -7,7 +7,6 @@ roundtrip.
 from __future__ import annotations
 
 import os
-import tempfile
 import unicodedata
 
 import pandas as pd
@@ -16,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..registry import register
-from ._util import t, r4
+from ._util import scratch_dir, t, r4
 
 RERANK_QUERY = "events leading up to the merger agreement between the companies"
 
@@ -122,7 +121,7 @@ def sink_kv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.sinks import scan_kv_point, sink_kv_store
     from .domain_queries import _filings_df
 
-    path = os.path.join(tempfile.mkdtemp(prefix="kvq_"), "store")
+    path = os.path.join(scratch_dir("kvq_"), "store")
     sink_kv_store(_filings_df(spark).withColumn("main_index", F.col("main_index") + 250), path, mode="overwrite")
     got = scan_kv_point(spark, path, 255)
     return got.select("main_index", "company_a", "bucket")
@@ -140,7 +139,7 @@ def sink_kv_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.sinks import merge_kv_store, sink_kv_store
     from .domain_queries import _filings_df
 
-    path = os.path.join(tempfile.mkdtemp(prefix="kvm_"), "store")
+    path = os.path.join(scratch_dir("kvm_"), "store")
     base = _filings_df(spark)
     sink_kv_store(base, path, mode="overwrite")
     updates = base.filter(F.col("main_index") == 0).withColumn(

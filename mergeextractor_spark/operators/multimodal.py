@@ -278,8 +278,72 @@ _BAND_OFFSETS: tuple[tuple[int, int], ...] = (
 _N_BLOCKS: int = 8
 
 
+def _band_block_entries(phash) -> "F.Column":
+    """Default 56-key scheme: one packed int per (band, block) combo —
+    tag(6b) | band value(10b) | block value(8b), a single narrow
+    join/shuffle key instead of three.  ~18-bit value entropy; random
+    collisions grow as n²·56/2^18.5 — the measured winner below ~10⁷
+    distinct signatures (PERFORMANCE.md 'width dial')."""
+    return F.array(*[
+        (
+            F.lit((k * _N_BLOCKS + j) << 18).cast("long")
+            + F.shiftleft(
+                F.shiftrightunsigned(phash, off).bitwiseAND(
+                    F.lit((1 << size) - 1).cast("long")
+                ),
+                8,
+            )
+            + F.shiftrightunsigned(phash, 8 * j).bitwiseAND(
+                F.lit(0xFF).cast("long")
+            )
+        ).cast("int")
+        for k, (off, size) in enumerate(_BAND_OFFSETS)
+        for j in range(_N_BLOCKS)
+    ])
+
+
+def _band_blockpair_entries(phash) -> "F.Column":
+    """Wide 196-key scheme — the documented 10⁸⁺-signature escape hatch
+    (VERDICT r7 item 6, PERFORMANCE.md 'width dial'): one packed long per
+    (band, block-PAIR) combo, 7 × C(8,2) = 196 keys of ~34-bit value
+    entropy — tag(8b) << 26 | band value(10b) << 16 | block_i(8b) << 8 |
+    block_j(8b).  Recall is still GUARANTEED at hamming <= 6: <= 6 flips
+    leave >= 1 of 7 bands intact AND >= 2 of 8 blocks intact (both
+    pigeonholes apply to the same flip set), so every true pair shares
+    some (intact band, intact block pair) key.  Collisions drop ~70× per
+    combo (n²·196/2^27) at the price of 3.5× keyed rows — measured
+    SLOWER at 200k signatures (25.6 s vs 9.9 s), the right trade only
+    past the ~10⁸ distinct-signature crossover.  Recall equivalence with
+    the 56-key default is pytest-pinned at both widths."""
+    pairs = [(i, j) for i in range(_N_BLOCKS) for j in range(i + 1, _N_BLOCKS)]
+    return F.array(*[
+        (
+            F.lit((k * len(pairs) + p) << 26).cast("long")
+            + F.shiftleft(
+                F.shiftrightunsigned(phash, off).bitwiseAND(
+                    F.lit((1 << size) - 1).cast("long")
+                ),
+                16,
+            )
+            + F.shiftleft(
+                F.shiftrightunsigned(phash, 8 * i).bitwiseAND(
+                    F.lit(0xFF).cast("long")
+                ),
+                8,
+            )
+            + F.shiftrightunsigned(phash, 8 * j).bitwiseAND(
+                F.lit(0xFF).cast("long")
+            )
+        )
+        for k, (off, size) in enumerate(_BAND_OFFSETS)
+        for p, (i, j) in enumerate(pairs)
+    ])
+
+
 def _banded_hamming_dedup(
-    sig: DataFrame, max_hamming: int = PHASH_HAMMING_MAX
+    sig: DataFrame,
+    max_hamming: int = PHASH_HAMMING_MAX,
+    entries_builder=_band_block_entries,
 ) -> DataFrame:
     """(media_id, phash) signatures → keep-first near-dup assignment via a
     double-pigeonhole compound-key equi-join (the dedup_simhash_neardup
@@ -292,6 +356,13 @@ def _banded_hamming_dedup(
     key (vs a 9-bit band alone) keeps buckets small at corpus scale; the
     exact bit_count(xor) verify then runs on candidates only.  Keep-first
     canonical rep; output is one row PER SIGNATURE (linear in N).
+
+    ``entries_builder`` selects the key scheme (VERDICT r7 item 6): the
+    56-key (band, block) default, or ``_band_blockpair_entries`` — the
+    196-key (band, block-pair) construction for 10⁸⁺ distinct
+    signatures, where collision pairs overtake key volume.  Both schemes
+    guarantee full recall at hamming <= 6; only the candidate-generation
+    key array changes (verify/rep stages shared).
 
     Exact-collapse-first ordering (the same invariant as the text dedup
     family): IDENTICAL signatures — blank frames, re-encoded copies —
@@ -310,24 +381,7 @@ def _banded_hamming_dedup(
     # the stored long is the hash with bit 63 flipped (signed-range
     # shift); the flip is uniform across rows, so band equi-joins and
     # XOR hamming distances are unchanged — no unshift needed
-    # one packed int per (band, block) combo: tag(6b) | band value(10b) |
-    # block value(8b) — a single narrow join/shuffle key instead of three
-    entries = F.array(*[
-        (
-            F.lit((k * _N_BLOCKS + j) << 18).cast("long")
-            + F.shiftleft(
-                F.shiftrightunsigned(F.col("phash"), off).bitwiseAND(
-                    F.lit((1 << size) - 1).cast("long")
-                ),
-                8,
-            )
-            + F.shiftrightunsigned(F.col("phash"), 8 * j).bitwiseAND(
-                F.lit(0xFF).cast("long")
-            )
-        ).cast("int")
-        for k, (off, size) in enumerate(_BAND_OFFSETS)
-        for j in range(_N_BLOCKS)
-    ])
+    entries = entries_builder(F.col("phash"))
     keyed = groups.select(
         "media_id", "phash", F.explode(entries).alias("bkey")
     )
@@ -366,12 +420,15 @@ def _banded_hamming_dedup(
     grp_rep = groups.join(rep, "media_id", "left").select(
         "phash", F.coalesce(F.col("rep_via"), F.col("media_id")).alias("grp_rep")
     )
+    # grp_rep <= media_id always holds (the group id is its group's min
+    # member and rep_via only joins smaller gids), so grp_rep IS the
+    # rep_id — no least() needed (ADVICE r7)
     return (
         sig.join(grp_rep, "phash")
         .select(
             "media_id",
             "phash",
-            F.least(F.col("grp_rep"), F.col("media_id")).alias("rep_id"),
+            F.col("grp_rep").alias("rep_id"),
             (F.col("grp_rep") < F.col("media_id")).alias("is_dup"),
         )
     )

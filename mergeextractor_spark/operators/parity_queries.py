@@ -14,14 +14,13 @@ every operator key in the survey maps 1:1 to a registered query:
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import strings as S
 from ..registry import register
-from ._util import t
+from ._util import scratch_dir, t
 
 # ---------------------------------------------------------------------------
 # §2.1 sources / sinks
@@ -133,7 +132,7 @@ def sink_csv_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.sinks import sink_csv_ordered
     from .domain_queries import _DEALS_CSV
 
-    path = os.path.join(tempfile.mkdtemp(prefix="csvq_"), "out")
+    path = os.path.join(scratch_dir("csvq_"), "out")
     sink_csv_ordered(scan_csv_deals(spark, _DEALS_CSV), path)
     back = spark.read.option("header", True).csv(path)
     return back.select(F.col("main_index").cast("long").alias("main_index"), "company_a")
@@ -152,7 +151,7 @@ def sink_csv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .domain_queries import _sections_df
 
     out = identifier_pipeline(_sections_df(spark))
-    path = os.path.join(tempfile.mkdtemp(prefix="csvu_"), "union")
+    path = os.path.join(scratch_dir("csvu_"), "union")
     sink_csv_ordered(out, path)
     back = spark.read.option("header", True).csv(path)
     return back.select(
@@ -172,7 +171,7 @@ def sink_kv_store_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.sinks import sink_kv_store
     from .domain_queries import _filings_df
 
-    path = os.path.join(tempfile.mkdtemp(prefix="kvs_"), "store")
+    path = os.path.join(scratch_dir("kvs_"), "store")
     sink_kv_store(_filings_df(spark), path, mode="overwrite")
     back = spark.read.parquet(path)
     return back.select("main_index", "bucket", F.length("content").cast("long").alias("content_len"))
@@ -189,7 +188,7 @@ def scan_kv_store_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.sinks import scan_kv_point, sink_kv_store
     from .domain_queries import _filings_df
 
-    path = os.path.join(tempfile.mkdtemp(prefix="kvp_"), "store")
+    path = os.path.join(scratch_dir("kvp_"), "store")
     sink_kv_store(
         _filings_df(spark).withColumn("main_index", F.col("main_index") * 137), path, mode="overwrite"
     )
@@ -206,7 +205,7 @@ def sink_fs_dump_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.sinks import sink_fs_dump
     from .domain_queries import _filings_df
 
-    path = os.path.join(tempfile.mkdtemp(prefix="fsd_"), "dump")
+    path = os.path.join(scratch_dir("fsd_"), "dump")
     sink_fs_dump(_filings_df(spark), path)
     back = spark.read.text(path)
     return (
@@ -239,7 +238,7 @@ def sink_log_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit = crawler_audit(deals, _filings_df(spark)).join(
         deals.select("main_index", "company_a", "company_b"), "main_index"
     )
-    path = os.path.join(tempfile.mkdtemp(prefix="runlog_"), "logs")
+    path = os.path.join(scratch_dir("runlog_"), "logs")
     sink_log(audit, path)
     back = spark.read.text(path)
     return (
@@ -568,9 +567,9 @@ def ner_orgs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tests/test_sources_sinks.py.",
 )
 def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ._util import t
+    from ._util import scratch_dir, t
 
-    path = os.path.join(tempfile.mkdtemp(prefix="orc_"), "docs")
+    path = os.path.join(scratch_dir("orc_"), "docs")
     t(spark, sf_dir, "documents").write.option("compression", "zstd").orc(path)
     back = spark.read.orc(path)
     return (
@@ -599,10 +598,10 @@ def sink_pyds_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
     import json as _json
 
     from ..sources.kv_datasource import register_kv_sink
-    from ._util import t
+    from ._util import scratch_dir, t
 
     register_kv_sink(spark)
-    path = os.path.join(tempfile.mkdtemp(prefix="pydskv_"), "store")
+    path = os.path.join(scratch_dir("pydskv_"), "store")
     os.makedirs(path, exist_ok=True)
     (
         t(spark, sf_dir, "documents")
@@ -650,9 +649,9 @@ def sink_pyds_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
     "barrier.",
 )
 def scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ._util import t
+    from ._util import scratch_dir, t
 
-    path = os.path.join(tempfile.mkdtemp(prefix="jsonl_"), "docs")
+    path = os.path.join(scratch_dir("jsonl_"), "docs")
     (
         t(spark, sf_dir, "documents")
         .select("doc_id", "text", "source")
@@ -688,7 +687,7 @@ def scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "value-checked, not just 'did not crash'.",
 )
 def scan_csv_corrupt_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = os.path.join(tempfile.mkdtemp(prefix="csvbad_"), "rows")
+    path = os.path.join(scratch_dir("csvbad_"), "rows")
     line = F.concat(
         F.col("doc_id").cast("string"),
         F.lit(","),
@@ -713,4 +712,216 @@ def scan_csv_corrupt_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("n_chars")))
         .cast("bigint")
         .alias("good_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 cascade stages (b) and (c) as pure-SQL oracle twins (VERDICT r7
+# item 7): SURVEY §2.8 notes these two stages are line-counting
+# heuristics expressible with split/filter/size — registering them
+# oracle-paired shrinks the rows-only set the way dedup_signature_banded
+# did for the banded stage.  The pure-Python forms in operators/cascade.py
+# remain the pipeline implementations (golden-corpus pytest); these twins
+# prove the ALGORITHMS cross-engine at value level over deterministic
+# multi-line chunks synthesized from the documents table (the fixture
+# text is single-line, so the structure is fully controlled and identical
+# on both engines).
+
+_CASCADE_PHRASE = "background of the merger"
+
+
+def _cascade_chunk_title(doc_id, text):
+    """Deterministic multi-line chunk exercising every has_section_title
+    branch: 1-line title para, 2-line para, bad-phrase para, 3-line para,
+    short-line drop, and no-phrase."""
+    body = F.substring(text, 1, 80)
+    body2 = F.substring(text, 81, 80)
+    m = doc_id % 6
+    return (
+        F.when(m == 0, F.concat(F.lit("BACKGROUND OF THE MERGER\n\n"), body))
+        .when(m == 1, F.concat(F.lit("Item 7.\nBackground of the Merger\n\n"), body))
+        .when(m == 2, F.concat(F.lit("As amended herein\nBackground of the Merger\n\n"), body))
+        .when(m == 3, F.concat(F.lit("Background of the Merger\n"), body, F.lit("\n"), body2, F.lit("\n\n"), body))
+        .when(m == 4, F.concat(F.lit("11.\nBackground of the Merger\n\n"), body))
+        .otherwise(F.concat(F.lit("Introduction\n\n"), body))
+    )
+
+
+_CASCADE_CHUNK_TITLE_SQL = """
+      CASE doc_id % 6
+        WHEN 0 THEN e'BACKGROUND OF THE MERGER\\n\\n' || substr(text, 1, 80)
+        WHEN 1 THEN e'Item 7.\\nBackground of the Merger\\n\\n' || substr(text, 1, 80)
+        WHEN 2 THEN e'As amended herein\\nBackground of the Merger\\n\\n' || substr(text, 1, 80)
+        WHEN 3 THEN e'Background of the Merger\\n' || substr(text, 1, 80) || e'\\n' || substr(text, 81, 80) || e'\\n\\n' || substr(text, 1, 80)
+        WHEN 4 THEN e'11.\\nBackground of the Merger\\n\\n' || substr(text, 1, 80)
+        ELSE e'Introduction\\n\\n' || substr(text, 1, 80)
+      END
+"""
+
+# kept lines of one paragraph / their lowercased join, inlined twice in the
+# DuckDB lambda (no local bindings inside lambdas)
+_KEPT_SQL = "list_filter(list_transform(string_split(q, chr(10)), x -> trim(x)), x -> length(x) >= 4)"
+_JOIN_SQL = f"lower(array_to_string({_KEPT_SQL}, chr(10)))"
+
+
+@register(
+    "cascade_title_check",
+    oracle=f"""
+    WITH c AS (SELECT doc_id, {_CASCADE_CHUNK_TITLE_SQL} AS chunk FROM documents),
+    p AS (SELECT doc_id, regexp_split_to_array(chunk, '\\n\\s*\\n') AS paras FROM c)
+    SELECT doc_id,
+           len(list_filter(paras, q ->
+                 NOT (contains({_JOIN_SQL}, 'amended')
+                      OR contains({_JOIN_SQL}, 'restated')
+                      OR contains({_JOIN_SQL}, 'schedule to')
+                      OR contains({_JOIN_SQL}, 'as follow'))
+                 AND contains({_JOIN_SQL}, '{_CASCADE_PHRASE}')
+                 AND len({_KEPT_SQL}) <= 2)) AS n_title_paras,
+           len(list_filter(paras, q ->
+                 NOT (contains({_JOIN_SQL}, 'amended')
+                      OR contains({_JOIN_SQL}, 'restated')
+                      OR contains({_JOIN_SQL}, 'schedule to')
+                      OR contains({_JOIN_SQL}, 'as follow'))
+                 AND contains({_JOIN_SQL}, '{_CASCADE_PHRASE}')
+                 AND len({_KEPT_SQL}) <= 2)) > 0 AS has_title
+    FROM p
+    """,
+    doc="Cascade stage (b) has_section_title as native expressions (ref "
+    "ChunkProcessor.py:75-114; pure-Python twin cascade.py:115-137): "
+    "split the chunk on blank lines into paragraphs, keep lines of "
+    "length >= 4 after trim (standalone page numbers drop), skip "
+    "paragraphs carrying the amended/restated/schedule-to/as-follow "
+    "poison terms, and accept iff some surviving paragraph contains the "
+    "start phrase in <= 2 kept lines. All higher-order array functions "
+    "(split/transform/filter/exists) — whole-stage codegen, zero UDF, "
+    "zero shuffle: the check is a per-row map over the scan.",
+)
+def cascade_title_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    chunk = _cascade_chunk_title(F.col("doc_id"), F.col("text"))
+    paras = F.split(chunk, r"\n\s*\n")
+
+    def kept(q):
+        return F.filter(
+            F.transform(F.split(q, "\n"), lambda x: F.trim(x)),
+            lambda x: F.length(x) >= 4,
+        )
+
+    def ok(q):
+        j = F.lower(F.array_join(kept(q), "\n"))
+        bad = (
+            j.contains("amended")
+            | j.contains("restated")
+            | j.contains("schedule to")
+            | j.contains("as follow")
+        )
+        return ~bad & j.contains(_CASCADE_PHRASE) & (F.size(kept(q)) <= 2)
+
+    n_title = F.size(F.filter(paras, ok))
+    return docs.select(
+        "doc_id",
+        n_title.alias("n_title_paras"),
+        (n_title > 0).alias("has_title"),
+    )
+
+
+def _cascade_chunk_toc(doc_id, text):
+    """Deterministic chunk exercising every is_not_toc branch: pure TOC,
+    paragraph run, TOC followed by a long paragraph run, and no-phrase
+    TOC (start index defaults to the first line)."""
+    body = F.substring(text, 1, 80)
+    body2 = F.substring(text, 81, 80)
+    m = doc_id % 4
+    return (
+        F.when(m == 0, F.concat(F.lit("Background of the Merger\n\nItem 1.\n\nItem 2.\n\nItem 3.\n\n"), body))
+        .when(m == 1, F.concat(F.lit("Background of the Merger\n"), body, F.lit("\n"), body2, F.lit("\nSigned and agreed by the parties hereto\nWitnessed this day\n")))
+        .when(m == 2, F.concat(F.lit("Background of the Merger\n\nA. One\n\nB. Two\n\nC. Three\n\n"), body, F.lit("\n"), body2, F.lit("\nline three of text\nline four of text\nline five of text\nline six here")))
+        .otherwise(F.concat(F.lit("Table of Contents\n\nOne\n\nTwo\n\nThree\n\n"), body))
+    )
+
+
+_CASCADE_CHUNK_TOC_SQL = """
+      CASE doc_id % 4
+        WHEN 0 THEN e'Background of the Merger\\n\\nItem 1.\\n\\nItem 2.\\n\\nItem 3.\\n\\n' || substr(text, 1, 80)
+        WHEN 1 THEN e'Background of the Merger\\n' || substr(text, 1, 80) || e'\\n' || substr(text, 81, 80) || e'\\nSigned and agreed by the parties hereto\\nWitnessed this day\\n'
+        WHEN 2 THEN e'Background of the Merger\\n\\nA. One\\n\\nB. Two\\n\\nC. Three\\n\\n' || substr(text, 1, 80) || e'\\n' || substr(text, 81, 80) || e'\\nline three of text\\nline four of text\\nline five of text\\nline six here'
+        ELSE e'Table of Contents\\n\\nOne\\n\\nTwo\\n\\nThree\\n\\n' || substr(text, 1, 80)
+      END
+"""
+
+
+@register(
+    "cascade_toc_check",
+    oracle=f"""
+    WITH c AS (SELECT doc_id, {_CASCADE_CHUNK_TOC_SQL} AS chunk FROM documents),
+    l AS (SELECT doc_id, string_split(chunk, chr(10)) AS lines FROM c),
+    s AS (
+      SELECT doc_id,
+             array_to_string(
+               list_transform(
+                 array_slice(lines,
+                   coalesce(list_filter(list_transform(lines,
+                       (x, i) -> CASE WHEN contains(lower(trim(x)), '{_CASCADE_PHRASE}') THEN i END),
+                     v -> v IS NOT NULL)[1], 1),
+                   len(lines)),
+                 x -> CASE WHEN length(trim(x)) > 0 THEN '1' ELSE '0' END),
+               '') AS bits
+      FROM l
+    )
+    SELECT doc_id,
+           len(list_filter(regexp_extract_all(bits, '1.|0'), t -> t = '10')) AS toc_like,
+           len(list_filter(regexp_extract_all(bits, '1.|0'), t -> t = '11')) AS para_like,
+           NOT (len(list_filter(regexp_extract_all(bits, '1.|0'), t -> t = '10')) >= 3
+                AND len(list_filter(regexp_extract_all(bits, '1.|0'), t -> t = '11')) < 3) AS is_not_toc
+    FROM s
+    """,
+    doc="Cascade stage (c) is_not_toc as native expressions (ref "
+    "ChunkProcessor.py:116-140; pure-Python twin cascade.py:140-158): "
+    "from the first line containing the phrase, the reference's greedy "
+    "two-step scan classifies line pairs as TOC-like (text line + blank "
+    "line) or paragraph-like (two text lines) and rejects iff "
+    "toc_like >= 3 and para_like < 3. The scan is encoded as a regex "
+    "tokenization: lines map to a '1'/'0' blank-ness string and "
+    "regexp_extract_all(bits, '1.|0') reproduces the loop's greedy "
+    "leftmost consumption exactly ('1x' eats two positions, '0' eats "
+    "one, a trailing lone '1' is never classified — token '10' = "
+    "toc_like, '11' = para_like). Whole-stage codegen, zero UDF, zero "
+    "shuffle: a per-row map over the scan on both engines.",
+)
+def cascade_toc_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    chunk = _cascade_chunk_toc(F.col("doc_id"), F.col("text"))
+    lines = F.split(chunk, "\n")
+    idx1 = F.coalesce(
+        F.get(
+            F.filter(
+                F.transform(
+                    lines,
+                    lambda x, i: F.when(
+                        F.lower(F.trim(x)).contains(_CASCADE_PHRASE), i + 1
+                    ),
+                ),
+                lambda v: v.isNotNull(),
+            ),
+            0,
+        ),
+        F.lit(1),
+    )
+    bits = F.array_join(
+        F.transform(
+            F.slice(lines, idx1, F.size(lines)),
+            lambda x: F.when(F.length(F.trim(x)) > 0, F.lit("1")).otherwise(
+                F.lit("0")
+            ),
+        ),
+        "",
+    )
+    toks = F.regexp_extract_all(bits, F.lit("1.|0"), F.lit(0))
+    toc = F.size(F.filter(toks, lambda tk: tk == F.lit("10")))
+    para = F.size(F.filter(toks, lambda tk: tk == F.lit("11")))
+    return docs.select(
+        "doc_id",
+        toc.alias("toc_like"),
+        para.alias("para_like"),
+        (~((toc >= 3) & (para < 3))).alias("is_not_toc"),
     )

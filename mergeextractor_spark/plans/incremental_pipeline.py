@@ -35,13 +35,12 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..operators._util import t
+from ..operators._util import scratch_dir, t
 
 GATE_MIN_TOKENS = 50
 GATE_MAX_TOKENS = 100_000
@@ -90,7 +89,7 @@ def ingest_batch(
     # bit-identical; a crash mid-rename is recovered by the replay (the
     # marker is absent, and re-ingest dedups the half-renamed rows
     # against the store content itself).
-    stage = tempfile.mkdtemp(prefix=f"ingest_{batch_id}_")
+    stage = scratch_dir(f"ingest_{batch_id}_")
     survivors.write.mode("overwrite").parquet(stage)
     for f in os.listdir(stage):
         if f.endswith(".parquet"):
@@ -126,7 +125,7 @@ def ingest_batch(
 )
 def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    store = os.path.join(tempfile.mkdtemp(prefix="corpus_"), "store")
+    store = os.path.join(scratch_dir("corpus_"), "store")
     docs.filter(F.col("doc_id") % 10 < 8).write.parquet(store)
     dup_part = (
         docs.filter(F.col("doc_id") % 10 < 8)

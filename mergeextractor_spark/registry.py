@@ -56,7 +56,7 @@ def register(key: str, oracle: str | None = None, doc: str = "", eager: bool = F
 # CORRECTNESS file is folded into _DRIVER_GREEN below; seeds the canary
 # sample so each round re-checks a different deterministic slice of the
 # already-green keys (VERDICT r3 "Next round" item 3).
-_ROUND: int = 7
+_ROUND: int = 8
 
 # Keys that already hold a green hash-checked row in CORRECTNESS_r01–r03
 # (historical fact, frozen).  The driver's correctness gate walks the dict
@@ -145,65 +145,51 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "scan_jsonl_roundtrip", "scan_csv_corrupt_permissive",
     "json_variant_extract", "str_xml_extract", "str_try_cast_battery",
     "str_multiformat_dates", "olap_pricing_pipe", "join_asof_forward",
-})
-
-# Keys without CLEAN driver evidence lead the window.  r07: sink_log —
-# registered this round (it closes SURVEY §2.1's last "no" row: the
-# reference's Logger taxonomy as a distributed text sink), rows-only by
-# contract (side-effecting sink), byte-exact line parity pinned in
-# tests/test_sources_sinks.py.  Every other key held a clean
-# CORRECTNESS_r06 row (41 oracle-green + 9 rows-only).
-_EVIDENCE_FIX: tuple[str, ...] = ("sink_log",)
-
-# Explicit order for the 45 oracle keys of the r07 window (VERDICT r6
-# item 1): the 10 r6-registered oracle keys first (pipeline_training_export
-# — flagship #7 — fronted, per the judge), then dedup_signature_banded
-# (VERDICT r6 item 4's new oracle twin of the banded multimodal dedup
-# stage), then the first 34 keys of the r07 backlog in its encoded order.
-# With the sink_log evidence-fix and 4 canaries ahead, this fills
-# positions 6..50 of the window.
-_ROTATION_FIRST: tuple[str, ...] = (
-    # flagship #7 + the other nine r6-registered oracle keys
+    # CORRECTNESS_r07.json (49 hash-green rows: the 45 r07 rotation-first
+    # keys below; the other 4 were canary re-passes already listed above)
     "pipeline_training_export", "eval_tokenizer_fertility",
     "agg_context_window_share", "sample_epoch_shuffle",
     "dq_outlier_iqr", "olap_skyline_suppliers", "events_top_paths",
     "sample_strata_neyman", "agg_rate_wilson_ci",
-    "eval_self_similarity_sample",
-    # VERDICT r6 item 4: oracle-paired banded-Hamming dedup stage
-    "dedup_signature_banded",
-    # r07 backlog burn-down, first 34 in the encoded order:
-    # OLAP remainder
+    "eval_self_similarity_sample", "dedup_signature_banded",
     "join_asof_nearest", "olap_yoy_growth", "window_percent_change",
     "olap_abc_analysis",
     "agg_histogram_log_bins", "agg_trend_regression", "join_null_safe_dim",
     "agg_numeric_correlations", "window_value_percentiles",
     "olap_price_volume_mix", "olap_median_order_by_segment",
     "dq_duplicate_invoices",
-    # text analytics
     "text_keyphrase_rake", "text_c4_line_filter",
     "text_code_quality_rules", "text_readability_fk",
     "eval_langid_confusion", "eval_langid_auc", "text_langid_trained",
     "text_bigram_logprob", "agg_benford_digit_profile",
     "text_boilerplate_lines", "str_split_identifiers",
     "text_extractive_summary",
-    # curation / DQ batch 1
     "text_bm25_topk", "text_bpe_encode", "text_bpe_merge_candidates",
     "sample_reservoir_weighted", "sample_balanced_classes",
     "text_collocation_pmi", "text_ngram_novelty", "agg_entropy_by_source",
     "text_stopword_induction", "text_vocab_coverage_curve",
-)
+})
 
-# r08 burn-down plan (VERDICT r6 item 2): the 38 oracle keys still
-# unevidenced after the r07 window, ranked directly behind
-# _ROTATION_FIRST so any r07 budget surplus eats into them, and promoted
-# wholesale to _ROTATION_FIRST in r08 (38 + ~4 canaries + any r07-adjudged
-# re-checks fit comfortably in the 50-key budget, emptying the backlog;
-# r7 measurement: all of them hash-green in 34 s at sf0.01, and the full
-# 50-key r07 window itself ran 50/50 green in 51 s).
-# Until then the registration freeze holds: new oracle keys rank BEHIND
-# this backlog (rank 4 below), except judge-mandated additions like
-# dedup_signature_banded which the r6 verdict explicitly windowed.
-_R08_BACKLOG: tuple[str, ...] = (
+# Keys without CLEAN driver evidence lead the window.  r08: the two
+# streaming contract keys SURVEY §2.11 promises (VERDICT r7 item 4) —
+# `stream_upsert_to_kv` (foreachBatch MERGE into the bucketed KV store)
+# and `stream_dedup_first_seen` (applyInPandasWithState first-seen
+# dedup), both registered this round as deterministic availableNow
+# micro-batch runs over the events fixture.  Rows-only by contract
+# (side-effecting streaming sinks); value-level checks against their
+# batch twins live in tests/test_streaming.py /
+# tests/test_stateful_streaming.py.
+_EVIDENCE_FIX: tuple[str, ...] = ("stream_dedup_first_seen", "stream_upsert_to_kv")
+
+# Explicit order for the 40 oracle keys of the r08 window (VERDICT r7
+# items 1 and 7): the whole 38-key r08 backlog promoted wholesale in its
+# encoded order (r7 measured all of them hash-green in 34 s at sf0.01),
+# then the two r8-registered cascade-stage oracle twins
+# (cascade_title_check / cascade_toc_check — VERDICT r7 item 7).  With
+# the 2 streaming evidence-fix keys and 8 canaries ahead, this fills
+# positions 11..50 of the window and EMPTIES the oracle backlog: after
+# r8 every registered key holds a driver CORRECTNESS row.
+_ROTATION_FIRST: tuple[str, ...] = (
     # curation / DQ remainder (text_hapax_ratio ceded its r07 window slot
     # to sink_log, the r07-registered evidence-fix key)
     "text_hapax_ratio", "text_word_burstiness", "text_charset_profile",
@@ -223,12 +209,26 @@ _R08_BACKLOG: tuple[str, ...] = (
     "eval_psi_drift", "events_changepoint_cusum", "agg_winsorized_mean",
     "events_fraud_velocity", "agg_ltv_curve", "eval_ab_power_mde",
     "agg_user_growth_curve", "agg_dau_mau_stickiness",
+    # VERDICT r7 item 7: SQL-expressible cascade stages (b) and (c)
+    # oracle-paired (ref ChunkProcessor.py:75-114, 116-140)
+    "cascade_title_check", "cascade_toc_check",
 )
 
+# Oracle keys registered but not yet scheduled into a window.  EMPTY as
+# of r08 — the r07 verdict's burn-down promoted the entire 38-key
+# backlog into _ROTATION_FIRST above, so every registered oracle key is
+# either driver-green or inside the r08 window.  New oracle keys
+# registered mid-round still rank here (rank 3) ahead of rows-only and
+# green keys, so driver budget surplus reaches them first.
+_ORACLE_BACKLOG: tuple[str, ...] = ()
+
 # Rows-only keys WITH driver evidence (r04 gave the first 4 their rows,
-# r05 covered the next 30, r06 the last 9).  They queue behind the oracle
-# backlog — every key here already holds a clean CORRECTNESS row.
+# r05 covered the next 30, r06 nine more, r07 added sink_log).  They
+# queue behind the oracle backlog — every key here already holds a clean
+# CORRECTNESS row.
 _ROWS_ONLY_EVIDENCED: tuple[str, ...] = (
+    # CORRECTNESS_r07 (the r07 evidence-fix key, clean rows-only pass)
+    "sink_log",
     # CORRECTNESS_r06 (the 9 r06 evidence-fix keys, all clean)
     "vector_pca_project", "pipeline_incremental_ingest",
     "pipeline_crawler_audit",
@@ -253,10 +253,14 @@ _ROWS_ONLY_EVIDENCED: tuple[str, ...] = (
 # Number of previously-green keys re-checked per round, sampled
 # deterministically from _DRIVER_GREEN seeded by _ROUND so a regression
 # in r01-era code cannot stay invisible forever.  Canaries sit at
-# positions 2..5 (behind the sink_log evidence-fix key), ahead of the
-# rotation so they cannot be squeezed out of the window:
-# 1 fix + 4 canaries + 45 rotation-first = exactly the 50-key window.
-_CANARY_SLOTS: int = 4
+# positions 3..10 (behind the 2 streaming evidence-fix keys), ahead of
+# the rotation so they cannot be squeezed out of the window:
+# 2 fixes + 8 canaries + 40 rotation-first = exactly the 50-key window.
+# r9 plan (VERDICT r7 item 3): with the oracle backlog empty after r8,
+# the window frees up — raise to ~12 canaries + any new keys + the
+# remaining budget re-walking green keys, cutting the full-recheck
+# cycle from ~70 rounds to ~25 over the ~330-key green pool.
+_CANARY_SLOTS: int = 8
 
 
 def canary_keys(round_no: int = _ROUND) -> tuple[str, ...]:
@@ -270,18 +274,18 @@ def canary_keys(round_no: int = _ROUND) -> tuple[str, ...]:
 def load_all() -> dict[str, Query]:
     """Import every module that registers queries (idempotent).
 
-    Returned order implements the r07 gate-window rotation (VERDICT r6
-    items 1 and 2):
-      0. keys without clean driver evidence (_EVIDENCE_FIX — the
-         r07-registered sink_log, rows-only by contract);
-      1. 4 canary re-checks of previously-green keys (seeded by round);
-      2. 45 never-driver-checked oracle keys (_ROTATION_FIRST: the 10
-         r6-registered keys with pipeline_training_export fronted, the
-         judge-mandated dedup_signature_banded, then 34 backlog keys) —
-         1+4+45 fills the driver's demonstrated 50-key budget;
-      3. the 38 remaining unevidenced oracle keys (_R08_BACKLOG) so any
-         budget surplus eats into r08's work;
-      4. oracle keys registered after the r07 snapshot;
+    Returned order implements the r08 gate-window rotation (VERDICT r7
+    items 1, 4 and 7):
+      0. keys without clean driver evidence (_EVIDENCE_FIX — the two
+         r08-registered streaming keys, rows-only by contract);
+      1. 8 canary re-checks of previously-green keys (seeded by round);
+      2. 40 never-driver-checked oracle keys (_ROTATION_FIRST: the whole
+         38-key r08 backlog in its encoded order, then the two cascade
+         oracle twins) — 2+8+40 fills the driver's demonstrated 50-key
+         budget and empties the oracle backlog;
+      3. oracle keys registered after the r08 snapshot (_ORACLE_BACKLOG,
+         empty at snapshot time) so budget surplus reaches them first;
+      4. (unused this round — kept for rank stability);
       5. rows-only keys that already hold driver rows;
       6. the remaining already-green oracle keys.
     """
@@ -312,7 +316,7 @@ def load_all() -> dict[str, Query]:
     fixes = {k: i for i, k in enumerate(_EVIDENCE_FIX)}
     canaries = {k: i for i, k in enumerate(canary_keys())}
     first = {k: i for i, k in enumerate(_ROTATION_FIRST)}
-    backlog = {k: i for i, k in enumerate(_R08_BACKLOG)}
+    backlog = {k: i for i, k in enumerate(_ORACLE_BACKLOG)}
     rows_only = {k: i for i, k in enumerate(_ROWS_ONLY_EVIDENCED)}
 
     def rank(kv: tuple[str, Query]) -> tuple[int, int]:
@@ -326,10 +330,10 @@ def load_all() -> dict[str, Query]:
         if key in backlog:
             return (3, backlog[key])
         if q.oracle is None:
-            # rows-only: every key here holds driver evidence (r04-r06)
+            # rows-only: every key here holds driver evidence (r04-r07)
             return (5, rows_only.get(key, len(_ROWS_ONLY_EVIDENCED)))
         if key in _DRIVER_GREEN:
             return (6, 0)
-        return (4, 0)  # new oracle key, queued behind the r08 backlog
+        return (3, len(_ORACLE_BACKLOG))  # new oracle key → backlog rank
 
     return dict(sorted(REGISTRY.items(), key=rank))

@@ -33,14 +33,13 @@ def test_every_oracle_key_has_a_query(spark):
 
 def test_gate_window_rotation_order():
     """The driver walks queries() in order under a wall-clock budget that
-    historically covers ~50 keys per round.  The r07 rotation (VERDICT r6
-    items 1+2) must put: (a) the evidence-fix key first (sink_log, the
-    one r07-registered rows-only key without a driver row), (b) the 4
-    canaries next, (c) the 45 never-driver-checked oracle keys after
-    (10 r6-registered keys, dedup_signature_banded, 34 backlog keys) —
-    1+4+45 = exactly the demonstrated 50-key budget, (d) the 38-key r08
-    oracle backlog next so budget surplus eats into it, before any other
-    rows-only or green key."""
+    historically covers ~50 keys per round.  The r08 rotation (VERDICT r7
+    items 1, 4 and 7) must put: (a) the two evidence-fix keys first (the
+    r08-registered streaming keys, rows-only by contract), (b) the 8
+    canaries next, (c) the 40 never-driver-checked oracle keys after
+    (the whole 38-key r08 backlog, then the 2 cascade oracle twins) —
+    2+8+40 = exactly the demonstrated 50-key budget, emptying the oracle
+    backlog, before any other rows-only or green key."""
     from mergeextractor_spark import registry
 
     mod = _load_entry()
@@ -49,7 +48,7 @@ def test_gate_window_rotation_order():
 
     n_fix = len(registry._EVIDENCE_FIX)
     n_first = len(registry._ROTATION_FIRST)
-    # exact window arithmetic: 1 fix + 4 canaries + 45 rotation = 50
+    # exact window arithmetic: 2 fixes + 8 canaries + 40 rotation = 50
     assert n_fix + registry._CANARY_SLOTS + n_first == 50
     assert keys[:n_fix] == list(registry._EVIDENCE_FIX)
     for key in registry._EVIDENCE_FIX:
@@ -64,16 +63,16 @@ def test_gate_window_rotation_order():
 
     at = n_fix + len(canaries)
     assert keys[at : at + n_first] == list(registry._ROTATION_FIRST)
-    for key in registry._ROTATION_FIRST + registry._R08_BACKLOG:
+    for key in registry._ROTATION_FIRST + registry._ORACLE_BACKLOG:
         assert key in osql, f"rotation key {key!r} lost its oracle"
         assert key not in registry._DRIVER_GREEN, key
 
     at += n_first
-    n_backlog = len(registry._R08_BACKLOG)
-    assert keys[at : at + n_backlog] == list(registry._R08_BACKLOG)
+    n_backlog = len(registry._ORACLE_BACKLOG)
+    assert keys[at : at + n_backlog] == list(registry._ORACLE_BACKLOG)
 
-    # every rows-only key (beyond the 2 fixes) already holds driver
-    # evidence and queues behind the oracle backlog
+    # every rows-only key (beyond the evidence fixes) already holds
+    # driver evidence and queues behind the oracle backlog
     rows_only = [k for k in keys if k not in osql and k not in registry._EVIDENCE_FIX]
     assert sorted(rows_only) == sorted(registry._ROWS_ONLY_EVIDENCED)
     assert min(keys.index(k) for k in rows_only) >= at + n_backlog

@@ -34,6 +34,27 @@ def test_market_basket_bounds(spark):
         assert r.lift > 0.0
 
 
+def test_market_basket_power_user_cap(spark):
+    """VERDICT r7 item 2: the per-user basket cap must be enforced IN the
+    operator — a power user with far more distinct items than the cap
+    contributes at most C(cap, 2) pairs, and only over the first `cap`
+    items of the sorted distinct set (deterministic truncation)."""
+    from mergeextractor_spark.operators.graph_queries import market_basket_frame
+
+    cap = 10
+    n_items = 250  # 25× the cap: uncapped expansion would be C(250,2)
+    rows = [(u, i) for u in (1, 2, 3) for i in range(n_items)]
+    ev = spark.createDataFrame(rows, "user_id long, item int")
+    out = market_basket_frame(ev, min_users=2, cap=cap).collect()
+    # every user shares the same capped basket {0..cap-1}: exactly
+    # C(cap,2) pairs survive, none touching an item beyond the cap
+    assert len(out) == cap * (cap - 1) // 2
+    for r in out:
+        assert r.item_a < r.item_b < cap
+        assert r.n_both == 3
+        assert abs(r.support - 1.0) < 1e-9 and abs(r.confidence - 1.0) < 1e-9
+
+
 def test_zvalue_bit_interleave_roundtrip(spark):
     # the Morton key must be exactly de-interleavable back to (x, y)
     pts = [(x, y) for x in (0, 1, 5, 511, 1023) for y in (0, 2, 7, 512, 1023)]

@@ -371,3 +371,61 @@ def test_banded_dedup_matches_allpairs_on_seeded_random_corpus(spark):
                 break
         brute[i] = rep
     assert banded == brute
+
+
+def test_banded_dedup_width_schemes_equivalent(spark):
+    """VERDICT r7 item 6: the 196-key (band, block-pair) construction —
+    the documented 10⁸⁺-signature escape hatch — must produce EXACTLY
+    the same dedup assignment as the 56-key default and as brute force:
+    both schemes guarantee full recall at hamming <= 6, and the verify
+    stage makes precision exact, so the outputs are identical, not
+    merely both-correct."""
+    import random
+
+    from mergeextractor_spark.operators.multimodal import (
+        PHASH_HAMMING_MAX,
+        _band_blockpair_entries,
+        _banded_hamming_dedup,
+    )
+
+    rng = random.Random(0x196BEEF)
+    sigs = {}
+    mid = 0
+    for _ in range(40):
+        base = rng.getrandbits(64)
+        for _ in range(rng.randint(1, 12)):
+            flips = rng.randint(0, 9)
+            mask = 0
+            for pos in rng.sample(range(64), flips):
+                mask |= 1 << pos
+            sigs[mid] = (base ^ mask) - (1 << 63)
+            mid += 1
+        if mid >= 300:
+            break
+
+    df = spark.createDataFrame(
+        [(k, v) for k, v in sigs.items()], "media_id long, phash long"
+    )
+    narrow = {r.media_id: r.rep_id for r in _banded_hamming_dedup(df).collect()}
+    wide = {
+        r.media_id: r.rep_id
+        for r in _banded_hamming_dedup(
+            df, entries_builder=_band_blockpair_entries
+        ).collect()
+    }
+    assert narrow == wide
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    brute = {}
+    for i in sorted(sigs):
+        rep = i
+        for j in sorted(sigs):
+            if j >= i:
+                break
+            if ham(sigs[i], sigs[j]) <= PHASH_HAMMING_MAX:
+                rep = j
+                break
+        brute[i] = rep
+    assert narrow == brute
