@@ -799,7 +799,6 @@ _JOIN_SQL = f"lower(array_to_string({_KEPT_SQL}, chr(10)))"
 def cascade_title_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     chunk = _cascade_chunk_title(F.col("doc_id"), F.col("text"))
-    paras = F.split(chunk, r"\n\s*\n")
 
     def kept(q):
         return F.filter(
@@ -807,21 +806,38 @@ def cascade_title_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.length(x) >= 4,
         )
 
-    def ok(q):
-        j = F.lower(F.array_join(kept(q), "\n"))
-        bad = (
-            j.contains("amended")
-            | j.contains("restated")
-            | j.contains("schedule to")
-            | j.contains("as follow")
-        )
-        return ~bad & j.contains(_CASCADE_PHRASE) & (F.size(kept(q)) <= 2)
+    # per-paragraph (joined_lower, n_kept) structs via NESTED transforms so
+    # the kept-lines array and its join are each evaluated once per
+    # paragraph — a flat exists() predicate would re-inline the split+trim
+    # chain per poison-term reference (PERFORMANCE.md rule 5); struct
+    # field reads below are free
+    infos = F.transform(
+        F.transform(F.split(F.col("chunk"), r"\n\s*\n"), kept),
+        lambda kl: F.struct(
+            F.lower(F.array_join(kl, "\n")).alias("j"),
+            F.size(kl).alias("n"),
+        ),
+    )
 
-    n_title = F.size(F.filter(paras, ok))
-    return docs.select(
-        "doc_id",
-        n_title.alias("n_title_paras"),
-        (n_title > 0).alias("has_title"),
+    def ok(s):
+        bad = (
+            s["j"].contains("amended")
+            | s["j"].contains("restated")
+            | s["j"].contains("schedule to")
+            | s["j"].contains("as follow")
+        )
+        return ~bad & s["j"].contains(_CASCADE_PHRASE) & (s["n"] <= 2)
+
+    # staged projections: chunk and n_title_paras are non-cheap and
+    # multiply referenced, so CollapseProject keeps the stages apart
+    return (
+        docs.select("doc_id", chunk.alias("chunk"))
+        .select("doc_id", F.size(F.filter(infos, ok)).alias("n_title_paras"))
+        .select(
+            "doc_id",
+            "n_title_paras",
+            (F.col("n_title_paras") > 0).alias("has_title"),
+        )
     )
 
 
@@ -891,7 +907,7 @@ _CASCADE_CHUNK_TOC_SQL = """
 def cascade_toc_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     chunk = _cascade_chunk_toc(F.col("doc_id"), F.col("text"))
-    lines = F.split(chunk, "\n")
+    lines = F.col("lines")
     idx1 = F.coalesce(
         F.get(
             F.filter(
@@ -916,12 +932,26 @@ def cascade_toc_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "",
     )
-    toks = F.regexp_extract_all(bits, F.lit("1.|0"), F.lit(0))
-    toc = F.size(F.filter(toks, lambda tk: tk == F.lit("10")))
-    para = F.size(F.filter(toks, lambda tk: tk == F.lit("11")))
-    return docs.select(
-        "doc_id",
-        toc.alias("toc_like"),
-        para.alias("para_like"),
-        (~((toc >= 3) & (para < 3))).alias("is_not_toc"),
+    toks = F.regexp_extract_all(F.col("bits"), F.lit("1.|0"), F.lit(0))
+    toc = F.size(F.filter(F.col("toks"), lambda tk: tk == F.lit("10")))
+    para = F.size(F.filter(F.col("toks"), lambda tk: tk == F.lit("11")))
+    # staged projections (PERFORMANCE.md rule 5): lines feeds both the
+    # phrase-index scan and the slice, toks feeds both token counts, and
+    # the counts feed both the output columns and the verdict — each
+    # heavy alias is multiply referenced, so CollapseProject leaves the
+    # stages apart and everything evaluates once per row
+    return (
+        docs.select("doc_id", chunk.alias("chunk"))
+        .select("doc_id", F.split("chunk", "\n").alias("lines"))
+        .select("doc_id", bits.alias("bits"))
+        .select("doc_id", toks.alias("toks"))
+        .select("doc_id", toc.alias("toc_like"), para.alias("para_like"))
+        .select(
+            "doc_id",
+            "toc_like",
+            "para_like",
+            (~((F.col("toc_like") >= 3) & (F.col("para_like") < 3))).alias(
+                "is_not_toc"
+            ),
+        )
     )
