@@ -116,6 +116,7 @@ def abbrev_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Bucketed KV-store write→point-read roundtrip (ref Mongo sharding "
     "DatabaseHandler.py:24-34 → partitionBy('bucket') parquet; the read is "
     "partition-pruned).",
+    eager=True,  # construction writes to the scratch store
 )
 def sink_kv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.sinks import scan_kv_point, sink_kv_store
@@ -134,6 +135,7 @@ def sink_kv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "patchabbrev.py:224-229 Mongo update_one(upsert=True)): one matched "
     "row replaced, one new row inserted, untouched rows intact; only the "
     "affected bucket partitions are read or rewritten.",
+    eager=True,  # construction writes to the scratch store
 )
 def sink_kv_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.sinks import merge_kv_store, sink_kv_store

@@ -126,6 +126,7 @@ def source_pyds_fts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # side-effecting sink → write-then-read-back rows-only
     doc="Ordered CSV sink with header (output.csv semantics, ref "
     "CrawlerHandler.py:21-49): write via sink_csv_ordered, read back typed.",
+    eager=True,  # construction writes to the scratch store
 )
 def sink_csv_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.csv_deals import scan_csv_deals
@@ -144,6 +145,7 @@ def sink_csv_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Identifier-results CSV sink (outputUnion.csv semantics, ref "
     "InitiatorIdentifier.py:26-50): identifier pipeline → ordered CSV → "
     "read back.",
+    eager=True,  # construction writes to the scratch store
 )
 def sink_csv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.filing_pipeline import identifier_pipeline
@@ -166,6 +168,7 @@ def sink_csv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # side-effecting sink → rows-only
     doc="Bucketed keyed store write → full read-back (ref Mongo inserts "
     "Processor.py:288-297 et al.; partitionBy('bucket') parquet).",
+    eager=True,  # construction writes to the scratch store
 )
 def sink_kv_store_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.sinks import sink_kv_store
@@ -183,6 +186,7 @@ def sink_kv_store_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Keyed point lookup with partition pruning (ref find_one at "
     "SeperatorHandler.py:53-64): bucket predicate prunes to one partition "
     "before the key filter.",
+    eager=True,  # construction writes to the scratch store
 )
 def scan_kv_store_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.sinks import scan_kv_point, sink_kv_store
@@ -200,6 +204,7 @@ def scan_kv_store_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # side-effecting sink → rows-only
     doc="Store → per-row text dump, directory per bucket (ref "
     "tools/dumpdata.py:4-38), read back as text lines.",
+    eager=True,  # construction writes to the scratch store
 )
 def sink_fs_dump_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.sinks import sink_fs_dump
@@ -565,6 +570,7 @@ def ner_orgs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "format-agnostic — same pushdown/pruning machinery as parquet. "
     "Value equality with the parquet source is pinned in "
     "tests/test_sources_sinks.py.",
+    eager=True,  # construction writes to the scratch store
 )
 def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._util import scratch_dir, t
@@ -593,6 +599,7 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "untouched (both pinned in tests/test_kv_datasource.py). Returns "
     "the manifest-verified per-file row counts read back from the "
     "committed store.",
+    eager=True,  # construction writes to the scratch store
 )
 def sink_pyds_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
     import json as _json
@@ -647,6 +654,7 @@ def sink_pyds_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
     "uncompressed: bare JSONL splits by line at any byte offset, so a "
     "1000-executor scan parallelizes without gzip's whole-file decode "
     "barrier.",
+    eager=True,  # construction writes to the scratch store
 )
 def scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._util import scratch_dir, t
@@ -685,6 +693,7 @@ def scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "same per-source good/corrupt counts from the injection rule on the "
     "original view, so the permissive parser's row accounting is "
     "value-checked, not just 'did not crash'.",
+    eager=True,  # construction writes to the scratch store
 )
 def scan_csv_corrupt_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(scratch_dir("csvbad_"), "rows")

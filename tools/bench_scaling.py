@@ -105,6 +105,15 @@ QUERIES = [
     "pipeline_hybrid_search",
     "agg_market_basket",
     "events_top_paths",
+    # round-8 shapes: the capped basket expansion is re-measured above
+    # (same key, now sliced at BASKET_CAP), plus the Arrow binary-decode
+    # hot path and the two pure-map cascade stage twins (exponent ≈ 1.0
+    # proves the higher-order-array work stays per-row with no hidden
+    # blow-up)
+    "multimodal_image_phash",
+    "dedup_image_phash",
+    "cascade_title_check",
+    "cascade_toc_check",
 ]
 
 
