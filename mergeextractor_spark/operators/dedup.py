@@ -104,6 +104,108 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "eval_dedup_cluster_profile",
+    oracle="""
+    WITH h AS (
+      SELECT unnest([
+               {'unit': 'exact', 'h': md5(text)},
+               {'unit': 'head80', 'h': md5(substr(text, 1, 80))}
+             ]) AS u
+      FROM documents
+    ),
+    c AS (SELECT u.unit AS unit, count(*) AS n_copies FROM h GROUP BY u.unit, u.h)
+    SELECT unit, n_copies AS cluster_size, count(*) AS n_clusters,
+           CAST(n_copies * count(*) AS BIGINT) AS n_docs
+    FROM c GROUP BY unit, n_copies
+    """,
+    doc="Dedup cluster-size profile at two granularities in one scan: "
+    "full-text exact hash AND the 80-char head fingerprint (template/"
+    "boilerplate detector — mirror pages share heads before they share "
+    "bodies). The distribution of cluster sizes is the first diagnostic "
+    "before any near-dup pass: a heavy tail says identical-content "
+    "clusters dominate and candidate generation pays Σc² unless "
+    "exact-collapse runs first (the ordering this engine pins "
+    "everywhere). One scan computes both hashes, a 2-element explode "
+    "stacks them, then two cascaded aggregates on narrow keys "
+    "((unit, 32-byte hash), then a small-int size); text never "
+    "shuffles.",
+)
+def eval_dedup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    units = F.explode(
+        F.array(
+            F.struct(F.lit("exact").alias("unit"), F.md5("text").alias("h")),
+            F.struct(
+                F.lit("head80").alias("unit"),
+                F.md5(F.substring("text", 1, 80)).alias("h"),
+            ),
+        )
+    )
+    clusters = (
+        t(spark, sf_dir, "documents")
+        .select(units.alias("u"))
+        .groupBy(F.col("u.unit").alias("unit"), F.col("u.h").alias("h"))
+        .agg(F.count("*").alias("n_copies"))
+    )
+    return (
+        clusters.groupBy("unit", F.col("n_copies").alias("cluster_size"))
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            "unit",
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_docs"),
+        )
+    )
+
+
+@register(
+    "agg_dedup_impact_by_source",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, source, n_chars, md5(text) AS text_hash FROM documents
+    ),
+    k AS (SELECT text_hash, min(doc_id) AS rep FROM h GROUP BY text_hash)
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN doc_id = rep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total,
+           CAST(sum(CASE WHEN doc_id = rep THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept,
+           round(1.0 - sum(CASE WHEN doc_id = rep THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS dup_rate
+    FROM h JOIN k USING (text_hash)
+    GROUP BY source
+    """,
+    doc="Dedup impact report per source: docs/chars before vs after the "
+    "keep-first exact dedup, and the per-source duplication rate — the "
+    "curation scorecard that tells you WHICH feed is mirror-heavy "
+    "before you re-weight the mixture (pairs with agg_mixture_weights). "
+    "Keep-first is global (smallest doc_id wins across sources, the "
+    "same assignment dedup_exact emits), so per-source kept counts sum "
+    "to the corpus' distinct-hash count. Shuffles carry (hash, id, "
+    "source, n_chars) only; the hash join runs at distinct-hash "
+    "cardinality.",
+)
+def agg_dedup_impact_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", F.md5("text").alias("text_hash")
+    )
+    k = h.groupBy("text_hash").agg(F.min("doc_id").alias("rep"))
+    kept = F.when(F.col("doc_id") == F.col("rep"), 1).otherwise(0)
+    return (
+        h.join(k, "text_hash")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(kept).cast("bigint").alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("chars_total"),
+            F.sum(kept * F.col("n_chars")).cast("bigint").alias("chars_kept"),
+            r4(1.0 - F.sum(kept).cast("double") / F.count("*")).alias("dup_rate"),
+        )
+    )
+
+
 def _minhash_agg_cols(n_hashes: int = N_HASHES):
     return [
         F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"m{j}")

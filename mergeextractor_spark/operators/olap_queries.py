@@ -1489,6 +1489,66 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ASOF_TOLERANCE_SEC = 3600  # max staleness a match may carry (1 hour)
+
+
+@register(
+    "join_asof_tolerance",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, event_id, event_type, es,
+             last_value(CASE WHEN event_type = 'purchase' THEN es END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY es, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_es
+      FROM e
+    )
+    SELECT user_id, event_id, es,
+           CASE WHEN es - prev_es <= {ASOF_TOLERANCE_SEC} THEN prev_es END AS prev_purchase_es,
+           coalesce(es - prev_es > {ASOF_TOLERANCE_SEC}, false) AS stale
+    FROM marked WHERE event_type = 'click'
+    """,
+    doc="Tolerance-bounded as-of join (pandas merge_asof tolerance=): each "
+    "click gets the user's most recent prior purchase ONLY if it is at "
+    f"most {ASOF_TOLERANCE_SEC} s old — older matches are nulled and "
+    "flagged stale instead of silently joined, the staleness guard every "
+    "point-in-time feature pipeline needs (a 3-week-old 'most recent "
+    "price' is a bug, not a feature). Same single user_id "
+    "shuffle + window as join_asof — the tolerance is a post-window "
+    "filter, completing the asof family (backward / forward / nearest / "
+    "tolerance).",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_timestamp("ts").alias("es")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("es", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prev = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("es")), ignorenulls=True
+    ).over(w)
+    gap = F.col("es") - F.col("prev_es")
+    return (
+        e.withColumn("prev_es", prev)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            "event_id",
+            "es",
+            F.when(gap <= ASOF_TOLERANCE_SEC, F.col("prev_es")).alias(
+                "prev_purchase_es"
+            ),
+            F.coalesce(gap > ASOF_TOLERANCE_SEC, F.lit(False)).alias("stale"),
+        )
+    )
+
+
 @register(
     "agg_histogram_log_bins",
     oracle="""

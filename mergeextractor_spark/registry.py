@@ -214,13 +214,18 @@ _ROTATION_FIRST: tuple[str, ...] = (
     "cascade_title_check", "cascade_toc_check",
 )
 
-# Oracle keys registered but not yet scheduled into a window.  EMPTY as
-# of r08 — the r07 verdict's burn-down promoted the entire 38-key
-# backlog into _ROTATION_FIRST above, so every registered oracle key is
-# either driver-green or inside the r08 window.  New oracle keys
-# registered mid-round still rank here (rank 3) ahead of rows-only and
-# green keys, so driver budget surplus reaches them first.
-_ORACLE_BACKLOG: tuple[str, ...] = ()
+# Oracle keys registered but not yet scheduled into a window.  The r07
+# verdict's burn-down promoted the entire 38-key backlog into
+# _ROTATION_FIRST above, so every PRE-r8 oracle key is either
+# driver-green or inside the r08 window.  The three keys below were
+# REGISTERED mid-r8 (asof-family completion + the two dedup
+# diagnostics); they rank directly behind the window so r08 budget
+# surplus reaches them, and they lead the r09 rotation otherwise.
+_ORACLE_BACKLOG: tuple[str, ...] = (
+    "join_asof_tolerance",
+    "eval_dedup_cluster_profile",
+    "agg_dedup_impact_by_source",
+)
 
 # Rows-only keys WITH driver evidence (r04 gave the first 4 their rows,
 # r05 covered the next 30, r06 nine more, r07 added sink_log).  They
