@@ -1043,6 +1043,53 @@ def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_metadata(_media_df(spark))
 
 
+def media_from_documents(docs: DataFrame, w: int = 32, h: int = 16) -> DataFrame:
+    """sf-scaled synthetic image corpus: one FAKEIMG payload per document
+    row, pixels derived from md5 chains over the doc_id — FULLY
+    DISTRIBUTED construction (binary concat of unhex(md5) blocks inside
+    the scan stage; payload bytes never touch the driver), so the decode
+    bench/scaling numbers measure real Arrow batch throughput at corpus
+    cardinality instead of the fixed 8-image fixture (r8: the first
+    scaling run showed a meaningless flat exponent because the input
+    didn't grow with sf).  Every 5th document reuses its predecessor's
+    pixel basis, planting exact-duplicate payloads so the downstream
+    dedup exercises the exact-collapse stage at scale."""
+    n_blocks = (w * h) // 16  # md5 yields 16 pixel bytes per block
+    base = (
+        F.when(F.col("doc_id") % 5 == 4, F.col("doc_id") - 1)
+        .otherwise(F.col("doc_id"))
+        .cast("string")
+    )
+    header = F.lit(FAKE_MAGIC + struct.pack("<II", w, h))
+    blocks = [
+        F.unhex(F.md5(F.concat_ws("|", F.lit("px"), base, F.lit(str(i)))))
+        for i in range(n_blocks)
+    ]
+    return docs.select(
+        (F.col("doc_id") + 1_000_000).alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.concat(header, *blocks).alias("payload"),
+        F.lit("image/fake").alias("mime"),
+    )
+
+
+def _image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The codec fixture (real PNG containers, value-pinned in pytest)
+    unioned with the sf-scaled synthetic corpus.
+
+    spread() runs on the 8-byte doc_id projection BEFORE payload
+    construction: the single-row-group fixture scans as 1-2 splits, which
+    would starve the Python decode stage down to 2 of 32 cores (the r5
+    starvation class) — but repartitioning payloads would break the
+    family's 'payload bytes never shuffled' posture, so the exchange
+    carries only ids and the binary concat + decode both run post-spread
+    at full width (no-op on a real cluster, same as every spread site)."""
+    from ._util import spread, t
+
+    docs = spread(t(spark, sf_dir, "documents").select("doc_id"))
+    return _media_df(spark).unionByName(media_from_documents(docs))
+
+
 @register(
     "multimodal_image_phash",
     oracle=None,  # binary mapInPandas decode → rows-only
@@ -1050,12 +1097,14 @@ def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(full zlib decode of the filter-0 grayscale PNG subset + FAKEIMG "
     "raw bytes; injectable Pillow seam for everything else) → 9×8 "
     "nearest-neighbor resample → adjacent-cell comparison. Only the "
-    "8-byte signature leaves the map stage. Value checks in "
+    "8-byte signature leaves the map stage. Runs over the codec fixture "
+    "PLUS the sf-scaled synthetic corpus (one distributed-built FAKEIMG "
+    "per document) so throughput tracks corpus size. Value checks in "
     "tests/test_multimodal.py: resize invariance, perturbation "
     "tolerance, pattern discrimination.",
 )
 def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return image_phash(_media_df(spark))
+    return image_phash(_image_corpus(spark, sf_dir))
 
 
 @register(
@@ -1070,10 +1119,13 @@ def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "image. The multimodal twin of the text near-dup family: gradient "
     "re-rendered at 2× size and sparse-perturbed variants cluster with "
     "their base, checkerboard/inverted patterns stay distinct "
-    "(tests/test_multimodal.py).",
+    "(tests/test_multimodal.py). Runs over the codec fixture PLUS the "
+    "sf-scaled synthetic corpus with planted exact duplicates, so the "
+    "end-to-end decode → signature → banded-join path is measured at "
+    "corpus cardinality.",
 )
 def dedup_image_phash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup_image_phash_frame(_media_df(spark))
+    return dedup_image_phash_frame(_image_corpus(spark, sf_dir))
 
 
 @register(
