@@ -164,3 +164,39 @@ def test_incremental_merge_equals_full_recompute(spark):
     for k, m in merged.items():
         assert m.n_events == full[k].n
         assert abs(m.sum_value - full[k].s) < 1e-2
+
+
+def test_asof_tolerance_bounds(spark):
+    """Tolerance semantics: every non-null match is at most TOL old and
+    never in the future; stale implies null match."""
+    from mergeextractor_spark.operators.olap_queries import (
+        ASOF_TOLERANCE_SEC,
+        join_asof_tolerance,
+    )
+
+    rows = join_asof_tolerance(spark, SF).collect()
+    assert rows
+    assert any(r.prev_purchase_es is not None for r in rows)
+    for r in rows:
+        if r.prev_purchase_es is not None:
+            gap = r.es - r.prev_purchase_es
+            assert 0 <= gap <= ASOF_TOLERANCE_SEC, r
+            assert not r.stale
+        elif r.stale:
+            assert r.prev_purchase_es is None
+
+
+def test_dedup_cluster_profile_accounts_for_every_doc(spark):
+    """Per unit, Σ cluster_size × n_clusters must equal the corpus size —
+    the profile is a partition of the documents, whatever the dup
+    structure."""
+    from mergeextractor_spark.operators.dedup import eval_dedup_cluster_profile
+    from mergeextractor_spark.sources.fixtures import table
+
+    n = table(spark, SF, "documents").count()
+    rows = eval_dedup_cluster_profile(spark, SF).collect()
+    per_unit = {}
+    for r in rows:
+        per_unit[r.unit] = per_unit.get(r.unit, 0) + r.n_docs
+        assert r.n_docs == r.cluster_size * r.n_clusters
+    assert per_unit == {"exact": n, "head80": n}
