@@ -125,7 +125,7 @@ def ts_str(c: Column) -> Column:
     return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
 
 
-def truncate_lineage(df: DataFrame) -> DataFrame:
+def truncate_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
     """Cut the logical lineage between rounds of an iterative plan
     (PageRank, connected components, k-center, survivor-LM staging).
 
@@ -142,6 +142,14 @@ def truncate_lineage(df: DataFrame) -> DataFrame:
     to that durable directory instead — survives executor churn, costs
     one write+read of the (iteration-sized, never corpus-sized)
     intermediate per round. No behavior change locally.
+
+    ``eager=False`` defers materialization to the first action (the
+    checkpoint still computes once and is reused by every downstream
+    reference) — use it when the caller must stay lazy at construction
+    (registered non-eager queries) but the input is expensive enough
+    that plan-level re-execution would multiply it (r8: the media
+    dedups' Python decode stage appeared 4× in the banded join's
+    physical plan).
 
     Checkpoint-file lifecycle (ADVICE r6): reliable checkpoint files are
     only deleted by the ContextCleaner when the checkpointed RDD is
@@ -176,5 +184,5 @@ def truncate_lineage(df: DataFrame) -> DataFrame:
                 "Set it to true when building the SparkSession.",
                 stacklevel=2,
             )
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..registry import register
+from ._util import truncate_lineage
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -263,7 +264,13 @@ PHASH_HAMMING_MAX = 6  # near-dup threshold on the 64-bit dHash
 def dedup_image_phash_frame(media: DataFrame) -> DataFrame:
     """Perceptual near-dup dedup of images: dHash signatures through the
     shared banded-Hamming pipeline below."""
-    return _banded_hamming_dedup(image_phash(media))
+    # lazy checkpoint: the banded pipeline references the signature
+    # frame from four plan subtrees (collapse, both self-join sides,
+    # final join-back) — without the cut, the Python decode stage
+    # executes 4x (measured in the r8 plan audit). localCheckpoint
+    # materializes the 16-byte (media_id, sig) rows once, on first
+    # action, never the payloads.
+    return _banded_hamming_dedup(truncate_lineage(image_phash(media), eager=False))
 
 
 # 7 bands over the 64 signature bits (sizes 10+9×6): k+1 = 7 bands for a
@@ -502,7 +509,13 @@ def audio_fingerprint(
 def dedup_audio_fingerprint_frame(media: DataFrame) -> DataFrame:
     """Audio near-dup dedup: envelope hashes through the shared
     banded-Hamming pipeline."""
-    return _banded_hamming_dedup(audio_fingerprint(media))
+    # lazy checkpoint: the banded pipeline references the signature
+    # frame from four plan subtrees (collapse, both self-join sides,
+    # final join-back) — without the cut, the Python decode stage
+    # executes 4x (measured in the r8 plan audit). localCheckpoint
+    # materializes the 16-byte (media_id, sig) rows once, on first
+    # action, never the payloads.
+    return _banded_hamming_dedup(truncate_lineage(audio_fingerprint(media), eager=False))
 
 
 def video_fingerprint(
@@ -546,7 +559,13 @@ def video_fingerprint(
 def dedup_video_fingerprint_frame(media: DataFrame) -> DataFrame:
     """Video near-dup dedup: temporal-envelope hashes through the shared
     banded-Hamming pipeline."""
-    return _banded_hamming_dedup(video_fingerprint(media))
+    # lazy checkpoint: the banded pipeline references the signature
+    # frame from four plan subtrees (collapse, both self-join sides,
+    # final join-back) — without the cut, the Python decode stage
+    # executes 4x (measured in the r8 plan audit). localCheckpoint
+    # materializes the 16-byte (media_id, sig) rows once, on first
+    # action, never the payloads.
+    return _banded_hamming_dedup(truncate_lineage(video_fingerprint(media), eager=False))
 
 
 FRAME_SCHEMA = T.StructType(
