@@ -511,13 +511,49 @@ def str_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
 # §2.8
 
 
+# The filing fixture materialized as parquet so DuckDB can read the SAME
+# rows the Spark side builds (tests/fixtures/filings.parquet, drift-guard
+# pytest in tests/test_domain.py) — this is what lets the two §2.8 keys
+# below graduate from rows-only to oracle-paired (r8).
+_FILINGS_PQ = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "fixtures", "filings.parquet",
+)
+
+
+def _phrase_catalog_sql() -> str:
+    from .cascade import START_PHRASES
+
+    quoted = ", ".join("'" + p.lower() + "'" for p in START_PHRASES)
+    return f"""
+    WITH f AS (
+      SELECT main_index, lower(content) AS low
+      FROM read_parquet('{_FILINGS_PQ}')
+    ),
+    m AS (
+      SELECT main_index,
+             list_filter([{quoted}], p -> contains(low, p))[1] AS specific,
+             regexp_matches(low, '(?m)^background\s*$') AS bare
+      FROM f
+    )
+    SELECT main_index,
+           coalesce(specific, CASE WHEN bare THEN 'background' END) AS matched_phrase,
+           CASE WHEN specific IS NOT NULL THEN 'specific'
+                WHEN bare THEN 'fallback' ELSE 'none' END AS pass_type
+    FROM m
+    """
+
+
 @register(
     "phrase_catalog",
-    oracle=None,  # cascade-coupled two-pass over repo fixtures → rows-only
+    oracle=_phrase_catalog_sql(),
     doc="The 29-phrase START_PHRASES catalog with two-pass preference "
     "(specific phrases first, bare 'Background' fallback — ref "
     "config.py:32-62, Processor.py:266-269): per filing, the matched "
-    "phrase and which pass matched.",
+    "phrase and which pass matched. Oracle-paired since r8: the filing "
+    "fixture ships as parquet so DuckDB runs the identical two-pass "
+    "catalog scan (list_filter first-hit + multiline regex fallback) "
+    "over the same rows.",
 )
 def phrase_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .cascade import START_PHRASES
@@ -543,12 +579,39 @@ def phrase_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ner_orgs_sql() -> str:
+    from .enrich import ORG_PATTERN
+
+    return f"""
+    WITH f AS (
+      SELECT main_index, content FROM read_parquet('{_FILINGS_PQ}')
+    ),
+    x AS (
+      SELECT main_index,
+             trim(unnest(regexp_extract_all(content, '{ORG_PATTERN}', 1))) AS org
+      FROM f
+    ),
+    c AS (SELECT main_index, org, count(*) AS cnt FROM x GROUP BY 1, 2)
+    SELECT main_index, org, cnt, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT main_index, org, cnt,
+             row_number() OVER (PARTITION BY main_index
+                                ORDER BY cnt DESC, org) AS rk
+      FROM c
+    ) WHERE rk <= 5
+    """
+
+
 @register(
     "ner_orgs",
-    oracle=None,  # regex stand-in over repo fixtures → rows-only
+    oracle=_ner_orgs_sql(),
     doc="Top-5 ORG entities per filing via the deterministic regex NER "
     "stand-in (ref ChunkProcessor.py:331-339; spaCy pluggable via "
-    "mapInPandas, never on the test path).",
+    "mapInPandas, never on the test path). Oracle-paired since r8: the "
+    "stand-in is one regexp_extract_all + count + rank, so DuckDB runs "
+    "the identical extraction over the parquet-shipped fixture (Java "
+    "regex and RE2 agree on this pattern — no backrefs/lookahead; "
+    "alternation preference matters and matches: both engines take "
+    "'Corp' before 'Corporation').",
 )
 def ner_orgs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .domain_queries import _filings_df

@@ -225,6 +225,11 @@ _ORACLE_BACKLOG: tuple[str, ...] = (
     "join_asof_tolerance",
     "eval_dedup_cluster_profile",
     "agg_dedup_impact_by_source",
+    # r8 rows-only → oracle graduations (the filing fixture now ships as
+    # parquet, so DuckDB reads the same rows): their old rows-only
+    # evidence doesn't cover values, so they queue for a hash row.
+    "phrase_catalog",
+    "ner_orgs",
 )
 
 # Rows-only keys WITH driver evidence (r04 gave the first 4 their rows,
@@ -245,7 +250,7 @@ _ROWS_ONLY_EVIDENCED: tuple[str, ...] = (
     "multimodal_image_meta", "multimodal_audio_meta",
     "multimodal_video_meta", "multimodal_frame_sample",
     "chunk_split_overlap", "header_cascade", "fuzzy_partial_ratio",
-    "phrase_catalog", "ner_orgs", "embed_text", "abbrev_enrich",
+    "embed_text", "abbrev_enrich",
     "str_normalize_unicode", "llm_classify_doc", "llm_extract_initiator",
     "pipeline_crawler", "pipeline_separator", "ann_ivf_trained",
     "agg_percentile_approx", "dedup_bloom_prefilter",
