@@ -304,6 +304,30 @@ def main() -> None:
     probe("banded sig dedup, 10% near-dups", sig_dedup_mixed)
     probe("banded sig dedup, 200x dup-heavy", sig_dedup_dup_heavy)
 
+    # Arrow binary-decode path (r8): distributed FAKEIMG construction from
+    # K-replicated doc ids, full stdlib pixel decode + dHash per payload —
+    # the Python-stage throughput must grow linearly in images with no
+    # candidate blow-up in the downstream banded dedup (planted exact
+    # dups every 5th image collapse BEFORE the band join).
+    from mergeextractor_spark.operators.multimodal import (
+        dedup_image_phash_frame,
+        image_phash,
+        media_from_documents,
+    )
+
+    big_ids = big_docs.select("doc_id")
+
+    probe(
+        "image decode+dHash (K-replicated)",
+        lambda: image_phash(media_from_documents(big_ids)).count(),
+    )
+    probe(
+        "image decode -> banded dedup",
+        lambda: dedup_image_phash_frame(media_from_documents(big_ids))
+        .filter("is_dup")
+        .count(),
+    )
+
     total = sum(dt for _, _, dt in probes)
     print(f"TOTAL {total:.1f}s at K={args.k}", flush=True)
 
