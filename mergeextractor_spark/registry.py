@@ -170,7 +170,7 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "text_stopword_induction", "text_vocab_coverage_curve",
 })
 
-# Keys without CLEAN driver evidence lead the window.  r08: the two
+# Keys without CLEAN driver evidence in the window.  r08: the two
 # streaming contract keys SURVEY §2.11 promises (VERDICT r7 item 4) —
 # `stream_upsert_to_kv` (foreachBatch MERGE into the bucketed KV store)
 # and `stream_dedup_first_seen` (applyInPandasWithState first-seen
@@ -179,6 +179,15 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
 # (side-effecting streaming sinks); value-level checks against their
 # batch twins live in tests/test_streaming.py /
 # tests/test_stateful_streaming.py.
+#
+# Placement: TAIL of the 50-key window (positions 49-50), not the head
+# — unlike prior rounds' cheap evidence-fix keys, each streaming run
+# costs ~5 s of micro-batch machinery at sf0.01 (measured 10.5 s for
+# the pair), and the window's critical cargo is the 38-key oracle
+# backlog burn-down (VERDICT r7 item 1).  If the driver's budget is
+# key-capped at 50 they are still inside; if it is wall-capped, the
+# hash-checked keys get the budget first and the rows-only streaming
+# pair is the least-bad casualty.
 _EVIDENCE_FIX: tuple[str, ...] = ("stream_dedup_first_seen", "stream_upsert_to_kv")
 
 # Explicit order for the 40 oracle keys of the r08 window (VERDICT r7
@@ -286,15 +295,19 @@ def load_all() -> dict[str, Query]:
 
     Returned order implements the r08 gate-window rotation (VERDICT r7
     items 1, 4 and 7):
-      0. keys without clean driver evidence (_EVIDENCE_FIX — the two
-         r08-registered streaming keys, rows-only by contract);
-      1. 8 canary re-checks of previously-green keys (seeded by round);
-      2. 40 never-driver-checked oracle keys (_ROTATION_FIRST: the whole
+      0. 8 canary re-checks of previously-green keys (seeded by round;
+         cheap, pinned to the front so they can never be squeezed out);
+      1. 40 never-driver-checked oracle keys (_ROTATION_FIRST: the whole
          38-key r08 backlog in its encoded order, then the two cascade
-         oracle twins) — 2+8+40 fills the driver's demonstrated 50-key
-         budget and empties the oracle backlog;
-      3. oracle keys registered after the r08 snapshot (_ORACLE_BACKLOG,
-         empty at snapshot time) so budget surplus reaches them first;
+         oracle twins) — the window's critical cargo;
+      2. the two r08-registered streaming keys (_EVIDENCE_FIX, rows-only
+         by contract) at the window's TAIL — 8+40+2 fills the driver's
+         demonstrated 50-key budget and empties the oracle backlog (see
+         the _EVIDENCE_FIX comment for the cost-based placement);
+      3. oracle keys registered after the r08 window snapshot
+         (_ORACLE_BACKLOG: the asof/dedup-diagnostic additions and the
+         two rows-only→oracle graduations) so budget surplus reaches
+         them first;
       4. (unused this round — kept for rank stability);
       5. rows-only keys that already hold driver rows;
       6. the remaining already-green oracle keys.
@@ -331,12 +344,12 @@ def load_all() -> dict[str, Query]:
 
     def rank(kv: tuple[str, Query]) -> tuple[int, int]:
         key, q = kv
-        if key in fixes:
-            return (0, fixes[key])
         if key in canaries:
-            return (1, canaries[key])
+            return (0, canaries[key])
         if key in first:
-            return (2, first[key])
+            return (1, first[key])
+        if key in fixes:
+            return (2, fixes[key])
         if key in backlog:
             return (3, backlog[key])
         if q.oracle is None:
