@@ -239,6 +239,10 @@ _ORACLE_BACKLOG: tuple[str, ...] = (
     # evidence doesn't cover values, so they queue for a hash row.
     "phrase_catalog",
     "ner_orgs",
+    # r8 retrieval-training completions (contrastive-pair mining + the
+    # graded ranking metric between ANN candidates and the reranker)
+    "sample_hard_negatives",
+    "eval_ndcg_quantized",
 )
 
 # Rows-only keys WITH driver evidence (r04 gave the first 4 their rows,
