@@ -1292,33 +1292,33 @@ def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id", cosine(F.col("embedding"), F.col("qe")).alias("c"))
     )
+    # SINGLE subtree: a union of hard/random branches would reference the
+    # scored frame twice and re-execute the corpus cosine scan per branch
+    # (the r8 4×-decode lesson). Both bands come from two sequential
+    # windows over the SAME qid exchange: rn ranks by cosine; draw then
+    # orders the random pool FIRST (in_pool DESC) so pool rows get draws
+    # 1..|pool| by hash while banded rows sink to the tail.
     by_cos = W.partitionBy("qid").orderBy(F.desc("c"), F.asc("vec_id"))
     ranked = scored.withColumn("rn", F.row_number().over(by_cos))
-    hard = ranked.filter(
-        (F.col("rn") > HN_POS_K) & (F.col("rn") <= HN_POS_K + HN_HARD_K)
-    ).select(
+    in_pool = F.col("rn") > HN_POS_K + HN_HARD_K
+    by_hash = W.partitionBy("qid").orderBy(
+        in_pool.desc(),
+        F.md5(F.concat_ws("|", F.col("qid"), F.col("vec_id"))),
+        F.asc("vec_id"),
+    )
+    both = ranked.withColumn("draw", F.row_number().over(by_hash))
+    is_hard = (F.col("rn") > HN_POS_K) & (F.col("rn") <= HN_POS_K + HN_HARD_K)
+    is_rand = in_pool & (F.col("draw") <= HN_RAND_K)
+    return both.filter(is_hard | is_rand).select(
         F.col("qid").alias("query_id"),
         F.col("vec_id").alias("neighbor_id"),
-        F.lit("hard").alias("role"),
+        F.when(is_hard, F.lit("hard")).otherwise(F.lit("random")).alias("role"),
         r4(F.col("c")).alias("cos"),
-        (F.col("rn") - HN_POS_K).cast("bigint").alias("draw_rank"),
+        F.when(is_hard, F.col("rn") - HN_POS_K)
+        .otherwise(F.col("draw"))
+        .cast("bigint")
+        .alias("draw_rank"),
     )
-    by_hash = W.partitionBy("qid").orderBy(
-        F.md5(F.concat_ws("|", F.col("qid"), F.col("vec_id"))), F.asc("vec_id")
-    )
-    rand = (
-        ranked.filter(F.col("rn") > HN_POS_K + HN_HARD_K)
-        .withColumn("draw", F.row_number().over(by_hash))
-        .filter(F.col("draw") <= HN_RAND_K)
-        .select(
-            F.col("qid").alias("query_id"),
-            F.col("vec_id").alias("neighbor_id"),
-            F.lit("random").alias("role"),
-            r4(F.col("c")).alias("cos"),
-            F.col("draw").cast("bigint").alias("draw_rank"),
-        )
-    )
-    return hard.unionByName(rand)
 
 
 NDCG_K = 5  # graded-relevance depth (matches the ann top-5 convention)

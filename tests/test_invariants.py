@@ -200,3 +200,46 @@ def test_dedup_cluster_profile_accounts_for_every_doc(spark):
         per_unit[r.unit] = per_unit.get(r.unit, 0) + r.n_docs
         assert r.n_docs == r.cluster_size * r.n_clusters
     assert per_unit == {"exact": n, "head80": n}
+
+
+def test_hard_negatives_band_structure(spark):
+    """Per query: exactly HN_HARD_K hard + HN_RAND_K random rows, no
+    overlap with the positives band, and every random negative scores at
+    or below the weakest hard negative (randoms draw from strictly
+    deeper ranks)."""
+    from mergeextractor_spark.operators.vector_queries import (
+        HN_HARD_K,
+        HN_RAND_K,
+        sample_hard_negatives,
+    )
+
+    rows = sample_hard_negatives(spark, SF).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, {"hard": [], "random": []})[r.role].append(r)
+    for qid, bands in by_q.items():
+        assert len(bands["hard"]) == HN_HARD_K, qid
+        assert len(bands["random"]) == HN_RAND_K, qid
+        ids = [r.neighbor_id for r in bands["hard"] + bands["random"]]
+        assert len(set(ids)) == len(ids), qid  # bands disjoint
+        assert qid not in ids
+        min_hard = min(r.cos for r in bands["hard"])
+        assert all(r.cos <= min_hard + 1e-9 for r in bands["random"]), qid
+
+
+def test_ndcg_bounds_and_consistency(spark):
+    """NDCG in (0, 1], dcg consistent with the overlap count (at most
+    the ideal gain for that many hits), overlap at most k."""
+    from mergeextractor_spark.operators.vector_queries import (
+        NDCG_K,
+        eval_ndcg_quantized,
+    )
+
+    rows = eval_ndcg_quantized(spark, SF).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0.0 <= r.ndcg <= 1.0 + 1e-9, r
+        assert 0 <= r.n_overlap <= NDCG_K, r
+        assert r.dcg >= 0.0
+        if r.n_overlap == 0:
+            assert r.dcg == 0.0
