@@ -2031,3 +2031,94 @@ def agg_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4((center - half) / denom).alias("ci_lo"),
         r4((center + half) / denom).alias("ci_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r8: interval × interval overlap join — the other classic range-join
+# shape (join_range_interval covers point-in-window; this one joins two
+# INTERVAL tables on overlap, the sessions × campaigns / downtime ×
+# requests pattern).
+
+IVL_BUCKET_SEC = 600  # bucket width; interval lengths below are bounded by it
+
+
+@register(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH a AS (
+      SELECT event_id AS aid, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS a_start,
+             CAST(floor(epoch(ts)) AS BIGINT) + 1 + CAST(floor(value) AS BIGINT) % 599 AS a_end
+      FROM events WHERE event_type = 'click' AND value >= 0
+    ),
+    b AS (
+      SELECT event_id AS bid, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS b_start,
+             CAST(floor(epoch(ts)) AS BIGINT) + 3600 AS b_end
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a.aid, b.bid, a.user_id,
+           CAST(least(a.a_end, b.b_end) - greatest(a.a_start, b.b_start) AS BIGINT) AS overlap_sec
+    FROM a JOIN b
+      ON b.user_id = a.user_id
+     AND a.a_start <= b.b_end AND b.b_start <= a.a_end
+    """,
+    doc="Interval × interval overlap join (sessions × campaigns shape): "
+    "per user, every (click-window, purchase-window) pair of CLOSED "
+    "intervals that overlap, with the overlap length. The naive form is "
+    "an inequality join (quadratic per user — the oracle keeps it); the "
+    f"engine decomposes it: both sides register under every "
+    f"{IVL_BUCKET_SEC}-second bucket their interval touches (fan-out "
+    "⌈len/W⌉+1 per row — ≤ 2 for the ≤10-minute click windows, 7 for "
+    "the 1-hour purchase windows; W is the tunable), the join runs as a "
+    "hash EQUI-join on (user_id, bucket) with the overlap predicate as "
+    "a residual filter, and each true pair is emitted EXACTLY ONCE by "
+    "keeping only the bucket containing the overlap's start "
+    "(bucket == floor(max(starts)/W) — the standard de-dup trick, no "
+    "distinct shuffle). Same answer as the oracle's inequality join.",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value",
+        F.unix_timestamp("ts").alias("es"),
+    )
+    a = e.filter((F.col("event_type") == "click") & (F.col("value") >= 0)).select(
+        F.col("event_id").alias("aid"),
+        "user_id",
+        F.col("es").alias("a_start"),
+        (F.col("es") + 1 + F.floor("value").cast("bigint") % 599).alias("a_end"),
+    )
+    b = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("bid"),
+        "user_id",
+        F.col("es").alias("b_start"),
+        (F.col("es") + 3600).alias("b_end"),
+    )
+
+    def bucketed(df, s, en):
+        return df.withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(s) / IVL_BUCKET_SEC),
+                    F.floor(F.col(en) / IVL_BUCKET_SEC),
+                )
+            ),
+        )
+    joined = bucketed(a, "a_start", "a_end").join(
+        bucketed(b, "b_start", "b_end"), ["user_id", "bucket"]
+    )
+    overlap = (F.col("a_start") <= F.col("b_end")) & (
+        F.col("b_start") <= F.col("a_end")
+    )
+    once = F.col("bucket") == F.floor(
+        F.greatest("a_start", "b_start") / IVL_BUCKET_SEC
+    )
+    return joined.filter(overlap & once).select(
+        "aid",
+        "bid",
+        "user_id",
+        (
+            F.least("a_end", "b_end") - F.greatest("a_start", "b_start")
+        ).cast("bigint").alias("overlap_sec"),
+    )

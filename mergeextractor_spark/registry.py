@@ -243,6 +243,9 @@ _ORACLE_BACKLOG: tuple[str, ...] = (
     # graded ranking metric between ANN candidates and the reranker)
     "sample_hard_negatives",
     "eval_ndcg_quantized",
+    # r8: the interval×interval overlap join (bucket decomposition with
+    # exactly-once emission), completing the range-join family
+    "join_interval_overlap",
 )
 
 # Rows-only keys WITH driver evidence (r04 gave the first 4 their rows,
