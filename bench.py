@@ -84,6 +84,9 @@ HEADLINE = [
     # round 8 additions (VERDICT r7 item 5: Arrow-decode throughput tracked)
     "multimodal_image_phash",    # mapInPandas binary decode -> dHash (codec hot path)
     "dedup_image_phash",         # decode -> signature -> banded near-dup end-to-end
+    # round-8 late additions (governance + training-recipe keys)
+    "sample_token_budget",       # epoch-capped budget waterfill (1 scan + result-sized window)
+    "eval_calibration_bins",     # classifier reliability bins (array-fold map stage + 10-group agg)
 ]
 
 

@@ -148,6 +148,82 @@ def text_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "eval_calibration_bins",
+    oracle=r"""
+    WITH ws AS (
+      SELECT lang = 'en' AS y,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+      FROM documents
+    ),
+    scored AS (
+      SELECT y,
+             1.0 / (1.0 + exp(-(list_sum(list_transform(w, tok ->
+                     ((ascii(substr(md5(tok), 1, 1)) * 16
+                       + ascii(substr(md5(tok), 2, 1))) % 13 - 6) / 6.0))
+                   / greatest(len(w), 1)))) AS prob
+      FROM ws
+    ),
+    binned AS (
+      SELECT CAST(least(floor(prob * 10.0), 9.0) AS INT) AS bin, prob, y FROM scored
+    ),
+    tot AS (SELECT count(*) AS n FROM binned)
+    SELECT bin,
+           count(*) AS n_docs,
+           round(avg(prob), 4) AS avg_prob,
+           round(avg(CASE WHEN y THEN 1.0 ELSE 0.0 END), 4) AS pos_rate,
+           round(abs(avg(prob) - avg(CASE WHEN y THEN 1.0 ELSE 0.0 END)), 4) AS calib_gap,
+           round(count(*)::DOUBLE / tot.n, 4) AS bin_share
+    FROM binned CROSS JOIN tot
+    GROUP BY bin, tot.n
+    """,
+    doc="Reliability-diagram bins for the hashed quality classifier "
+    "(Guo et al. 2017 calibration methodology): each document's "
+    "keep-probability lands in one of 10 equal-width bins; per bin, the "
+    "mean predicted probability, the empirical positive rate (label: "
+    "lang = 'en', the dominant class the stand-in classifier should "
+    "track), their absolute gap (the per-bin ECE term — multiply by "
+    "bin_share and sum for scalar ECE), and the bin's sample share. "
+    "This is how a filtering pipeline decides whether a classifier's "
+    "scores can be thresholded AT a probability (calibrated) or only "
+    "RANKED (uncalibrated). The probability is the same sequential "
+    "array fold as text_hash_classifier (bit-identical across engines, "
+    "so bin assignment never flips); one map stage plus a 10-group "
+    "aggregate — no shuffle carries text, and the corpus total for "
+    "bin_share is a window sum over the 10-row aggregate (one scan).",
+)
+def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens(F.col("text"))
+    s = F.aggregate(
+        F.transform(toks, clf_weight), F.lit(0.0), lambda acc, x: acc + x
+    ) / F.greatest(F.size(toks), F.lit(1))
+    scored = t(spark, sf_dir, "documents").select(
+        (F.col("lang") == "en").alias("y"),
+        (1.0 / (1.0 + F.exp(-s))).alias("prob"),
+    )
+    binned = scored.select(
+        F.least(F.floor(F.col("prob") * 10.0), F.lit(9.0)).cast("int").alias("bin"),
+        "prob",
+        "y",
+    )
+    pos = F.avg(F.when(F.col("y"), 1.0).otherwise(0.0))
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            r4(F.avg("prob")).alias("avg_prob"),
+            r4(pos).alias("pos_rate"),
+            r4(F.abs(F.avg("prob") - pos)).alias("calib_gap"),
+        )
+        .select(
+            "*",
+            r4(
+                F.col("n_docs").cast("double") / F.sum("n_docs").over(W.partitionBy())
+            ).alias("bin_share"),
+        )
+    )
+
+
 NGRAM_OVERLAP_N = 8  # same shingle width as the decontamination screen
 
 

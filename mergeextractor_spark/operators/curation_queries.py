@@ -99,6 +99,135 @@ def agg_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOKEN_BUDGET_SHARE = 0.8  # training budget as a fraction of corpus tokens
+TOKEN_BUDGET_MAX_EPOCHS = 1.0  # repetition cap: each lang contributes <= 1 epoch
+
+
+def token_budget_frame(
+    masses: DataFrame,
+    share: float = TOKEN_BUDGET_SHARE,
+    max_epochs: float = TOKEN_BUDGET_MAX_EPOCHS,
+) -> DataFrame:
+    """(lang, lang_tokens) masses → waterfill allocation frame.
+
+    One leftover-redistribution round: uniform target per key, clamp at
+    ``max_epochs × mass``, hand the clamped leftover to keys with
+    headroom proportional to headroom, re-clamp. Invariants (alloc ≤
+    cap everywhere; budget conserved whenever any key has headroom;
+    capped ⇔ cap < target) are hypothesis-pinned in
+    tests/test_budget_properties.py over arbitrary mass vectors.
+    """
+    wg = W.partitionBy()
+    stat = masses.select(
+        "lang",
+        "lang_tokens",
+        (F.sum("lang_tokens").over(wg) * share).alias("budget"),
+        F.count("*").over(wg).alias("n_langs"),
+    )
+    target = F.col("budget") / F.col("n_langs")
+    r1 = stat.select(
+        "lang",
+        "lang_tokens",
+        "budget",
+        (F.col("lang_tokens") * max_epochs).alias("cap"),
+        F.least(F.col("lang_tokens") * max_epochs, target).alias("alloc1"),
+        (F.col("lang_tokens") * max_epochs < target).alias("capped"),
+    ).select(
+        "*",
+        F.sum("alloc1").over(wg).alias("allocated"),
+        F.sum(F.col("cap") - F.col("alloc1")).over(wg).alias("headroom_sum"),
+    )
+    alloc = F.when(
+        F.col("headroom_sum") > 0.0,
+        F.least(
+            F.col("cap"),
+            F.col("alloc1")
+            + (F.col("budget") - F.col("allocated"))
+            * (F.col("cap") - F.col("alloc1"))
+            / F.col("headroom_sum"),
+        ),
+    ).otherwise(F.col("alloc1"))
+    return r1.select(
+        "lang",
+        F.col("lang_tokens").cast("bigint").alias("lang_tokens"),
+        r4(alloc).alias("alloc_tokens"),
+        r4(alloc / F.col("lang_tokens")).alias("epochs"),
+        "capped",
+    )
+
+
+@register(
+    "sample_token_budget",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang,
+             sum(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))) AS lang_tokens
+      FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT sum(lang_tokens) * {TOKEN_BUDGET_SHARE} AS budget,
+             count(*) AS n_langs
+      FROM toks
+    ),
+    r1 AS (
+      SELECT lang, lang_tokens, budget,
+             lang_tokens * {TOKEN_BUDGET_MAX_EPOCHS} AS cap,
+             least(lang_tokens * {TOKEN_BUDGET_MAX_EPOCHS}, budget / n_langs) AS alloc1,
+             lang_tokens * {TOKEN_BUDGET_MAX_EPOCHS} < budget / n_langs AS capped
+      FROM toks CROSS JOIN tot
+    ),
+    lo AS (
+      SELECT sum(alloc1) AS allocated, sum(cap - alloc1) AS headroom_sum FROM r1
+    ),
+    r2 AS (
+      SELECT lang, lang_tokens, capped,
+             CASE WHEN lo.headroom_sum > 0.0
+                  THEN least(cap, alloc1 + (budget - lo.allocated)
+                                           * (cap - alloc1) / lo.headroom_sum)
+                  ELSE alloc1 END AS alloc
+      FROM r1 CROSS JOIN lo
+    )
+    SELECT lang,
+           CAST(lang_tokens AS BIGINT) AS lang_tokens,
+           round(alloc, 4) AS alloc_tokens,
+           round(alloc / lang_tokens, 4) AS epochs,
+           capped
+    FROM r2
+    """,
+    doc="Epoch-capped token-budget waterfill (the LLaMA/Chinchilla-style "
+    "data recipe step AFTER agg_mixture_weights picks target shares): "
+    "given a total training budget (fraction of corpus tokens) and a "
+    "max-repetition cap per language, allocate each language its uniform "
+    "target share, clamp anything whose full corpus (x max_epochs) is "
+    "smaller than the target, and redistribute the clamped leftover to "
+    "the languages with headroom, proportional to headroom — one "
+    "waterfill round, re-clamped. One round suffices: leftover <= "
+    "headroom_sum whenever the budget is feasible (budget <= sum of "
+    "caps), so the top-up never re-hits a cap and the budget is "
+    "conserved exactly (hypothesis-pinned in "
+    "tests/test_budget_properties.py). Emits per-language allocated tokens, "
+    "effective epochs, and the capped flag. The corpus is scanned ONCE "
+    "for token counts and never shuffled; every global statistic "
+    "(budget, leftover, headroom) is an unpartitioned window over the "
+    "|langs|-row aggregate — a single-task exchange of a few rows, not "
+    "a re-scan (a broadcast-total formulation re-executes the corpus "
+    "scan per total: measured 4 FileScans vs 1 here). The round-1 sums "
+    "stay fp-exact (capped allocs are integer-valued doubles), so the "
+    "leftover is engine-identical.",
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.sum(
+                F.size(F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != ""))
+            ).alias("lang_tokens")
+        )
+    )
+    return token_budget_frame(toks)
+
+
 @register(
     "text_ttr",
     oracle="""
@@ -1690,6 +1819,52 @@ def dq_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+K_ANONYMITY_K = 10  # minimum safe equivalence-class size
+
+
+@register(
+    "dq_k_anonymity",
+    oracle=f"""
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment, count(*) AS class_size
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    ),
+    tot AS (SELECT sum(class_size) AS n FROM classes)
+    SELECT c_nationkey, c_mktsegment,
+           CAST(class_size AS BIGINT) AS class_size,
+           class_size < {K_ANONYMITY_K} AS at_risk,
+           round(class_size::DOUBLE / tot.n, 4) AS class_share
+    FROM classes CROSS JOIN tot
+    """,
+    doc="k-anonymity audit over the quasi-identifier pair (nation, "
+    "market segment): the size of every equivalence class, its share of "
+    "the table, and the at-risk flag for classes smaller than k — rows "
+    "in a sub-k class are re-identifiable by joining the quasi-"
+    "identifiers against an external dataset, the standard privacy "
+    "check a release pipeline runs before publishing user-derived "
+    "training data (Sweeney 2002). One grouped count on the QI key "
+    "(map-side combinable) plus an unpartitioned window total over the "
+    "class table (one scan of the base table, not two); at 100 TB the "
+    "class table is |QI-combinations|-sized, orders of magnitude below "
+    "the row count.",
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    classes = (
+        t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("class_size"))
+    )
+    return classes.select(
+        "*", F.sum("class_size").over(W.partitionBy()).alias("n")
+    ).select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("class_size").cast("bigint").alias("class_size"),
+        (F.col("class_size") < K_ANONYMITY_K).alias("at_risk"),
+        r4(F.col("class_size").cast("double") / F.col("n")).alias("class_share"),
+    )
+
+
 @register(
     "text_ngram_novelty",
     oracle=r"""
@@ -1804,6 +1979,72 @@ def agg_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.col("_h") / F.log(F.col("vocab").cast("double"))).alias("normalized"),
         )
     )
+
+
+def gini_frame(m: DataFrame) -> DataFrame:
+    """(source, n_tok) masses → one-row (n_sources, total_tokens, gini,
+    top_share). Rank-formula Gini with integer-exact sums; equivalence
+    with the direct mean-absolute-difference form is hypothesis-pinned
+    in tests/test_budget_properties.py."""
+    rk = m.select(
+        "n_tok",
+        F.row_number().over(W.orderBy(F.asc("n_tok"), F.asc("source"))).alias("i"),
+    )
+    n = F.count("*")
+    s = F.sum("n_tok")
+    return rk.agg(
+        n.cast("bigint").alias("n_sources"),
+        s.cast("bigint").alias("total_tokens"),
+        r4(
+            (2.0 * F.sum(F.col("i") * F.col("n_tok")) - (n + 1) * s) / (n * s)
+        ).alias("gini"),
+        r4(F.max("n_tok").cast("double") / s).alias("top_share"),
+    )
+
+
+@register(
+    "agg_source_gini",
+    oracle=r"""
+    WITH m AS (
+      SELECT source,
+             sum(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS n_tok
+      FROM documents GROUP BY source
+    ),
+    rk AS (
+      SELECT n_tok, row_number() OVER (ORDER BY n_tok, source) AS i FROM m
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sources,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           round((2.0 * sum(i * n_tok) - (count(*) + 1) * sum(n_tok))
+                 / (count(*) * sum(n_tok)), 4) AS gini,
+           round(max(n_tok)::DOUBLE / sum(n_tok), 4) AS top_share
+    FROM rk
+    """,
+    doc="Gini coefficient of token mass across sources — the "
+    "concentration complement to agg_entropy_by_source's diversity "
+    "(entropy says how varied each source's TOKENS are; Gini says how "
+    "unequally the CORPUS is split across sources — the 'is 80% of my "
+    "pretraining data three domains' check, with top_share as the "
+    "headline single-source number). Closed-form rank formula "
+    "G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over the "
+    "ascending-sorted masses; every sum is integer-exact, so the value "
+    "is engine-identical bit for bit. The rank window runs over the "
+    "per-source AGGREGATE (|sources| rows, one task) — at web scale "
+    "with ~1e7 domains the same rank comes from a range-partitioned "
+    "sort + per-partition offset (two-phase ranking), but the corpus "
+    "scan itself is one pass either way.",
+)
+def agg_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = (
+        t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.size(F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != ""))
+            ).alias("n_tok")
+        )
+    )
+    return gini_frame(m)
 
 
 @register(

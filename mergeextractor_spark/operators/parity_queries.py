@@ -525,7 +525,7 @@ def _phrase_catalog_sql() -> str:
     from .cascade import START_PHRASES
 
     quoted = ", ".join("'" + p.lower() + "'" for p in START_PHRASES)
-    return f"""
+    return rf"""
     WITH f AS (
       SELECT main_index, lower(content) AS low
       FROM read_parquet('{_FILINGS_PQ}')

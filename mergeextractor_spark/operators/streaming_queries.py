@@ -1368,6 +1368,57 @@ def dq_event_order_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FRESHNESS_SLA_SEC = 1800  # stale if a stream's last event lags the head by 30 min
+
+
+@register(
+    "dq_freshness_lag",
+    oracle=f"""
+    WITH per AS (
+      SELECT event_type, count(*) AS n_events, epoch_us(max(ts)) AS last_epoch_us
+      FROM events GROUP BY event_type
+    ),
+    g AS (SELECT max(last_epoch_us) AS g_us FROM per)
+    SELECT event_type, n_events, last_epoch_us,
+           round((g.g_us - last_epoch_us) / 1000000.0, 4) AS lag_sec,
+           (g.g_us - last_epoch_us) > {FRESHNESS_SLA_SEC} * 1000000 AS stale
+    FROM per CROSS JOIN g
+    """,
+    doc="Ingestion-freshness audit per event stream: each event_type's "
+    "last-seen timestamp (epoch micros, per this module's no-timezone "
+    "convention), its lag behind the freshest stream, and the stale "
+    "flag against the SLA — the first dashboard any streaming ingest "
+    "runs ('did the purchase feed stop?'), and the batch complement to "
+    "dq_event_order_violations (that one checks per-user ordering, this "
+    "checks per-stream liveness). The lag is computed in integer "
+    "microseconds (exact in both engines), so the stale boundary has "
+    "zero float risk. One map-side-combinable max/count per type plus "
+    "an unpartitioned window max over the |event_types|-row aggregate "
+    "(one scan of events, not two).",
+)
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            # ts is TIMESTAMP_NTZ; the fixture loader pins the session TZ
+            # to UTC, so the cast matches DuckDB's naive-as-UTC epoch_us
+            F.unix_micros(F.max("ts").cast("timestamp")).alias("last_epoch_us"),
+        )
+    )
+    lag_us = F.col("g_us") - F.col("last_epoch_us")
+    return per.select(
+        "*", F.max("last_epoch_us").over(W.partitionBy()).alias("g_us")
+    ).select(
+        "event_type",
+        "n_events",
+        "last_epoch_us",
+        r4(lag_us / 1000000.0).alias("lag_sec"),
+        (lag_us > FRESHNESS_SLA_SEC * 1_000_000).alias("stale"),
+    )
+
+
 @register(
     "events_peak_concurrency",
     oracle=f"""

@@ -246,6 +246,14 @@ _ORACLE_BACKLOG: tuple[str, ...] = (
     # r8: the interval×interval overlap join (bucket decomposition with
     # exactly-once emission), completing the range-join family
     "join_interval_overlap",
+    # r8 late additions (data-governance + training-recipe completions):
+    # epoch-capped budget waterfill, corpus concentration (Gini),
+    # classifier calibration bins, k-anonymity audit, stream freshness
+    "sample_token_budget",
+    "agg_source_gini",
+    "eval_calibration_bins",
+    "dq_k_anonymity",
+    "dq_freshness_lag",
 )
 
 # Rows-only keys WITH driver evidence (r04 gave the first 4 their rows,

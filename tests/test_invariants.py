@@ -243,3 +243,107 @@ def test_ndcg_bounds_and_consistency(spark):
         assert r.dcg >= 0.0
         if r.n_overlap == 0:
             assert r.dcg == 0.0
+
+
+def test_token_budget_waterfill_conserves_budget(spark):
+    """The waterfill must (a) never allocate past the epoch cap, (b) mark
+    capped exactly when the cap binds below the uniform target, and
+    (c) conserve the total budget whenever any language has headroom."""
+    from mergeextractor_spark.operators.curation_queries import (
+        TOKEN_BUDGET_MAX_EPOCHS,
+        TOKEN_BUDGET_SHARE,
+        sample_token_budget,
+    )
+
+    rows = sample_token_budget(spark, SF).collect()
+    assert rows, "no languages at fixture scale"
+    total = sum(r.lang_tokens for r in rows)
+    budget = total * TOKEN_BUDGET_SHARE
+    target = budget / len(rows)
+    for r in rows:
+        cap = r.lang_tokens * TOKEN_BUDGET_MAX_EPOCHS
+        assert r.alloc_tokens <= cap + 1e-4, r
+        assert abs(r.epochs - r.alloc_tokens / r.lang_tokens) < 1e-3, r
+        assert r.capped == (cap < target), r
+        if r.capped:  # capped languages contribute their whole corpus
+            assert abs(r.alloc_tokens - cap) < 1e-4, r
+    if any(not r.capped for r in rows):
+        assert abs(sum(r.alloc_tokens for r in rows) - budget) < 1e-2
+
+
+def test_source_gini_matches_direct_formula(spark):
+    """Gini from the rank formula must match a direct mean-absolute-
+    difference computation on the same masses, and sit in [0, 1)."""
+    from mergeextractor_spark.operators.curation_queries import agg_source_gini
+
+    row = agg_source_gini(spark, SF).collect()[0]
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    masses = [
+        r.n_tok
+        for r in d.select(
+            F.col("source"),
+            F.size(F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")).alias("k"),
+        )
+        .groupBy("source")
+        .agg(F.sum("k").alias("n_tok"))
+        .collect()
+    ]
+    n, s = len(masses), sum(masses)
+    assert row.n_sources == n and row.total_tokens == s
+    mad = sum(abs(a - b) for a in masses for b in masses) / (n * n)
+    gini_direct = mad / (2 * s / n)
+    assert abs(row.gini - gini_direct) < 1e-3, (row.gini, gini_direct)
+    assert 0.0 <= row.gini < 1.0
+    assert abs(row.top_share - max(masses) / s) < 1e-3
+
+
+def test_calibration_bins_partition_the_corpus(spark):
+    """Bins tile [0,1]: doc counts sum to the corpus, shares to 1, every
+    bin's mean probability lies inside the bin, and the gap is exactly
+    |avg_prob - pos_rate| (up to the 4-decimal output rounding)."""
+    from mergeextractor_spark.operators.corpus_queries import eval_calibration_bins
+
+    rows = eval_calibration_bins(spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert abs(sum(r.bin_share for r in rows) - 1.0) < 1e-2
+    for r in rows:
+        assert 0 <= r.bin <= 9
+        lo, hi = r.bin / 10.0, (r.bin + 1) / 10.0 if r.bin < 9 else 1.0
+        assert lo - 1e-4 <= r.avg_prob <= hi + 1e-4, r
+        assert 0.0 <= r.pos_rate <= 1.0
+        assert abs(r.calib_gap - abs(r.avg_prob - r.pos_rate)) < 2e-4, r
+
+
+def test_k_anonymity_classes_cover_table(spark):
+    from mergeextractor_spark.operators.curation_queries import (
+        K_ANONYMITY_K,
+        dq_k_anonymity,
+    )
+
+    rows = dq_k_anonymity(spark, SF).collect()
+    n_rows = spark.read.parquet(f"{SF}/customer.parquet").count()
+    assert sum(r.class_size for r in rows) == n_rows
+    assert abs(sum(r.class_share for r in rows) - 1.0) < 1e-2
+    seen = set()
+    for r in rows:
+        assert (r.c_nationkey, r.c_mktsegment) not in seen  # one row per class
+        seen.add((r.c_nationkey, r.c_mktsegment))
+        assert r.at_risk == (r.class_size < K_ANONYMITY_K), r
+
+
+def test_freshness_lag_anchored_at_head(spark):
+    """Exactly the freshest stream(s) have lag 0; stale iff lag exceeds
+    the SLA; lag is non-negative everywhere."""
+    from mergeextractor_spark.operators.streaming_queries import (
+        FRESHNESS_SLA_SEC,
+        dq_freshness_lag,
+    )
+
+    rows = dq_freshness_lag(spark, SF).collect()
+    assert rows and any(r.lag_sec == 0.0 for r in rows)
+    head = max(r.last_epoch_us for r in rows)
+    for r in rows:
+        assert r.lag_sec >= 0.0
+        assert abs(r.lag_sec - (head - r.last_epoch_us) / 1e6) < 1e-3
+        assert r.stale == (head - r.last_epoch_us > FRESHNESS_SLA_SEC * 1_000_000), r
