@@ -384,3 +384,116 @@ def eval_markov_predictor(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.col("correct_transitions") / F.col("total")).alias("map_accuracy"),
         )
     )
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM edges WHERE src <> dst
+    ),
+    deg AS (
+      SELECT v, count(*) AS d
+      FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v
+    ),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+      JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+    ),
+    stats AS (
+      SELECT count(*) AS n_nodes,
+             CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+      FROM deg
+    ),
+    ec2 AS (SELECT count(*) AS n_edges FROM und)
+    SELECT stats.n_nodes, ec2.n_edges, stats.n_wedges,
+           CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+           round(3.0 * tri.n_triangles / stats.n_wedges, 4) AS global_clustering
+    FROM stats CROSS JOIN ec2 CROSS JOIN tri
+    """,
+    doc="Triangle census + global clustering coefficient of the "
+    "undirected item co-transition graph — the standard cohesion "
+    "diagnostic (are items embedded in communities, or is the graph a "
+    "hub-and-spoke?) and the classic test of join discipline on graphs. "
+    "Spark side runs the DEGREE-ORDERED node-iterator (Schank/Cohen "
+    "MapReduce form): orient every edge from lower (degree, id) rank to "
+    "higher, emit wedges only at each edge pair's lowest-rank apex, and "
+    "close them with one equi-join back onto the oriented edge list — "
+    "out-degrees under this orientation are bounded by O(sqrt(|E|)) on "
+    "any graph, so the wedge fan-out stays near-linear where a naive "
+    "all-pairs-per-node expansion is quadratic in hub degree. Every "
+    "triangle is counted exactly once (at its min-rank vertex, pair "
+    "rank-ordered). The DuckDB oracle is the NAIVE id-ordered 3-way "
+    "self-join — hash-matching it proves the oriented decomposition "
+    "drops nothing (the dedup_signature_banded discipline). The edge "
+    "list is lineage-truncated once (events scanned once, lazily); "
+    "wedges and the closing probe run entirely on the |E|-sized table. "
+    "n_wedges is the standard open-wedge count sum C(d,2), so "
+    "global_clustering = 3*triangles / wedges.",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hops = _transition_edges(spark, sf_dir).select("src", "dst")
+    und = truncate_lineage(
+        hops.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct(),
+        eager=False,
+    )
+    return triangle_frame(und)
+
+
+def triangle_frame(und: DataFrame) -> DataFrame:
+    """Distinct undirected (a < b) edges → one-row triangle census.
+    Degree-ordered orientation; exactly-once emission at each triangle's
+    min-rank vertex. Known-graph values (K4, star, path) are pinned in
+    tests/test_graph.py."""
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    j = und.join(
+        deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a"
+    ).join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    orient = j.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    e1, e2 = orient.alias("e1"), orient.alias("e2")
+    rank_lt = (F.col("e1.dv") < F.col("e2.dv")) | (
+        (F.col("e1.dv") == F.col("e2.dv")) & (F.col("e1.v") < F.col("e2.v"))
+    )
+    wedges = e1.join(e2, (F.col("e1.u") == F.col("e2.u")) & rank_lt).select(
+        F.col("e1.v").alias("x"), F.col("e2.v").alias("y")
+    )
+    closing = orient.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tri = wedges.join(closing, ["x", "y"]).agg(
+        F.count("*").cast("bigint").alias("n_triangles")
+    )
+    stats = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges"),
+    )
+    ecnt = und.agg(F.count("*").alias("n_edges"))
+    return (
+        stats.crossJoin(F.broadcast(ecnt))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            r4(3.0 * F.col("n_triangles") / F.col("n_wedges")).alias(
+                "global_clustering"
+            ),
+        )
+    )

@@ -254,6 +254,8 @@ _ORACLE_BACKLOG: tuple[str, ...] = (
     "eval_calibration_bins",
     "dq_k_anonymity",
     "dq_freshness_lag",
+    # r8: degree-ordered triangle census vs the naive 3-way-join oracle
+    "graph_triangle_count",
 )
 
 # Rows-only keys WITH driver evidence (r04 gave the first 4 their rows,

@@ -109,3 +109,60 @@ def test_truncate_lineage_reliable_checkpoint_optin(spark, tmp_path):
         spark.conf.unset("spark.mergeextractor.checkpointDir")
         sc.setCheckpointDir(None)  # Option(null) resets to None JVM-side
     assert sc.getCheckpointDir() is None
+
+
+def _tri(spark, edges):
+    from mergeextractor_spark.operators.graph_queries import triangle_frame
+
+    df = spark.createDataFrame(edges, "a int, b int")
+    return triangle_frame(df).collect()[0]
+
+
+def test_triangle_census_known_graphs(spark):
+    # K4: C(4,3)=4 triangles, 12 wedges, clustering exactly 1
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    r = _tri(spark, k4)
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (4, 6, 12, 4)
+    assert abs(r.global_clustering - 1.0) < 1e-9
+
+    # star S5: all wedges open, zero triangles
+    star = [(0, b) for b in range(1, 6)]
+    r = _tri(spark, star)
+    assert (r.n_triangles, r.n_wedges) == (0, 10)
+    assert r.global_clustering == 0.0
+
+    # path 0-1-2-3: two wedges, no triangle
+    r = _tri(spark, [(0, 1), (1, 2), (2, 3)])
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (4, 3, 2, 0)
+
+    # K4 plus a pendant: same 4 triangles, wedges grow by the pendant's
+    # apex contribution (deg(0) 3->4: +3 wedges at node 0)
+    r = _tri(spark, k4 + [(0, 9)])
+    assert (r.n_triangles, r.n_wedges) == (4, 15)
+    assert abs(r.global_clustering - 12 / 15) < 1e-9
+
+
+def test_triangle_census_matches_bruteforce_random(spark):
+    # deterministic pseudo-random graph via md5 parity, checked against
+    # an O(n^3) python count — the oriented decomposition drops nothing
+    import hashlib
+    import itertools
+
+    nodes = list(range(24))
+    edges = [
+        (a, b)
+        for a, b in itertools.combinations(nodes, 2)
+        if hashlib.md5(f"{a}-{b}".encode()).digest()[0] % 3 == 0
+    ]
+    adj = {n: set() for n in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = sum(
+        1
+        for x, y, z in itertools.combinations(nodes, 3)
+        if y in adj[x] and z in adj[x] and z in adj[y]
+    )
+    r = _tri(spark, edges)
+    assert r.n_triangles == want
+    assert r.n_edges == len(edges)

@@ -114,6 +114,12 @@ QUERIES = [
     "dedup_image_phash",
     "cascade_title_check",
     "cascade_toc_check",
+    # late round-8 shapes: the token-count scan feeding the waterfill
+    # (the corpus pass is the only scale term — the allocation math runs
+    # on the langs-row aggregate) and the classifier-fold calibration
+    # scan (pure map + 10-group agg; exponent ≈ 1.0 expected for both)
+    "sample_token_budget",
+    "eval_calibration_bins",
 ]
 
 
