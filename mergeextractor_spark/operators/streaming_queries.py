@@ -10,6 +10,8 @@ touches timezone-dependent timestamp formatting.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -1366,6 +1368,102 @@ def dq_event_order_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("well_ordered"),
     )
+
+
+KS_ALPHA = 0.05  # two-sample KS rejection level
+
+
+def ks_frame(vals: DataFrame) -> DataFrame:
+    """(value, ia, ib) indicator rows → one-row exact two-sample KS.
+
+    Groups by value first (so cumulative sums are tie-correct and
+    integer-exact), cumulates both ECDFs in one ordered window, takes
+    the max gap, and compares against the large-sample critical value
+    c(alpha)·sqrt((n_a+n_b)/(n_a·n_b)) with c = sqrt(-ln(alpha/2)/2).
+    Synthetic drifted/identical fixtures are pytest-pinned in
+    tests/test_invariants.py.
+    """
+    g = vals.groupBy("value").agg(F.sum("ia").alias("ca"), F.sum("ib").alias("cb"))
+    wo = W.orderBy("value")
+    wg = W.partitionBy()
+    cum = g.select(
+        F.sum("ca").over(wo).alias("cum_a"),
+        F.sum("cb").over(wo).alias("cum_b"),
+        F.sum("ca").over(wg).alias("n_a"),
+        F.sum("cb").over(wg).alias("n_b"),
+    )
+    ks = F.max(
+        F.abs(
+            F.col("cum_a").cast("double") / F.col("n_a")
+            - F.col("cum_b").cast("double") / F.col("n_b")
+        )
+    )
+    crit = F.sqrt(
+        F.lit(-0.5 * math.log(KS_ALPHA / 2.0))
+        * (F.max("n_a") + F.max("n_b"))
+        / (F.max("n_a") * F.max("n_b"))
+    )
+    return cum.agg(
+        F.max("n_a").cast("bigint").alias("n_a"),
+        F.max("n_b").cast("bigint").alias("n_b"),
+        r4(ks).alias("ks_stat"),
+        r4(crit).alias("ks_crit"),
+        (ks > crit).alias("drifted"),
+    )
+
+
+@register(
+    "eval_ks_drift",
+    oracle=f"""
+    WITH vals AS (
+      SELECT value,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ia,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ib
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    g AS (SELECT value, sum(ia) AS ca, sum(ib) AS cb FROM vals GROUP BY value),
+    cum AS (
+      SELECT sum(ca) OVER (ORDER BY value) AS cum_a,
+             sum(cb) OVER (ORDER BY value) AS cum_b,
+             sum(ca) OVER () AS n_a,
+             sum(cb) OVER () AS n_b
+      FROM g
+    )
+    SELECT CAST(max(n_a) AS BIGINT) AS n_a,
+           CAST(max(n_b) AS BIGINT) AS n_b,
+           round(max(abs(cum_a::DOUBLE / n_a - cum_b::DOUBLE / n_b)), 4) AS ks_stat,
+           round(sqrt({-0.5 * math.log(KS_ALPHA / 2.0)!r}
+                      * (max(n_a) + max(n_b))
+                      / (max(n_a) * max(n_b))), 4) AS ks_crit,
+           max(abs(cum_a::DOUBLE / n_a - cum_b::DOUBLE / n_b))
+             > sqrt({-0.5 * math.log(KS_ALPHA / 2.0)!r}
+                    * (max(n_a) + max(n_b))
+                    / (max(n_a) * max(n_b))) AS drifted
+    FROM cum
+    """,
+    doc="Exact two-sample Kolmogorov-Smirnov test between the purchase "
+    "and view value distributions — the unbinned complement to "
+    "eval_psi_drift (PSI quantizes into deciles and can miss shape "
+    "changes inside a bin; KS takes the supremum ECDF gap exactly). "
+    "Grouping by value before cumulating makes both ECDFs integer-exact "
+    "at every step, so the statistic has no accumulation-order fp risk; "
+    "the drifted flag compares against the alpha=0.05 large-sample "
+    "critical value with identical expression trees on both engines. "
+    "One scan; the ordered ECDF window runs over the DISTINCT-value "
+    "table — at 100 TB either range-partition the cumulative sum "
+    "(two-phase scan) or fall back to the binned PSI cousin.",
+)
+def eval_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vals = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "view"))
+        .select(
+            "value",
+            (F.col("event_type") == "purchase").cast("int").alias("ia"),
+            (F.col("event_type") == "view").cast("int").alias("ib"),
+        )
+    )
+    return ks_frame(vals)
 
 
 FRESHNESS_SLA_SEC = 1800  # stale if a stream's last event lags the head by 30 min

@@ -256,6 +256,8 @@ _ORACLE_BACKLOG: tuple[str, ...] = (
     "dq_freshness_lag",
     # r8: degree-ordered triangle census vs the naive 3-way-join oracle
     "graph_triangle_count",
+    # r8: exact two-sample KS drift test (unbinned PSI complement)
+    "eval_ks_drift",
 )
 
 # Rows-only keys WITH driver evidence (r04 gave the first 4 their rows,

@@ -347,3 +347,41 @@ def test_freshness_lag_anchored_at_head(spark):
         assert r.lag_sec >= 0.0
         assert abs(r.lag_sec - (head - r.last_epoch_us) / 1e6) < 1e-3
         assert r.stale == (head - r.last_epoch_us > FRESHNESS_SLA_SEC * 1_000_000), r
+
+
+def test_ks_frame_identical_separated_and_mirror(spark):
+    """KS = 0 on identical samples; KS = 1 (drifted) on disjoint supports;
+    arbitrary case matches a python ECDF-sup mirror exactly."""
+    from mergeextractor_spark.operators.streaming_queries import KS_ALPHA, ks_frame
+
+    def run(sample_a, sample_b):
+        rows = [(float(v), 1, 0) for v in sample_a] + [
+            (float(v), 0, 1) for v in sample_b
+        ]
+        df = spark.createDataFrame(rows, "value double, ia int, ib int")
+        return ks_frame(df).collect()[0]
+
+    r = run([1, 2, 3, 4], [1, 2, 3, 4])
+    assert (r.n_a, r.n_b, r.ks_stat) == (4, 4, 0.0) and not r.drifted
+
+    r = run(range(100), range(1000, 1100))
+    assert r.ks_stat == 1.0 and r.drifted
+
+    import itertools
+
+    a = [((7 * i) % 23) / 3.0 for i in range(40)]
+    b = [((11 * i) % 29) / 2.0 for i in range(60)]
+    support = sorted(set(a) | set(b))
+    want = max(
+        abs(sum(v <= x for v in a) / len(a) - sum(v <= x for v in b) / len(b))
+        for x in support
+    )
+    r = run(a, b)
+    assert abs(r.ks_stat - want) < 1e-3, (r.ks_stat, want)
+    import math
+
+    crit = math.sqrt(
+        -0.5 * math.log(KS_ALPHA / 2.0) * (len(a) + len(b)) / (len(a) * len(b))
+    )
+    assert abs(r.ks_crit - crit) < 1e-3
+    assert r.drifted == (want > crit)
