@@ -186,3 +186,53 @@ def truncate_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
             )
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    out: str = "i",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global 1-based rank over ``order_cols`` WITHOUT a single-task window.
+
+    The single-partition ``row_number().over(W.orderBy(...))`` is correct
+    but serializes the whole frame through one task — fine for a
+    result-sized aggregate (agg_source_gini's default path), wrong for a
+    ~1e7-domain corpus. This is the standard two-phase form: range-
+    partition on the order keys, rank locally per partition (parallel
+    windows), then add each partition's cumulative row-count offset. The
+    offsets are collected to the driver — bounded by the PARTITION count
+    (a knob, never data-sized), same discipline as the IVF cell lists.
+
+    ``order_cols`` must be a total order (unique across rows), the same
+    requirement every deterministic row_number in this repo carries: ties
+    that straddle a range boundary would otherwise rank nondeterministically.
+    Equivalence with the single-window form is pytest-pinned in
+    tests/test_invariants.py.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    from pyspark.sql import Window as W
+
+    rp = df.repartitionByRange(n, *[F.asc(c) for c in order_cols])
+    # checkpoint once: the offsets job and the downstream read must see
+    # the SAME range boundaries (re-executing the range sampler for each
+    # action would be correct only by the sampler's seeding accident)
+    local = truncate_lineage(
+        rp.withColumn("_pid", F.spark_partition_id()).withColumn(
+            "_lrn",
+            F.row_number().over(
+                W.partitionBy("_pid").orderBy(*[F.asc(c) for c in order_cols])
+            ),
+        ),
+        eager=False,
+    )
+    sizes = {r["_pid"]: r["cnt"] for r in local.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    omap = F.create_map(*[F.lit(x) for kv in sorted(offsets.items()) for x in kv])
+    return local.withColumn(out, (omap[F.col("_pid")] + F.col("_lrn")).cast("bigint")).drop(
+        "_pid", "_lrn"
+    )

@@ -2030,9 +2030,10 @@ def gini_frame(m: DataFrame) -> DataFrame:
     "ascending-sorted masses; every sum is integer-exact, so the value "
     "is engine-identical bit for bit. The rank window runs over the "
     "per-source AGGREGATE (|sources| rows, one task) — at web scale "
-    "with ~1e7 domains the same rank comes from a range-partitioned "
-    "sort + per-partition offset (two-phase ranking), but the corpus "
-    "scan itself is one pass either way.",
+    "with ~1e7 domains swap in _util.global_row_number (range-"
+    "partitioned local ranks + cumulative partition offsets; "
+    "equivalence pytest-pinned in tests/test_invariants.py), but the "
+    "corpus scan itself is one pass either way.",
 )
 def agg_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = (

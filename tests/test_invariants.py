@@ -385,3 +385,41 @@ def test_ks_frame_identical_separated_and_mirror(spark):
     )
     assert abs(r.ks_crit - crit) < 1e-3
     assert r.drifted == (want > crit)
+
+
+def test_global_row_number_matches_single_window(spark):
+    """The two-phase range-partitioned rank (the agg_source_gini 1e7-domain
+    escape hatch) must agree with the single-window row_number on every
+    row, at several partition counts including more partitions than rows."""
+    from pyspark.sql import Window as W
+
+    from mergeextractor_spark.operators._util import global_row_number
+
+    rows = [(f"k{(7 * i) % 97:03d}-{i}", ((13 * i) % 41)) for i in range(500)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    want = {
+        r.k: r.i
+        for r in df.select(
+            "k", F.row_number().over(W.orderBy("v", "k")).cast("bigint").alias("i")
+        ).collect()
+    }
+    for n in (1, 3, 8, 1000):
+        got = {r.k: r.i for r in global_row_number(df, ["v", "k"], num_partitions=n).collect()}
+        assert got == want, f"partitions={n}"
+
+
+def test_gini_twophase_rank_path(spark):
+    """gini computed from two-phase ranks equals the shipped single-window
+    gini_frame value."""
+    from mergeextractor_spark.operators._util import global_row_number
+    from mergeextractor_spark.operators.curation_queries import gini_frame
+
+    rows = [(f"s{i:03d}", ((17 * i) % 113) + 1) for i in range(120)]
+    m = spark.createDataFrame(rows, "source string, n_tok long")
+    want = gini_frame(m).collect()[0]
+    rk = global_row_number(m, ["n_tok", "source"], num_partitions=7)
+    n, s = F.count("*"), F.sum("n_tok")
+    got = rk.agg(
+        ((2.0 * F.sum(F.col("i") * F.col("n_tok")) - (n + 1) * s) / (n * s)).alias("g")
+    ).collect()[0].g
+    assert abs(got - want.gini) < 1e-3

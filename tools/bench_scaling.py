@@ -206,7 +206,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--rebuild", action="store_true")
+    ap.add_argument("--keys", default="", help="comma list: bench only these")
     args = ap.parse_args()
+    if args.keys:
+        picked = [k.strip() for k in args.keys.split(",") if k.strip()]
+        QUERIES[:] = [k for k in QUERIES if k in picked]
 
     spark = get_spark("bench-scaling")
     spark.range(1).count()
