@@ -446,3 +446,83 @@ def eval_self_similarity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("self_sim"),
         )
     )
+
+
+ANNEAL_SHARE = 0.3  # token share of the anneal (phase-2) stage
+
+
+@register(
+    "sample_anneal_mix",
+    oracle=rf"""
+    WITH ws AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang, len(w) AS n_tok,
+             1.0 / (1.0 + exp(-(list_sum(list_transform(w, tok ->
+                     {CLF_WEIGHT_SQL.format(tok='tok')}))
+                   / greatest(len(w), 1)))) AS prob
+      FROM ws
+    ),
+    phased AS (
+      SELECT doc_id, lang, n_tok,
+             CASE WHEN ntile(10) OVER (PARTITION BY lang ORDER BY prob DESC, doc_id) = 1
+                  THEN 'anneal' ELSE 'main' END AS phase
+      FROM scored
+    )
+    SELECT doc_id, lang, phase, CAST(n_tok AS BIGINT) AS n_tok,
+           round(CASE WHEN phase = 'anneal' THEN {ANNEAL_SHARE} ELSE {1 - ANNEAL_SHARE} END
+                 * sum(n_tok) OVER ()
+                 / sum(n_tok) OVER (PARTITION BY phase), 4) AS weight
+    FROM phased
+    """,
+    doc="Two-phase anneal schedule (the 'midtraining anneal on high-"
+    "quality data' recipe: phase 2 of Llama-3/MiniCPM-style runs trains "
+    "its last token budget on a quality-upweighted mix): the hashed "
+    "quality classifier scores every document, the TOP DECILE per "
+    "language (rank-based ntile on the bit-identical fold score with a "
+    "doc_id tiebreak — no float-boundary flips) becomes the anneal "
+    "pool, and each phase's documents get the weight that makes their "
+    "token mass sum to the phase's budget share (30% anneal / 70% "
+    "main) — anneal weights land >1 (upsampling the quality head), "
+    "main <1. Composes the classifier, the decile cut, and the budget "
+    "normalization in ONE single-scan plan: the per-lang ntile shuffle "
+    "carries (doc_id, lang, n_tok, prob) only, and both phase totals "
+    "are window sums — no second pass, no join.",
+)
+def sample_anneal_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens(F.col("text"))
+    s = F.aggregate(
+        F.transform(toks, clf_weight), F.lit(0.0), lambda acc, x: acc + x
+    ) / F.greatest(F.size(toks), F.lit(1))
+    scored = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tok"),
+        (1.0 / (1.0 + F.exp(-s))).alias("prob"),
+    )
+    tile = F.ntile(10).over(
+        W.partitionBy("lang").orderBy(F.desc("prob"), F.asc("doc_id"))
+    )
+    phased = scored.select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        F.when(tile == 1, "anneal").otherwise("main").alias("phase"),
+    )
+    share = F.when(F.col("phase") == "anneal", ANNEAL_SHARE).otherwise(
+        1 - ANNEAL_SHARE
+    )
+    return phased.select(
+        "doc_id",
+        "lang",
+        "phase",
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        r4(
+            share
+            * F.sum("n_tok").over(W.partitionBy())
+            / F.sum("n_tok").over(W.partitionBy("phase"))
+        ).alias("weight"),
+    )

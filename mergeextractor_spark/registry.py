@@ -258,6 +258,8 @@ _ORACLE_BACKLOG: tuple[str, ...] = (
     "graph_triangle_count",
     # r8: exact two-sample KS drift test (unbinned PSI complement)
     "eval_ks_drift",
+    # r8: two-phase anneal schedule (classifier top decile upweighted)
+    "sample_anneal_mix",
 )
 
 # Rows-only keys WITH driver evidence (r04 gave the first 4 their rows,

@@ -423,3 +423,38 @@ def test_gini_twophase_rank_path(spark):
         ((2.0 * F.sum(F.col("i") * F.col("n_tok")) - (n + 1) * s) / (n * s)).alias("g")
     ).collect()[0].g
     assert abs(got - want.gini) < 1e-3
+
+
+def test_anneal_mix_budget_split_and_decile_cut(spark):
+    """Each phase's weighted token mass equals its budget share of the
+    corpus; anneal docs are the per-language top decile by classifier
+    prob; weights upsample anneal (>1 when its token share < its budget
+    share) and are constant within a phase."""
+    from mergeextractor_spark.operators.corpus_queries import (
+        ANNEAL_SHARE,
+        sample_anneal_mix,
+        text_hash_classifier,
+    )
+
+    rows = sample_anneal_mix(spark, SF).collect()
+    total = sum(r.n_tok for r in rows)
+    by_phase = {}
+    for r in rows:
+        by_phase.setdefault(r.phase, []).append(r)
+    assert set(by_phase) == {"anneal", "main"}
+    for phase, share in (("anneal", ANNEAL_SHARE), ("main", 1 - ANNEAL_SHARE)):
+        grp = by_phase[phase]
+        weighted = sum(r.weight * r.n_tok for r in grp)
+        assert abs(weighted - share * total) / (share * total) < 1e-2, phase
+        assert len({r.weight for r in grp}) == 1  # one rate per phase
+    # anneal = top decile per language by prob (doc_id tiebreak)
+    probs = {r.doc_id: r.prob for r in text_hash_classifier(spark, SF).collect()}
+    langs = {}
+    for r in rows:
+        langs.setdefault(r.lang, []).append(r)
+    for lang, grp in langs.items():
+        ordered = sorted(grp, key=lambda r: (-probs[r.doc_id], r.doc_id))
+        k = sum(1 for r in grp if r.phase == "anneal")
+        assert 1 <= k <= max(1, len(grp) // 10 + 1)
+        assert all(r.phase == "anneal" for r in ordered[:k]), lang
+        assert all(r.phase == "main" for r in ordered[k:]), lang
