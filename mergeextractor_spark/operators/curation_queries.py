@@ -108,23 +108,38 @@ def token_budget_frame(
     share: float = TOKEN_BUDGET_SHARE,
     max_epochs: float = TOKEN_BUDGET_MAX_EPOCHS,
 ) -> DataFrame:
-    """(lang, lang_tokens) masses → waterfill allocation frame.
+    """(lang, lang_tokens[, target_share]) masses → waterfill allocation.
 
-    One leftover-redistribution round: uniform target per key, clamp at
-    ``max_epochs × mass``, hand the clamped leftover to keys with
+    One leftover-redistribution round: each key's target is its share of
+    the budget — uniform by default, or an explicit ``target_share``
+    column (DoReMi/agg_mixture_weights-style weights; they are
+    normalized internally, so any positive weight vector works) — clamp
+    at ``max_epochs × mass``, hand the clamped leftover to keys with
     headroom proportional to headroom, re-clamp. Invariants (alloc ≤
-    cap everywhere; budget conserved whenever any key has headroom;
+    cap everywhere; budget conserved whenever feasible — the
+    leftover ≤ headroom_sum ⇔ budget ≤ Σcaps proof is target-agnostic;
     capped ⇔ cap < target) are hypothesis-pinned in
-    tests/test_budget_properties.py over arbitrary mass vectors.
+    tests/test_budget_properties.py over arbitrary mass AND weight
+    vectors.
     """
     wg = W.partitionBy()
+    weighted = "target_share" in masses.columns
+    bexpr = F.sum("lang_tokens").over(wg) * share
+    # weighted: budget × normalized share; uniform: budget / n — kept as
+    # a DIVISION so the default path stays bit-identical to the oracle's
+    # budget / n_langs
+    texpr = (
+        bexpr * (F.col("target_share") / F.sum("target_share").over(wg))
+        if weighted
+        else bexpr / F.count("*").over(wg)
+    )
     stat = masses.select(
         "lang",
         "lang_tokens",
-        (F.sum("lang_tokens").over(wg) * share).alias("budget"),
-        F.count("*").over(wg).alias("n_langs"),
+        bexpr.alias("budget"),
+        texpr.alias("target"),
     )
-    target = F.col("budget") / F.col("n_langs")
+    target = F.col("target")
     r1 = stat.select(
         "lang",
         "lang_tokens",

@@ -28,14 +28,18 @@ from mergeextractor_spark.operators.curation_queries import (
 )
 
 
-def _waterfill(masses, share, max_epochs):
+def _waterfill(masses, share, max_epochs, weights=None):
     """Python mirror of token_budget_frame's column expressions."""
     total = sum(masses)
     budget = total * share
     n = len(masses)
-    target = budget / n
+    if weights is None:
+        targets = [budget / n] * n
+    else:
+        ws = sum(weights)
+        targets = [budget * (w / ws) for w in weights]
     caps = [m * max_epochs for m in masses]
-    alloc1 = [min(c, target) for c in caps]
+    alloc1 = [min(c, t) for c, t in zip(caps, targets)]
     headroom = [c - a for c, a in zip(caps, alloc1)]
     hs = sum(headroom)
     if hs > 0.0:
@@ -46,7 +50,7 @@ def _waterfill(masses, share, max_epochs):
         ]
     else:
         alloc = alloc1
-    return alloc, caps, target, budget
+    return alloc, caps, targets, budget
 
 
 def _gini(masses):
@@ -63,7 +67,7 @@ def _gini(masses):
     st.floats(min_value=0.25, max_value=4.0),
 )
 def test_waterfill_invariants(masses, share, max_epochs):
-    alloc, caps, target, budget = _waterfill(masses, share, max_epochs)
+    alloc, caps, targets, budget = _waterfill(masses, share, max_epochs)
     eps = 1e-9 * max(budget, 1.0)
     for a, c in zip(alloc, caps):
         assert -eps <= a <= c + eps
@@ -101,7 +105,7 @@ def test_budget_frame_matches_python_mirror(spark, masses):
         "lang string, lang_tokens long",
     )
     got = {r.lang: r for r in token_budget_frame(mdf).collect()}
-    alloc, caps, target, _ = _waterfill(
+    alloc, caps, targets, _ = _waterfill(
         masses, TOKEN_BUDGET_SHARE, TOKEN_BUDGET_MAX_EPOCHS
     )
     assert len(got) == len(masses)
@@ -110,7 +114,7 @@ def test_budget_frame_matches_python_mirror(spark, masses):
         assert r.lang_tokens == m
         assert abs(r.alloc_tokens - alloc[i]) < 1e-3, (r, alloc[i])
         assert abs(r.epochs - alloc[i] / m) < 1e-3
-        assert r.capped == (caps[i] < target)
+        assert r.capped == (caps[i] < targets[i])
 
 
 @pytest.mark.parametrize(
@@ -126,3 +130,50 @@ def test_gini_frame_matches_python_mirror(spark, masses):
     assert row.total_tokens == sum(masses)
     assert abs(row.gini - _gini(masses)) < 1e-3
     assert abs(row.top_share - max(masses) / sum(masses)) < 1e-3
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=10**9),
+            st.floats(min_value=0.01, max_value=100.0),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.floats(min_value=0.05, max_value=1.5),
+    st.floats(min_value=0.25, max_value=4.0),
+)
+def test_waterfill_invariants_weighted(pairs, share, max_epochs):
+    """The conservation proof is target-agnostic: with arbitrary positive
+    target weights, one round still conserves a feasible budget and fills
+    every cap otherwise."""
+    masses = [m for m, _ in pairs]
+    weights = [w for _, w in pairs]
+    alloc, caps, targets, budget = _waterfill(masses, share, max_epochs, weights)
+    eps = 1e-9 * max(budget, 1.0)
+    for a, c in zip(alloc, caps):
+        assert -eps <= a <= c + eps
+    if budget <= sum(caps) + eps:
+        assert abs(sum(alloc) - budget) <= 1e-6 * max(budget, 1.0)
+    else:
+        for a, c in zip(alloc, caps):
+            assert abs(a - c) <= eps
+
+
+def test_budget_frame_weighted_targets_match_mirror(spark):
+    masses = [100, 200, 700, 50]
+    weights = [5.0, 1.0, 1.0, 3.0]
+    mdf = spark.createDataFrame(
+        [(f"s{i}", m, w) for i, (m, w) in enumerate(zip(masses, weights))],
+        "lang string, lang_tokens long, target_share double",
+    )
+    got = {r.lang: r for r in token_budget_frame(mdf).collect()}
+    alloc, caps, targets, _ = _waterfill(
+        masses, TOKEN_BUDGET_SHARE, TOKEN_BUDGET_MAX_EPOCHS, weights
+    )
+    for i in range(len(masses)):
+        r = got[f"s{i}"]
+        assert abs(r.alloc_tokens - alloc[i]) < 1e-3, (r, alloc[i])
+        assert r.capped == (caps[i] < targets[i])
