@@ -384,3 +384,29 @@ def test_training_export_shuffles_hashes_not_text(spark):
 def test_top_paths_uses_heap_topk(spark):
     plan = plan_of(spark, "events_top_paths")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_governance_keys_single_scan(spark):
+    """The r8 governance/recipe keys must read their fact table exactly
+    once: global totals come from result-sized windows, never from
+    broadcast-total cross joins that re-execute the upstream scan
+    (PERFORMANCE.md 'r8 late additions')."""
+    for key in (
+        "sample_token_budget",
+        "agg_source_gini",
+        "eval_calibration_bins",
+        "dq_k_anonymity",
+        "dq_freshness_lag",
+        "sample_anneal_mix",
+        "eval_ks_drift",
+    ):
+        plan = plan_of(spark, key)
+        assert plan.count("FileScan") == 1, key
+        assert "CartesianProduct" not in plan, key
+
+
+def test_triangle_count_never_cartesian(spark):
+    """Wedge generation and closure must stay equi-joins on the oriented
+    edge list (the 1-row stat cross joins are broadcast loops, fine)."""
+    plan = plan_of(spark, "graph_triangle_count")
+    assert "CartesianProduct" not in plan
