@@ -211,6 +211,11 @@ def global_row_number(
     Equivalence with the single-window form is pytest-pinned in
     tests/test_invariants.py.
     """
+    if out in df.columns:
+        raise ValueError(f"output column {out!r} already exists on the frame")
+    pid_col, lrn_col = "__grn_pid", "__grn_lrn"
+    if pid_col in df.columns or lrn_col in df.columns:
+        raise ValueError("frame already carries __grn_* temp columns")
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     from pyspark.sql import Window as W
 
@@ -219,20 +224,23 @@ def global_row_number(
     # the SAME range boundaries (re-executing the range sampler for each
     # action would be correct only by the sampler's seeding accident)
     local = truncate_lineage(
-        rp.withColumn("_pid", F.spark_partition_id()).withColumn(
-            "_lrn",
+        rp.withColumn(pid_col, F.spark_partition_id()).withColumn(
+            lrn_col,
             F.row_number().over(
-                W.partitionBy("_pid").orderBy(*[F.asc(c) for c in order_cols])
+                W.partitionBy(pid_col).orderBy(*[F.asc(c) for c in order_cols])
             ),
         ),
         eager=False,
     )
-    sizes = {r["_pid"]: r["cnt"] for r in local.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    sizes = {
+        r[pid_col]: r["cnt"]
+        for r in local.groupBy(pid_col).agg(F.count("*").alias("cnt")).collect()
+    }
     offsets, acc = {}, 0
     for pid in sorted(sizes):
         offsets[pid] = acc
         acc += sizes[pid]
     omap = F.create_map(*[F.lit(x) for kv in sorted(offsets.items()) for x in kv])
-    return local.withColumn(out, (omap[F.col("_pid")] + F.col("_lrn")).cast("bigint")).drop(
-        "_pid", "_lrn"
-    )
+    return local.withColumn(
+        out, (omap[F.col(pid_col)] + F.col(lrn_col)).cast("bigint")
+    ).drop(pid_col, lrn_col)

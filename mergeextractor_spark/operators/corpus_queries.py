@@ -92,6 +92,22 @@ CLF_WEIGHT_SQL = (
 )
 
 
+def clf_score(toks):
+    """Mean hashed-weight margin over a token-array column — THE shared
+    classifier fold: text_hash_classifier, eval_calibration_bins and
+    sample_anneal_mix all build from this one expression (and their
+    oracles from CLF_WEIGHT_SQL), so the stand-in classifier cannot
+    silently diverge across keys (r8 review)."""
+    return F.aggregate(
+        F.transform(toks, clf_weight), F.lit(0.0), lambda acc, x: acc + x
+    ) / F.greatest(F.size(toks), F.lit(1))
+
+
+def clf_prob(toks):
+    """Sigmoid keep-probability of the shared classifier fold."""
+    return 1.0 / (1.0 + F.exp(-clf_score(toks)))
+
+
 @register(
     "text_hash_classifier",
     oracle=r"""
@@ -128,16 +144,9 @@ CLF_WEIGHT_SQL = (
     "exactly and the keep boolean has no float-boundary risk.",
 )
 def text_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    weight = clf_weight
     toks = _tokens(F.col("text"))
     staged = t(spark, sf_dir, "documents").select(
-        "doc_id",
-        (
-            F.aggregate(
-                F.transform(toks, weight), F.lit(0.0), lambda acc, x: acc + x
-            )
-            / F.greatest(F.size(toks), F.lit(1))
-        ).alias("_score"),
+        "doc_id", clf_score(toks).alias("_score")
     )
     s = F.col("_score")
     return staged.select(
@@ -150,7 +159,7 @@ def text_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "eval_calibration_bins",
-    oracle=r"""
+    oracle=rf"""
     WITH ws AS (
       SELECT lang = 'en' AS y,
              list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
@@ -159,8 +168,7 @@ def text_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
       SELECT y,
              1.0 / (1.0 + exp(-(list_sum(list_transform(w, tok ->
-                     ((ascii(substr(md5(tok), 1, 1)) * 16
-                       + ascii(substr(md5(tok), 2, 1))) % 13 - 6) / 6.0))
+                     {CLF_WEIGHT_SQL.format(tok='tok')}))
                    / greatest(len(w), 1)))) AS prob
       FROM ws
     ),
@@ -194,12 +202,8 @@ def text_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _tokens(F.col("text"))
-    s = F.aggregate(
-        F.transform(toks, clf_weight), F.lit(0.0), lambda acc, x: acc + x
-    ) / F.greatest(F.size(toks), F.lit(1))
     scored = t(spark, sf_dir, "documents").select(
-        (F.col("lang") == "en").alias("y"),
-        (1.0 / (1.0 + F.exp(-s))).alias("prob"),
+        (F.col("lang") == "en").alias("y"), clf_prob(toks).alias("prob")
     )
     binned = scored.select(
         F.least(F.floor(F.col("prob") * 10.0), F.lit(9.0)).cast("int").alias("bin"),
@@ -493,36 +497,43 @@ ANNEAL_SHARE = 0.3  # token share of the anneal (phase-2) stage
     "are window sums — no second pass, no join.",
 )
 def sample_anneal_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import truncate_lineage
+
     toks = _tokens(F.col("text"))
-    s = F.aggregate(
-        F.transform(toks, clf_weight), F.lit(0.0), lambda acc, x: acc + x
-    ) / F.greatest(F.size(toks), F.lit(1))
     scored = t(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
         F.size(toks).alias("n_tok"),
-        (1.0 / (1.0 + F.exp(-s))).alias("prob"),
+        clf_prob(toks).alias("prob"),
     )
     tile = F.ntile(10).over(
         W.partitionBy("lang").orderBy(F.desc("prob"), F.asc("doc_id"))
     )
-    phased = scored.select(
-        "doc_id",
-        "lang",
-        "n_tok",
-        F.when(tile == 1, "anneal").otherwise("main").alias("phase"),
+    # checkpoint the phased table: the phase totals and the output both
+    # read it, and the totals must NOT run as unpartitioned windows over
+    # the full per-document table (single-task exchange at 100 TB — r8
+    # review); a 2-row aggregate + broadcast join keeps both passes
+    # parallel and the corpus is still scanned once.
+    phased = truncate_lineage(
+        scored.select(
+            "doc_id",
+            "lang",
+            "n_tok",
+            F.when(tile == 1, "anneal").otherwise("main").alias("phase"),
+        ),
+        eager=False,
+    )
+    totals = phased.groupBy("phase").agg(F.sum("n_tok").alias("phase_tok"))
+    totals = totals.select(
+        "phase", "phase_tok", F.sum("phase_tok").over(W.partitionBy()).alias("tot")
     )
     share = F.when(F.col("phase") == "anneal", ANNEAL_SHARE).otherwise(
         1 - ANNEAL_SHARE
     )
-    return phased.select(
+    return phased.join(F.broadcast(totals), "phase").select(
         "doc_id",
         "lang",
         "phase",
         F.col("n_tok").cast("bigint").alias("n_tok"),
-        r4(
-            share
-            * F.sum("n_tok").over(W.partitionBy())
-            / F.sum("n_tok").over(W.partitionBy("phase"))
-        ).alias("weight"),
+        r4(share * F.col("tot") / F.col("phase_tok")).alias("weight"),
     )

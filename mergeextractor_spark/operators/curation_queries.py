@@ -166,7 +166,11 @@ def token_budget_frame(
         "lang",
         F.col("lang_tokens").cast("bigint").alias("lang_tokens"),
         r4(alloc).alias("alloc_tokens"),
-        r4(alloc / F.col("lang_tokens")).alias("epochs"),
+        # zero-mass guard: an all-empty-text key has lang_tokens=0 -> the
+        # raw division is NULL in Spark but NaN in DuckDB (r8 review)
+        F.when(F.col("lang_tokens") > 0, r4(alloc / F.col("lang_tokens")))
+        .otherwise(F.lit(0.0))
+        .alias("epochs"),
         "capped",
     )
 
@@ -205,7 +209,8 @@ def token_budget_frame(
     SELECT lang,
            CAST(lang_tokens AS BIGINT) AS lang_tokens,
            round(alloc, 4) AS alloc_tokens,
-           round(alloc / lang_tokens, 4) AS epochs,
+           CASE WHEN lang_tokens > 0 THEN round(alloc / lang_tokens, 4)
+                ELSE 0.0 END AS epochs,
            capped
     FROM r2
     """,

@@ -412,7 +412,9 @@ def eval_markov_predictor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ec2 AS (SELECT count(*) AS n_edges FROM und)
     SELECT stats.n_nodes, ec2.n_edges, stats.n_wedges,
            CAST(tri.n_triangles AS BIGINT) AS n_triangles,
-           round(3.0 * tri.n_triangles / stats.n_wedges, 4) AS global_clustering
+           CASE WHEN stats.n_wedges > 0
+                THEN round(3.0 * tri.n_triangles / stats.n_wedges, 4)
+                ELSE 0.0 END AS global_clustering
     FROM stats CROSS JOIN ec2 CROSS JOIN tri
     """,
     doc="Triangle census + global clustering coefficient of the "
@@ -492,8 +494,13 @@ def triangle_frame(und: DataFrame) -> DataFrame:
             "n_edges",
             "n_wedges",
             "n_triangles",
-            r4(3.0 * F.col("n_triangles") / F.col("n_wedges")).alias(
-                "global_clustering"
-            ),
+            # wedge-free guard: every-degree-1 graphs have n_wedges=0 ->
+            # the raw division is NULL in Spark but NaN in DuckDB
+            F.when(
+                F.col("n_wedges") > 0,
+                r4(3.0 * F.col("n_triangles") / F.col("n_wedges")),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("global_clustering"),
         )
     )

@@ -226,10 +226,14 @@ _ROTATION_FIRST: tuple[str, ...] = (
 # Oracle keys registered but not yet scheduled into a window.  The r07
 # verdict's burn-down promoted the entire 38-key backlog into
 # _ROTATION_FIRST above, so every PRE-r8 oracle key is either
-# driver-green or inside the r08 window.  The three keys below were
-# REGISTERED mid-r8 (asof-family completion + the two dedup
-# diagnostics); they rank directly behind the window so r08 budget
-# surplus reaches them, and they lead the r09 rotation otherwise.
+# driver-green or inside the r08 window.  The 16 keys below were all
+# REGISTERED mid-r8 (asof-family completion, the two dedup diagnostics,
+# two rows-only->oracle graduations, the retrieval-training pair, the
+# interval-overlap join, and the eight late governance/recipe/graph
+# keys); they rank directly behind the window so r08 budget surplus
+# reaches them, and they lead the r09 rotation otherwise (all are
+# builder-swept hash-green at sf0.001/0.01/0.1 plus the hostile-TZ
+# vanilla gate — see PERFORMANCE.md 'Final r8 session record').
 _ORACLE_BACKLOG: tuple[str, ...] = (
     "join_asof_tolerance",
     "eval_dedup_cluster_profile",

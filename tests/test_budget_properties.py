@@ -177,3 +177,22 @@ def test_budget_frame_weighted_targets_match_mirror(spark):
         r = got[f"s{i}"]
         assert abs(r.alloc_tokens - alloc[i]) < 1e-3, (r, alloc[i])
         assert r.capped == (caps[i] < targets[i])
+
+
+def test_budget_frame_zero_mass_key(spark):
+    """An all-empty-text key (mass 0) must emit epochs 0.0 — not NULL —
+    and stay capped, without disturbing the other keys' allocation."""
+    mdf = spark.createDataFrame(
+        [("empty", 0), ("big", 1000)], "lang string, lang_tokens long"
+    )
+    got = {r.lang: r for r in token_budget_frame(mdf).collect()}
+    assert got["empty"].alloc_tokens == 0.0
+    assert got["empty"].epochs == 0.0 and got["empty"].capped
+    assert got["big"].alloc_tokens > 0
+
+
+def test_gini_frame_single_source(spark):
+    row = gini_frame(
+        spark.createDataFrame([("only", 42)], "source string, n_tok long")
+    ).collect()[0]
+    assert row.gini == 0.0 and row.top_share == 1.0

@@ -135,6 +135,11 @@ def test_triangle_census_known_graphs(spark):
     r = _tri(spark, [(0, 1), (1, 2), (2, 3)])
     assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (4, 3, 2, 0)
 
+    # perfect matching: zero wedges -> clustering 0.0, not NULL (guard)
+    r = _tri(spark, [(0, 1), (2, 3), (4, 5)])
+    assert (r.n_wedges, r.n_triangles) == (0, 0)
+    assert r.global_clustering == 0.0
+
     # K4 plus a pendant: same 4 triangles, wedges grow by the pendant's
     # apex contribution (deg(0) 3->4: +3 wedges at node 0)
     r = _tri(spark, k4 + [(0, 9)])

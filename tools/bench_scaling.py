@@ -210,6 +210,9 @@ def main() -> None:
     args = ap.parse_args()
     if args.keys:
         picked = [k.strip() for k in args.keys.split(",") if k.strip()]
+        unknown = sorted(set(picked) - set(QUERIES))
+        if unknown:
+            ap.error(f"--keys not in the study list: {unknown}")
         QUERIES[:] = [k for k in QUERIES if k in picked]
 
     spark = get_spark("bench-scaling")
