@@ -208,7 +208,10 @@ def global_row_number(
     ``order_cols`` must be a total order (unique across rows), the same
     requirement every deterministic row_number in this repo carries: ties
     that straddle a range boundary would otherwise rank nondeterministically.
-    Equivalence with the single-window form is pytest-pinned in
+    Entries may be column names (ranked ascending) or explicit sort
+    expressions (``F.desc(...)``) — the same spec drives the range
+    partitioner and the per-partition window, so the two phases always
+    agree. Equivalence with the single-window form is pytest-pinned in
     tests/test_invariants.py.
     """
     if out in df.columns:
@@ -219,7 +222,8 @@ def global_row_number(
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     from pyspark.sql import Window as W
 
-    rp = df.repartitionByRange(n, *[F.asc(c) for c in order_cols])
+    order_exprs = [F.asc(c) if isinstance(c, str) else c for c in order_cols]
+    rp = df.repartitionByRange(n, *order_exprs)
     # checkpoint once: the offsets job and the downstream read must see
     # the SAME range boundaries (re-executing the range sampler for each
     # action would be correct only by the sampler's seeding accident)
@@ -227,7 +231,7 @@ def global_row_number(
         rp.withColumn(pid_col, F.spark_partition_id()).withColumn(
             lrn_col,
             F.row_number().over(
-                W.partitionBy(pid_col).orderBy(*[F.asc(c) for c in order_cols])
+                W.partitionBy(pid_col).orderBy(*order_exprs)
             ),
         ),
         eager=False,
@@ -240,7 +244,144 @@ def global_row_number(
     for pid in sorted(sizes):
         offsets[pid] = acc
         acc += sizes[pid]
-    omap = F.create_map(*[F.lit(x) for kv in sorted(offsets.items()) for x in kv])
+    # empty input → empty offsets map; map()[pid] doesn't typecheck, and
+    # a zero offset is vacuously correct over zero rows
+    off = (
+        F.create_map(*[F.lit(x) for kv in sorted(offsets.items()) for x in kv])[
+            F.col(pid_col)
+        ]
+        if offsets
+        else F.lit(0)
+    )
     return local.withColumn(
-        out, (omap[F.col(pid_col)] + F.col(lrn_col)).cast("bigint")
+        out, (off + F.col(lrn_col)).cast("bigint")
     ).drop(pid_col, lrn_col)
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list,
+    sum_cols: list[str],
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Running ``SUM(c) OVER (ORDER BY order_cols)`` for each ``c`` in
+    ``sum_cols`` WITHOUT a single-task window — the
+    :func:`global_row_number` pattern applied to sums (VERDICT r8 item
+    3): range-partition on the order keys, cumulate per partition
+    (parallel windows), then add each partition's prefix total. The
+    per-partition totals are collected to the driver — bounded by the
+    partition COUNT — and the grand totals come back for free as the
+    second return value (saving the caller an unpartitioned total
+    window over the same corpus-sized frame).
+
+    Appends ``cum_<c>`` bigint columns. Rows tying on ``order_cols``
+    colocate under range partitioning, so the default RANGE window
+    frame's peers-share-a-value semantics survive the split. Like
+    global_row_number, construction runs the totals job — callers
+    register with ``eager=True``. Equivalence with the single-window
+    form is pytest-pinned in tests/test_invariants.py.
+    """
+    pid_col = "__gcs_pid"
+    if pid_col in df.columns:
+        raise ValueError("frame already carries __gcs_* temp columns")
+    for c in sum_cols:
+        if f"cum_{c}" in df.columns:
+            raise ValueError(f"output column cum_{c} already exists")
+    order_exprs = [F.asc(c) if isinstance(c, str) else c for c in order_cols]
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    from pyspark.sql import Window as W
+
+    rp = df.repartitionByRange(n, *order_exprs)
+    w = W.partitionBy(pid_col).orderBy(*order_exprs)
+    local = truncate_lineage(
+        rp.withColumn(pid_col, F.spark_partition_id()).select(
+            "*", *[F.sum(c).over(w).alias(f"__gcs_l_{c}") for c in sum_cols]
+        ),
+        eager=False,
+    )
+    per_pid = {
+        r[pid_col]: r
+        for r in local.groupBy(pid_col)
+        .agg(*[F.sum(c).alias(c) for c in sum_cols])
+        .collect()
+    }
+    out = local
+    totals: dict[str, int] = {}
+    for c in sum_cols:
+        offsets, acc = {}, 0
+        for pid in sorted(per_pid):
+            offsets[pid] = acc
+            acc += per_pid[pid][c] or 0
+        totals[c] = acc
+        # empty input → empty offsets map (see global_row_number)
+        off = (
+            F.create_map(
+                *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+            )[F.col(pid_col)]
+            if offsets
+            else F.lit(0)
+        )
+        out = out.withColumn(
+            f"cum_{c}",
+            (off + F.col(f"__gcs_l_{c}")).cast("bigint"),
+        )
+    return (
+        out.drop(pid_col, *[f"__gcs_l_{c}" for c in sum_cols]),
+        totals,
+    )
+
+
+def partitioned_ntile(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list,
+    k: int,
+    out: str = "bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``ntile(k) OVER (PARTITION BY part_cols ORDER BY order_cols)``
+    WITHOUT a single-task sort per partition value.
+
+    The plain window form serializes each partition value through one
+    task — on a ~50%-English 100 TB corpus the 'en' partition is a
+    single-task sort of ~1e10 rows (the skewed-key shuffle VERDICT r8
+    item 2 names). This composes the repo's two scale-safe pieces
+    instead: a global two-phase rank over (part_cols ++ order_cols) —
+    range-partitioned, so hot partition values SPREAD across range
+    splits — then a result-sized per-partition-value aggregate (one row
+    per value: start rank + row count) broadcast back. The bucket is the
+    EXACT ntile value computed in closed form from the within-partition
+    rank r and size n: the first ``n % k`` buckets hold ``ceil(n/k)``
+    rows, the rest ``floor(n/k)`` (SQL-standard remainder front-loading,
+    identical in Spark and DuckDB) — so oracles keep plain ``ntile()``
+    and hashes are unchanged. Equivalence with the single-window form is
+    pytest-pinned in tests/test_invariants.py.
+
+    Like :func:`global_row_number`, the combined ordering must be a
+    total order (callers tie-break on a unique id). Construction runs
+    the offsets job (bounded by the partition COUNT) — callers register
+    with ``eager=True``.
+    """
+    part_cols = list(part_cols)
+    gr = global_row_number(
+        df,
+        part_cols + list(order_cols),
+        out="__pnt_i",
+        num_partitions=num_partitions,
+    )
+    sizes = gr.groupBy(*part_cols).agg(
+        F.min("__pnt_i").alias("__pnt_i0"),
+        F.count("*").alias("__pnt_n"),
+    )
+    j = gr.join(F.broadcast(sizes), part_cols)
+    r = F.col("__pnt_i") - F.col("__pnt_i0") + 1
+    n = F.col("__pnt_n")
+    q = F.floor(n / k).cast("bigint")
+    rem = n % k
+    head = rem * (q + 1)
+    bucket = F.when(r <= head, F.floor((r + q) / (q + 1))).otherwise(
+        rem + F.floor((r - head + q - 1) / q)
+    )
+    return j.withColumn(out, bucket.cast("int")).drop(
+        "__pnt_i", "__pnt_i0", "__pnt_n"
+    )

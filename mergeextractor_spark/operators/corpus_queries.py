@@ -52,8 +52,11 @@ from .text_queries import _tokens
     "ROUNDED score (with a doc_id tiebreak) so bucket assignment is "
     "engine-exact — no float-boundary flips. Scale: the vocab join is "
     "the text_unigram_logprob shape (Zipf head broadcasts, AQE skew on "
-    "the tail); the bucketing window shuffles only (doc_id, lang, score) "
-    "triples partitioned by lang.",
+    "the tail); the thirds cut runs via _util.partitioned_ntile "
+    "(range-partitioned two-phase rank + broadcast per-lang offsets), "
+    "not a per-lang window — a hot language would otherwise sort "
+    "through one task (VERDICT r8 item 2).",
+    eager=True,  # construction collects the range-partition offsets
 )
 def sample_logprob_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
@@ -67,12 +70,20 @@ def sample_logprob_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "lang")
         .agg(r4(F.avg(neg_lp)).alias("avg_neg_logprob"))
     )
-    w = W.partitionBy("lang").orderBy(F.asc("avg_neg_logprob"), F.asc("doc_id"))
-    tile = F.ntile(3).over(w)
+    from ._util import partitioned_ntile
+
+    tiled = partitioned_ntile(
+        scored,
+        ["lang"],
+        [F.asc("avg_neg_logprob"), F.asc("doc_id")],
+        3,
+        out="__tile",
+    )
+    tile = F.col("__tile")
     bucket = (
         F.when(tile == 1, "head").when(tile == 2, "middle").otherwise("tail")
     )
-    return scored.select(
+    return tiled.select(
         "doc_id", "lang", "avg_neg_logprob", bucket.alias("bucket")
     )
 
@@ -477,9 +488,11 @@ ANNEAL_SHARE = 0.3  # token share of the anneal (phase-2) stage
       FROM scored
     )
     SELECT doc_id, lang, phase, CAST(n_tok AS BIGINT) AS n_tok,
-           round(CASE WHEN phase = 'anneal' THEN {ANNEAL_SHARE} ELSE {1 - ANNEAL_SHARE} END
-                 * sum(n_tok) OVER ()
-                 / sum(n_tok) OVER (PARTITION BY phase), 4) AS weight
+           round(CASE WHEN sum(n_tok) OVER (PARTITION BY phase) > 0
+                 THEN CASE WHEN phase = 'anneal' THEN {ANNEAL_SHARE} ELSE {1 - ANNEAL_SHARE} END
+                      * sum(n_tok) OVER ()
+                      / sum(n_tok) OVER (PARTITION BY phase)
+                 ELSE 0.0 END, 4) AS weight
     FROM phased
     """,
     doc="Two-phase anneal schedule (the 'midtraining anneal on high-"
@@ -492,12 +505,15 @@ ANNEAL_SHARE = 0.3  # token share of the anneal (phase-2) stage
     "token mass sum to the phase's budget share (30% anneal / 70% "
     "main) — anneal weights land >1 (upsampling the quality head), "
     "main <1. Composes the classifier, the decile cut, and the budget "
-    "normalization in ONE single-scan plan: the per-lang ntile shuffle "
-    "carries (doc_id, lang, n_tok, prob) only, and both phase totals "
-    "are window sums — no second pass, no join.",
+    "normalization in ONE single-scan plan: the decile cut runs via "
+    "_util.partitioned_ntile (range-partitioned two-phase rank + "
+    "broadcast per-lang offsets, never a single-task per-lang sort — "
+    "VERDICT r8 item 2) over (doc_id, lang, n_tok, prob) only, and the "
+    "phase totals are a 2-row aggregate broadcast back.",
+    eager=True,  # construction collects the range-partition offsets
 )
 def sample_anneal_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ._util import truncate_lineage
+    from ._util import partitioned_ntile
 
     toks = _tokens(F.col("text"))
     scored = t(spark, sf_dir, "documents").select(
@@ -506,22 +522,21 @@ def sample_anneal_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("n_tok"),
         clf_prob(toks).alias("prob"),
     )
-    tile = F.ntile(10).over(
-        W.partitionBy("lang").orderBy(F.desc("prob"), F.asc("doc_id"))
+    # per-lang top-decile cut via the two-phase rank (VERDICT r8 item 2:
+    # a per-lang ntile window is a single-task sort of the hot language
+    # at 100 TB). partitioned_ntile checkpoints its ranked table, so the
+    # phase totals and the output below both read the SAME materialized
+    # frame — the corpus is still scanned once, the phase totals run as
+    # a 2-row aggregate + broadcast join (never an unpartitioned window
+    # over the full per-document table — r8 review).
+    tiled = partitioned_ntile(
+        scored, ["lang"], [F.desc("prob"), F.asc("doc_id")], 10, out="__tile"
     )
-    # checkpoint the phased table: the phase totals and the output both
-    # read it, and the totals must NOT run as unpartitioned windows over
-    # the full per-document table (single-task exchange at 100 TB — r8
-    # review); a 2-row aggregate + broadcast join keeps both passes
-    # parallel and the corpus is still scanned once.
-    phased = truncate_lineage(
-        scored.select(
-            "doc_id",
-            "lang",
-            "n_tok",
-            F.when(tile == 1, "anneal").otherwise("main").alias("phase"),
-        ),
-        eager=False,
+    phased = tiled.select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        F.when(F.col("__tile") == 1, "anneal").otherwise("main").alias("phase"),
     )
     totals = phased.groupBy("phase").agg(F.sum("n_tok").alias("phase_tok"))
     totals = totals.select(
@@ -530,10 +545,16 @@ def sample_anneal_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     share = F.when(F.col("phase") == "anneal", ANNEAL_SHARE).otherwise(
         1 - ANNEAL_SHARE
     )
+    # zero-mass guard (r8 ADVICE): a phase whose documents are all
+    # empty-text has phase_tok=0 — emit 0.0 on both engines instead of
+    # NULL (Spark) vs inf (DuckDB), the token_budget_frame pattern.
+    weight = F.when(
+        F.col("phase_tok") > 0, share * F.col("tot") / F.col("phase_tok")
+    ).otherwise(F.lit(0.0))
     return phased.join(F.broadcast(totals), "phase").select(
         "doc_id",
         "lang",
         "phase",
         F.col("n_tok").cast("bigint").alias("n_tok"),
-        r4(share * F.col("tot") / F.col("phase_tok")).alias("weight"),
+        r4(weight).alias("weight"),
     )

@@ -141,13 +141,28 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(r4(F.avg(neg_lp)).alias("avg_neg_logprob"))
     )
-    # stage 3: CCNet bucketing, tail dropped
-    wb = W.partitionBy("lang").orderBy(F.asc("avg_neg_logprob"), F.asc("doc_id"))
-    tile = F.ntile(3).over(wb)
+    # stage 3: CCNet bucketing, tail dropped. The thirds cut runs via
+    # _util.partitioned_ntile (range-partitioned two-phase rank +
+    # broadcast per-lang offsets) — a per-lang window would sort the hot
+    # language through one task at 100 TB (VERDICT r8 item 2). Project
+    # the token array away FIRST so the rank checkpoint carries narrow
+    # rows only.
+    from ..operators._util import partitioned_ntile
+
+    narrow = kept.select("doc_id", "source", "lang", "n_tokens", "clf_score").join(
+        scored, "doc_id"
+    )
+    tiled = partitioned_ntile(
+        narrow,
+        ["lang"],
+        [F.asc("avg_neg_logprob"), F.asc("doc_id")],
+        3,
+        out="__tile",
+    )
+    tile = F.col("__tile")
     bucket = F.when(tile == 1, "head").when(tile == 2, "middle").otherwise("tail")
     return (
-        kept.join(scored, "doc_id")
-        .select(
+        tiled.select(
             "doc_id",
             "source",
             "lang",

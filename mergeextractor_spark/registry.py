@@ -56,7 +56,7 @@ def register(key: str, oracle: str | None = None, doc: str = "", eager: bool = F
 # CORRECTNESS file is folded into _DRIVER_GREEN below; seeds the canary
 # sample so each round re-checks a different deterministic slice of the
 # already-green keys (VERDICT r3 "Next round" item 3).
-_ROUND: int = 8
+_ROUND: int = 9
 
 # Keys that already hold a green hash-checked row in CORRECTNESS_r01–r03
 # (historical fact, frozen).  The driver's correctness gate walks the dict
@@ -168,109 +168,88 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "sample_reservoir_weighted", "sample_balanced_classes",
     "text_collocation_pmi", "text_ngram_novelty", "agg_entropy_by_source",
     "text_stopword_induction", "text_vocab_coverage_curve",
-})
-
-# Keys without CLEAN driver evidence in the window.  r08: the two
-# streaming contract keys SURVEY §2.11 promises (VERDICT r7 item 4) —
-# `stream_upsert_to_kv` (foreachBatch MERGE into the bucketed KV store)
-# and `stream_dedup_first_seen` (applyInPandasWithState first-seen
-# dedup), both registered this round as deterministic availableNow
-# micro-batch runs over the events fixture.  Rows-only by contract
-# (side-effecting streaming sinks); value-level checks against their
-# batch twins live in tests/test_streaming.py /
-# tests/test_stateful_streaming.py.
-#
-# Placement: TAIL of the 50-key window (positions 49-50), not the head
-# — unlike prior rounds' cheap evidence-fix keys, each streaming run
-# costs ~5 s of micro-batch machinery at sf0.01 (measured 10.5 s for
-# the pair), and the window's critical cargo is the 38-key oracle
-# backlog burn-down (VERDICT r7 item 1).  If the driver's budget is
-# key-capped at 50 they are still inside; if it is wall-capped, the
-# hash-checked keys get the budget first and the rows-only streaming
-# pair is the least-bad casualty.
-_EVIDENCE_FIX: tuple[str, ...] = ("stream_dedup_first_seen", "stream_upsert_to_kv")
-
-# Explicit order for the 40 oracle keys of the r08 window (VERDICT r7
-# items 1 and 7): the whole 38-key r08 backlog promoted wholesale in its
-# encoded order (r7 measured all of them hash-green in 34 s at sf0.01),
-# then the two r8-registered cascade-stage oracle twins
-# (cascade_title_check / cascade_toc_check — VERDICT r7 item 7).  With
-# the 2 streaming evidence-fix keys and 8 canaries ahead, this fills
-# positions 11..50 of the window and EMPTIES the oracle backlog: after
-# r8 every registered key holds a driver CORRECTNESS row.
-_ROTATION_FIRST: tuple[str, ...] = (
-    # curation / DQ remainder (text_hapax_ratio ceded its r07 window slot
-    # to sink_log, the r07-registered evidence-fix key)
+    # CORRECTNESS_r08.json (48 hash-green rows: the 40 r08 rotation-first
+    # keys below; the other 8 were canary re-passes already listed above)
     "text_hapax_ratio", "text_word_burstiness", "text_charset_profile",
     "dq_skew_report", "dq_completeness_profile",
     "dq_referential_integrity", "dq_uniqueness_audit", "dq_file_inventory",
     "dq_chi_square_independence", "eval_jackknife_se",
-    "pipeline_dq_scorecard",
-    # events / streaming analytics
-    "join_scd2_pointintime", "events_attribution", "events_anomaly_mad",
-    "events_funnel_windowed", "agg_incremental_maintain",
-    "agg_ab_test_stats", "agg_rfm_segmentation", "agg_seasonality_profile",
-    "events_slo_burn_rate", "agg_new_vs_returning",
-    "events_interarrival_profile", "dq_event_order_violations",
-    "events_peak_concurrency", "events_bounce_rate",
-    "agg_activity_streaks", "events_error_impact", "events_time_to_value",
-    "eval_forecast_seasonal_naive", "events_pit_features",
-    "eval_psi_drift", "events_changepoint_cusum", "agg_winsorized_mean",
-    "events_fraud_velocity", "agg_ltv_curve", "eval_ab_power_mde",
-    "agg_user_growth_curve", "agg_dau_mau_stickiness",
-    # VERDICT r7 item 7: SQL-expressible cascade stages (b) and (c)
-    # oracle-paired (ref ChunkProcessor.py:75-114, 116-140)
+    "pipeline_dq_scorecard", "join_scd2_pointintime", "events_attribution",
+    "events_anomaly_mad", "events_funnel_windowed",
+    "agg_incremental_maintain", "agg_ab_test_stats", "agg_rfm_segmentation",
+    "agg_seasonality_profile", "events_slo_burn_rate",
+    "agg_new_vs_returning", "events_interarrival_profile",
+    "dq_event_order_violations", "events_peak_concurrency",
+    "events_bounce_rate", "agg_activity_streaks", "events_error_impact",
+    "events_time_to_value", "eval_forecast_seasonal_naive",
+    "events_pit_features", "eval_psi_drift", "events_changepoint_cusum",
+    "agg_winsorized_mean", "events_fraud_velocity", "agg_ltv_curve",
+    "eval_ab_power_mde", "agg_user_growth_curve", "agg_dau_mau_stickiness",
     "cascade_title_check", "cascade_toc_check",
-)
+})
 
-# Oracle keys registered but not yet scheduled into a window.  The r07
-# verdict's burn-down promoted the entire 38-key backlog into
-# _ROTATION_FIRST above, so every PRE-r8 oracle key is either
-# driver-green or inside the r08 window.  The 16 keys below were all
-# REGISTERED mid-r8 (asof-family completion, the two dedup diagnostics,
-# two rows-only->oracle graduations, the retrieval-training pair, the
-# interval-overlap join, and the eight late governance/recipe/graph
-# keys); they rank directly behind the window so r08 budget surplus
-# reaches them, and they lead the r09 rotation otherwise (all are
-# builder-swept hash-green at sf0.001/0.01/0.1 plus the hostile-TZ
-# vanilla gate — see PERFORMANCE.md 'Final r8 session record').
-_ORACLE_BACKLOG: tuple[str, ...] = (
+# Keys without CLEAN driver evidence in the window.  r09: none — the
+# two r8 streaming keys got their rows-only driver rows in
+# CORRECTNESS_r08 (spark_rows=10000 each) and now live in
+# _ROWS_ONLY_EVIDENCED below.
+_EVIDENCE_FIX: tuple[str, ...] = ()
+
+# Explicit order for the 16 oracle keys of the r09 window (VERDICT r8
+# item 4): the whole r8 _ORACLE_BACKLOG — the late-r8 registrations
+# that never received driver rows — promoted wholesale in its encoded
+# order.  All were builder-swept hash-green at sf0.001/0.01/0.1 plus
+# the hostile-TZ vanilla gate in r8; three of them (sample_anneal_mix,
+# eval_ks_drift, and the ntile-scale rewrites' sibling
+# sample_token_budget's neighbours) were re-verified after the r9
+# scale-posture rewrites.  With 12 canaries ahead, this fills
+# positions 13..28 of the driver's demonstrated 50-key window; the
+# ~22 surplus slots fall through to already-green oracle keys
+# (re-checks) and then the rows-only tail.  After r9 every registered
+# key holds a driver CORRECTNESS row again.
+_ROTATION_FIRST: tuple[str, ...] = (
     "join_asof_tolerance",
     "eval_dedup_cluster_profile",
     "agg_dedup_impact_by_source",
-    # r8 rows-only → oracle graduations (the filing fixture now ships as
+    # rows-only → oracle graduations (the filing fixture ships as
     # parquet, so DuckDB reads the same rows): their old rows-only
-    # evidence doesn't cover values, so they queue for a hash row.
+    # evidence doesn't cover values — these are their first hash rows.
     "phrase_catalog",
     "ner_orgs",
-    # r8 retrieval-training completions (contrastive-pair mining + the
+    # retrieval-training completions (contrastive-pair mining + the
     # graded ranking metric between ANN candidates and the reranker)
     "sample_hard_negatives",
     "eval_ndcg_quantized",
-    # r8: the interval×interval overlap join (bucket decomposition with
+    # the interval×interval overlap join (bucket decomposition with
     # exactly-once emission), completing the range-join family
     "join_interval_overlap",
-    # r8 late additions (data-governance + training-recipe completions):
-    # epoch-capped budget waterfill, corpus concentration (Gini),
-    # classifier calibration bins, k-anonymity audit, stream freshness
+    # late-r8 data-governance + training-recipe completions
     "sample_token_budget",
     "agg_source_gini",
     "eval_calibration_bins",
     "dq_k_anonymity",
     "dq_freshness_lag",
-    # r8: degree-ordered triangle census vs the naive 3-way-join oracle
+    # degree-ordered triangle census vs the naive 3-way-join oracle
     "graph_triangle_count",
-    # r8: exact two-sample KS drift test (unbinned PSI complement)
+    # exact two-sample KS drift (r9: two-phase ECDF via global_cumsum)
     "eval_ks_drift",
-    # r8: two-phase anneal schedule (classifier top decile upweighted)
+    # two-phase anneal schedule (r9: decile cut via partitioned_ntile)
     "sample_anneal_mix",
 )
 
+# Oracle keys registered but not yet scheduled into a window: none —
+# the r8 backlog above IS the r09 window cargo, and r9 registered no
+# new oracle keys outside it.  New keys default to rank 3 (directly
+# behind _ROTATION_FIRST) via the rank function's fallback.
+_ORACLE_BACKLOG: tuple[str, ...] = ()
+
 # Rows-only keys WITH driver evidence (r04 gave the first 4 their rows,
-# r05 covered the next 30, r06 nine more, r07 added sink_log).  They
-# queue behind the oracle backlog — every key here already holds a clean
-# CORRECTNESS row.
+# r05 covered the next 30, r06 nine more, r07 added sink_log, r08 the
+# two streaming keys).  They queue at the tail — every key here already
+# holds a clean CORRECTNESS row, and a rows-only re-run is weaker
+# evidence than a hash re-check of a green oracle key.
 _ROWS_ONLY_EVIDENCED: tuple[str, ...] = (
+    # CORRECTNESS_r08 (the r08 evidence-fix keys, clean rows-only passes)
+    "stream_dedup_first_seen", "stream_upsert_to_kv",
     # CORRECTNESS_r07 (the r07 evidence-fix key, clean rows-only pass)
     "sink_log",
     # CORRECTNESS_r06 (the 9 r06 evidence-fix keys, all clean)
@@ -296,15 +275,14 @@ _ROWS_ONLY_EVIDENCED: tuple[str, ...] = (
 
 # Number of previously-green keys re-checked per round, sampled
 # deterministically from _DRIVER_GREEN seeded by _ROUND so a regression
-# in r01-era code cannot stay invisible forever.  Canaries sit at
-# positions 3..10 (behind the 2 streaming evidence-fix keys), ahead of
-# the rotation so they cannot be squeezed out of the window:
-# 2 fixes + 8 canaries + 40 rotation-first = exactly the 50-key window.
-# r9 plan (VERDICT r7 item 3): with the oracle backlog empty after r8,
-# the window frees up — raise to ~12 canaries + any new keys + the
-# remaining budget re-walking green keys, cutting the full-recheck
-# cycle from ~70 rounds to ~25 over the ~330-key green pool.
-_CANARY_SLOTS: int = 8
+# in r01-era code cannot stay invisible forever.  Canaries sit at the
+# FRONT of the window so they cannot be squeezed out:
+# 12 canaries + 16 rotation-first = 28, leaving ~22 surplus slots of
+# the driver's demonstrated 50-key budget to fall through to the
+# round-shuffled green re-checks (rank 4 below) — together cutting the
+# full-recheck cycle to well under the r7-planned ~25 rounds over the
+# ~330-key green pool (VERDICT r7 item 3 / r8 item 5).
+_CANARY_SLOTS: int = 12
 
 
 def canary_keys(round_no: int = _ROUND) -> tuple[str, ...]:
@@ -318,24 +296,23 @@ def canary_keys(round_no: int = _ROUND) -> tuple[str, ...]:
 def load_all() -> dict[str, Query]:
     """Import every module that registers queries (idempotent).
 
-    Returned order implements the r08 gate-window rotation (VERDICT r7
-    items 1, 4 and 7):
-      0. 8 canary re-checks of previously-green keys (seeded by round;
+    Returned order implements the r09 gate-window rotation (VERDICT r8
+    items 4 and 5):
+      0. 12 canary re-checks of previously-green keys (seeded by round;
          cheap, pinned to the front so they can never be squeezed out);
-      1. 40 never-driver-checked oracle keys (_ROTATION_FIRST: the whole
-         38-key r08 backlog in its encoded order, then the two cascade
-         oracle twins) — the window's critical cargo;
-      2. the two r08-registered streaming keys (_EVIDENCE_FIX, rows-only
-         by contract) at the window's TAIL — 8+40+2 fills the driver's
-         demonstrated 50-key budget and empties the oracle backlog (see
-         the _EVIDENCE_FIX comment for the cost-based placement);
-      3. oracle keys registered after the r08 window snapshot
-         (_ORACLE_BACKLOG: the asof/dedup-diagnostic additions and the
-         two rows-only→oracle graduations) so budget surplus reaches
-         them first;
-      4. (unused this round — kept for rank stability);
-      5. rows-only keys that already hold driver rows;
-      6. the remaining already-green oracle keys.
+      1. the 16 never-driver-checked oracle keys (_ROTATION_FIRST: the
+         whole r8 _ORACLE_BACKLOG in its encoded order) — the window's
+         critical cargo; after them every registered key holds a
+         driver row again;
+      2. evidence-fix keys (_EVIDENCE_FIX: empty in r09);
+      3. oracle keys registered after the r09 window snapshot
+         (_ORACLE_BACKLOG: empty; the rank-function fallback catches
+         any key registered without a scheduling entry);
+      4. already-green oracle keys, ROUND-SHUFFLED (seeded by _ROUND)
+         so the ~22 surplus window slots re-check a different green
+         slice each round instead of the same import-order prefix;
+      5. rows-only keys that already hold driver rows (weakest
+         evidence per run, so they queue last).
     """
     from .operators import (  # noqa: F401
         relational,
@@ -361,11 +338,16 @@ def load_all() -> dict[str, Query]:
         incremental_pipeline,
     )
 
+    import random
+
     fixes = {k: i for i, k in enumerate(_EVIDENCE_FIX)}
     canaries = {k: i for i, k in enumerate(canary_keys())}
     first = {k: i for i, k in enumerate(_ROTATION_FIRST)}
     backlog = {k: i for i, k in enumerate(_ORACLE_BACKLOG)}
     rows_only = {k: i for i, k in enumerate(_ROWS_ONLY_EVIDENCED)}
+    greens = sorted(_DRIVER_GREEN)
+    random.Random(_ROUND * 7919).shuffle(greens)
+    green_rank = {k: i for i, k in enumerate(greens)}
 
     def rank(kv: tuple[str, Query]) -> tuple[int, int]:
         key, q = kv
@@ -378,10 +360,12 @@ def load_all() -> dict[str, Query]:
         if key in backlog:
             return (3, backlog[key])
         if q.oracle is None:
-            # rows-only: every key here holds driver evidence (r04-r07)
+            # rows-only: every key here holds driver evidence (r04-r08)
             return (5, rows_only.get(key, len(_ROWS_ONLY_EVIDENCED)))
         if key in _DRIVER_GREEN:
-            return (6, 0)
+            # round-shuffled so surplus window slots rotate their
+            # re-checks instead of re-walking the import-order prefix
+            return (4, green_rank[key])
         return (3, len(_ORACLE_BACKLOG))  # new oracle key → backlog rank
 
     return dict(sorted(REGISTRY.items(), key=rank))

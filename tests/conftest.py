@@ -13,6 +13,21 @@ os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
+# Deterministic Hypothesis corpus (VERDICT r8 item 8): by default every
+# property test draws the SAME example sequence (derandomize derives it
+# from the test itself), so builder, driver, and judge sessions reach
+# identical verdicts; discovered-failure corners are committed as
+# explicit @example pins in the test files.  Set HYPOTHESIS_EXPLORE=1
+# to re-enable randomized exploration during development (how the r8
+# cascade_toc_check counterexample was found).
+from hypothesis import settings as _hyp_settings  # noqa: E402
+
+_hyp_settings.register_profile("deterministic", derandomize=True)
+_hyp_settings.register_profile("explore", derandomize=False)
+_hyp_settings.load_profile(
+    "explore" if os.environ.get("HYPOTHESIS_EXPLORE") else "deterministic"
+)
+
 
 def pytest_configure(config):
     config.addinivalue_line(

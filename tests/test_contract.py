@@ -33,16 +33,13 @@ def test_every_oracle_key_has_a_query(spark):
 
 def test_gate_window_rotation_order():
     """The driver walks queries() in order under a wall-clock budget that
-    historically covers ~50 keys per round.  The r08 rotation (VERDICT r7
-    items 1, 4 and 7) must put: (a) the 8 canaries first (cheap, can
-    never be squeezed out), (b) the 40 never-driver-checked oracle keys
-    next (the whole 38-key r08 backlog — the window's critical cargo —
-    then the 2 cascade oracle twins), (c) the two r08-registered
-    streaming keys at the window's TAIL (rows-only, ~5 s of micro-batch
-    machinery each: inside a 50-key cap, the least-bad casualty of a
-    wall cap) — 8+40+2 = exactly the demonstrated 50-key budget,
-    emptying the oracle backlog, before any other rows-only or green
-    key."""
+    historically covers ~50 keys per round.  The r09 rotation (VERDICT r8
+    items 4 and 5) must put: (a) the 12 canaries first (cheap, can never
+    be squeezed out), (b) the 16 never-driver-checked oracle keys next
+    (the whole r8 oracle backlog — the window's critical cargo), then
+    (c) the ~22 surplus window slots fall through to round-shuffled
+    already-green oracle re-checks, with the rows-only keys (weakest
+    evidence per run) queued at the very tail."""
     from mergeextractor_spark import registry
 
     mod = _load_entry()
@@ -51,12 +48,14 @@ def test_gate_window_rotation_order():
 
     n_fix = len(registry._EVIDENCE_FIX)
     n_first = len(registry._ROTATION_FIRST)
-    # exact window arithmetic: 8 canaries + 40 rotation + 2 fixes = 50
-    assert registry._CANARY_SLOTS + n_first + n_fix == 50
-    for key in registry._EVIDENCE_FIX:
-        assert key not in osql, f"evidence-fix key {key!r} is rows-only"
+    # window arithmetic: 12 canaries + 16 rotation + 0 fixes = 28, the
+    # head of the demonstrated 50-key budget; the surplus re-checks greens
+    assert n_fix == 0 and len(registry._ORACLE_BACKLOG) == 0
+    assert registry._CANARY_SLOTS + n_first + n_fix == 28
+    assert registry._CANARY_SLOTS >= 12  # VERDICT r7 item 3 / r8 item 5
 
     canaries = registry.canary_keys()
+    assert len(canaries) == registry._CANARY_SLOTS
     assert keys[: len(canaries)] == list(canaries)
     # Canaries are a deterministic per-round sample of driver-green keys.
     assert registry.canary_keys() == registry.canary_keys()
@@ -65,34 +64,26 @@ def test_gate_window_rotation_order():
 
     at = len(canaries)
     assert keys[at : at + n_first] == list(registry._ROTATION_FIRST)
-    for key in registry._ROTATION_FIRST + registry._ORACLE_BACKLOG:
+    for key in registry._ROTATION_FIRST:
         assert key in osql, f"rotation key {key!r} lost its oracle"
         assert key not in registry._DRIVER_GREEN, key
 
     at += n_first
-    assert keys[at : at + n_fix] == list(registry._EVIDENCE_FIX)
-
-    at += n_fix
-    n_backlog = len(registry._ORACLE_BACKLOG)
-    assert keys[at : at + n_backlog] == list(registry._ORACLE_BACKLOG)
-
-    # every rows-only key (beyond the evidence fixes) already holds
-    # driver evidence and queues behind the oracle backlog
-    rows_only = [k for k in keys if k not in osql and k not in registry._EVIDENCE_FIX]
+    # positions behind the rotation: round-shuffled green oracle keys
+    # (every one driver-green), THEN every rows-only key at the tail
+    rows_only = [k for k in keys if k not in osql]
     assert sorted(rows_only) == sorted(registry._ROWS_ONLY_EVIDENCED)
-    assert min(keys.index(k) for k in rows_only) >= at + n_backlog
-
-    # already-green oracle keys come last
-    last_rows_only = max(keys.index(k) for k in rows_only)
-    tail_green = [
-        k
-        for k in keys
-        if k in osql
-        and k in registry._DRIVER_GREEN
-        and k not in canaries
-    ]
-    if tail_green:
-        assert min(keys.index(k) for k in tail_green) > last_rows_only
+    mid_green = [k for k in keys[at:] if k in osql]
+    assert set(mid_green) <= registry._DRIVER_GREEN
+    first_rows_only = min(keys.index(k) for k in rows_only)
+    last_green = max(keys.index(k) for k in mid_green)
+    assert last_green < first_rows_only, (
+        "green oracle re-checks must precede the rows-only tail"
+    )
+    # the surplus-slot shuffle is deterministic within a round...
+    assert list(mod.queries()) == keys
+    # ...and NOT the sorted/import order (it rotates round to round)
+    assert mid_green != sorted(mid_green)
 
 
 def test_sql_view_surface(spark):

@@ -408,6 +408,72 @@ def test_global_row_number_matches_single_window(spark):
         assert got == want, f"partitions={n}"
 
 
+def test_global_cumsum_matches_single_window(spark):
+    """The two-phase range-partitioned prefix sum (the eval_ks_drift ECDF
+    scale path — VERDICT r8 item 3) must agree with the single ordered
+    window on every row, including tie groups (RANGE-frame peers), and
+    must return exact grand totals; empty input yields zero totals."""
+    from pyspark.sql import Window as W
+
+    from mergeextractor_spark.operators._util import global_cumsum
+
+    # v has ties (i % 40) so the RANGE-frame peer semantics are exercised
+    rows = [(i, (i % 40), ((7 * i) % 23), ((3 * i) % 5)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, v long, a long, b long")
+    want = {
+        (r.id): (r.ca, r.cb)
+        for r in df.select(
+            "id",
+            F.sum("a").over(W.orderBy("v")).alias("ca"),
+            F.sum("b").over(W.orderBy("v")).alias("cb"),
+        ).collect()
+    }
+    for n in (1, 4, 64):
+        got_df, tot = global_cumsum(df, ["v"], ["a", "b"], num_partitions=n)
+        got = {r.id: (r.cum_a, r.cum_b) for r in got_df.collect()}
+        assert got == want, f"partitions={n}"
+        assert tot == {"a": sum(r[2] for r in rows), "b": sum(r[3] for r in rows)}
+    empty = df.filter(F.lit(False))
+    got_df, tot = global_cumsum(empty, ["v"], ["a", "b"])
+    assert got_df.count() == 0 and tot == {"a": 0, "b": 0}
+
+
+def test_partitioned_ntile_matches_window_ntile(spark):
+    """partitioned_ntile (two-phase rank + broadcast offsets, the scale
+    path for the per-language bucket cuts — VERDICT r8 item 2) must emit
+    the EXACT ntile(k) value on every row: same remainder front-loading,
+    same desc/asc ordering, across ks that divide / don't divide the
+    partition sizes and partition counts above and below the row count."""
+    from pyspark.sql import Window as W
+
+    from mergeextractor_spark.operators._util import partitioned_ntile
+
+    # skewed partition sizes: lang a=251 rows, b=37, c=1, d=88
+    rows = []
+    for lang, cnt in (("a", 251), ("b", 37), ("c", 1), ("d", 88)):
+        rows += [(f"{lang}{i:04d}", lang, (29 * i) % 53) for i in range(cnt)]
+    df = spark.createDataFrame(rows, "doc_id string, lang string, score long")
+    for k in (3, 10, 400):
+        w = W.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
+        want = {
+            r.doc_id: r.b
+            for r in df.select("doc_id", F.ntile(k).over(w).alias("b")).collect()
+        }
+        for n in (1, 5, 64):
+            got = {
+                r.doc_id: r.b
+                for r in partitioned_ntile(
+                    df,
+                    ["lang"],
+                    [F.desc("score"), F.asc("doc_id")],
+                    k,
+                    out="b",
+                    num_partitions=n,
+                ).collect()
+            }
+            assert got == want, f"k={k} partitions={n}"
+
+
 def test_gini_twophase_rank_path(spark):
     """gini computed from two-phase ranks equals the shipped single-window
     gini_frame value."""

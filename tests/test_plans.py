@@ -397,17 +397,49 @@ def test_governance_keys_single_scan(spark):
         "eval_calibration_bins",
         "dq_k_anonymity",
         "dq_freshness_lag",
-        "eval_ks_drift",
     ):
         plan = plan_of(spark, key)
         assert plan.count("FileScan") == 1, key
         assert "CartesianProduct" not in plan, key
-    # sample_anneal_mix checkpoints its phased table (the totals join and
-    # the output both read it), so the single corpus scan hides behind
-    # the checkpoint node — assert it never re-scans
-    plan = plan_of(spark, "sample_anneal_mix")
-    assert plan.count("FileScan") <= 1
+    # eval_ks_drift cumulates its ECDFs via _util.global_cumsum (VERDICT
+    # r8 item 3): the single events scan runs at construction into the
+    # two-phase rank checkpoint, the final plan reads the RDD back and
+    # must carry NO ordered window over the distinct-value table
+    plan = plan_of(spark, "eval_ks_drift")
+    assert plan.count("FileScan") == 0
+    assert "Scan ExistingRDD" in plan
+    assert "Window" not in plan
     assert "CartesianProduct" not in plan
+    # sample_anneal_mix materializes its ranked table inside
+    # partitioned_ntile (the totals join and the output both read it),
+    # so the single corpus scan runs at CONSTRUCTION into the checkpoint
+    # and the final plan reads the RDD back: exactly zero FileScans AND
+    # the checkpoint read must be present (r8 ADVICE: `<= 1` would also
+    # pass on a plan that dropped the read entirely)
+    plan = plan_of(spark, "sample_anneal_mix")
+    assert plan.count("FileScan") == 0
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_per_lang_bucket_cuts_use_two_phase_rank(spark):
+    """The per-language bucket cuts must NOT plan a window ntile — a
+    per-lang window is a single-task sort of the hottest language at
+    100 TB (VERDICT r8 item 2). The scale-safe shape is
+    _util.partitioned_ntile: the checkpointed two-phase rank table
+    (Scan ExistingRDD) joined to broadcast per-lang offsets."""
+    import re
+
+    for key in (
+        "sample_quality_decile",
+        "sample_logprob_bucket",
+        "sample_anneal_mix",
+        "pipeline_pretrain_corpus",
+    ):
+        plan = plan_of(spark, key)
+        assert not re.search(r"\bntile\(", plan), key
+        assert "Scan ExistingRDD" in plan, key
+        assert "BroadcastHashJoin" in plan, key
 
 
 def test_triangle_count_never_cartesian(spark):

@@ -1,0 +1,226 @@
+"""Property tests for three more SQL-twin equivalence claims (VERDICT r8
+item 7): the r8 cascade_toc_check failure showed fixture-green +
+oracle-green can still hide reference divergence — the oracle proves
+cross-engine agreement, not reference parity. These tests mirror each
+registered key's SQL algorithm 1:1 in Python and pit it against a 1:1
+mirror of the cited reference code under hypothesis-generated inputs.
+
+Envelopes (each documented at the key): inputs use '\\n' separators and
+space/tab intra-line whitespace only (no NBSP/\\r/\\x0b — the reference
+normalizes NBSP upstream via _fix_quotes_and_spaces, and the fixture
+text carries none); set_distinct_lines tokens carry no whitespace (the
+key splits on ' ', and the fixture 300-char heads contain no tab or
+newline — verified across sf0.001/0.01/0.1); html blocks contain no
+'<'/'>' text content and no intra-block blank line (the regex
+block-splitter cannot see a blank line inside one leaf block, lxml can
+— the documented approximation boundary of the regex twin).
+"""
+
+from __future__ import annotations
+
+import calendar
+import datetime
+import re
+
+from hypothesis import example, given, settings
+from hypothesis import strategies as st
+
+# ---------------------------------------------------------------------------
+# str_html_to_text_v2  (parity_queries.py; ref tools/patchabbrev.py:48-85)
+
+_BLOCK_CLOSE = re.compile(r"(?i)</(p|div|li|h[1-6]|blockquote)>")
+
+
+def _html_v2_sql(raw: str) -> str:
+    """Python mirror of the str_html_to_text_v2 SQL: closing leaf-block
+    tags → blank lines, strip remaining tags, split paragraphs, flatten
+    line wrap to single spaces, drop empty/pure-page-number blocks."""
+    blocks = _BLOCK_CLOSE.sub("\n\n", raw)
+    stripped = re.sub(r"<[^>]+>", "", blocks)
+    paras = stripped.split("\n\n")
+    flat = [re.sub(r"[ \t]+", " ", p.replace("\n", " ")).strip(" ") for p in paras]
+    kept = [p for p in flat if p != "" and not re.fullmatch(r"\d+", p)]
+    return "\n\n".join(kept)
+
+
+def _html_v2_ref(block_texts: list[str]) -> str:
+    """1:1 mirror of the reference's paragraph loop
+    (patchabbrev.py:71-84): per-line whitespace collapse + strip, join
+    non-empty lines with a space, drop empty / pure-digit blocks, join
+    with blank lines, collapse 3+ newlines, strip."""
+    paras = []
+    for t in block_texts:
+        lines = [re.sub(r"[ \t]+", " ", ln).strip() for ln in t.splitlines()]
+        t2 = " ".join(ln for ln in lines if ln)
+        if not t2 or re.fullmatch(r"\d+", t2):
+            continue
+        paras.append(t2)
+    text = "\n\n".join(paras)
+    return re.sub(r"\n{3,}", "\n\n", text).strip()
+
+
+_WORDS = st.sampled_from(
+    ["merger", "agreement", "12", "7", "x", "Item", "1.", "page", "of", ""]
+)
+_LINES_HTML = st.lists(_WORDS, min_size=0, max_size=6).map(" ".join).map(
+    lambda s: s.replace("  ", " \t")  # exercise tab collapse
+)
+# a leaf block: 1..5 lines, none the EMPTY string (an empty line inside
+# one block joins to '\n\n', which the regex twin reads as a paragraph
+# boundary while lxml keeps it one block — the documented approximation
+# boundary; whitespace-only lines like ' ' are fine and exercised)
+_BLOCKS = st.lists(
+    _LINES_HTML.map(lambda ln: ln if ln != "" else " "),
+    min_size=1,
+    max_size=5,
+).map("\n".join)
+
+_TAGS = st.sampled_from(
+    [("<p>", "</p>"), ("<div class='a'>", "</DIV>"), ("<li>", "</li>"),
+     ("<h2>", "</h2>"), ("<blockquote>", "</Blockquote>")]
+)
+
+
+@st.composite
+def _html_docs(draw):
+    blocks = draw(st.lists(_BLOCKS, min_size=0, max_size=5))
+    parts, texts = [], []
+    for b in blocks:
+        op, cl = draw(_TAGS)
+        inline = draw(st.booleans())
+        body = b.replace("merger", "<b>merger</b>", 1) if inline else b
+        parts.append(f"{op}{body}{cl}")
+        texts.append(b)
+    return "".join(parts), texts
+
+
+@settings(max_examples=400, deadline=None)
+@given(_html_docs())
+@example(doc=("<p> 12 </p>", [" 12 "]))
+@example(doc=("<p>wrapped\nline</p>", ["wrapped\nline"]))
+@example(doc=("<p>a\t b </p><div>a</div>", ["a\t b ", "a"]))
+def test_html_v2_sql_form_equals_reference(doc):
+    raw, texts = doc
+    assert _html_v2_sql(raw) == _html_v2_ref(texts)
+
+
+# ---------------------------------------------------------------------------
+# set_distinct_lines  (text_queries.py; ref ChunkProcessor.py:240-255)
+
+
+def _distinct_lines_sql(text: str, sep: str) -> str:
+    """Python mirror of the set_distinct_lines SQL: first occurrence per
+    token (row_number()==1 over pos), blanks always kept, order by pos."""
+    out, seen = [], set()
+    for tk in text.split(sep):
+        if tk == "":
+            out.append(tk)
+        elif tk not in seen:
+            seen.add(tk)
+            out.append(tk)
+    return "\n".join(out)
+
+
+def _normalize_chunks_ref(text: str, sep: str) -> str:
+    """1:1 mirror of the reference loop (ChunkProcessor.py:240-255,
+    __normalize_chunks): dedupe on the STRIPPED line, append the
+    original, whitespace-only lines become ''."""
+    unique, out = set(), []
+    for line in text.split(sep):
+        s = line.strip()
+        if s:
+            if s not in unique:
+                unique.add(s)
+                out.append(line)
+        else:
+            out.append("")
+    return "\n".join(out)
+
+
+_TOKENS = st.sampled_from(
+    ["the", "merger", "agreement", "12", "a", "b", "x.", "THE", ""]
+)
+_TOKEN_TEXT = st.lists(_TOKENS, min_size=0, max_size=30).map(" ".join)
+
+
+@settings(max_examples=400, deadline=None)
+@given(_TOKEN_TEXT)
+@example("")
+@example("a a")
+@example("a  a")  # consecutive separators → empty token kept twice
+@example("the merger the merger the")
+def test_distinct_lines_sql_form_equals_reference(text):
+    # whitespace-free tokens: strip() is the identity, so the reference's
+    # strip-then-dedupe collapses to the SQL form's dedupe-on-raw (the
+    # fixture's 300-char heads carry no tab/newline — module docstring)
+    assert _distinct_lines_sql(text, " ") == _normalize_chunks_ref(text, " ")
+
+
+# ---------------------------------------------------------------------------
+# date_window  (functions/dates.py; ref CrawlerSupport.py:30-83)
+
+_FLOOR = datetime.date(2001, 1, 1)
+
+
+def _window_sql_form(d: datetime.date, m: int):
+    """Python mirror of the date_window Column/CASE-WHEN algorithm
+    (functions/dates.py date_window_lb/ub + duckdb_date_window_sql)."""
+    raw = d.month - m
+    lb_mon = raw + 12 if raw <= 0 else raw
+    lb_yr = d.year - 1 if raw <= 0 else d.year
+    dim = calendar.monthrange(lb_yr, lb_mon)[1]
+    lb = (
+        datetime.date(lb_yr, lb_mon, 1)
+        if d.day > dim
+        else datetime.date(lb_yr, lb_mon, d.day)
+    )
+    lb = max(lb, _FLOOR)
+    raw = d.month + m
+    ub_mon = raw - 12 if raw > 12 else raw
+    ub_yr = d.year + 1 if raw > 12 else d.year
+    dim = calendar.monthrange(ub_yr, ub_mon)[1]
+    ub = (
+        datetime.date(ub_yr, ub_mon + 1, 1)
+        if d.day > dim
+        else datetime.date(ub_yr, ub_mon, d.day)
+    )
+    return lb, ub
+
+
+def _window_ref(d: datetime.date, m: int):
+    """1:1 mirror of the reference (CrawlerSupport.py:50-81): replace()
+    with try/except ValueError day-overflow fallbacks and the min-date
+    floor."""
+    lb_month, lb_year = d.month - m, d.year
+    if lb_month <= 0:
+        lb_month += 12
+        lb_year -= 1
+    try:
+        lb = d.replace(year=lb_year, month=lb_month)
+    except ValueError:
+        lb = d.replace(year=lb_year, month=lb_month, day=1)
+    if lb < _FLOOR:
+        lb = _FLOOR
+    ub_month, ub_year = d.month + m, d.year
+    if ub_month > 12:
+        ub_month -= 12
+        ub_year += 1
+    try:
+        ub = d.replace(year=ub_year, month=ub_month)
+    except ValueError:
+        ub = d.replace(year=ub_year, month=ub_month + 1, day=1)
+    return lb, ub
+
+
+@settings(max_examples=600, deadline=None)
+@given(
+    st.dates(datetime.date(1996, 1, 1), datetime.date(2035, 12, 31)),
+    st.integers(1, 11),  # one-wrap envelope, same as the reference loop
+)
+@example(datetime.date(2001, 3, 15), 4)   # LB clamps to the floor
+@example(datetime.date(2004, 2, 29), 11)  # leap day, double corner
+@example(datetime.date(2003, 10, 31), 4)  # UB Feb 31 → Mar 1 roll
+@example(datetime.date(2002, 3, 31), 4)   # LB Nov 31 → day-1 fallback
+@example(datetime.date(2003, 12, 31), 4)  # UB Apr 31 → May 1 roll
+def test_date_window_sql_form_equals_reference(d, m):
+    assert _window_sql_form(d, m) == _window_ref(d, m)
