@@ -223,10 +223,18 @@ def global_row_number(
     from pyspark.sql import Window as W
 
     order_exprs = [F.asc(c) if isinstance(c, str) else c for c in order_cols]
-    rp = df.repartitionByRange(n, *order_exprs)
-    # checkpoint once: the offsets job and the downstream read must see
-    # the SAME range boundaries (re-executing the range sampler for each
-    # action would be correct only by the sampler's seeding accident)
+    # materialize the input ONCE before the range exchange: Spark's
+    # range partitioner runs a separate SAMPLING job over the child, so
+    # an un-materialized heavy subtree (tokenize + vocab join in
+    # sample_logprob_bucket) would execute twice per construction
+    # (measured: ~2x the subtree cost at sf0.1). The frame is narrow by
+    # contract, so the extra cache is rows x a few columns.
+    src = truncate_lineage(df, eager=False)
+    rp = src.repartitionByRange(n, *order_exprs)
+    # checkpoint once more after the shuffle: the offsets job and the
+    # downstream read must see the SAME range boundaries (re-executing
+    # the range sampler for each action would be correct only by the
+    # sampler's seeding accident)
     local = truncate_lineage(
         rp.withColumn(pid_col, F.spark_partition_id()).withColumn(
             lrn_col,
@@ -256,6 +264,49 @@ def global_row_number(
     return local.withColumn(
         out, (off + F.col(lrn_col)).cast("bigint")
     ).drop(pid_col, lrn_col)
+
+
+def partitioned_lag(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list,
+    val_col: str,
+    out: str = "lag",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``lag(val_col) OVER (PARTITION BY part_cols ORDER BY order_cols)``
+    WITHOUT a single-task sort per partition value: compute the global
+    two-phase rank over (part_cols ++ order_cols) — contiguous, so row
+    i's predecessor is row i-1 — then a self equi-join on the rank
+    (unique bigint key: parallel, skew-free) carries the previous row's
+    value across, nulled when the partition value changes (the previous
+    row belongs to another partition exactly at group boundaries).
+    Construction runs the offsets job — callers register ``eager=True``.
+    """
+    import functools
+    import operator
+
+    part_cols = list(part_cols)
+    gr = global_row_number(
+        df,
+        part_cols + list(order_cols),
+        out="__plg_i",
+        num_partitions=num_partitions,
+    )
+    prev = gr.select(
+        (F.col("__plg_i") + 1).alias("__plg_i"),
+        *[F.col(c).alias(f"__plg_p_{c}") for c in part_cols],
+        F.col(val_col).alias("__plg_v"),
+    )
+    j = gr.join(prev, "__plg_i", "left")
+    same = functools.reduce(
+        operator.and_,
+        [F.col(c).eqNullSafe(F.col(f"__plg_p_{c}")) for c in part_cols],
+        F.lit(True),
+    )
+    return j.withColumn(out, F.when(same, F.col("__plg_v"))).drop(
+        "__plg_i", "__plg_v", *[f"__plg_p_{c}" for c in part_cols]
+    )
 
 
 def global_cumsum(
@@ -291,7 +342,10 @@ def global_cumsum(
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     from pyspark.sql import Window as W
 
-    rp = df.repartitionByRange(n, *order_exprs)
+    # pre-materialize: the range partitioner's sampling job would run
+    # the upstream subtree a second time (see global_row_number)
+    src = truncate_lineage(df, eager=False)
+    rp = src.repartitionByRange(n, *order_exprs)
     w = W.partitionBy(pid_col).orderBy(*order_exprs)
     local = truncate_lineage(
         rp.withColumn(pid_col, F.spark_partition_id()).select(
@@ -329,6 +383,61 @@ def global_cumsum(
         out.drop(pid_col, *[f"__gcs_l_{c}" for c in sum_cols]),
         totals,
     )
+
+
+def ntile_from_rank(r: Column, n: Column, k: int) -> Column:
+    """EXACT ``ntile(k)`` bucket for within-partition rank ``r`` (1-based)
+    of ``n`` rows, in closed form: the first ``n % k`` buckets hold
+    ``ceil(n/k)`` rows, the rest ``floor(n/k)`` (SQL-standard remainder
+    front-loading, identical in Spark and DuckDB)."""
+    q = F.floor(n / k).cast("bigint")
+    rem = n % k
+    head = rem * (q + 1)
+    return (
+        F.when(r <= head, F.floor((r + q) / (q + 1)))
+        .otherwise(rem + F.floor((r - head + q - 1) / q))
+        .cast("int")
+    )
+
+
+def partitioned_row_number(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list,
+    out: str = "rn",
+    n_out: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``row_number() OVER (PARTITION BY part_cols ORDER BY order_cols)``
+    WITHOUT a single-task sort per partition value — the same two-phase
+    recipe as :func:`partitioned_ntile` (global range-partitioned rank,
+    result-sized per-partition-value offsets broadcast back), exposing
+    the within-partition rank itself. ``n_out`` optionally also emits
+    the partition-value row count (free from the same aggregate).
+    Construction runs the offsets job — callers register ``eager=True``.
+    """
+    part_cols = list(part_cols)
+    gr = global_row_number(
+        df,
+        part_cols + list(order_cols),
+        out="__prn_i",
+        num_partitions=num_partitions,
+    )
+    sizes = gr.groupBy(*part_cols).agg(
+        F.min("__prn_i").alias("__prn_i0"),
+        F.count("*").alias("__prn_n"),
+    )
+    j = (
+        gr.join(F.broadcast(sizes), part_cols)
+        if part_cols
+        else gr.crossJoin(F.broadcast(sizes))
+    )
+    j = j.withColumn(
+        out, (F.col("__prn_i") - F.col("__prn_i0") + 1).cast("bigint")
+    )
+    if n_out is not None:
+        j = j.withColumn(n_out, F.col("__prn_n").cast("bigint"))
+    return j.drop("__prn_i", "__prn_i0", "__prn_n")
 
 
 def partitioned_ntile(
@@ -373,15 +482,13 @@ def partitioned_ntile(
         F.min("__pnt_i").alias("__pnt_i0"),
         F.count("*").alias("__pnt_n"),
     )
-    j = gr.join(F.broadcast(sizes), part_cols)
+    # empty part_cols = one global partition: the 1-row sizes aggregate
+    # broadcasts as a cross join (the RFM quintile shape)
+    j = (
+        gr.join(F.broadcast(sizes), part_cols)
+        if part_cols
+        else gr.crossJoin(F.broadcast(sizes))
+    )
     r = F.col("__pnt_i") - F.col("__pnt_i0") + 1
-    n = F.col("__pnt_n")
-    q = F.floor(n / k).cast("bigint")
-    rem = n % k
-    head = rem * (q + 1)
-    bucket = F.when(r <= head, F.floor((r + q) / (q + 1))).otherwise(
-        rem + F.floor((r - head + q - 1) / q)
-    )
-    return j.withColumn(out, bucket.cast("int")).drop(
-        "__pnt_i", "__pnt_i0", "__pnt_n"
-    )
+    bucket = ntile_from_rank(r, F.col("__pnt_n"), k)
+    return j.withColumn(out, bucket).drop("__pnt_i", "__pnt_i0", "__pnt_n")

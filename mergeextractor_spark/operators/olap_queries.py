@@ -1661,17 +1661,36 @@ def agg_numeric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the quartile (ntile 4) of each event's value within its type — the "
     "percentile-position columns scoring and anomaly views join on. "
     "The (value, event_id) ordering is unique, so every rank statistic "
-    "is deterministic across engines; one event_type-partitioned window "
-    "(5 partitions), no joins.",
+    "is deterministic across engines AND reduces to closed forms of the "
+    "within-type rank r and size n (no ties: percent_rank=(r-1)/(n-1), "
+    "cume_dist=r/n, quartile=exact ntile arithmetic) — computed via the "
+    "range-partitioned two-phase rank + broadcast per-type offsets, "
+    "never an event_type-partitioned window (5 partition VALUES = 5 "
+    "tasks sorting the whole corpus at 100 TB; the r9 sweep of the "
+    "VERDICT r8 item 2 class).",
+    eager=True,  # construction collects the range-partition offsets
 )
 def window_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = W.partitionBy("event_type").orderBy("value", "event_id")
-    return t(spark, sf_dir, "events").select(
+    from ._util import global_row_number, ntile_from_rank
+
+    d = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    gr = global_row_number(
+        d, ["event_type", "value", "event_id"], out="__wvp_i"
+    )
+    sizes = gr.groupBy("event_type").agg(
+        F.min("__wvp_i").alias("__wvp_i0"), F.count("*").alias("__wvp_n")
+    )
+    j = gr.join(F.broadcast(sizes), "event_type")
+    r = F.col("__wvp_i") - F.col("__wvp_i0") + 1
+    n = F.col("__wvp_n")
+    # n==1 → percent_rank is defined as 0.0 on both engines
+    pct = F.when(n > 1, (r - 1).cast("double") / (n - 1)).otherwise(0.0)
+    return j.select(
         "event_id",
         "event_type",
-        r4(F.percent_rank().over(w)).alias("pct_rank"),
-        r4(F.cume_dist().over(w)).alias("cume"),
-        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        r4(pct).alias("pct_rank"),
+        r4(r.cast("double") / n).alias("cume"),
+        ntile_from_rank(r, n, 4).cast("bigint").alias("quartile"),
     )
 
 

@@ -1386,11 +1386,19 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     "for ties (rank() plus half the tie-group size — the exact tie-"
     "corrected AUC, not the optimistic/pessimistic variants) — the "
     "threshold-free headline metric completing the classifier-eval "
-    "family (eval_langid_confusion is the thresholded view). One "
-    "global rank over scores; at 100 TB sort-by-score once or bucket "
-    "scores and correct with the same midrank algebra.",
+    "family (eval_langid_confusion is the thresholded view). Scale: the "
+    "rank-sum needs only per-DISTINCT-SCORE tie counts — group by score, "
+    "two-phase-cumulate the counts (_util.global_cumsum), and each tie "
+    "group's midrank is cum-count algebra: rank_first = cum-cnt+1, "
+    "midrank = rank_first+(cnt-1)/2, contributing pos*midrank to the "
+    "rank-sum (a product of exactly-representable halves — bit-equal to "
+    "the per-row sum). No coalesce(1), no global window (the r9 sweep "
+    "of the VERDICT r8 item 2 class).",
+    eager=True,  # construction collects the range-partition offsets
 )
 def eval_langid_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import global_cumsum
+
     toks = _tokens(F.col("text"))
     scored = t(spark, sf_dir, "documents").select(
         (F.col("lang") == "en").alias("label"),
@@ -1398,16 +1406,22 @@ def eval_langid_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.filter(toks, lambda x: x.isin(EN_STOPWORDS))).cast("double")
             / F.greatest(F.size(toks), F.lit(1))
         ).alias("score"),
-    ).coalesce(1)
-    one = F.spark_partition_id()
-    midrank = F.rank().over(W.partitionBy(one).orderBy("score")) + (
-        F.count("*").over(W.partitionBy(one, "score")) - 1
-    ) / 2.0
-    ranked = scored.select("label", midrank.alias("midrank"))
-    sums = ranked.agg(
-        F.sum(F.when(F.col("label"), F.col("midrank"))).alias("rpos"),
-        F.count(F.when(F.col("label"), 1)).cast("double").alias("np"),
-        F.count(F.when(~F.col("label"), 1)).cast("double").alias("nn"),
+    )
+    g = scored.groupBy("score").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("label").cast("long")).alias("pos"),
+    )
+    cum, _tot = global_cumsum(g, ["score"], ["cnt"])
+    midrank = (
+        (F.col("cum_cnt") - F.col("cnt") + 1) + (F.col("cnt") - 1) / 2.0
+    )
+    sums = cum.agg(
+        F.sum(F.col("pos") * midrank).alias("rpos"),
+        # coalesce: empty corpus → counts of 0 (as the count() form gave)
+        F.coalesce(F.sum("pos"), F.lit(0)).cast("double").alias("np"),
+        F.coalesce(F.sum(F.col("cnt") - F.col("pos")), F.lit(0))
+        .cast("double")
+        .alias("nn"),
     )
     return sums.select(
         F.col("np").cast("bigint").alias("n_pos"),

@@ -408,6 +408,39 @@ def test_global_row_number_matches_single_window(spark):
         assert got == want, f"partitions={n}"
 
 
+def test_partitioned_lag_matches_window_lag(spark):
+    """partitioned_lag (global two-phase rank + rank self-join, the
+    events_interarrival_profile scale path) must agree with the plain
+    partitioned window lag on every row: nulls exactly at group
+    boundaries, values carried across range-partition splits."""
+    from pyspark.sql import Window as W
+
+    from mergeextractor_spark.operators._util import partitioned_lag
+
+    rows = [
+        (f"e{i:04d}", ["view", "click", "buy"][i % 3], (37 * i) % 101, i % 7)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "id string, typ string, ts long, v long")
+    w = W.partitionBy("typ").orderBy("ts", "id")
+    want = {
+        r.id: r.prev for r in df.select("id", F.lag("v").over(w).alias("prev")).collect()
+    }
+    for n in (1, 4, 64):
+        got = {
+            r.id: r.prev
+            for r in partitioned_lag(
+                df,
+                ["typ"],
+                [F.asc("ts"), F.asc("id")],
+                "v",
+                out="prev",
+                num_partitions=n,
+            ).collect()
+        }
+        assert got == want, f"partitions={n}"
+
+
 def test_global_cumsum_matches_single_window(spark):
     """The two-phase range-partitioned prefix sum (the eval_ks_drift ECDF
     scale path — VERDICT r8 item 3) must agree with the single ordered
@@ -472,6 +505,19 @@ def test_partitioned_ntile_matches_window_ntile(spark):
                 ).collect()
             }
             assert got == want, f"k={k} partitions={n}"
+    # empty part_cols = ONE global partition (the RFM quintile shape)
+    wg = W.partitionBy(F.lit(1)).orderBy(F.asc("score"), F.asc("doc_id"))
+    want_g = {
+        r.doc_id: r.b
+        for r in df.select("doc_id", F.ntile(5).over(wg).alias("b")).collect()
+    }
+    got_g = {
+        r.doc_id: r.b
+        for r in partitioned_ntile(
+            df, [], [F.asc("score"), F.asc("doc_id")], 5, out="b"
+        ).collect()
+    }
+    assert got_g == want_g
 
 
 def test_gini_twophase_rank_path(spark):

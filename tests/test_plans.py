@@ -209,11 +209,17 @@ def test_source_overlap_never_self_joins_grams(spark):
 
 
 def test_logprob_bucket_window_is_partitioned(spark):
-    # the ntile window must partition by lang — no global single-task
-    # window over the scored corpus
+    # r9: the thirds cut no longer plans ANY ntile window (a per-lang
+    # window is a single-task sort of the hot language at 100 TB) — the
+    # bucket is closed-form arithmetic over the two-phase rank joined to
+    # broadcast per-lang offsets (see
+    # test_per_lang_bucket_cuts_use_two_phase_rank for the family pin)
+    import re
+
     plan = plan_of(spark, "sample_logprob_bucket")
-    assert "Window" in plan
-    assert "ntile(3) windowspecdefinition(lang" in plan
+    assert not re.search(r"\bntile\(", plan)
+    assert "Scan ExistingRDD" in plan
+    assert "BroadcastHashJoin" in plan
 
 
 def test_zipf_slope_window_is_partitioned(spark):
@@ -231,8 +237,13 @@ def test_pretrain_funnel_gates_share_one_scan(spark):
     plan = plan_of(spark, "pipeline_pretrain_corpus")
     assert "Python" not in plan
     assert plan.count("FileScan parquet") == 0
-    assert plan.count("ExistingRDD") >= 3
-    assert "ntile(3) windowspecdefinition(lang" in plan
+    # r9: the bucketing reads the partitioned_ntile rank checkpoint
+    # (which absorbed the funnel + survivor LM), plus the broadcast
+    # offsets branch — at least two checkpoint reads, no ntile window
+    import re
+
+    assert plan.count("ExistingRDD") >= 2
+    assert not re.search(r"\bntile\(", plan)
 
 
 def test_market_basket_never_self_joins_baskets(spark):
@@ -440,6 +451,29 @@ def test_per_lang_bucket_cuts_use_two_phase_rank(spark):
         assert not re.search(r"\bntile\(", plan), key
         assert "Scan ExistingRDD" in plan, key
         assert "BroadcastHashJoin" in plan, key
+
+
+def test_r9_rank_battery_keys_two_phase(spark):
+    """The r9 sweep of the same single-task-window class: the global RFM
+    quintiles (|users| rows through coalesce(1) before), the per-type
+    rank battery (5 partition values = 5 tasks), and the AUC global
+    rank (coalesce(1)) all run via the two-phase rank/cumsum helpers —
+    no window ntile/rank, no coalesce(1), checkpoint read present."""
+    import re
+
+    for key in (
+        "agg_rfm_segmentation",
+        "window_value_percentiles",
+        "eval_langid_auc",
+        "dq_skew_report",
+        "events_interarrival_profile",
+    ):
+        plan = plan_of(spark, key)
+        assert not re.search(r"\bntile\(", plan), key
+        assert "percent_rank" not in plan, key
+        assert not re.search(r"\blag\(", plan), key
+        assert "Coalesce 1" not in plan and "Coalesce(1" not in plan, key
+        assert "Scan ExistingRDD" in plan, key
 
 
 def test_triangle_count_never_cartesian(spark):
