@@ -212,6 +212,117 @@ def _window_ref(d: datetime.date, m: int):
     return lb, ub
 
 
+# ---------------------------------------------------------------------------
+# str_company_loose  (parity_queries.py; ref Processor.py:30-64)
+
+_MERGE_WORDS = {"net", "com", "org", "co"}
+
+
+def _company_loose_sql(name: str) -> str:
+    """Python mirror of the str_company_loose SQL: strip parens, split on
+    [\\s_]+, merge at the MIN qualifying (non-last) domain-word index via
+    slicing, then drop a trailing '& X' pair or the last word."""
+    clean = re.sub(r"\(.*?\)", "", name)
+    words = re.split(r"[\s_]+", clean.strip())
+    pos = next(
+        (
+            i
+            for i in range(len(words) - 1)
+            if words[i].lower() in _MERGE_WORDS
+        ),
+        None,
+    )
+    if pos is not None:
+        words = words[:pos] + [words[pos] + "." + words[pos + 1]] + words[pos + 2 :]
+    if len(words) > 1:
+        words = words[:-2] if words[-2] == "&" else words[:-1]
+    return " ".join(words)
+
+
+def _company_loose_ref(name: str) -> str:
+    """1:1 mirror of the reference loop (Processor.py:30-64,
+    extract_all_but_last_word): in-place merge of the first domain-like
+    word with its successor (break after one), then the trailing-word
+    drop."""
+    clean_name = re.sub(r"\(.*?\)", "", name)
+    words = re.split(r"[\s_]+", clean_name.strip())
+    for i in range(len(words) - 1):
+        if words[i].lower() in _MERGE_WORDS:
+            words[i] = words[i] + "." + words[i + 1]
+            words.pop(i + 1)
+            break
+    if len(words) > 1:
+        if words[-2] == "&":
+            words = words[:-2]
+        else:
+            words = words[:-1]
+    return " ".join(words)
+
+
+_NAME_PARTS = st.sampled_from(
+    ["Acme", "Net", "net", "com", "Co", "CO", "&", "Group", "Inc",
+     "(old name)", "(x (y)", "Holdings", "org", "Partners", ""]
+)
+_NAMES = st.lists(_NAME_PARTS, min_size=0, max_size=8).map(" ".join).map(
+    lambda s: s.replace("Holdings ", "Holdings_")  # exercise the '_' split
+)
+
+
+@settings(max_examples=400, deadline=None)
+@given(_NAMES)
+@example("Net Acme Group")
+@example("Acme (old name) & Partners")
+@example("net net Inc")      # only the FIRST domain word merges
+@example("Acme net")         # last word never merges
+@example("& Co")
+@example("")
+def test_company_loose_sql_form_equals_reference(name):
+    assert _company_loose_sql(name) == _company_loose_ref(name)
+
+
+# ---------------------------------------------------------------------------
+# str_mojibake_repair  (functions/strings.py; ref patchabbrev.py:25-33,53-56)
+
+
+def test_mojibake_map_equals_reference_map():
+    """The repo's translate() source/target strings must stay 1:1 with
+    the reference's _CP1252_MOJIBAKE_MAP plus its NBSP->space rule
+    (patchabbrev.py:25-33 and 53-56) -- a map-table pin rather than a
+    property (translate is pointwise, so map equality IS the claim)."""
+    import ast
+    import inspect
+
+    from mergeextractor_spark.functions import strings as S
+
+    ref_map = {  # patchabbrev.py:25-33 verbatim, + NBSP from :53-56
+        "\u0091": "\u2018",
+        "\u0092": "\u2019",
+        "\u0093": "\u201C",
+        "\u0094": "\u201D",
+        "\u0096": "\u2013",
+        "\u0097": "\u2014",
+        "\u0085": "\u2026",
+        "\u00A0": " ",
+    }
+    src = inspect.getsource(S.mojibake_repair)
+    # rebuild the map the repo function encodes (src/dst are the only
+    # 8-char string constants; the docstring is longer)
+    tree = ast.parse(src.replace("def mojibake_repair", "def f"), mode="exec")
+    consts = [
+        n.value
+        for n in ast.walk(tree)
+        if isinstance(n, ast.Constant)
+        and isinstance(n.value, str)
+        and len(n.value) == 8
+    ]
+    assert len(consts) == 2, consts
+    srcs = [c for c in consts if "\u0091" in c]
+    dsts = [c for c in consts if "\u2018" in c]
+    assert len(srcs) == 1 and len(dsts) == 1
+    got = dict(zip(srcs[0], dsts[0]))
+    assert got == ref_map
+
+
 @settings(max_examples=600, deadline=None)
 @given(
     st.dates(datetime.date(1996, 1, 1), datetime.date(2035, 12, 31)),
