@@ -1429,20 +1429,22 @@ def ks_frame(vals: DataFrame) -> DataFrame:
             F.lit(0.0).alias("ks_crit"),
             F.lit(False).alias("drifted"),
         )
+    # bigint literals: n_a * n_b overflows 32-bit at ~50k samples a side
+    # (ANSI ARITHMETIC_OVERFLOW, caught by the derived-sf1 scaling run);
+    # DuckDB's window sums are HUGEINT so only the Spark side needs care
+    na_l, nb_l = F.lit(n_a).cast("bigint"), F.lit(n_b).cast("bigint")
     ks = F.max(
         F.abs(
-            F.col("cum_ca").cast("double") / F.lit(n_a)
-            - F.col("cum_cb").cast("double") / F.lit(n_b)
+            F.col("cum_ca").cast("double") / na_l
+            - F.col("cum_cb").cast("double") / nb_l
         )
     )
     crit = F.sqrt(
-        F.lit(-0.5 * math.log(KS_ALPHA / 2.0))
-        * (F.lit(n_a) + F.lit(n_b))
-        / (F.lit(n_a) * F.lit(n_b))
+        F.lit(-0.5 * math.log(KS_ALPHA / 2.0)) * (na_l + nb_l) / (na_l * nb_l)
     )
     return cum.agg(
-        F.lit(n_a).cast("bigint").alias("n_a"),
-        F.lit(n_b).cast("bigint").alias("n_b"),
+        na_l.alias("n_a"),
+        nb_l.alias("n_b"),
         r4(ks).alias("ks_stat"),
         r4(crit).alias("ks_crit"),
         (ks > crit).alias("drifted"),

@@ -120,6 +120,19 @@ QUERIES = [
     # scan (pure map + 10-group agg; exponent ≈ 1.0 expected for both)
     "sample_token_budget",
     "eval_calibration_bins",
+    # round-9 shapes: the two-phase rank/cumsum/lag rewrites (VERDICT r8
+    # items 2-3 + the class sweep). Exponent ≈ 1.0 expected: the range
+    # exchange, per-split windows, and offsets collect are all linear in
+    # rows; the offsets collect itself is bounded by the PARTITION count
+    "sample_quality_decile",
+    "sample_logprob_bucket",
+    "sample_anneal_mix",
+    "eval_ks_drift",
+    "agg_rfm_segmentation",
+    "window_value_percentiles",
+    "eval_langid_auc",
+    "dq_skew_report",
+    "events_interarrival_profile",
 ]
 
 
