@@ -266,6 +266,46 @@ def global_row_number(
     ).drop(pid_col, lrn_col)
 
 
+def partitioned_cumsum(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list,
+    sum_col: str,
+    out: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``SUM(sum_col) OVER (PARTITION BY part_cols ORDER BY order_cols)``
+    WITHOUT a single-task cumulation per partition value: global
+    two-phase prefix sums over the part-major order
+    (:func:`global_cumsum`), then subtract each partition value's
+    starting offset — a result-sized aggregate (``min(cum - x)`` per
+    value = the prefix mass before the group) broadcast back. Integer-
+    exact, so oracles keep the plain window form. Requires
+    ``sum_col >= 0`` (token counts, masses): with negative values
+    ``min(cum - x)`` would not identify the group's first row.
+    Construction runs the offsets job — callers register ``eager=True``.
+    """
+    part_cols = list(part_cols)
+    cum, _tot = global_cumsum(
+        df,
+        part_cols + list(order_cols),
+        [sum_col],
+        num_partitions=num_partitions,
+    )
+    gcol = f"cum_{sum_col}"
+    offs = cum.groupBy(*part_cols).agg(
+        F.min(F.col(gcol) - F.col(sum_col)).alias("__pcs_off")
+    )
+    j = (
+        cum.join(F.broadcast(offs), part_cols)
+        if part_cols
+        else cum.crossJoin(F.broadcast(offs))
+    )
+    return j.withColumn(
+        out, (F.col(gcol) - F.col("__pcs_off")).cast("bigint")
+    ).drop(gcol, "__pcs_off")
+
+
 def partitioned_lag(
     df: DataFrame,
     part_cols: list[str],

@@ -371,19 +371,24 @@ def agg_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "template spam, a cliff flags boilerplate-dominated sources. The "
     "corpus-health diagnostic a data-quality dashboard tracks per crawl "
     "snapshot. Scale shape: the heavy aggregation is the (source, token) "
-    "frequency count (map-side combinable); the ranking window runs over "
-    "the VOCABULARY (Heaps-law sized — ~1M rows for a 100 TB corpus, not "
-    "corpus-sized) partitioned by source; the slope is "
+    "frequency count (map-side combinable); the per-source vocabulary "
+    "rank runs via _util.partitioned_row_number (two-phase rank + "
+    "broadcast per-source offsets) — Heaps-law keeps the vocab table "
+    "well under corpus size, but a web-scale vocab with URLs/typos can "
+    "still reach ~1e9 rows, too big for one task per source (the r9 "
+    "sweep of the VERDICT r8 item 2 class); the slope is "
     "covar_pop/var_pop, both map-side-combinable aggregates.",
+    eager=True,  # construction collects the range-partition offsets
 )
 def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import partitioned_row_number
+
     d = t(spark, sf_dir, "documents")
     toks = d.select("source", F.explode(_tokens(F.col("text"))).alias("tok"))
     freq = toks.groupBy("source", "tok").agg(F.count("*").alias("cnt"))
-    w = W.partitionBy("source").orderBy(F.desc("cnt"), F.asc("tok"))
-    ranked = freq.select(
-        "source", "cnt", F.row_number().over(w).alias("rnk")
-    )
+    ranked = partitioned_row_number(
+        freq, ["source"], [F.desc("cnt"), F.asc("tok")], out="rnk"
+    ).select("source", "cnt", "rnk")
     x = F.log(F.col("rnk").cast("double"))
     y = F.log(F.col("cnt").cast("double"))
     return ranked.groupBy("source").agg(

@@ -561,12 +561,17 @@ PACK_BUDGET = 2048  # token budget per packed training sequence
     "(pack_id = floor(preceding-mass / budget) over a deterministic "
     "doc_id order) — the shuffle-once formulation of first-fit packing. "
     "A pack can overflow by at most one document (no doc is split), the "
-    "standard concat-and-chunk approximation every pipeline uses. One "
-    "window + one groupBy, both on the lang partitioning; at 100 TB the "
-    "per-lang cumsum parallelizes by pre-aggregating per-partition "
-    "masses (the same two-phase trick as agg_salted_skew).",
+    "standard concat-and-chunk approximation every pipeline uses. The "
+    "per-lang cumulative mass runs via _util.partitioned_cumsum (global "
+    "two-phase prefix sums minus broadcast per-lang start offsets) — a "
+    "per-lang window is a single-task cumulation of the hot language at "
+    "100 TB (the r9 sweep of the VERDICT r8 item 2 class); the pack "
+    "rollup is one groupBy.",
+    eager=True,  # construction collects the range-partition offsets
 )
 def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import partitioned_cumsum
+
     toks = t(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
@@ -574,12 +579,12 @@ def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens"
         ),
     )
-    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
-    packed = toks.withColumn(
+    cum = partitioned_cumsum(
+        toks, ["lang"], [F.asc("doc_id")], "n_tokens", out="__cum"
+    )
+    packed = cum.withColumn(
         "pack_id",
-        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_BUDGET).cast(
-            "bigint"
-        ),
+        F.floor((F.col("__cum") - F.col("n_tokens")) / PACK_BUDGET).cast("bigint"),
     )
     return packed.groupBy("lang", "pack_id").agg(
         F.count("*").cast("bigint").alias("n_docs"),
@@ -2281,27 +2286,34 @@ def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     "answers 'is language balanced across sources or do some sources "
     "skew monolingual', which decides whether per-source mixtures also "
     "need per-language correction. One |langs|×|sources| contingency "
-    "aggregate; margins via windows over the tiny cell table. Note the "
-    "observed-cells-only convention: absent (lang, source) pairs "
-    "contribute no term (both engines agree by construction).",
+    "aggregate, materialized once; margins are result-sized groupBys "
+    "joined back (row margins and the 1-row total broadcast; the column "
+    "margin joins on source — at web scale |sources| is ~1e7 domains, "
+    "too big for a coalesce(1) window pass, the r9 sweep of the VERDICT "
+    "r8 item 2 class). Note the observed-cells-only convention: absent "
+    "(lang, source) pairs contribute no term (both engines agree by "
+    "construction).",
+    eager=True,  # construction materializes the contingency table
 )
 def dq_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    obs = (
+    from ._util import truncate_lineage
+
+    # materialize the cell table once: four consumers below (row margin,
+    # column margin, total, and the cell pass) would otherwise each
+    # re-run the corpus scan + aggregate
+    obs = truncate_lineage(
         t(spark, sf_dir, "documents")
         .groupBy("lang", "source")
-        .agg(F.count("*").cast("double").alias("o"))
-        .coalesce(1)
+        .agg(F.count("*").cast("double").alias("o")),
+        eager=False,
     )
-    wl = W.partitionBy("lang")
-    ws = W.partitionBy("source")
-    wall = W.partitionBy(F.spark_partition_id())
-    m = obs.select(
-        "lang",
-        "source",
-        "o",
-        F.sum("o").over(wl).alias("row_n"),
-        F.sum("o").over(ws).alias("col_n"),
-        F.sum("o").over(wall).alias("total"),
+    rows_m = obs.groupBy("lang").agg(F.sum("o").alias("row_n"))
+    cols_m = obs.groupBy("source").agg(F.sum("o").alias("col_n"))
+    total = obs.agg(F.sum("o").alias("total"))
+    m = (
+        obs.join(F.broadcast(rows_m), "lang")
+        .join(cols_m, "source")
+        .crossJoin(F.broadcast(total))
     )
     e = F.col("row_n") * F.col("col_n") / F.col("total")
     return m.agg(

@@ -408,6 +408,38 @@ def test_global_row_number_matches_single_window(spark):
         assert got == want, f"partitions={n}"
 
 
+def test_partitioned_cumsum_matches_window_cumsum(spark):
+    """partitioned_cumsum (global prefix sums minus broadcast per-group
+    start offsets — the sample_pack_sequences scale path) must agree
+    with the per-group ROWS-frame running sum on every row, across
+    skewed group sizes and partition counts."""
+    from pyspark.sql import Window as W
+
+    from mergeextractor_spark.operators._util import partitioned_cumsum
+
+    rows = []
+    for lang, cnt in (("a", 173), ("b", 41), ("c", 1), ("d", 85)):
+        rows += [(f"{lang}{i:04d}", lang, (11 * i) % 97) for i in range(cnt)]
+    df = spark.createDataFrame(rows, "doc_id string, lang string, n long")
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    want = {
+        r.doc_id: r.c
+        for r in df.select("doc_id", F.sum("n").over(w).alias("c")).collect()
+    }
+    for np in (1, 4, 64):
+        got = {
+            r.doc_id: r.c
+            for r in partitioned_cumsum(
+                df, ["lang"], [F.asc("doc_id")], "n", out="c", num_partitions=np
+            ).collect()
+        }
+        assert got == want, f"partitions={np}"
+
+
 def test_partitioned_lag_matches_window_lag(spark):
     """partitioned_lag (global two-phase rank + rank self-join, the
     events_interarrival_profile scale path) must agree with the plain

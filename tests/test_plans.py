@@ -223,11 +223,13 @@ def test_logprob_bucket_window_is_partitioned(spark):
 
 
 def test_zipf_slope_window_is_partitioned(spark):
-    # ranking runs over the vocabulary partitioned by source; the slope
-    # itself is a map-side-combinable aggregate (no second window)
+    # r9: the per-source vocabulary rank runs via partitioned_row_number
+    # (two-phase rank; the only Window left is the per-range-split local
+    # rank partitioned by spark_partition_id, never by source alone)
     plan = plan_of(spark, "text_zipf_slope")
-    assert "windowspecdefinition(source" in plan
-    assert plan.count("Window") == 1
+    assert "windowspecdefinition(source" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "BroadcastHashJoin" in plan
 
 
 def test_pretrain_funnel_gates_share_one_scan(spark):
@@ -467,6 +469,9 @@ def test_r9_rank_battery_keys_two_phase(spark):
         "eval_langid_auc",
         "dq_skew_report",
         "events_interarrival_profile",
+        "sample_pack_sequences",
+        "dq_chi_square_independence",
+        "text_zipf_slope",
     ):
         plan = plan_of(spark, key)
         assert not re.search(r"\bntile\(", plan), key
