@@ -455,6 +455,22 @@ def test_per_lang_bucket_cuts_use_two_phase_rank(spark):
         assert "BroadcastHashJoin" in plan, key
 
 
+def test_rank_le_k_keys_preprune_map_side(spark):
+    """The rank<=k family is the one coarse-partition window shape that
+    IS scale-safe as a plain window: Spark plans it as WindowGroupLimit,
+    pruning to k per source/lang inside each map task BEFORE the
+    shuffle, so the exchange carries at most k x tasks rows per value —
+    pin the node so a plan regression (e.g. a filter rewrite that drops
+    the limit pushdown) can't silently revert to a full per-value sort."""
+    for key in (
+        "sample_domain_cap",
+        "sample_reservoir_weighted",
+        "text_ngram_topk",
+        "curation_pipeline_ingest",
+    ):
+        assert "WindowGroupLimit" in plan_of(spark, key), key
+
+
 def test_r9_rank_battery_keys_two_phase(spark):
     """The r9 sweep of the same single-task-window class: the global RFM
     quintiles (|users| rows through coalesce(1) before), the per-type
