@@ -87,6 +87,11 @@ HEADLINE = [
     # round-8 late additions (governance + training-recipe keys)
     "sample_token_budget",       # epoch-capped budget waterfill (1 scan + result-sized window)
     "eval_calibration_bins",     # classifier reliability bins (array-fold map stage + 10-group agg)
+    # round 9 additions: the two-phase rank/cumsum shapes (VERDICT r8
+    # items 2-3 sweep) — construction cost is charged per run by design
+    "sample_anneal_mix",         # partitioned_ntile decile cut + budget split
+    "eval_ks_drift",             # global_cumsum two-phase ECDF
+    "agg_rfm_segmentation",      # 3 chained global quintile cuts over the user frame
 ]
 
 

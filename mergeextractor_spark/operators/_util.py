@@ -273,6 +273,7 @@ def partitioned_cumsum(
     sum_col: str,
     out: str = "cum",
     num_partitions: int | None = None,
+    broadcast_offsets: bool = True,
 ) -> DataFrame:
     """``SUM(sum_col) OVER (PARTITION BY part_cols ORDER BY order_cols)``
     WITHOUT a single-task cumulation per partition value: global
@@ -296,11 +297,10 @@ def partitioned_cumsum(
     offs = cum.groupBy(*part_cols).agg(
         F.min(F.col(gcol) - F.col(sum_col)).alias("__pcs_off")
     )
-    j = (
-        cum.join(F.broadcast(offs), part_cols)
-        if part_cols
-        else cum.crossJoin(F.broadcast(offs))
-    )
+    # see partitioned_row_number for the broadcast_offsets dial
+    if broadcast_offsets:
+        offs = F.broadcast(offs)
+    j = cum.join(offs, part_cols) if part_cols else cum.crossJoin(offs)
     return j.withColumn(
         out, (F.col(gcol) - F.col("__pcs_off")).cast("bigint")
     ).drop(gcol, "__pcs_off")
@@ -447,14 +447,24 @@ def partitioned_row_number(
     out: str = "rn",
     n_out: str | None = None,
     num_partitions: int | None = None,
+    broadcast_offsets: bool = True,
 ) -> DataFrame:
     """``row_number() OVER (PARTITION BY part_cols ORDER BY order_cols)``
     WITHOUT a single-task sort per partition value — the same two-phase
     recipe as :func:`partitioned_ntile` (global range-partitioned rank,
-    result-sized per-partition-value offsets broadcast back), exposing
+    result-sized per-partition-value offsets joined back), exposing
     the within-partition rank itself. ``n_out`` optionally also emits
     the partition-value row count (free from the same aggregate).
-    Construction runs the offsets job — callers register ``eager=True``.
+
+    ``broadcast_offsets``: True (default) force-broadcasts the offsets
+    table — right for LOW-cardinality hot keys (lang, event_type),
+    where a shuffle join on the key would re-serialize the hot value
+    through one reduce task. Pass False for HIGH-cardinality keys
+    (~1e7 web domains: the offsets table itself is too big to ship to
+    every executor) — the join shuffles on the key and AQE's skew-join
+    split handles any residual hot value. Equivalence of both paths is
+    pytest-pinned. Construction runs the offsets job — callers register
+    ``eager=True``.
     """
     part_cols = list(part_cols)
     gr = global_row_number(
@@ -467,11 +477,9 @@ def partitioned_row_number(
         F.min("__prn_i").alias("__prn_i0"),
         F.count("*").alias("__prn_n"),
     )
-    j = (
-        gr.join(F.broadcast(sizes), part_cols)
-        if part_cols
-        else gr.crossJoin(F.broadcast(sizes))
-    )
+    if broadcast_offsets:
+        sizes = F.broadcast(sizes)
+    j = gr.join(sizes, part_cols) if part_cols else gr.crossJoin(sizes)
     j = j.withColumn(
         out, (F.col("__prn_i") - F.col("__prn_i0") + 1).cast("bigint")
     )
@@ -487,6 +495,7 @@ def partitioned_ntile(
     k: int,
     out: str = "bucket",
     num_partitions: int | None = None,
+    broadcast_offsets: bool = True,
 ) -> DataFrame:
     """``ntile(k) OVER (PARTITION BY part_cols ORDER BY order_cols)``
     WITHOUT a single-task sort per partition value.
@@ -523,12 +532,11 @@ def partitioned_ntile(
         F.count("*").alias("__pnt_n"),
     )
     # empty part_cols = one global partition: the 1-row sizes aggregate
-    # broadcasts as a cross join (the RFM quintile shape)
-    j = (
-        gr.join(F.broadcast(sizes), part_cols)
-        if part_cols
-        else gr.crossJoin(F.broadcast(sizes))
-    )
+    # broadcasts as a cross join (the RFM quintile shape); see
+    # partitioned_row_number for the broadcast_offsets cardinality dial
+    if broadcast_offsets:
+        sizes = F.broadcast(sizes)
+    j = gr.join(sizes, part_cols) if part_cols else gr.crossJoin(sizes)
     r = F.col("__pnt_i") - F.col("__pnt_i0") + 1
     bucket = ntile_from_rank(r, F.col("__pnt_n"), k)
     return j.withColumn(out, bucket).drop("__pnt_i", "__pnt_i0", "__pnt_n")

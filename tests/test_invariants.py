@@ -537,6 +537,31 @@ def test_partitioned_ntile_matches_window_ntile(spark):
                 ).collect()
             }
             assert got == want, f"k={k} partitions={n}"
+    # the high-cardinality-key dial: broadcast_offsets=False shuffles the
+    # offsets join (AQE skew-split path for ~1e7-domain keys) — values
+    # must be identical to the broadcast path
+    want10 = {
+        r.doc_id: r.b
+        for r in df.select(
+            "doc_id",
+            F.ntile(10)
+            .over(W.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id")))
+            .alias("b"),
+        ).collect()
+    }
+    got10 = {
+        r.doc_id: r.b
+        for r in partitioned_ntile(
+            df,
+            ["lang"],
+            [F.desc("score"), F.asc("doc_id")],
+            10,
+            out="b",
+            broadcast_offsets=False,
+        ).collect()
+    }
+    assert got10 == want10
+
     # empty part_cols = ONE global partition (the RFM quintile shape)
     wg = W.partitionBy(F.lit(1)).orderBy(F.asc("score"), F.asc("doc_id"))
     want_g = {

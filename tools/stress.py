@@ -328,6 +328,44 @@ def main() -> None:
         .count(),
     )
 
+    # r9 hot-key window A/B: the single-task-window class (VERDICT r8
+    # item 2) on a 90%-one-language frame. The per-lang window funnels
+    # 90% of rows through ONE task; partitioned_ntile spreads them over
+    # range splits. Values are identical (equivalence pytest-pinned) —
+    # this probe measures the WALL-TIME cost of the old posture at skew.
+    from pyspark.sql import Window as W
+
+    from mergeextractor_spark.operators._util import partitioned_ntile
+
+    n_skew = n_docs * args.k
+    skewed = spark.range(n_skew).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 9, "en")
+        .otherwise(F.concat(F.lit("l"), (F.col("id") % 10).cast("string")))
+        .alias("lang"),
+        ((F.col("id") * 2654435761) % 1000003).alias("score"),
+    )
+
+    def hotkey_window_ntile():
+        w = W.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            skewed.select("doc_id", "lang", F.ntile(10).over(w).alias("d"))
+            .filter("d = 1")
+            .count()
+        )
+
+    def hotkey_two_phase_ntile():
+        return (
+            partitioned_ntile(
+                skewed, ["lang"], [F.desc("score"), F.asc("doc_id")], 10, out="d"
+            )
+            .filter("d = 1")
+            .count()
+        )
+
+    probe("hot-key ntile: per-lang WINDOW", hotkey_window_ntile)
+    probe("hot-key ntile: two-phase rank", hotkey_two_phase_ntile)
+
     total = sum(dt for _, _, dt in probes)
     print(f"TOTAL {total:.1f}s at K={args.k}", flush=True)
 
