@@ -113,8 +113,18 @@ def collapse_newlines(c: Column) -> Column:
 
 
 def strip_toc_phrases(c: Column) -> Column:
-    """Remove 'table of contents' phrases. Ref: Processor.py:149-150."""
-    return F.regexp_replace(c, r"(?i)\btable\s*of\s*contents?\b|tableofcontents?", "")
+    """Remove 'table of contents' phrases with the reference's exact
+    TWO-pass semantics (Processor.py:149-150): pass 1 removes
+    word-bounded occurrences, pass 2 removes any remaining embedded
+    ones. One combined pass is NOT equivalent: a word-adjacent spaced
+    phrase ('Table Of Contentsxs') fails pass 1's \\b but is caught by
+    the unbounded pass 2, and a pass-1 removal can expose a pass-2
+    match — divergences found and pinned by the r9 property test
+    (tests/test_twin_properties.py)."""
+    p1 = F.regexp_replace(
+        c, r"(?i)\btable\s*of\s*contents?\b|\btableofcontents?\b", ""
+    )
+    return F.regexp_replace(p1, r"(?i)table\s*of\s*contents?|tableofcontents?", "")
 
 
 def truncate_content(c: Column, limit: int = 450_000) -> Column:

@@ -366,11 +366,17 @@ def str_collapse_newlines(spark: SparkSession, sf_dir: str) -> DataFrame:
     "str_strip_toc",
     oracle=r"""
     SELECT doc_id,
-           regexp_replace('See the Table of Contents. TableOfContents ' || substr(text, 1, 60),
-                          '(?i)\btable\s*of\s*contents?\b|tableofcontents?', '', 'g') AS cleaned
+           regexp_replace(
+             regexp_replace('See the Table of Contents. TableOfContents ' || substr(text, 1, 60),
+                            '(?i)\btable\s*of\s*contents?\b|\btableofcontents?\b', '', 'g'),
+             '(?i)table\s*of\s*contents?|tableofcontents?', '', 'g') AS cleaned
     FROM documents
     """,
-    doc="Strip 'table of contents' phrases (ref Processor.py:149-150).",
+    doc="Strip 'table of contents' phrases with the reference's exact "
+    "TWO-pass semantics (ref Processor.py:149-150): word-bounded pass, "
+    "then unbounded pass for embedded/word-adjacent occurrences (r9 "
+    "property-test fix; divergent corners pinned in "
+    "tests/test_twin_properties.py).",
 )
 def str_strip_toc(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = F.concat(F.lit("See the Table of Contents. TableOfContents "), F.substring("text", 1, 60))

@@ -134,9 +134,11 @@ def str_urlencode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            regexp_replace(
              regexp_replace(
-               regexp_replace('intro line' || chr(10) || ' 42 ' || chr(10) || chr(10) || chr(10) ||
-                              'Table of Contents' || chr(10) || substr(text, 1, 120),
-                 '(?i)\btable\s*of\s*contents?\b|tableofcontents?', '', 'g'),
+               regexp_replace(
+                 regexp_replace('intro line' || chr(10) || ' 42 ' || chr(10) || chr(10) || chr(10) ||
+                                'Table of Contents' || chr(10) || substr(text, 1, 120),
+                   '(?i)\btable\s*of\s*contents?\b|\btableofcontents?\b', '', 'g'),
+                 '(?i)table\s*of\s*contents?|tableofcontents?', '', 'g'),
                '(?m)^\s*\d+\s*$', '', 'g'),
              '\n\s*\n+', chr(10) || chr(10), 'g') AS cleaned
     FROM documents

@@ -335,3 +335,44 @@ def test_mojibake_map_equals_reference_map():
 @example(datetime.date(2003, 12, 31), 4)  # UB Apr 31 → May 1 roll
 def test_date_window_sql_form_equals_reference(d, m):
     assert _window_sql_form(d, m) == _window_ref(d, m)
+
+# ---------------------------------------------------------------------------
+# str_strip_toc  (functions/strings.py; ref Processor.py:149-150)
+
+
+def _strip_toc_sql(text: str) -> str:
+    """Python mirror of the (r9 two-pass) strip_toc_phrases twin."""
+    p1 = re.sub(r"(?i)\btable\s*of\s*contents?\b|\btableofcontents?\b", "", text)
+    return re.sub(r"(?i)table\s*of\s*contents?|tableofcontents?", "", p1)
+
+
+def _strip_toc_ref(text: str) -> str:
+    """1:1 mirror of the reference (Processor.py:149-150,
+    normalize_text's two sequential re.sub calls)."""
+    t = re.sub(
+        r"\btable\s*of\s*contents?\b|\btableofcontents?\b",
+        "",
+        text,
+        flags=re.IGNORECASE,
+    )
+    return re.sub(r"(?i)table\s*of\s*contents?|tableofcontents?", "", t)
+
+
+_TOC_PARTS = st.sampled_from(
+    ["table", "of", "contents", "content", " ", "x", "Table Of Contents",
+     "tableofcontents", ".", "ta", "bleofcontents", "s", "see the", "\n"]
+)
+_TOC_TEXT = st.lists(_TOC_PARTS, min_size=0, max_size=8).map("".join)
+
+
+@settings(max_examples=500, deadline=None)
+@given(_TOC_TEXT)
+# discovered failures of the PRE-r9 single-pass twin, kept as pins so a
+# regression back to one combined pass cannot pass the suite:
+@example("Table Of Contentsxs Table Of Contents")
+@example("tatable.Table Of Contentscontent")
+@example("tableofcontents. Table Of Contentsof")
+@example("Table Of ContentsTable Of Contentstableofcontents table")
+@example("")
+def test_strip_toc_sql_form_equals_reference(text):
+    assert _strip_toc_sql(text) == _strip_toc_ref(text)
