@@ -161,11 +161,17 @@ def html_to_text(c: Column) -> Column:
 
 
 def normalize_quotes(c: Column) -> Column:
-    """Unicode quote folding via a static char map (the reference computes it
-    dynamically from unicodedata categories — tools/patchabbrev.py:87-107;
-    collapsed here to a translate() over the chars that matter)."""
-    singles = "‘’‚‛‹›ʼ"
-    doubles = "“”„‟«»"
+    """Unicode quote folding via a static char map (the reference computes
+    it dynamically from unicodedata categories — tools/patchabbrev.py:
+    87-107; collapsed here to a translate() over the chars that matter).
+    The map is EXHAUSTIVELY equal to the reference rule over the whole
+    Unicode space (pinned by tests/test_twin_properties.py, which
+    re-derives the rule from unicodedata and diffs every code point):
+    the r9 audit found the old map normalized U+02BC MODIFIER LETTER
+    APOSTROPHE (category Lm — NOT a quote to the reference) and missed
+    the four ornament quotes U+275B-275E from its _EXTRA_QUOTES set."""
+    singles = "‘’‚‛‹›❛❜"
+    doubles = "“”„‟«»❝❞"
     return F.translate(c, singles + doubles, "'" * len(singles) + '"' * len(doubles))
 
 

@@ -209,12 +209,17 @@ def str_html_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            translate(chr(8216) || substr(text, 1, 40) || chr(8221) || chr(171),
                      chr(8216) || chr(8217) || chr(8218) || chr(8219) || chr(8249) || chr(8250) ||
-                     chr(700) || chr(8220) || chr(8221) || chr(8222) || chr(8223) || chr(171) || chr(187),
-                     repeat(chr(39), 7) || repeat(chr(34), 6)) AS normalized
+                     chr(10075) || chr(10076) ||
+                     chr(8220) || chr(8221) || chr(8222) || chr(8223) || chr(171) || chr(187) ||
+                     chr(10077) || chr(10078),
+                     repeat(chr(39), 8) || repeat(chr(34), 8)) AS normalized
     FROM documents
     """,
     doc="Unicode quote folding via static translate map (ref "
-    "patchabbrev.py:87-107 computes it dynamically per char).",
+    "patchabbrev.py:87-107 computes it dynamically per char; the map is "
+    "exhaustively equal to that rule over all of Unicode — r9 audit "
+    "pinned in tests/test_twin_properties.py, which fixed U+02BC being "
+    "wrongly folded and U+275B-275E being missed).",
 )
 def str_normalize_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = F.concat(F.lit("‘"), F.substring("text", 1, 40), F.lit("”«"))

@@ -376,3 +376,56 @@ _TOC_TEXT = st.lists(_TOC_PARTS, min_size=0, max_size=8).map("".join)
 @example("")
 def test_strip_toc_sql_form_equals_reference(text):
     assert _strip_toc_sql(text) == _strip_toc_ref(text)
+
+# ---------------------------------------------------------------------------
+# str_normalize_quotes  (functions/strings.py; ref patchabbrev.py:87-107)
+
+
+def test_quote_map_exhaustively_equals_reference_rule():
+    """The static translate() quote map must equal the reference's
+    DYNAMIC unicodedata rule (patchabbrev.py:87-107: _EXTRA_QUOTES plus
+    Pi/Pf chars whose name carries QUOTE/QUOTATION/GUILLEMET; singles by
+    'SINGLE' in name or the four low/angle marks) at EVERY code point.
+    The r9 audit found two map bugs this test now prevents: U+02BC
+    MODIFIER LETTER APOSTROPHE folded despite being category Lm (not a
+    quote to the reference), and the ornament quotes U+275B-275E
+    missing."""
+    import unicodedata as ud
+
+    import ast
+    import inspect
+
+    from mergeextractor_spark.functions import strings as S
+
+    extra = set("«»‹›‚‛“”„‟❛❜❝❞")
+
+    def ref_fold(ch):
+        cat = ud.category(ch)
+        name = ud.name(ch, "")
+        is_quote = ch in extra or (
+            cat in ("Pi", "Pf")
+            and ("QUOTE" in name or "QUOTATION" in name or "GUILLEMET" in name)
+        )
+        if not is_quote:
+            return ch
+        return "'" if ("SINGLE" in name or ch in set("‹›‚‛")) else '"'
+
+    src = inspect.getsource(S.normalize_quotes)
+    tree = ast.parse(src.replace("def normalize_quotes", "def f"), mode="exec")
+    assigns = {
+        t.id: n.value.value
+        for n in ast.walk(tree)
+        if isinstance(n, ast.Assign)
+        for t in n.targets
+        if isinstance(t, ast.Name) and isinstance(n.value, ast.Constant)
+    }
+    twin = {ch: "'" for ch in assigns["singles"]}
+    twin.update({ch: '"' for ch in assigns["doubles"]})
+    diffs = []
+    for cp in range(0x110000):
+        ch = chr(cp)
+        r = ref_fold(ch)
+        t = twin.get(ch, ch)
+        if r != t:
+            diffs.append((hex(cp), ud.name(ch, "?"), r, t))
+    assert not diffs, diffs[:10]
