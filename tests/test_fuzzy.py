@@ -58,3 +58,29 @@ def _lcs_dp_reference(a: str, b: str) -> int:
 )
 def test_bitparallel_lcs_matches_dp(a, b):
     assert _lcs_len(a, b) == _lcs_dp_reference(a, b)
+
+
+def _partial_ratio_bruteforce(a: str, b: str) -> float:
+    """Independent mirror of fuzz_partial_ratio's documented semantics
+    (best fuzz.ratio of the shorter string against every same-length
+    window of the longer), built on the classic DP LCS rather than the
+    bit-parallel scan — pins the optimized implementation including its
+    early-exit and mask-reuse paths."""
+    if not a or not b:
+        return 100.0 if (not a and not b) else 0.0
+    short, long_ = (a, b) if len(a) <= len(b) else (b, a)
+    m = len(short)
+    best = 0.0
+    for start in range(len(long_) - m + 1):
+        lcs = _lcs_dp_reference(short, long_[start : start + m])
+        best = max(best, 100.0 * (1.0 - (2 * m - 2 * lcs) / (2 * m)))
+    return best
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.text(alphabet="ab X.&", max_size=24),
+    st.text(alphabet="ab X.&", max_size=48),
+)
+def test_partial_ratio_matches_bruteforce(a, b):
+    assert fuzz_partial_ratio(a, b) == _partial_ratio_bruteforce(a, b)
