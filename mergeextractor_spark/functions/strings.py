@@ -157,7 +157,10 @@ def html_to_text(c: Column) -> Column:
     t = F.regexp_replace(t, r"[ \t]+", " ")
     t = drop_page_numbers(t)
     t = collapse_newlines(t)
-    return F.trim(t)
+    # Python str.strip() strips ALL whitespace (the reference's trailing
+    # .strip(), Processor.py:130) — trim() strips spaces only, which
+    # would keep a trailing newline left by a final block tag
+    return F.regexp_replace(t, r"^\s+|\s+$", "")
 
 
 def normalize_quotes(c: Column) -> Column:

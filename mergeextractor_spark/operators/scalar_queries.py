@@ -170,7 +170,7 @@ def str_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "str_html_to_text",
     oracle=r"""
     SELECT doc_id,
-      trim(
+      regexp_replace(
         regexp_replace(
           regexp_replace(
             regexp_replace(
@@ -183,7 +183,8 @@ def str_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 '&amp;', '&', 'g'),
               '[ \t]+', ' ', 'g'),
             '(?m)^\s*\d+\s*$', '', 'g'),
-          '\n\s*\n+', chr(10) || chr(10), 'g')
+          '\n\s*\n+', chr(10) || chr(10), 'g'),
+        '^\s+|\s+$', '', 'g'
       ) AS plain
     FROM documents
     """,
