@@ -1255,8 +1255,9 @@ def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "accounting split every product dashboard leads with (retention "
     "cohorts slice the same first-seen fact by offset; this is the "
     "daily composition). One distinct (user, day) projection + a "
-    "per-user min + a broadcastable first-seen join; everything "
-    "reduces map-side on user_id.",
+    "per-user min + an unhinted first-seen join (|users|-sized — a "
+    "skew-free shuffle on user_id at scale, AQE-broadcast when small); "
+    "everything reduces map-side on user_id.",
 )
 def agg_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").select(
@@ -1264,8 +1265,12 @@ def agg_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     firsts = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
     daily = ev.distinct()
+    # no broadcast hint: firsts is |users|-sized (data-sized at 100 TB,
+    # ~1e9 rows) — the join keys on high-cardinality user_id, so a
+    # shuffle join is skew-free and AQE still broadcasts when small
+    # (the r9 inverse-class audit)
     return (
-        daily.join(F.broadcast(firsts), "user_id")
+        daily.join(firsts, "user_id")
         .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
         .agg(
             F.count(F.when(F.col("first_day") == F.col("day"), 1))
@@ -2292,8 +2297,10 @@ def events_fraud_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "since a user's first event, normalized by how many users survive "
     "to that age — the payback-period curve that prices acquisition "
     "(retention cohorts say WHO returns; this says what returning is "
-    "WORTH). Revenue buckets by age in one pass; the running sum and "
-    "the survivor counts walk |ages|- and |users|-row tables.",
+    "WORTH). Revenue buckets by age in one pass; the running sum walks "
+    "the |ages|-row aggregate and survivor counts come from the tenure "
+    "HISTOGRAM (|distinct tenures| <= observation days — result-sized), "
+    "never an ages x users cross join (r9 inverse-class audit).",
 )
 def agg_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     day = F.floor(F.unix_timestamp("ts") / 86400).cast("bigint")
@@ -2303,9 +2310,11 @@ def agg_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     firsts = ev.groupBy("user_id").agg(
         F.min("day").alias("first_day"), F.max("day").alias("last_day")
     )
+    # no broadcast hint on the |users|-sized firsts (see
+    # agg_new_vs_returning — the r9 inverse-class audit)
     rev = (
         ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(firsts), "user_id")
+        .join(firsts, "user_id")
         .select((F.col("day") - F.col("first_day")).alias("age"), "value")
     )
     by_age = rev.groupBy("age").agg(F.sum("value").alias("day_rev")).coalesce(1)
@@ -2315,14 +2324,25 @@ def agg_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(W.unboundedPreceding, 0)
     )
     cum = by_age.select("age", F.sum("day_rev").over(w).alias("cum_rev"))
-    tenures = firsts.select(
-        (F.col("last_day") - F.col("first_day")).alias("tenure")
+    # survivor counts come from the TENURE HISTOGRAM (one row per
+    # distinct tenure, bounded by the observation window in DAYS — a
+    # few thousand at any corpus size), never a per-user cross join:
+    # |ages| x |users| is ~1e12 intermediate rows at 1e9 users (the r9
+    # inverse-class audit). users_reached(age) = sum of histogram
+    # counts with tenure >= age — identical value, result-sized join.
+    tenure_hist = (
+        firsts.select((F.col("last_day") - F.col("first_day")).alias("tenure"))
+        .groupBy("tenure")
+        .agg(F.count("*").alias("n_t"))
     )
     reach = (
-        cum.crossJoin(F.broadcast(tenures))
+        cum.crossJoin(F.broadcast(tenure_hist))
         .groupBy("age", "cum_rev")
         .agg(
-            F.count(F.when(F.col("tenure") >= F.col("age"), 1))
+            F.coalesce(
+                F.sum(F.when(F.col("tenure") >= F.col("age"), F.col("n_t"))),
+                F.lit(0),
+            )
             .cast("bigint")
             .alias("users_reached")
         )
