@@ -1127,8 +1127,13 @@ def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (BM25_K1 + 1)
         / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
     )
+    # no broadcast hint on df: the document-frequency table is
+    # VOCABULARY-sized (~1e9 terms at web scale with URLs/typos) — a
+    # shuffle join on term with AQE skew-split for the Zipf head, the
+    # same posture as sample_logprob_bucket's vocab join (r9
+    # inverse-class audit); AQE still broadcasts when small
     return (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
@@ -1778,9 +1783,12 @@ def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     uni = bi.groupBy(F.col("w1").alias("w")).agg(F.count("*").alias("n"))
     nbi = bi.agg(F.count("*").cast("double").alias("nn"))
+    # no broadcast hints on uni: the unigram-margin table is
+    # vocabulary-sized (r9 inverse-class audit) — shuffle joins on the
+    # word keys, AQE-broadcast when small
     scored = (
-        bc.join(F.broadcast(uni.select(F.col("w").alias("w1"), F.col("n").alias("n1"))), "w1")
-        .join(F.broadcast(uni.select(F.col("w").alias("w2"), F.col("n").alias("n2"))), "w2")
+        bc.join(uni.select(F.col("w").alias("w1"), F.col("n").alias("n1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("n").alias("n2")), "w2")
         .crossJoin(F.broadcast(nbi))
         .select(
             "w1",
