@@ -1307,9 +1307,14 @@ def agg_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     "flags outages). The consecutive-event lag runs via "
     "_util.partitioned_lag (global two-phase rank + skew-free rank "
     "self-join), never an event_type-partitioned window over raw "
-    "events (|types| tasks sorting the corpus at 100 TB); the profile "
-    "itself is a grouped aggregate. The exact median is fixture "
-    "convenience — swap for approx_percentile at scale.",
+    "events (|types| tasks sorting the corpus at 100 TB); the count/"
+    "mean/max profile is a grouped aggregate, and the EXACT median is "
+    "a kth-element extraction over the two-phase per-type rank "
+    "(_util.partitioned_row_number): Spark's median() is an imperative "
+    "aggregate that buffers the whole group in executor memory — "
+    "data-sized state per type — while the rank path selects the one "
+    "or two middle rows and averages them (identical interpolation "
+    "semantics, bit-equal to median()/quantile_cont).",
     eager=True,  # construction collects the range-partition offsets
 )
 def events_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1332,13 +1337,37 @@ def events_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         out="prev_es",
     )
     gaps = lagged.select(
-        "event_type", (F.col("es") - F.col("prev_es")).alias("gap")
+        "event_type",
+        (F.col("es") - F.col("prev_es")).alias("gap"),
+        "event_id",
     ).filter(F.col("gap").isNotNull())
-    return gaps.groupBy("event_type").agg(
+    prof = gaps.groupBy("event_type").agg(
         F.count("gap").alias("n_gaps"),
         r4(F.avg("gap")).alias("mean_gap_s"),
-        r4(F.median("gap")).alias("median_gap_s"),
         F.max("gap").cast("bigint").alias("max_gap_s"),
+    )
+    # exact median without buffering a whole type's gaps in one
+    # aggregator: two-phase per-type rank, keep the middle one or two
+    # rows, average them — for even n this is (v_lo+v_hi)/2, exactly
+    # median()'s linear interpolation (event_id tiebreak makes the rank
+    # deterministic; tied gap VALUES make the picked elements identical
+    # either way)
+    from ._util import partitioned_row_number
+
+    ranked = partitioned_row_number(
+        gaps,
+        ["event_type"],
+        [F.asc("gap"), F.asc("event_id")],
+        out="r",
+        n_out="n",
+    )
+    mid = ranked.filter(
+        (F.col("r") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("r") == F.ceil((F.col("n") + 1) / 2))
+    )
+    med = mid.groupBy("event_type").agg(r4(F.avg("gap")).alias("median_gap_s"))
+    return prof.join(med, "event_type").select(
+        "event_type", "n_gaps", "mean_gap_s", "median_gap_s", "max_gap_s"
     )
 
 
