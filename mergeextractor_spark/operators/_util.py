@@ -306,6 +306,68 @@ def partitioned_cumsum(
     ).drop(gcol, "__pcs_off")
 
 
+def grouped_exact_percentiles(
+    df: DataFrame,
+    part_cols: list[str],
+    col: str,
+    ps: dict[str, float],
+    num_partitions: int | None = None,
+    broadcast_offsets: bool = True,
+) -> DataFrame:
+    """EXACT linear-interpolated percentiles per group WITHOUT buffering
+    whole groups: ``percentile()``/``median()`` are imperative
+    aggregates holding every group value in executor memory (data-sized
+    state for a hot group at 100 TB). This selects the one or two
+    straddling ROWS per requested quantile from the two-phase
+    per-group rank (:func:`partitioned_row_number`) and interpolates
+    with the same formula Spark's percentile and DuckDB's
+    quantile_cont use (0-based position ``(n-1)·p``; value =
+    v_lo + (pos - lo)·(v_hi - v_lo)), so results are bit-equal and
+    oracles keep plain ``quantile_cont``. ``ps`` maps output column
+    name → quantile in [0, 1]. Rank ties (equal values) pick either
+    tied row — the extracted VALUE is identical. Construction runs the
+    offsets job — callers register ``eager=True``.
+    """
+    part_cols = list(part_cols)
+    # percentile()/quantile_cont skip NULLs — they must not occupy ranks
+    src = df.select(*part_cols, col).filter(F.col(col).isNotNull())
+    ranked = partitioned_row_number(
+        src,
+        part_cols,
+        [F.asc(col)],
+        out="__gep_r",
+        n_out="__gep_n",
+        num_partitions=num_partitions,
+        broadcast_offsets=broadcast_offsets,
+    )
+    r, n = F.col("__gep_r"), F.col("__gep_n")
+    keep = F.lit(False)
+    aggs = []
+    for name, p in ps.items():
+        pos = (n - 1).cast("double") * F.lit(float(p))
+        lo = F.floor(pos) + 1  # back to 1-based rank
+        hi = F.ceil(pos) + 1
+        keep = keep | (r == lo) | (r == hi)
+        v_lo = F.min(F.when(r == lo, F.col(col)))
+        v_hi = F.min(F.when(r == hi, F.col(col)))
+        # Spark's Percentile.getPercentile two-product interpolation —
+        # (higher-pos)·v_lo + (pos-lower)·v_hi — NOT the algebraically
+        # equal v_lo + frac·(v_hi-v_lo), which differs by 1 ulp on some
+        # inputs (the equivalence pin is bit-exact, no tolerance)
+        pos_c = F.max(pos)
+        lo0 = F.floor(pos_c).cast("double")
+        hi0 = F.ceil(pos_c).cast("double")
+        aggs.append(
+            F.when(hi0 == lo0, v_lo)
+            .otherwise((hi0 - pos_c) * v_lo + (pos_c - lo0) * v_hi)
+            .alias(name)
+        )
+    mid = ranked.filter(keep)
+    if part_cols:
+        return mid.groupBy(*part_cols).agg(*aggs)
+    return mid.agg(*aggs)
+
+
 def partitioned_lag(
     df: DataFrame,
     part_cols: list[str],

@@ -182,20 +182,28 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
     FROM lineitem GROUP BY l_returnflag
     """,
-    doc="Exact continuous percentiles per group (Spark percentile ≡ DuckDB "
-    "quantile_cont, linear interpolation). The 100 TB path is "
-    "percentile_approx (t-digest-style sketch) — exposed rows-only since "
-    "sketches differ across engines.",
+    doc="Exact continuous percentiles per group, computed WITHOUT "
+    "buffering whole groups: percentile()/median() are imperative "
+    "aggregates holding every group value in executor memory "
+    "(data-sized state for a hot returnflag at 100 TB) — "
+    "_util.grouped_exact_percentiles instead selects the straddling "
+    "rows from the two-phase per-group rank and interpolates with the "
+    "identical formula (bit-equal to quantile_cont, r9 rewrite). The "
+    "sketch alternative is percentile_approx (agg_percentile_approx, "
+    "rows-only since sketches differ across engines); this key keeps "
+    "EXACTNESS at scale.",
+    eager=True,  # construction collects the range-partition offsets
 )
 def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        t(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            r4(F.percentile("l_extendedprice", F.lit(0.5))).alias("p50"),
-            r4(F.percentile("l_extendedprice", F.lit(0.95))).alias("p95"),
-        )
+    from ._util import grouped_exact_percentiles
+
+    q = grouped_exact_percentiles(
+        t(spark, sf_dir, "lineitem"),
+        ["l_returnflag"],
+        "l_extendedprice",
+        {"p50": 0.5, "p95": 0.95},
     )
+    return q.select("l_returnflag", r4(F.col("p50")).alias("p50"), r4(F.col("p95")).alias("p95"))
 
 
 @register(

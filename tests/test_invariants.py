@@ -408,6 +408,38 @@ def test_global_row_number_matches_single_window(spark):
         assert got == want, f"partitions={n}"
 
 
+def test_grouped_exact_percentiles_match_percentile(spark):
+    """grouped_exact_percentiles (straddling-row selection over the
+    two-phase rank — the no-group-buffering exact-quantile path) must be
+    BIT-equal to Spark's percentile() aggregate: same 0-based (n-1)·p
+    position, same linear interpolation, NULLs skipped, n=1 groups,
+    frac=0 exact hits, and the global (no part_cols) form."""
+    from mergeextractor_spark.operators._util import grouped_exact_percentiles
+
+    rows = []
+    for g, cnt in (("a", 173), ("b", 20), ("c", 1), ("d", 101)):
+        rows += [
+            (g, None if (g == "d" and i % 10 == 0) else float((37 * i) % 113) + i / 7.0)
+            for i in range(cnt)
+        ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    ps = {"p25": 0.25, "p50": 0.5, "p95": 0.95, "p100": 1.0, "p0": 0.0}
+    want = {
+        r.g: tuple(r[k] for k in ps)
+        for r in df.groupBy("g")
+        .agg(*[F.percentile("v", F.lit(p)).alias(k) for k, p in ps.items()])
+        .collect()
+    }
+    got = {
+        r.g: tuple(r[k] for k in ps)
+        for r in grouped_exact_percentiles(df, ["g"], "v", ps).collect()
+    }
+    assert got == want  # bit-exact, no tolerance
+    want_g = df.agg(F.percentile("v", F.lit(0.9)).alias("p")).collect()[0].p
+    got_g = grouped_exact_percentiles(df, [], "v", {"p": 0.9}).collect()[0].p
+    assert got_g == want_g
+
+
 def test_partitioned_cumsum_matches_window_cumsum(spark):
     """partitioned_cumsum (global prefix sums minus broadcast per-group
     start offsets — the sample_pack_sequences scale path) must agree
