@@ -1827,22 +1827,38 @@ def join_null_safe_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Median vs mean order value per market segment — the robust-"
     "center comparison that exposes whale-skewed segments (mean far "
-    "above median) a plain average hides. The customer dimension "
-    "broadcasts into the orders scan; exact median is grouped over 5 "
-    "segments (at 100 TB swap for approx_percentile, the "
-    "events_anomaly_mad note).",
+    "above median) a plain average hides. The customer join is unhinted "
+    "(|customers| is data-sized at 100 TB; a shuffle join on the "
+    "high-cardinality custkey is skew-free, AQE-broadcast when small) "
+    "and the EXACT median runs via _util.grouped_exact_percentiles over "
+    "the once-materialized joined frame — median() would buffer a whole "
+    "segment (~1/5 of all orders) in one aggregator (the r9 "
+    "exact-quantile rewrite, bit-equal to median()/quantile_cont).",
+    eager=True,  # construction materializes the joined frame
 )
 def olap_median_order_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import grouped_exact_percentiles, truncate_lineage
+
     o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    return (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .groupBy(F.col("c_mktsegment").alias("segment"))
-        .agg(
-            F.count("*").alias("n_orders"),
-            r4(F.median("o_totalprice")).alias("median_order_value"),
-            r4(F.avg("o_totalprice")).alias("mean_order_value"),
-        )
+    joined = truncate_lineage(
+        o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+            F.col("c_mktsegment").alias("segment"), "o_totalprice"
+        ),
+        eager=False,
+    )
+    base = joined.groupBy("segment").agg(
+        F.count("*").alias("n_orders"),
+        r4(F.avg("o_totalprice")).alias("mean_order_value"),
+    )
+    med = grouped_exact_percentiles(
+        joined, ["segment"], "o_totalprice", {"m": 0.5}
+    )
+    return base.join(med, "segment").select(
+        "segment",
+        "n_orders",
+        r4(F.col("m")).alias("median_order_value"),
+        "mean_order_value",
     )
 
 
@@ -1900,19 +1916,23 @@ def dq_duplicate_invoices(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem l JOIN fences f USING (l_returnflag)
     GROUP BY f.l_returnflag, q1, q3
     """,
-    doc="Classic Tukey-fence outlier audit per group: exact Q1/Q3 "
-    "(Spark percentile ≡ DuckDB quantile_cont), 1.5×IQR fences, "
-    "per-group outlier counts. Complements events_anomaly_mad (robust "
-    "time-series residuals) with the batch-profiling fence every DQ "
-    "suite runs. Two passes over the fact table: a percentile "
-    "aggregate (|groups| rows) broadcast back into a counting "
-    "aggregate — no row-level sort, no window.",
+    doc="Classic Tukey-fence outlier audit per group: exact Q1/Q3 via "
+    "_util.grouped_exact_percentiles (straddling-row selection over the "
+    "two-phase rank — percentile() buffers the whole hot group in one "
+    "aggregator at 100 TB; the r9 exact-quantile rewrite, bit-equal to "
+    "quantile_cont), 1.5×IQR fences, per-group outlier counts. "
+    "Complements events_anomaly_mad (robust time-series residuals) with "
+    "the batch-profiling fence every DQ suite runs. The |groups|-row "
+    "fence table broadcasts back into one counting aggregate — no "
+    "row-level sort, no window.",
+    eager=True,  # construction collects the range-partition offsets
 )
 def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import grouped_exact_percentiles
+
     li = t(spark, sf_dir, "lineitem")
-    fences = li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", F.lit(0.25)).alias("q1"),
-        F.percentile("l_extendedprice", F.lit(0.75)).alias("q3"),
+    fences = grouped_exact_percentiles(
+        li, ["l_returnflag"], "l_extendedprice", {"q1": 0.25, "q3": 0.75}
     )
     iqr = F.col("q3") - F.col("q1")
     out = (
