@@ -2086,20 +2086,30 @@ PSI_BINS = 10
     "decile edges from the reference half via exact interpolated quantiles (quantile_cont ↔ Spark percentile — the discrete variant picks elements and drifts at small n), "
     "both halves binned against them, PSI = Σ(pa−pb)·ln(pa/pb) — THE "
     "production drift alarm for model scores and features (rule of "
-    "thumb: >0.1 investigate, >0.25 retrain). Edges are a 9-value "
-    "broadcast; binning is map-side; the parity halves guarantee "
-    "every decile is populated on both sides so the log never sees a "
-    "zero.",
+    "thumb: >0.1 investigate, >0.25 retrain). The decile edges run via "
+    "_util.grouped_exact_percentiles (straddling-row selection over the "
+    "two-phase rank — the array-percentile aggregate buffers the whole "
+    "reference half in one aggregator at 100 TB; r9 exact-quantile "
+    "rewrite, bit-equal per edge); edges are a 9-value broadcast; "
+    "binning is map-side; the parity halves guarantee every decile is "
+    "populated on both sides so the log never sees a zero.",
+    eager=True,  # construction collects the range-partition offsets
 )
 def eval_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import grouped_exact_percentiles
+
     halves = t(spark, sf_dir, "events").select(
         "value", (F.col("event_id") % 2).alias("half")
     )
     probs = [i / PSI_BINS for i in range(1, PSI_BINS)]
-    edges = (
-        halves.filter(F.col("half") == 0)
-        .agg(F.percentile("value", F.lit(probs).cast("array<double>"), F.lit(1)).alias("qs0"))
-        .select(F.col("qs0").alias("qs"))
+    q = grouped_exact_percentiles(
+        halves.filter(F.col("half") == 0),
+        [],
+        "value",
+        {f"q{i}": p for i, p in enumerate(probs)},
+    )
+    edges = q.select(
+        F.array(*[F.col(f"q{i}") for i in range(len(probs))]).alias("qs")
     )
     binned = halves.crossJoin(F.broadcast(edges)).select(
         "half",
