@@ -786,21 +786,29 @@ MAD_SIGMA = 1.4826  # normal-consistency constant for MAD-based z-scores
     "order statistic OF deviations from the first), then the outlier "
     "count against both — each reduced map-side with the 5-row stats "
     "broadcast back in; exact nested medians cannot collapse further "
-    "without a sort. At 100 TB swap both medians for approx_percentile "
-    "sketches and the three passes become one.",
+    "without a sort. Both medians run via "
+    "_util.grouped_exact_percentiles (straddling-row selection over the "
+    "two-phase rank — median() buffers a whole type's values in one "
+    "aggregator at 100 TB; the r9 exact-quantile rewrite); the sketch "
+    "alternative remains approx_percentile when exactness is not "
+    "contracted.",
+    eager=True,  # construction collects the range-partition offsets
 )
 def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import grouped_exact_percentiles
+
     ev = t(spark, sf_dir, "events").select("event_type", "value")
-    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    med = grouped_exact_percentiles(ev, ["event_type"], "value", {"med": 0.5})
     dev = ev.join(F.broadcast(med), "event_type").select(
         "event_type", F.abs(F.col("value") - F.col("med")).alias("adev"), "med"
     )
-    mad = dev.groupBy("event_type").agg(
-        F.any_value("med").alias("med"), F.median("adev").alias("mad")
+    mad = grouped_exact_percentiles(
+        dev.select("event_type", "adev"), ["event_type"], "adev", {"mad": 0.5}
     )
+    stats = med.join(mad, "event_type")  # |types| rows
     return (
         dev.select("event_type", "adev")
-        .join(F.broadcast(mad), "event_type")
+        .join(F.broadcast(stats), "event_type")
         .groupBy("event_type", "med", "mad")
         .agg(
             F.count(
@@ -1918,8 +1926,11 @@ def events_error_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "subsequent purchase (median/mean/max over well-ordered converters) "
     "— the activation metric growth teams track alongside funnels; the "
     "dq_event_order_violations key audits the mis-ordered users this "
-    "one excludes. One conditional-min aggregate per user + a 1-row "
-    "reduce.",
+    "one excludes. One conditional-min aggregate per user; the exact "
+    "median runs via _util.grouped_exact_percentiles over the "
+    "once-materialized converter frame (|users|-sized — median() would "
+    "buffer it in one aggregator; r9 exact-quantile rewrite).",
+    eager=True,  # construction materializes the converter frame
 )
 def events_time_to_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     es = F.unix_timestamp("ts")
@@ -1931,16 +1942,27 @@ def events_time_to_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(F.col("event_type") == "purchase", es)).alias("t_purchase"),
         )
     )
-    ttv = firsts.filter(
-        F.col("t_signup").isNotNull()
-        & F.col("t_purchase").isNotNull()
-        & (F.col("t_purchase") >= F.col("t_signup"))
-    ).select((F.col("t_purchase") - F.col("t_signup")).alias("ttv_s"))
-    return ttv.agg(
+    from ._util import grouped_exact_percentiles, truncate_lineage
+
+    ttv = truncate_lineage(
+        firsts.filter(
+            F.col("t_signup").isNotNull()
+            & F.col("t_purchase").isNotNull()
+            & (F.col("t_purchase") >= F.col("t_signup"))
+        ).select((F.col("t_purchase") - F.col("t_signup")).alias("ttv_s")),
+        eager=False,
+    )
+    base = ttv.agg(
         F.count("*").alias("n_converted"),
-        r4(F.median("ttv_s")).alias("median_ttv_s"),
         r4(F.avg("ttv_s")).alias("mean_ttv_s"),
         F.max("ttv_s").cast("bigint").alias("max_ttv_s"),
+    )
+    med = grouped_exact_percentiles(ttv, [], "ttv_s", {"m": 0.5})
+    return base.crossJoin(F.broadcast(med)).select(
+        "n_converted",
+        r4(F.col("m")).alias("median_ttv_s"),
+        "mean_ttv_s",
+        "max_ttv_s",
     )
 
 
@@ -2218,18 +2240,20 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "[p5, p95] band before averaging, next to the raw mean and the "
     "clip count — the robust central tendency dashboards use when a "
     "single whale would swing the average (the trimmed cousin of the "
-    "MAD profile's outlier flags). Exact interpolated percentiles "
-    "(quantile_cont ↔ Spark percentile) on a 5-group key broadcast "
-    "back over one stream scan.",
+    "MAD profile's outlier flags). Exact interpolated [p5, p95] bounds "
+    "run via _util.grouped_exact_percentiles (no whole-group buffering "
+    "— the r9 exact-quantile rewrite, bit-equal to quantile_cont), "
+    "broadcast back over one stream scan.",
+    eager=True,  # construction collects the range-partition offsets
 )
 def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bounds = (
-        t(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(
-            F.percentile("value", F.lit(0.05)).alias("lo"),
-            F.percentile("value", F.lit(0.95)).alias("hi"),
-        )
+    from ._util import grouped_exact_percentiles
+
+    bounds = grouped_exact_percentiles(
+        t(spark, sf_dir, "events"),
+        ["event_type"],
+        "value",
+        {"lo": 0.05, "hi": 0.95},
     )
     e = t(spark, sf_dir, "events").select("event_type", "value")
     clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
