@@ -242,6 +242,35 @@ _ROTATION_FIRST: tuple[str, ...] = (
 # behind _ROTATION_FIRST) via the rank function's fallback.
 _ORACLE_BACKLOG: tuple[str, ...] = ()
 
+# Already-green keys whose PLANS changed this round (the r9 two-phase
+# window sweep, the exact-quantile sweep, the parity fixes, and the
+# broadcast unhints) — ranked directly behind the rotation so the
+# driver re-hashes every changed key before spending surplus budget on
+# unchanged greens.  All were builder-verified at sf0.01 (most also at
+# sf0.1) against unchanged oracles this session; this makes that
+# driver evidence, not self-report.
+_REVERIFY: tuple[str, ...] = (
+    # reference-parity fixes FIRST (value semantics changed on
+    # adversarial text; both engines changed in lockstep, so the hash
+    # row proves the new semantics, and these must not fall off a
+    # wall-capped window)
+    "cascade_toc_check", "str_strip_toc", "str_page_clean",
+    "str_normalize_quotes", "str_html_to_text",
+    # two-phase window sweep (VERDICT r8 item 2 class)
+    "sample_quality_decile", "sample_logprob_bucket",
+    "pipeline_pretrain_corpus", "agg_rfm_segmentation",
+    "window_value_percentiles", "eval_langid_auc", "dq_skew_report",
+    "events_interarrival_profile", "sample_pack_sequences",
+    "dq_chi_square_independence", "text_zipf_slope",
+    # exact-quantile sweep (no data-sized aggregator state)
+    "agg_percentile", "dq_outlier_iqr", "olap_median_order_by_segment",
+    "eval_psi_drift", "events_anomaly_mad", "events_time_to_value",
+    "agg_winsorized_mean",
+    # broadcast unhints / data-sized-intermediate fixes (plan-only)
+    "agg_new_vs_returning", "agg_ltv_curve", "text_bm25_topk",
+    "text_collocation_pmi",
+)
+
 # Rows-only keys WITH driver evidence (r04 gave the first 4 their rows,
 # r05 covered the next 30, r06 nine more, r07 added sink_log, r08 the
 # two streaming keys).  They queue at the tail — every key here already
@@ -308,10 +337,14 @@ def load_all() -> dict[str, Query]:
       3. oracle keys registered after the r09 window snapshot
          (_ORACLE_BACKLOG: empty; the rank-function fallback catches
          any key registered without a scheduling entry);
-      4. already-green oracle keys, ROUND-SHUFFLED (seeded by _ROUND)
-         so the ~22 surplus window slots re-check a different green
-         slice each round instead of the same import-order prefix;
-      5. rows-only keys that already hold driver rows (weakest
+      4. green keys whose PLANS changed this round (_REVERIFY, parity
+         fixes first) so the driver re-hashes every changed key before
+         spending budget on unchanged greens;
+      5. the remaining already-green oracle keys, ROUND-SHUFFLED
+         (seeded by _ROUND) so surplus slots re-check a different
+         green slice each round instead of the same import-order
+         prefix;
+      6. rows-only keys that already hold driver rows (weakest
          evidence per run, so they queue last).
     """
     from .operators import (  # noqa: F401
@@ -344,6 +377,7 @@ def load_all() -> dict[str, Query]:
     canaries = {k: i for i, k in enumerate(canary_keys())}
     first = {k: i for i, k in enumerate(_ROTATION_FIRST)}
     backlog = {k: i for i, k in enumerate(_ORACLE_BACKLOG)}
+    reverify = {k: i for i, k in enumerate(_REVERIFY)}
     rows_only = {k: i for i, k in enumerate(_ROWS_ONLY_EVIDENCED)}
     greens = sorted(_DRIVER_GREEN)
     random.Random(_ROUND * 7919).shuffle(greens)
@@ -359,13 +393,15 @@ def load_all() -> dict[str, Query]:
             return (2, fixes[key])
         if key in backlog:
             return (3, backlog[key])
+        if key in reverify and q.oracle is not None:
+            return (4, reverify[key])
         if q.oracle is None:
             # rows-only: every key here holds driver evidence (r04-r08)
-            return (5, rows_only.get(key, len(_ROWS_ONLY_EVIDENCED)))
+            return (6, rows_only.get(key, len(_ROWS_ONLY_EVIDENCED)))
         if key in _DRIVER_GREEN:
             # round-shuffled so surplus window slots rotate their
             # re-checks instead of re-walking the import-order prefix
-            return (4, green_rank[key])
+            return (5, green_rank[key])
         return (3, len(_ORACLE_BACKLOG))  # new oracle key → backlog rank
 
     return dict(sorted(REGISTRY.items(), key=rank))

@@ -69,8 +69,16 @@ def test_gate_window_rotation_order():
         assert key not in registry._DRIVER_GREEN, key
 
     at += n_first
-    # positions behind the rotation: round-shuffled green oracle keys
-    # (every one driver-green), THEN every rows-only key at the tail
+    # r9: the changed-plan re-verify band rides directly behind the
+    # rotation — parity fixes first — so the driver re-hashes every key
+    # whose plan changed this round before unchanged greens
+    n_rev = len(registry._REVERIFY)
+    assert keys[at : at + n_rev] == list(registry._REVERIFY)
+    for key in registry._REVERIFY:
+        assert key in osql and key in registry._DRIVER_GREEN, key
+    at += n_rev
+    # positions behind the re-verify band: round-shuffled green oracle
+    # keys (every one driver-green), THEN every rows-only key at the tail
     rows_only = [k for k in keys if k not in osql]
     assert sorted(rows_only) == sorted(registry._ROWS_ONLY_EVIDENCED)
     mid_green = [k for k in keys[at:] if k in osql]
