@@ -138,6 +138,17 @@ def html_to_text(c: Column) -> Column:
     tools/patchabbrev.py:48-85). Block-level closing tags become newlines,
     all other tags are stripped, common entities decoded, page-number lines
     and blank-line runs collapsed. Pure Catalyst expressions → codegen.
+
+    Parity envelope (ADVICE r9): the trailing strip below uses regex
+    ``\\s``, which is ASCII-only in BOTH Java regex (Spark) and RE2
+    (DuckDB) — so the two engines agree with each other and the hash
+    gate holds — but the reference's Python ``.strip()``
+    (Processor.py:130) strips Unicode whitespace (NBSP, U+2028,
+    U+0085, ...). Reference parity therefore diverges only on documents
+    whose html_to_text output ends in non-ASCII whitespace; the
+    entity pass already folds ``&nbsp;`` before this point, which
+    covers the form HTML actually emits. Same envelope-restriction
+    class that tests/test_twin_properties.py documents per key.
     """
     t = F.regexp_replace(c, r"(?is)<(script|style)[^>]*>.*?</\1>", " ")
     t = F.regexp_replace(

@@ -266,6 +266,40 @@ def global_row_number(
     ).drop(pid_col, lrn_col)
 
 
+def _nullsafe_offsets_join(
+    left: DataFrame, offsets: DataFrame, part_cols: list[str], broadcast: bool
+) -> DataFrame:
+    """Join the result-sized per-partition-value ``offsets`` frame back
+    onto ``left`` WITHOUT dropping NULL partition keys.
+
+    The window forms these helpers replace (``... OVER (PARTITION BY
+    part_cols)``) keep a NULL partition, and the DuckDB oracles' GROUP BY
+    keeps a NULL group — but a plain equi-join on ``part_cols`` silently
+    drops every row whose key is NULL (ADVICE r9: lang/source are
+    routinely NULL in real web corpora). Null-safe equality (``<=>``) is
+    still a hash-joinable key in both broadcast and shuffle strategies,
+    so the join keeps its plan shape; :func:`partitioned_lag` has used
+    the same condition since r8. Empty ``part_cols`` = one global group
+    → the 1-row offsets frame broadcasts as a cross join.
+    """
+    import functools
+    import operator
+
+    if not part_cols:
+        return left.crossJoin(offsets)
+    ren = offsets.select(
+        *[F.col(c).alias(f"__nsj_{c}") for c in part_cols],
+        *[c for c in offsets.columns if c not in part_cols],
+    )
+    if broadcast:
+        ren = F.broadcast(ren)
+    cond = functools.reduce(
+        operator.and_,
+        [F.col(c).eqNullSafe(F.col(f"__nsj_{c}")) for c in part_cols],
+    )
+    return left.join(ren, cond).drop(*[f"__nsj_{c}" for c in part_cols])
+
+
 def partitioned_cumsum(
     df: DataFrame,
     part_cols: list[str],
@@ -298,9 +332,7 @@ def partitioned_cumsum(
         F.min(F.col(gcol) - F.col(sum_col)).alias("__pcs_off")
     )
     # see partitioned_row_number for the broadcast_offsets dial
-    if broadcast_offsets:
-        offs = F.broadcast(offs)
-    j = cum.join(offs, part_cols) if part_cols else cum.crossJoin(offs)
+    j = _nullsafe_offsets_join(cum, offs, part_cols, broadcast_offsets)
     return j.withColumn(
         out, (F.col(gcol) - F.col("__pcs_off")).cast("bigint")
     ).drop(gcol, "__pcs_off")
@@ -363,9 +395,32 @@ def grouped_exact_percentiles(
             .alias(name)
         )
     mid = ranked.filter(keep)
-    if part_cols:
-        return mid.groupBy(*part_cols).agg(*aggs)
-    return mid.agg(*aggs)
+    if not part_cols:
+        # global agg over an empty (all-NULL) input already yields one
+        # row of NULL quantiles — same as percentile()/quantile_cont
+        return mid.agg(*aggs)
+    res = mid.groupBy(*part_cols).agg(*aggs)
+    # percentile()/quantile_cont emit a group whose values are ALL NULL
+    # as a row with a NULL quantile (GROUP BY keeps the key); the NULL
+    # filter above removed such groups entirely (ADVICE r9). Reinstate
+    # them: the lost keys appear in the IS NULL slice but not in the
+    # results — a pushdown-filtered scan plus a result-sized anti-join,
+    # never a second full pass over the non-null mass.
+    import functools
+    import operator
+
+    null_keys = df.filter(F.col(col).isNull()).select(*part_cols).distinct()
+    resk = res.select(*[F.col(c).alias(f"__gep_k_{c}") for c in part_cols])
+    if broadcast_offsets:
+        resk = F.broadcast(resk)
+    cond = functools.reduce(
+        operator.and_,
+        [F.col(c).eqNullSafe(F.col(f"__gep_k_{c}")) for c in part_cols],
+    )
+    missing = null_keys.join(resk, cond, "left_anti")
+    for name in ps:
+        missing = missing.withColumn(name, F.lit(None).cast("double"))
+    return res.unionByName(missing)
 
 
 def partitioned_lag(
@@ -539,9 +594,7 @@ def partitioned_row_number(
         F.min("__prn_i").alias("__prn_i0"),
         F.count("*").alias("__prn_n"),
     )
-    if broadcast_offsets:
-        sizes = F.broadcast(sizes)
-    j = gr.join(sizes, part_cols) if part_cols else gr.crossJoin(sizes)
+    j = _nullsafe_offsets_join(gr, sizes, part_cols, broadcast_offsets)
     j = j.withColumn(
         out, (F.col("__prn_i") - F.col("__prn_i0") + 1).cast("bigint")
     )
@@ -596,9 +649,7 @@ def partitioned_ntile(
     # empty part_cols = one global partition: the 1-row sizes aggregate
     # broadcasts as a cross join (the RFM quintile shape); see
     # partitioned_row_number for the broadcast_offsets cardinality dial
-    if broadcast_offsets:
-        sizes = F.broadcast(sizes)
-    j = gr.join(sizes, part_cols) if part_cols else gr.crossJoin(sizes)
+    j = _nullsafe_offsets_join(gr, sizes, part_cols, broadcast_offsets)
     r = F.col("__pnt_i") - F.col("__pnt_i0") + 1
     bucket = ntile_from_rank(r, F.col("__pnt_n"), k)
     return j.withColumn(out, bucket).drop("__pnt_i", "__pnt_i0", "__pnt_n")

@@ -659,3 +659,88 @@ def test_anneal_mix_budget_split_and_decile_cut(spark):
         assert 1 <= k <= max(1, len(grp) // 10 + 1)
         assert all(r.phase == "anneal" for r in ordered[:k]), lang
         assert all(r.phase == "main" for r in ordered[k:]), lang
+
+
+def test_partitioned_helpers_keep_null_partition_keys(spark):
+    """ADVICE r9 (medium): the window forms these helpers replace keep a
+    NULL partition (lang/source are routinely NULL in web corpora), so
+    the offsets equi-join must not silently drop NULL-keyed rows. Pins
+    null-safe equivalence with the plain window forms for
+    partitioned_row_number / partitioned_ntile / partitioned_cumsum
+    (partitioned_lag carried eqNullSafe already)."""
+    from pyspark.sql import Window as W
+
+    from mergeextractor_spark.operators._util import (
+        partitioned_cumsum,
+        partitioned_ntile,
+        partitioned_row_number,
+    )
+
+    rows = []
+    for lang, cnt in (("a", 60), (None, 37), ("b", 3)):
+        rows += [(f"{lang or 'nul'}{i:03d}", lang, (17 * i) % 29) for i in range(cnt)]
+    df = spark.createDataFrame(rows, "doc_id string, lang string, n long")
+    w = W.partitionBy("lang").orderBy("doc_id")
+
+    want_rn = {
+        r.doc_id: r.rn
+        for r in df.select(
+            "doc_id", F.row_number().over(w).cast("bigint").alias("rn")
+        ).collect()
+    }
+    got_rn = {
+        r.doc_id: r.rn
+        for r in partitioned_row_number(df, ["lang"], [F.asc("doc_id")]).collect()
+    }
+    assert got_rn == want_rn
+
+    want_nt = {
+        r.doc_id: r.b for r in df.select("doc_id", F.ntile(5).over(w).alias("b")).collect()
+    }
+    got_nt = {
+        r.doc_id: r.b
+        for r in partitioned_ntile(df, ["lang"], [F.asc("doc_id")], 5, out="b").collect()
+    }
+    assert got_nt == want_nt
+
+    wsum = w.rowsBetween(W.unboundedPreceding, 0)
+    want_cs = {
+        r.doc_id: r.c for r in df.select("doc_id", F.sum("n").over(wsum).alias("c")).collect()
+    }
+    for bc in (True, False):
+        got_cs = {
+            r.doc_id: r.c
+            for r in partitioned_cumsum(
+                df, ["lang"], [F.asc("doc_id")], "n", out="c", broadcast_offsets=bc
+            ).collect()
+        }
+        assert got_cs == want_cs, f"broadcast_offsets={bc}"
+
+
+def test_grouped_exact_percentiles_keeps_all_null_groups(spark):
+    """ADVICE r9 (low): percentile()/quantile_cont emit a group whose
+    values are ALL NULL as a row with a NULL quantile (GROUP BY keeps the
+    key) — the exact-quantile path must too, including a NULL group KEY
+    whose values are all NULL."""
+    from mergeextractor_spark.operators._util import grouped_exact_percentiles
+
+    rows = (
+        [("a", float(i)) for i in range(10)]
+        + [("dead", None)] * 4
+        + [(None, None)] * 3
+        + [("mixed", None), ("mixed", 7.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    ps = {"p50": 0.5, "p90": 0.9}
+    want = {
+        r.g: (r.p50, r.p90)
+        for r in df.groupBy("g")
+        .agg(*[F.percentile("v", F.lit(p)).alias(k) for k, p in ps.items()])
+        .collect()
+    }
+    got = {
+        r.g: (r.p50, r.p90)
+        for r in grouped_exact_percentiles(df, ["g"], "v", ps).collect()
+    }
+    assert got == want
+    assert got["dead"] == (None, None) and got[None] == (None, None)
