@@ -56,7 +56,7 @@ def register(key: str, oracle: str | None = None, doc: str = "", eager: bool = F
 # CORRECTNESS file is folded into _DRIVER_GREEN below; seeds the canary
 # sample so each round re-checks a different deterministic slice of the
 # already-green keys (VERDICT r3 "Next round" item 3).
-_ROUND: int = 9
+_ROUND: int = 10
 
 # Keys that already hold a green hash-checked row in CORRECTNESS_r01–r03
 # (historical fact, frozen).  The driver's correctness gate walks the dict
@@ -186,89 +186,82 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "agg_winsorized_mean", "events_fraud_velocity", "agg_ltv_curve",
     "eval_ab_power_mde", "agg_user_growth_curve", "agg_dau_mau_stickiness",
     "cascade_title_check", "cascade_toc_check",
+    # CORRECTNESS_r09.json (50 hash-green rows: the 16 r09 rotation-first
+    # keys below; the other 34 were canary/reverify re-passes already
+    # listed above)
+    "join_asof_tolerance", "eval_dedup_cluster_profile",
+    "agg_dedup_impact_by_source", "phrase_catalog", "ner_orgs",
+    "sample_hard_negatives", "eval_ndcg_quantized", "join_interval_overlap",
+    "sample_token_budget", "agg_source_gini", "eval_calibration_bins",
+    "dq_k_anonymity", "dq_freshness_lag", "graph_triangle_count",
+    "eval_ks_drift", "sample_anneal_mix",
 })
 
-# Keys without CLEAN driver evidence in the window.  r09: none — the
-# two r8 streaming keys got their rows-only driver rows in
-# CORRECTNESS_r08 (spark_rows=10000 each) and now live in
-# _ROWS_ONLY_EVIDENCED below.
+# Keys without CLEAN driver evidence in the window.  r10: none.
 _EVIDENCE_FIX: tuple[str, ...] = ()
 
-# Explicit order for the 16 oracle keys of the r09 window (VERDICT r8
-# item 4): the whole r8 _ORACLE_BACKLOG — the late-r8 registrations
-# that never received driver rows — promoted wholesale in its encoded
-# order.  All were builder-swept hash-green at sf0.001/0.01/0.1 plus
-# the hostile-TZ vanilla gate in r8; three of them (sample_anneal_mix,
-# eval_ks_drift, and the ntile-scale rewrites' sibling
-# sample_token_budget's neighbours) were re-verified after the r9
-# scale-posture rewrites.  With 12 canaries ahead, this fills
-# positions 13..28 of the driver's demonstrated 50-key window; the
-# ~22 surplus slots fall through to already-green oracle keys
-# (re-checks) and then the rows-only tail.  After r9 every registered
-# key holds a driver CORRECTNESS row again.
+# The r10 window's head cargo (VERDICT r9 item 1): the five
+# changed-plan keys whose latest driver rows PREDATE their r9 fixes —
+# they sat at the tail of the r9 _REVERIFY list and lost the slot race
+# to the 12 canaries + 16 backlog + 22 earlier re-verifies.  Their
+# plans/semantics changed in commits a855c89/b88b321 (broadcast
+# unhints, the |ages|x|users| cross-join fix) and the exact-quantile
+# sweep; builder-swept green at sf0.01/sf0.1 but not yet
+# driver-evidenced.  Pinned directly behind the canaries so they
+# cannot fall off a wall-capped window again.
 _ROTATION_FIRST: tuple[str, ...] = (
-    "join_asof_tolerance",
-    "eval_dedup_cluster_profile",
-    "agg_dedup_impact_by_source",
-    # rows-only → oracle graduations (the filing fixture ships as
-    # parquet, so DuckDB reads the same rows): their old rows-only
-    # evidence doesn't cover values — these are their first hash rows.
-    "phrase_catalog",
-    "ner_orgs",
-    # retrieval-training completions (contrastive-pair mining + the
-    # graded ranking metric between ANN candidates and the reranker)
-    "sample_hard_negatives",
-    "eval_ndcg_quantized",
-    # the interval×interval overlap join (bucket decomposition with
-    # exactly-once emission), completing the range-join family
-    "join_interval_overlap",
-    # late-r8 data-governance + training-recipe completions
-    "sample_token_budget",
-    "agg_source_gini",
-    "eval_calibration_bins",
-    "dq_k_anonymity",
-    "dq_freshness_lag",
-    # degree-ordered triangle census vs the naive 3-way-join oracle
-    "graph_triangle_count",
-    # exact two-sample KS drift (r9: two-phase ECDF via global_cumsum)
-    "eval_ks_drift",
-    # two-phase anneal schedule (r9: decile cut via partitioned_ntile)
-    "sample_anneal_mix",
+    "agg_winsorized_mean",
+    "agg_new_vs_returning",
+    "agg_ltv_curve",
+    "text_bm25_topk",
+    "text_collocation_pmi",
 )
 
-# Oracle keys registered but not yet scheduled into a window: none —
-# the r8 backlog above IS the r09 window cargo, and r9 registered no
-# new oracle keys outside it.  New keys default to rank 3 (directly
-# behind _ROTATION_FIRST) via the rank function's fallback.
-_ORACLE_BACKLOG: tuple[str, ...] = ()
+# Rows-only → oracle graduations landing THIS round (VERDICT r9 items
+# 2-4): each converts an `err: no_oracle` row into its FIRST value-level
+# hash row, so they rank directly behind the head cargo.  Populated as
+# each graduation lands; see the per-key docstrings for what the new
+# oracle proves (DuckDB recompute vs sequential-mirror golden table).
+_ORACLE_BACKLOG: tuple[str, ...] = (
+    # DuckDB-recompute oracles (the strongest class: the oracle derives
+    # the expected state independently from the events table)
+    "stream_dedup_first_seen",
+    "stream_upsert_to_kv",
+    "scan_orc_roundtrip",
+    # sequential-mirror golden tables (tools/make_golden.py: the pure-
+    # Python path the UDFs wrap, run OFF-Spark over the same inputs;
+    # the hash row proves the distributed plan reproduces it)
+    "chunk_split_overlap",
+    "header_cascade",
+    "fuzzy_partial_ratio",
+    "embed_text",
+    "str_normalize_unicode",
+    "abbrev_enrich",
+    "llm_classify_doc",
+    "llm_extract_initiator",
+    "pipeline_separator",
+    "pipeline_crawler",
+    "pipeline_crawler_audit",
+    "text_compression_ratio",
+)
 
-# Already-green keys whose PLANS changed this round (the r9 two-phase
-# window sweep, the exact-quantile sweep, the parity fixes, and the
-# broadcast unhints) — ranked directly behind the rotation so the
-# driver re-hashes every changed key before spending surplus budget on
-# unchanged greens.  All were builder-verified at sf0.01 (most also at
-# sf0.1) against unchanged oracles this session; this makes that
-# driver evidence, not self-report.
+# Already-green keys whose PLANS changed this round — ranked directly
+# behind the backlog so the driver re-hashes every changed key before
+# spending surplus budget on unchanged greens.  r10 change: the
+# null-safe offsets join in partitioned_row_number/ntile/cumsum and the
+# all-NULL-group reinstatement in grouped_exact_percentiles (ADVICE r9)
+# alter the physical plans of every caller below; all were
+# builder-verified green at sf0.001/sf0.01 against unchanged oracles
+# after the change.  Exact-quantile callers first (they gained a
+# union + anti-join stage; the others only swapped the join condition).
 _REVERIFY: tuple[str, ...] = (
-    # reference-parity fixes FIRST (value semantics changed on
-    # adversarial text; both engines changed in lockstep, so the hash
-    # row proves the new semantics, and these must not fall off a
-    # wall-capped window)
-    "cascade_toc_check", "str_strip_toc", "str_page_clean",
-    "str_normalize_quotes", "str_html_to_text",
-    # two-phase window sweep (VERDICT r8 item 2 class)
-    "sample_quality_decile", "sample_logprob_bucket",
-    "pipeline_pretrain_corpus", "agg_rfm_segmentation",
-    "window_value_percentiles", "eval_langid_auc", "dq_skew_report",
-    "events_interarrival_profile", "sample_pack_sequences",
-    "dq_chi_square_independence", "text_zipf_slope",
-    # exact-quantile sweep (no data-sized aggregator state)
     "agg_percentile", "dq_outlier_iqr", "olap_median_order_by_segment",
     "eval_psi_drift", "events_anomaly_mad", "events_time_to_value",
-    "agg_winsorized_mean",
-    # broadcast unhints / data-sized-intermediate fixes (plan-only)
-    "agg_new_vs_returning", "agg_ltv_curve", "text_bm25_topk",
-    "text_collocation_pmi",
+    # null-safe offsets-join condition swap (plan-only)
+    "sample_quality_decile", "sample_logprob_bucket",
+    "pipeline_pretrain_corpus", "agg_rfm_segmentation", "dq_skew_report",
+    "events_interarrival_profile", "sample_pack_sequences",
+    "text_zipf_slope", "sample_anneal_mix",
 )
 
 # Rows-only keys WITH driver evidence (r04 gave the first 4 their rows,
@@ -315,11 +308,30 @@ _CANARY_SLOTS: int = 12
 
 
 def canary_keys(round_no: int = _ROUND) -> tuple[str, ...]:
-    """Deterministic per-round sample of already-green keys to re-check."""
+    """Deterministic per-round sample of already-green keys to re-check,
+    drawn OLDEST-EVIDENCE-FIRST (VERDICT r9 item 5): sort the green pool
+    by the round of each key's most recent driver row (_evidence.py,
+    regenerated per round by tools/make_evidence_map.py), tiebreak by a
+    round-seeded shuffle so equally-stale keys rotate deterministically.
+    The uniform sampler this replaces left 73 keys unchecked since r2/r3
+    behind six rounds of shared-helper churn.  Keys already scheduled
+    this round (head cargo / backlog / reverify) are excluded — they get
+    fresh rows anyway, so a canary slot on them would be wasted."""
     import random
 
-    pool = sorted(_DRIVER_GREEN)
-    return tuple(random.Random(round_no).sample(pool, min(_CANARY_SLOTS, len(pool))))
+    from ._evidence import LAST_GREEN
+
+    scheduled = (
+        set(_ROTATION_FIRST)
+        | set(_ORACLE_BACKLOG)
+        | set(_REVERIFY)
+        | set(_EVIDENCE_FIX)
+    )
+    pool = sorted(k for k in _DRIVER_GREEN if k not in scheduled)
+    rng = random.Random(round_no)
+    tie = {k: rng.random() for k in pool}
+    pool.sort(key=lambda k: (LAST_GREEN.get(k, 0), tie[k]))
+    return tuple(pool[: _CANARY_SLOTS])
 
 
 def load_all() -> dict[str, Query]:
