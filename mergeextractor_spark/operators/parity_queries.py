@@ -631,7 +631,16 @@ def ner_orgs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "scan_orc_roundtrip",
-    oracle=None,  # ORC has no DuckDB reader here → rows-only + pytest equality
+    # r10 graduation: DuckDB has no ORC reader, but it doesn't need one —
+    # a lossless roundtrip means the ORC-read aggregate must equal the
+    # same aggregate over the parquet source, which DuckDB computes
+    # directly. The hash row now proves the roundtrip preserves VALUES
+    # (per-source counts and char mass), not just the group count.
+    oracle="""
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars
+    FROM documents GROUP BY source ORDER BY source
+    """,
     doc="Columnar-format breadth: write the documents table as ORC "
     "(zstd), read it back, and return per-source row counts + char "
     "sums. ORC is the other splittable columnar format a 100 TB lake "

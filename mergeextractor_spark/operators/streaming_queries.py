@@ -2653,7 +2653,13 @@ _STREAM_RUN_SEQ = _it.count()
 
 @register(
     "stream_dedup_first_seen",
-    oracle=None,  # stateful streaming run → rows-only (batch twin: distinct)
+    # r10 graduation (VERDICT r9 item 3): the availableNow-drained output
+    # is a plain table DuckDB can recompute independently — the first-seen
+    # set over ANY arrival order equals the batch distinct — so this
+    # stateful run gets a value-level hash row, proving the
+    # exactly-once-per-key emission across micro-batch boundaries, not
+    # just the row count.
+    oracle="SELECT DISTINCT user_id, event_id FROM events",
     doc="Custom stateful streaming operator: per-user first-seen dedup "
     "via applyInPandasWithState (streaming/stateful.py:32-56) — each "
     "(user_id, event_id) is emitted exactly once across micro-batches "
@@ -2688,7 +2694,17 @@ def stream_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_upsert_to_kv",
-    oracle=None,  # side-effecting streaming sink → rows-only
+    # r10 graduation (VERDICT r9 item 3): the committed store is
+    # last-writer-wins MERGE state keyed by event_id; event_id is unique
+    # in the events fixture, so DuckDB recomputes the expected store —
+    # every event present exactly once, bucketed by the reference's
+    # main_index // 100 sharding rule (sinks.py BUCKET_SIZE) — and the
+    # hash row proves the MERGE semantics, not just the row count.
+    oracle="""
+    SELECT event_id AS main_index, event_type,
+           CAST(floor(event_id / 100) AS INTEGER) AS bucket
+    FROM events
+    """,
     doc="Streaming upsert sink: every micro-batch MERGEs into the "
     "bucketed parquet KV store via foreachBatch + merge_kv_store "
     "(streaming/events.py:127-148) — the production pattern for "
@@ -2724,4 +2740,8 @@ def stream_upsert_to_kv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "main_index bigint, event_type string, bucket int"
         )
     back = spark.read.parquet(store)
-    return back.select("main_index", "event_type", "bucket")
+    # partition-column inference yields int here, but pin it: the oracle
+    # casts to INTEGER and the hash gate compares schemas
+    return back.select(
+        "main_index", "event_type", F.col("bucket").cast("int").alias("bucket")
+    )
