@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import t, r4
+from ._util import golden_path, t, r4
 
 DOMAIN_CAP = 10  # C4-style per-source document cap (fixture default)
 
@@ -923,7 +923,16 @@ def sample_apply_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_compression_ratio",
-    oracle=None,  # zlib levels are library-specific → rows-only + pytest bounds
+    # r10 graduation: zlib levels are library-specific, so the golden is
+    # produced by the SAME stdlib zlib the UDF calls, sequentially and
+    # off-Spark (tools/make_golden.py), keyed by md5(text) — the hash
+    # row pins the distributed plumbing and any zlib/level drift.
+    oracle=f"""
+    SELECT d.doc_id, g.compression_ratio
+    FROM documents d
+    JOIN read_parquet('{golden_path("text_compression_ratio")}') g
+      ON md5(d.text) = g.text_md5
+    """,
     doc="Compression-ratio quality signal (Gopher rule family): "
     "len(zlib(text)) / len(text) — highly repetitive or templated text "
     "compresses far below natural prose, random noise barely compresses "

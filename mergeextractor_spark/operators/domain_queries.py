@@ -2,7 +2,12 @@
 §2.8 chunking/cascade/fuzzy/LLM, §3 lifecycles).
 
 UDF-bound keys (chunker, cascade, fuzzy partial, LLM mocks, full
-pipelines) have no SQL twin → rows-only checks, as SURVEY §5 specifies;
+pipelines) have no DuckDB-recomputable SQL twin; since r10 they carry
+GOLDEN-TABLE oracles instead of rows-only checks — the sequential
+pure-Python mirror (tools/make_golden.py) produces the expected output
+as a committed parquet fixture, the oracle SELECTs from it, and the
+driver's hash row proves the distributed plan reproduces the sequential
+computation (drift-guarded in tests/test_golden_oracles.py).
 ``scan_csv_deals`` gets a read_csv oracle. Domain fixtures live in-repo
 (tests/fixtures) because they model the reference's deal/filing data
 shapes, which the driver's TPC-H-ish tables don't carry.
@@ -16,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import t, r4
+from ._util import golden_path, t, r4
 
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _DEALS_CSV = os.path.join(_REPO, "tests", "fixtures", "deals.csv")
@@ -89,7 +94,19 @@ def scan_csv_deals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "chunk_split_overlap",
-    oracle=None,  # recursive-splitter UDF → rows-only; SQL twin is chunk_fixed
+    # r10 graduation (VERDICT r9 item 2): golden-table oracle — the
+    # sequential split_text mirror's output over every testdata text,
+    # keyed by md5(text) so ONE golden file is correct at every sf (the
+    # documents tables are regenerated per sf with different texts).
+    # The hash row proves the Arrow-batched distributed plan reproduces
+    # the sequential chunker; tools/make_golden.py regenerates,
+    # tests/test_golden_oracles.py drift-guards.
+    oracle=f"""
+    SELECT d.doc_id, g.chunk_idx, g.chunk_len
+    FROM documents d
+    JOIN read_parquet('{golden_path("chunk_split_overlap")}') g
+      ON md5(d.text) = g.text_md5
+    """,
     doc="Reference-parity recursive chunker (2048/400, langchain separator "
     "hierarchy — ref ChunkProcessor.py:195-231) over the documents fixture; "
     "returns (doc_id, chunk_idx, chunk_len). Arrow-batched UDF, fans out "
@@ -106,7 +123,14 @@ def chunk_split_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "header_cascade",
-    oracle=None,  # UDF cascade → rows-only
+    # r10 graduation: golden-table oracle from the sequential
+    # chunk+prefilter+two_pass_passage mirror over the filing fixtures
+    # (sf-independent inputs). tools/make_golden.py regenerates;
+    # tests/test_golden_oracles.py drift-guards.
+    oracle=f"""
+    SELECT main_index, chunk_idx, passage_len
+    FROM read_parquet('{golden_path("header_cascade")}')
+    """,
     doc="3-stage header cascade over the filing fixtures (ref "
     "ChunkProcessor.py:34-169): chunk → native 'background' prefilter → "
     "cascade UDF → passage rows.",
@@ -127,7 +151,19 @@ def header_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "fuzzy_partial_ratio",
-    oracle=None,  # sliding-window alignment → rows-only
+    # r10 graduation: golden-table oracle — the sequential
+    # fuzz_partial_ratio (bit-parallel LCS) scored over all nation x
+    # region pairs; the oracle re-derives the cross join from the LIVE
+    # tables and looks scores up in the golden, so a fixture change
+    # fails loudly instead of silently passing.
+    oracle=f"""
+    SELECT n.n_name AS name_a, r.r_name AS name_b, g.partial
+    FROM nation n
+    CROSS JOIN region r
+    JOIN read_parquet('{golden_path("fuzzy_partial_ratio")}') g
+      ON g.name_a = n.n_name AND g.name_b = r.r_name
+    WHERE g.partial > 45.0
+    """,
     doc="rapidfuzz-compatible partial_ratio>45 fuzzy theta-join of nation "
     "names against region names (ref CrawlerSupport.py:143-154 entity "
     "matching at >90; the threshold is scaled to the synthetic NATION_N/"
@@ -146,7 +182,12 @@ def fuzzy_partial_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_classify_doc",
-    oracle=None,  # mock LLM → rows-only
+    # r10 graduation: golden-table oracle from the sequential
+    # mock_classify_client mirror over the filing fixtures.
+    oracle=f"""
+    SELECT main_index, has_section, match_header, confidence
+    FROM read_parquet('{golden_path("llm_classify_doc")}')
+    """,
     doc="LLMFunctionCall classification stage with the deterministic mock "
     "client (ref Processor.py:309-395, schema config.py:109-138): "
     "(main_index, has_section, match_header, confidence).",
@@ -160,7 +201,14 @@ def llm_classify_doc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_extract_initiator",
-    oracle=None,  # mock LLM → rows-only
+    # r10 graduation: golden-table oracle — the sequential separator
+    # mirror's sections fed through mock_initiator_client + the enum
+    # CHECK, so the hash row covers the whole sections -> initiator path.
+    oracle=f"""
+    SELECT main_index, initiator, date_of_initiation, type_of_initiation,
+           reason
+    FROM read_parquet('{golden_path("llm_extract_initiator")}')
+    """,
     doc="LLMFunctionCall initiator extraction with enum validation (ref "
     "InitiatorIdentifier.py:71-83, schema config.py:167-208).",
 )
@@ -172,7 +220,15 @@ def llm_extract_initiator_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pipeline_crawler",
-    oracle=None,  # composed UDF pipeline → rows-only
+    # r10 graduation (VERDICT r9 item 4): golden-table oracle from the
+    # sequential crawler mirror (presence regexes, two-pass cascade,
+    # deterministic (url, chunk_idx) first-match) over the deal/filing
+    # fixtures — the reference's §3.1 lifecycle now has value-level
+    # driver proof, not just a row count.
+    oracle=f"""
+    SELECT main_index, announcement_date, tmanames, amanames, url
+    FROM read_parquet('{golden_path("pipeline_crawler")}')
+    """,
     doc="Crawler lifecycle end-to-end on fixtures (SURVEY §3.1): anti-join "
     "→ date window → presence filter (strip-parens + hyphen retry, "
     "whitespace-flexible) → chunk → cascade → deterministic first match.",
@@ -185,7 +241,13 @@ def pipeline_crawler(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pipeline_crawler_audit",
-    oracle=None,  # composed UDF pipeline → rows-only
+    # r10 graduation: golden-table oracle from the sequential audit
+    # mirror (full logs.txt taxonomy incl. the separator-stage
+    # flagged_manual_inspection re-check).
+    oracle=f"""
+    SELECT main_index, status, url
+    FROM read_parquet('{golden_path("pipeline_crawler_audit")}')
+    """,
     doc="Per-deal lifecycle outcome with the reference's exact log "
     "classes (the FULL logs.txt taxonomy: accepted / no_document / "
     "no_relevant_document / no_background_section / "
@@ -205,7 +267,14 @@ def pipeline_crawler_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pipeline_separator",
-    oracle=None,  # composed UDF pipeline → rows-only
+    # r10 graduation (VERDICT r9 item 4): golden-table oracle from the
+    # sequential separator mirror (single-pass locate, longest-passage
+    # rank, winner+11 assembly, line dedup, company-token check,
+    # abbreviation enrichment) — the §3.2 lifecycle's value-level proof.
+    oracle=f"""
+    SELECT main_index, company_a, company_b, content_len
+    FROM read_parquet('{golden_path("pipeline_separator")}')
+    """,
     doc="Separator lifecycle end-to-end on fixtures (SURVEY §3.2): chunk → "
     "cascade → deterministic rank → winner+11 assembly → line dedup → "
     "company-token check → abbreviation enrichment.",

@@ -15,14 +15,24 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..registry import register
-from ._util import scratch_dir, t, r4
+from ._util import golden_path, scratch_dir, t, r4
 
 RERANK_QUERY = "events leading up to the merger agreement between the companies"
 
 
 @register(
     "embed_text",
-    oracle=None,  # hash-embedder UDF → rows-only (vector parity via stats)
+    # r10 graduation (VERDICT r9 item 2): golden-table oracle — the
+    # sequential hash-embedder (with the UDF's float32 element cast)
+    # over every testdata text, keyed by md5(text) so one golden file is
+    # correct at every sf. tools/make_golden.py regenerates;
+    # tests/test_golden_oracles.py drift-guards.
+    oracle=f"""
+    SELECT d.doc_id, g.dim, g.sq_norm
+    FROM documents d
+    JOIN read_parquet('{golden_path("embed_text")}') g
+      ON md5(d.text) = g.text_md5
+    """,
     doc="Pluggable text-embedding stage with the deterministic hash-embedder "
     "stand-in (ref ChunkProcessor.py:233-238; model swap = one callable). "
     "Returns per-doc vector stats so the rows-only check still pins shape.",
@@ -67,7 +77,14 @@ def rerank_crossencoder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "str_normalize_unicode",
-    oracle=None,  # NFKC has no DuckDB twin (only NFC) → rows-only
+    # r10 graduation: DuckDB has no NFKC, but the sequential unicodedata
+    # mirror does — golden-table oracle keyed by md5(text).
+    oracle=f"""
+    SELECT d.doc_id, g.folded
+    FROM documents d
+    JOIN read_parquet('{golden_path("str_normalize_unicode")}') g
+      ON md5(d.text) = g.text_md5
+    """,
     doc="NFKC normalize + ASCII fold (ref Processor.py:132-152). No native "
     "Spark/DuckDB NFKC — Arrow-batched pandas UDF; rows-only check.",
 )
@@ -89,7 +106,12 @@ def str_normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "abbrev_enrich",
-    oracle=None,  # composed UDF pipeline → rows-only
+    # r10 graduation: golden-table oracle from the sequential
+    # top_orgs + find_definition mirror over the filing fixtures.
+    oracle=f"""
+    SELECT main_index, org, definition_len
+    FROM read_parquet('{golden_path("abbrev_enrich")}')
+    """,
     doc="Abbreviation enrichment composition (ref ChunkProcessor.py:331-370): "
     "regex-NER top-5 ORGs → definition-paragraph theta join → formatted "
     "preamble rows (main_index, org, definition).",

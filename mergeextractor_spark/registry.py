@@ -264,19 +264,18 @@ _REVERIFY: tuple[str, ...] = (
     "text_zipf_slope", "sample_anneal_mix",
 )
 
-# Rows-only keys WITH driver evidence (r04 gave the first 4 their rows,
-# r05 covered the next 30, r06 nine more, r07 added sink_log, r08 the
-# two streaming keys).  They queue at the tail — every key here already
-# holds a clean CORRECTNESS row, and a rows-only re-run is weaker
-# evidence than a hash re-check of a green oracle key.
+# Rows-only keys WITH driver evidence.  They queue at the tail — every
+# key here already holds a clean CORRECTNESS row, and a rows-only re-run
+# is weaker evidence than a hash re-check of a green oracle key.  r10
+# removed the 15 keys graduated to value-level oracles (they now live in
+# _ORACLE_BACKLOG above for their first hash rows); what remains is
+# genuinely hash-inexpressible — side-effecting sinks whose value parity
+# is pytest-pinned, approx sketches (HLL/bloom), iterative training
+# (IVF k-means), mocked HTTP sources, and the multimodal binary keys
+# (rows-only by contract).
 _ROWS_ONLY_EVIDENCED: tuple[str, ...] = (
-    # CORRECTNESS_r08 (the r08 evidence-fix keys, clean rows-only passes)
-    "stream_dedup_first_seen", "stream_upsert_to_kv",
-    # CORRECTNESS_r07 (the r07 evidence-fix key, clean rows-only pass)
     "sink_log",
-    # CORRECTNESS_r06 (the 9 r06 evidence-fix keys, all clean)
     "vector_pca_project", "pipeline_incremental_ingest",
-    "pipeline_crawler_audit",
     "multimodal_image_phash", "dedup_image_phash",
     "multimodal_audio_fingerprint", "dedup_audio_fingerprint",
     "multimodal_video_fingerprint", "dedup_video_fingerprint",
@@ -284,14 +283,11 @@ _ROWS_ONLY_EVIDENCED: tuple[str, ...] = (
     "source_http_fts", "source_http_doc",
     "multimodal_image_meta", "multimodal_audio_meta",
     "multimodal_video_meta", "multimodal_frame_sample",
-    "chunk_split_overlap", "header_cascade", "fuzzy_partial_ratio",
-    "embed_text", "abbrev_enrich",
-    "str_normalize_unicode", "llm_classify_doc", "llm_extract_initiator",
-    "pipeline_crawler", "pipeline_separator", "ann_ivf_trained",
+    "ann_ivf_trained",
     "agg_percentile_approx", "dedup_bloom_prefilter",
-    "text_compression_ratio", "events_approx_distinct",
+    "events_approx_distinct",
     "source_pyds_fts", "agg_hll_daily_union",
-    "scan_orc_roundtrip", "sink_pyds_kv",
+    "sink_pyds_kv",
     "sink_csv_append", "sink_csv_union", "sink_kv_store", "scan_kv_store",
 )
 

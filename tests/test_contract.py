@@ -33,14 +33,16 @@ def test_every_oracle_key_has_a_query(spark):
 
 def test_gate_window_rotation_order():
     """The driver walks queries() in order under a wall-clock budget that
-    historically covers ~50 keys per round.  The r09 rotation (VERDICT r8
-    items 4 and 5) must put: (a) the 12 canaries first (cheap, can never
-    be squeezed out), (b) the 16 never-driver-checked oracle keys next
-    (the whole r8 oracle backlog — the window's critical cargo), then
-    (c) the ~22 surplus window slots fall through to round-shuffled
-    already-green oracle re-checks, with the rows-only keys (weakest
-    evidence per run) queued at the very tail."""
+    historically covers ~50 keys per round.  The r10 rotation (VERDICT r9
+    items 1, 2-4 and 5) must put: (a) the 12 staleness-ordered canaries
+    first (cheap, can never be squeezed out), (b) the 5 changed-plan
+    stragglers whose latest driver rows predate their r9 fixes, (c) the
+    15 rows-only -> oracle graduations (first value-level hash rows),
+    (d) this round's changed-plan re-verify band, then the surplus slots
+    fall through to round-shuffled green re-checks with the rows-only
+    keys (weakest evidence per run) queued at the very tail."""
     from mergeextractor_spark import registry
+    from mergeextractor_spark._evidence import LAST_GREEN
 
     mod = _load_entry()
     qs, osql = mod.queries(), mod.oracle_sql()
@@ -48,30 +50,56 @@ def test_gate_window_rotation_order():
 
     n_fix = len(registry._EVIDENCE_FIX)
     n_first = len(registry._ROTATION_FIRST)
-    # window arithmetic: 12 canaries + 16 rotation + 0 fixes = 28, the
-    # head of the demonstrated 50-key budget; the surplus re-checks greens
-    assert n_fix == 0 and len(registry._ORACLE_BACKLOG) == 0
-    assert registry._CANARY_SLOTS + n_first + n_fix == 28
+    n_backlog = len(registry._ORACLE_BACKLOG)
+    # window arithmetic: 12 canaries + 5 stragglers + 15 graduations +
+    # 15 re-verifies = 47, inside the demonstrated 50-key budget
+    assert n_fix == 0 and n_first == 5 and n_backlog == 15
+    assert (
+        registry._CANARY_SLOTS + n_first + n_backlog + len(registry._REVERIFY) <= 50
+    )
     assert registry._CANARY_SLOTS >= 12  # VERDICT r7 item 3 / r8 item 5
 
     canaries = registry.canary_keys()
     assert len(canaries) == registry._CANARY_SLOTS
     assert keys[: len(canaries)] == list(canaries)
-    # Canaries are a deterministic per-round sample of driver-green keys.
+    # Canaries are a deterministic, staleness-ordered sample of green keys
     assert registry.canary_keys() == registry.canary_keys()
     assert set(canaries) <= registry._DRIVER_GREEN
     assert canaries != registry.canary_keys(registry._ROUND + 1)
+    # oldest-evidence-first (VERDICT r9 item 5): no unscheduled green key
+    # may be STALER than the stalest drawn canary
+    scheduled = (
+        set(registry._ROTATION_FIRST)
+        | set(registry._ORACLE_BACKLOG)
+        | set(registry._REVERIFY)
+        | set(registry._EVIDENCE_FIX)
+    )
+    max_canary_age = max(LAST_GREEN[k] for k in canaries)
+    undrawn = [
+        k
+        for k in registry._DRIVER_GREEN
+        if k not in scheduled and k not in canaries
+    ]
+    assert all(LAST_GREEN[k] >= max_canary_age for k in undrawn)
 
     at = len(canaries)
     assert keys[at : at + n_first] == list(registry._ROTATION_FIRST)
     for key in registry._ROTATION_FIRST:
         assert key in osql, f"rotation key {key!r} lost its oracle"
-        assert key not in registry._DRIVER_GREEN, key
 
     at += n_first
-    # r9: the changed-plan re-verify band rides directly behind the
-    # rotation — parity fixes first — so the driver re-hashes every key
-    # whose plan changed this round before unchanged greens
+    # the 15 graduations ride directly behind the stragglers: every one
+    # must now carry an oracle (that is the graduation) and none can
+    # already hold a hash-green driver row
+    assert keys[at : at + n_backlog] == list(registry._ORACLE_BACKLOG)
+    for key in registry._ORACLE_BACKLOG:
+        assert key in osql, f"graduated key {key!r} lost its oracle"
+        assert key not in registry._DRIVER_GREEN, key
+    at += n_backlog
+
+    # the changed-plan re-verify band rides behind the graduations so the
+    # driver re-hashes every key whose plan changed this round before
+    # unchanged greens
     n_rev = len(registry._REVERIFY)
     assert keys[at : at + n_rev] == list(registry._REVERIFY)
     for key in registry._REVERIFY:

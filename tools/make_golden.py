@@ -1,0 +1,559 @@
+"""Generate golden-table oracles for the UDF-bound keys (VERDICT r9 item 2).
+
+Each golden parquet under tests/fixtures/golden/ holds the expected output
+of one registered query, computed by the SEQUENTIAL pure-Python path that
+the Spark plan distributes: the same core functions the Arrow-batched UDFs
+wrap (split_text, two_pass_passage, separator_passage, the mock LLM
+clients, hash_embed, fuzz_partial_ratio), composed here with plain Python
+loops in place of the DataFrame plumbing (joins, windows, explodes,
+aggregations).  The DuckDB oracle then SELECTs from the golden file, so
+the driver's hash row proves the DISTRIBUTED plan — Arrow batching,
+explodes, join order, window ranks, null handling — reproduces the
+sequential computation (same proof class as a streaming/batch equivalence
+check).  tests/test_golden_oracles.py re-runs this mirror per pytest
+session and diffs it against the committed fixtures, so mirror/fixture
+drift fails loudly at build time.
+
+Inputs: the in-repo filing/deal fixtures (sf-independent keys) and the
+driver testdata documents tables for sf0.001/0.01/0.1 keyed by md5(text)
+(the documents tables are regenerated per sf with different texts, so a
+doc_id-keyed golden would pin one sf; the md5 join keeps one golden file
+correct at every sf the driver or selfcheck runs).
+
+Usage: python tools/make_golden.py [--outdir tests/fixtures/golden]
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import hashlib
+import json
+import math
+import os
+import re
+import sys
+import zlib
+from collections import Counter
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+GOLDEN_DIR = os.path.join(REPO, "tests", "fixtures", "golden")
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+DEALS_CSV = os.path.join(REPO, "tests", "fixtures", "deals.csv")
+
+MERGER_HEADER = (
+    "The following provides details about the events leading up to the "
+    "merger deal between {a} & {b}:\n"
+)
+PREAMBLE_HEAD = (
+    "Here are some potentially useful abbreviation definitions that could "
+    "help with analyzing the 'Background' section:\n"
+)
+
+
+# ---------------------------------------------------------------------------
+# scalar mirrors of the Spark expressions the pipelines compose
+
+
+def r4(x: float) -> float:
+    """Mirror of operators/_util.r4 (DuckDB-style round-half-away)."""
+    if x is None:
+        return None
+    xd = float(x)
+    if xd == 0.0:
+        return 0.0
+    mag = math.floor(abs(xd) * 10000.0 + 0.5) / 10000.0
+    return math.copysign(mag, xd)
+
+
+def strip_parens(s: str) -> str:
+    """functions/strings.strip_parens: remove (...) non-greedy, trim spaces."""
+    return re.sub(r"\(.*?\)", "", s).strip(" ")
+
+
+def word_boundary_pattern(name: str, flex_whitespace: bool = False) -> str:
+    esc = re.sub(r"([\\.\[\]\{\}\(\)\*\+\?\^\$\|])", r"\\\1", name)
+    if flex_whitespace:
+        esc = re.sub(r"\s+", r"\\s+", esc)
+    return r"\b" + esc + r"\b"
+
+
+def company_present(content: str, ca: str, cb: str) -> bool:
+    """plans/filing_pipeline._company_present over one candidate."""
+    prefix = content[:11000].lower()
+    na, nb = strip_parens(ca.lower()), strip_parens(cb.lower())
+    pa = word_boundary_pattern(na, True)
+    pb = word_boundary_pattern(nb, True)
+    if re.search(pa, prefix) and re.search(pb, prefix):
+        return True
+    pre2 = prefix.replace("-", " ")
+    pa2 = word_boundary_pattern(na.replace("-", " "), True)
+    pb2 = word_boundary_pattern(nb.replace("-", " "), True)
+    return bool(re.search(pa2, pre2) and re.search(pb2, pre2))
+
+
+def chunk_cascade(content: str, locate) -> list[tuple[int, str, str | None]]:
+    """operators/cascade.chunk_and_cascade over one document."""
+    from mergeextractor_spark.operators.chunking import split_text
+
+    return [
+        (i, c, (locate(c) if "background" in c.lower() else None))
+        for i, c in enumerate(split_text(content))
+    ]
+
+
+def normalize_lines(text: str) -> str:
+    """operators/enrich.normalize_lines: first occurrence per trimmed line,
+    blanks kept, order preserved."""
+    seen: set[str] = set()
+    kept: list[str] = []
+    for ln in text.split("\n"):
+        k = ln.strip(" ")
+        if k == "" or k not in seen:
+            kept.append(ln)
+            seen.add(k)
+    return "\n".join(kept)
+
+
+def first_token(name: str) -> str:
+    return re.split(r"\s+", name.strip(" ").lower())[0].split(".")[0]
+
+
+def company_tokens_present(passage: str, ca: str, cb: str) -> bool:
+    clean = re.sub(r"\s+", " ", passage.strip(" ").lower())
+    ta, tb = first_token(ca), first_token(cb)
+    if ta in clean and tb in clean:
+        return True
+    return ta.replace("-", " ") in clean and tb.replace("-", " ") in clean
+
+
+def top_orgs(text: str, k: int = 5) -> list[str]:
+    """operators/enrich.top_orgs over one passage: top-k by (count desc,
+    org asc)."""
+    from mergeextractor_spark.operators.enrich import ORG_PATTERN
+
+    matches = [m.group(1).strip(" ") for m in re.finditer(ORG_PATTERN, text)]
+    counts = Counter(matches)
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [org for org, _ in ranked]
+
+
+def find_definition(org: str, chunks: list[tuple[int, str, str | None]]) -> str | None:
+    """operators/enrich.find_definition_paragraphs for one org: first
+    paragraph (by chunk_idx, paragraph position) matching the reference's
+    (?i)\\([^)]*?"ORG"[^)]*?\\) pattern."""
+    esc = re.sub(r"([\\.\[\]\{\}\(\)\*\+\?\^\$\|])", r"\\\1", org)
+    pat = re.compile(r'(?i)\([^)]*?"' + esc + r'"[^)]*?\)')
+    for _idx, chunk, _p in chunks:
+        for para in re.split(r"\n\s*\n", chunk):
+            if pat.search(para):
+                return para.strip(" ")
+    return None
+
+
+# ---------------------------------------------------------------------------
+# fixture loaders
+
+
+def load_deals() -> list[dict]:
+    out = []
+    with open(DEALS_CSV, newline="") as f:
+        for row in csv.reader(f):
+            out.append(
+                {
+                    "main_index": int(row[0]),
+                    "announcement_date": row[1],
+                    "company_a": row[2],
+                    "company_b": row[3],
+                }
+            )
+    return out
+
+
+def load_filings() -> list[dict]:
+    from fixtures.filings import build_filings
+
+    return build_filings()
+
+
+# ---------------------------------------------------------------------------
+# golden builders — fixture-filings keys (sf-independent)
+
+
+def golden_header_cascade(filings) -> dict:
+    from mergeextractor_spark.operators.cascade import two_pass_passage
+
+    rows = []
+    for f in filings:
+        for i, _c, p in chunk_cascade(f["content"], two_pass_passage):
+            if p is not None:
+                rows.append((f["main_index"], i, len(p)))
+    return {
+        "main_index": [r[0] for r in rows],
+        "chunk_idx": [r[1] for r in rows],
+        "passage_len": [r[2] for r in rows],
+    }
+
+
+def golden_llm_classify(filings) -> dict:
+    from mergeextractor_spark.operators.llm import mock_classify_client
+
+    rows = []
+    for f in filings:
+        d = json.loads(mock_classify_client(f["content"]))
+        rows.append(
+            (f["main_index"], d["hasSection"], d["matchHeader"], r4(d["confidence"]))
+        )
+    return {
+        "main_index": [r[0] for r in rows],
+        "has_section": [r[1] for r in rows],
+        "match_header": [r[2] for r in rows],
+        "confidence": [r[3] for r in rows],
+    }
+
+
+def golden_abbrev_enrich(filings) -> dict:
+    from mergeextractor_spark.operators.cascade import two_pass_passage
+
+    rows = []
+    for f in filings:
+        chunks = chunk_cascade(f["content"], two_pass_passage)
+        for org in top_orgs(f["content"], 5):
+            d = find_definition(org, chunks)
+            if d is not None:
+                rows.append((f["main_index"], org, len(d)))
+    return {
+        "main_index": [r[0] for r in rows],
+        "org": [r[1] for r in rows],
+        "definition_len": [r[2] for r in rows],
+    }
+
+
+def separator_sections(filings) -> list[dict]:
+    """plans/filing_pipeline.separator_pipeline, sequentially."""
+    from mergeextractor_spark.operators.cascade import separator_passage
+    from mergeextractor_spark.operators.enrich import FOLLOW_CHUNKS
+
+    out = []
+    for f in filings:
+        cc = chunk_cascade(f["content"], separator_passage)
+        hits = [(i, p) for i, _c, p in cc if p is not None]
+        if not hits:
+            continue
+        best_idx, passage = max(hits, key=lambda t: (len(t[1]), -t[0]))
+        follow = [c for i, c, _p in cc if best_idx < i <= best_idx + FOLLOW_CHUNKS]
+        raw = passage + "\n" + "\n".join(follow)
+        section = normalize_lines(raw)
+        header = MERGER_HEADER.format(a=f["company_a"], b=f["company_b"])
+        if company_tokens_present(section, f["company_a"], f["company_b"]):
+            content = header + section
+        else:
+            chunks_only = [(i, c, None) for i, c, _p in cc]
+            defs = []
+            for org in top_orgs(section, 5):
+                d = find_definition(org, chunks_only)
+                if d is not None:
+                    defs.append((org, d))
+            if defs:
+                preamble = PREAMBLE_HEAD + "".join(
+                    f"\nPassage that defines the abbreviation '{o}':\n{d}\n"
+                    for o, d in sorted(defs)
+                )
+                content = preamble + "\n" + header + "\n" + section
+            else:
+                content = header + "\n" + section
+        out.append(
+            {
+                "main_index": f["main_index"],
+                "company_a": f["company_a"],
+                "company_b": f["company_b"],
+                "content": content,
+            }
+        )
+    return out
+
+
+def golden_pipeline_separator(filings) -> dict:
+    secs = separator_sections(filings)
+    return {
+        "main_index": [s["main_index"] for s in secs],
+        "company_a": [s["company_a"] for s in secs],
+        "company_b": [s["company_b"] for s in secs],
+        "content_len": [len(s["content"]) for s in secs],
+    }
+
+
+def golden_llm_extract_initiator(filings) -> dict:
+    from mergeextractor_spark.operators.llm import (
+        INITIATION_TYPES,
+        mock_initiator_client,
+    )
+
+    rows = []
+    for s in separator_sections(filings):
+        d = json.loads(mock_initiator_client(s["content"]))
+        t = d["type_of_initiation"]
+        rows.append(
+            (
+                s["main_index"],
+                d["initiator"],
+                d["date_of_initiation"],
+                t if t in INITIATION_TYPES else None,
+                d["stated_reasons"],
+            )
+        )
+    return {
+        "main_index": [r[0] for r in rows],
+        "initiator": [r[1] for r in rows],
+        "date_of_initiation": [r[2] for r in rows],
+        "type_of_initiation": [r[3] for r in rows],
+        "reason": [r[4] for r in rows],
+    }
+
+
+def _crawler_state(deals, filings):
+    from mergeextractor_spark.operators.cascade import (
+        separator_passage,
+        two_pass_passage,
+    )
+
+    fil_by_idx: dict[int, list[dict]] = {}
+    for f in filings:
+        fil_by_idx.setdefault(f["main_index"], []).append(f)
+    state = []
+    for d in deals:
+        cands = fil_by_idx.get(d["main_index"], [])
+        present = [
+            f
+            for f in cands
+            if company_present(f["content"], d["company_a"], d["company_b"])
+        ]
+        hits = [
+            (f["url"], i)
+            for f in present
+            for i, _c, p in chunk_cascade(f["content"], two_pass_passage)
+            if p is not None
+        ]
+        url = min(hits)[0] if hits else None
+        sep_ok = False
+        if url is not None:
+            winner = next(f for f in cands if f["url"] == url)
+            sep_ok = any(
+                p is not None
+                for _i, _c, p in chunk_cascade(winner["content"], separator_passage)
+            )
+        state.append(
+            {
+                "deal": d,
+                "n_cand": len(cands),
+                "any_present": bool(present),
+                "url": url,
+                "sep_ok": sep_ok,
+            }
+        )
+    return state
+
+
+def golden_pipeline_crawler(deals, filings) -> dict:
+    rows = []
+    for s in _crawler_state(deals, filings):
+        if s["url"] is not None:
+            d = s["deal"]
+            rows.append(
+                (
+                    d["main_index"],
+                    d["announcement_date"],
+                    d["company_a"],
+                    d["company_b"],
+                    s["url"],
+                )
+            )
+    return {
+        "main_index": [r[0] for r in rows],
+        "announcement_date": [r[1] for r in rows],
+        "tmanames": [r[2] for r in rows],
+        "amanames": [r[3] for r in rows],
+        "url": [r[4] for r in rows],
+    }
+
+
+def golden_pipeline_crawler_audit(deals, filings) -> dict:
+    rows = []
+    for s in _crawler_state(deals, filings):
+        if s["sep_ok"]:
+            status = "accepted"
+        elif s["url"] is not None:
+            status = "flagged_manual_inspection"
+        elif s["n_cand"] == 0:
+            status = "no_document"
+        elif not s["any_present"]:
+            status = "no_relevant_document"
+        else:
+            status = "no_background_section"
+        rows.append((s["deal"]["main_index"], status, s["url"]))
+    return {
+        "main_index": [r[0] for r in rows],
+        "status": [r[1] for r in rows],
+        "url": [r[2] for r in rows],
+    }
+
+
+# ---------------------------------------------------------------------------
+# golden builders — documents-table keys (md5(text)-keyed, union of sfs)
+
+
+def _distinct_texts() -> list[str]:
+    import duckdb
+
+    union = " UNION ".join(
+        f"SELECT text FROM read_parquet('{d}/documents.parquet')" for d in SF_DIRS
+    )
+    con = duckdb.connect()
+    texts = [r[0] for r in con.execute(union).fetchall()]
+    con.close()
+    return texts
+
+
+def _md5(text: str) -> str:
+    return hashlib.md5(text.encode("utf-8")).hexdigest()
+
+
+def golden_chunk_split_overlap(texts) -> dict:
+    from mergeextractor_spark.operators.chunking import split_text
+
+    rows = []
+    for t in texts:
+        for i, c in enumerate(split_text(t)):
+            rows.append((_md5(t), i, len(c)))
+    return {
+        "text_md5": [r[0] for r in rows],
+        "chunk_idx": [r[1] for r in rows],
+        "chunk_len": [r[2] for r in rows],
+    }
+
+
+def golden_embed_text(texts) -> dict:
+    import numpy as np
+
+    from mergeextractor_spark.functions.embedding import hash_embed
+
+    rows = []
+    for t in texts:
+        vec = hash_embed(t)
+        acc = 0.0
+        for v in vec:
+            d = float(np.float32(v))  # the UDF declares array<float>
+            acc += d * d
+        rows.append((_md5(t), len(vec), r4(acc)))
+    return {
+        "text_md5": [r[0] for r in rows],
+        "dim": [r[1] for r in rows],
+        "sq_norm": [r[2] for r in rows],
+    }
+
+
+def golden_str_normalize_unicode(texts) -> dict:
+    import unicodedata
+
+    rows = []
+    for t in texts:
+        raw = "ﬁ " + t[:60] + "™"
+        folded = unicodedata.normalize("NFKC", raw).encode("ascii", "ignore").decode()
+        rows.append((_md5(t), folded))
+    return {"text_md5": [r[0] for r in rows], "folded": [r[1] for r in rows]}
+
+
+def golden_text_compression_ratio(texts) -> dict:
+    rows = []
+    for t in texts:
+        enc = t.encode()
+        # the UDF uses Python round() (banker's) — mirror it exactly
+        rows.append((_md5(t), round(len(zlib.compress(enc, 6)) / max(len(enc), 1), 4)))
+    return {
+        "text_md5": [r[0] for r in rows],
+        "compression_ratio": [r[1] for r in rows],
+    }
+
+
+def golden_fuzzy_partial_ratio() -> dict:
+    import duckdb
+
+    from mergeextractor_spark.functions.fuzzy import fuzz_partial_ratio
+
+    con = duckdb.connect()
+    nations = [
+        r[0]
+        for r in con.execute(
+            f"SELECT n_name FROM read_parquet('{SF_DIRS[1]}/nation.parquet') ORDER BY 1"
+        ).fetchall()
+    ]
+    regions = [
+        r[0]
+        for r in con.execute(
+            f"SELECT r_name FROM read_parquet('{SF_DIRS[1]}/region.parquet') ORDER BY 1"
+        ).fetchall()
+    ]
+    con.close()
+    rows = [
+        (a, b, r4(fuzz_partial_ratio(a.lower(), b.lower())))
+        for a in nations
+        for b in regions
+    ]
+    return {
+        "name_a": [r[0] for r in rows],
+        "name_b": [r[1] for r in rows],
+        "partial": [r[2] for r in rows],
+    }
+
+
+# ---------------------------------------------------------------------------
+
+
+# (name, builder, int32 columns) — int32 cols must match the Spark side's
+# IntegerType outputs so the driver's type-tagged compare agrees.
+def build_all() -> dict[str, "object"]:
+    import pandas as pd
+
+    filings = load_filings()
+    deals = load_deals()
+    texts = _distinct_texts()
+
+    tables = {
+        "header_cascade": (golden_header_cascade(filings), ["chunk_idx"]),
+        "llm_classify_doc": (golden_llm_classify(filings), []),
+        "abbrev_enrich": (golden_abbrev_enrich(filings), []),
+        "pipeline_separator": (golden_pipeline_separator(filings), []),
+        "llm_extract_initiator": (golden_llm_extract_initiator(filings), []),
+        "pipeline_crawler": (golden_pipeline_crawler(deals, filings), []),
+        "pipeline_crawler_audit": (golden_pipeline_crawler_audit(deals, filings), []),
+        "chunk_split_overlap": (golden_chunk_split_overlap(texts), ["chunk_idx"]),
+        "embed_text": (golden_embed_text(texts), ["dim"]),
+        "str_normalize_unicode": (golden_str_normalize_unicode(texts), []),
+        "text_compression_ratio": (golden_text_compression_ratio(texts), []),
+        "fuzzy_partial_ratio": (golden_fuzzy_partial_ratio(), []),
+    }
+    out = {}
+    for name, (data, int32_cols) in tables.items():
+        df = pd.DataFrame(data)
+        for c in int32_cols:
+            df[c] = df[c].astype("int32")
+        out[name] = df
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--outdir", default=GOLDEN_DIR)
+    args = ap.parse_args()
+    os.makedirs(args.outdir, exist_ok=True)
+    for name, df in build_all().items():
+        path = os.path.join(args.outdir, f"{name}.parquet")
+        df.to_parquet(path, index=False)
+        print(f"{name}: {len(df)} rows -> {path}")
+
+
+if __name__ == "__main__":
+    main()
