@@ -106,6 +106,7 @@ def main() -> None:
     # round-over-round deltas can be read against measured noise
     # (VERDICT r2 item 10), not an asserted ±15%.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+    sub_second_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS_SUBSEC", "9"))
 
     # Suite-level JVM warmup: the per-query warm run caches plan+IO but
     # the first timed queries still paid whole-process JIT compilation
@@ -117,6 +118,7 @@ def main() -> None:
             reg[key].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
     timings: dict[str, float] = {}
     stdevs: dict[str, float] = {}
+    n_samples: dict[str, int] = {}
     for key in HEADLINE:
         q = reg[key]
         # Per-query cache isolation (r7): keys whose plans .cache()
@@ -136,9 +138,26 @@ def main() -> None:
             df = q.spark(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
+        # Sub-second keys ride a ±20-40% session envelope that cost three
+        # adjudications in r9 (VERDICT r9 item 8): the construction/JIT
+        # jitter is a fixed absolute cost, so it dominates exactly when
+        # the query is fast. Boost those to 9 samples and report the
+        # median-of-9 — extra runs are cheap precisely because the key is
+        # sub-second.
+        if statistics.median(samples) < 1.0:
+            for _ in range(max(0, sub_second_runs - n_runs)):
+                t0 = time.time()
+                df = q.spark(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                samples.append(time.time() - t0)
         timings[key] = round(statistics.median(samples), 3)
-        stdevs[key] = round(statistics.stdev(samples), 3) if n_runs > 1 else 0.0
-        print(f"  {key}: {timings[key]}s ±{stdevs[key]}", file=sys.stderr, flush=True)
+        stdevs[key] = round(statistics.stdev(samples), 3) if len(samples) > 1 else 0.0
+        n_samples[key] = len(samples)
+        print(
+            f"  {key}: {timings[key]}s ±{stdevs[key]} (n={len(samples)})",
+            file=sys.stderr,
+            flush=True,
+        )
 
     total = round(sum(timings.values()), 3)
     # Full record (stdev, host context) goes to STDERR — the driver's
@@ -152,6 +171,7 @@ def main() -> None:
             {
                 "stdev": stdevs,
                 "runs_per_query": n_runs,
+                "samples_per_query": n_samples,
                 # host context: a uniform shift across unrelated queries is
                 # the box, not the code (PERFORMANCE.md box-drift caveat)
                 "load_avg_1m": round(os.getloadavg()[0], 2),
