@@ -20,15 +20,31 @@ from pyspark.sql import functions as F
 
 from ..functions import strings as S
 from ..registry import register
-from ._util import scratch_dir, t
+from ._util import golden_path, scratch_dir, t
 
 # ---------------------------------------------------------------------------
 # §2.1 sources / sinks
 
+_REPO_DIR = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+_DEALS_CSV_PATH = os.path.join(_REPO_DIR, "tests", "fixtures", "deals.csv")
+_FILINGS_PQ_PATH = os.path.join(_REPO_DIR, "tests", "fixtures", "filings.parquet")
+
 
 @register(
     "source_http_fts",
-    oracle=None,  # external-source stage with injected fetcher → rows-only
+    # r10 graduation: the injected fetcher is a pure function of the URL,
+    # so DuckDB recomputes the fetched+parsed rows from the nation table
+    # directly — the hash row proves the token-bucket mapInPandas stage
+    # and the from_json parse deliver exactly the per-URL responses.
+    oracle="""
+    SELECT 'https://example.invalid/search?q=' || replace(n_name, ' ', '%20') AS url,
+           CAST(200 AS INTEGER) AS status,
+           CAST(length(replace(n_name, ' ', '%20')) AS BIGINT) AS total_value,
+           '0001-01-000001' AS adsh
+    FROM nation
+    """,
     doc="Rate-limited full-text-search source stage (ref "
     "CrawlerSupport.py:116-132): EDGAR query-param URLs built natively "
     "(pushdown-by-construction, O1), fetched via the token-bucket "
@@ -69,7 +85,23 @@ def source_http_fts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "source_http_doc",
-    oracle=None,  # external-source stage → rows-only
+    # r10 graduation: injected fetcher = pure function of the URL, so
+    # DuckDB recomputes (url, status, body_len) from the region table.
+    oracle="""
+    WITH u AS (
+      SELECT 'https://www.sec.gov/Archives/edgar/data/'
+             || CAST(r_regionkey AS VARCHAR) || '/'
+             || replace('000000' || CAST(r_regionkey AS VARCHAR)
+                        || '-01-00000' || CAST(r_regionkey AS VARCHAR), '-', '')
+             || '/' || '000000' || CAST(r_regionkey AS VARCHAR)
+             || '-01-00000' || CAST(r_regionkey AS VARCHAR) || '.txt' AS url
+      FROM region
+    )
+    SELECT url, CAST(200 AS INTEGER) AS status,
+           CAST(length('<html><body><p>Filing body for ' || url
+                       || '</p></body></html>') AS BIGINT) AS body_len
+    FROM u
+    """,
     doc="Rate-limited document fetch stage (ref Processor.py:66-93): URL "
     "construction (str_build_url) + token-bucket fetch with an injected "
     "offline fetcher returning synthetic filing bodies.",
@@ -123,7 +155,14 @@ def source_pyds_fts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sink_csv_append",
-    oracle=None,  # side-effecting sink → write-then-read-back rows-only
+    # r10 graduation: the write->read-back roundtrip must reproduce the
+    # source deals exactly, which DuckDB reads directly from the same CSV.
+    oracle=f"""
+    SELECT main_index, company_a
+    FROM read_csv('{_DEALS_CSV_PATH}', header=false,
+                  columns={{'main_index': 'BIGINT', 'announcement_date': 'VARCHAR',
+                            'company_a': 'VARCHAR', 'company_b': 'VARCHAR'}})
+    """,
     doc="Ordered CSV sink with header (output.csv semantics, ref "
     "CrawlerHandler.py:21-49): write via sink_csv_ordered, read back typed.",
     eager=True,  # construction writes to the scratch store
@@ -141,7 +180,14 @@ def sink_csv_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sink_csv_union",
-    oracle=None,  # side-effecting sink → rows-only
+    # r10 graduation: the identifier pipeline's expected output is the
+    # llm_extract_initiator golden table (sequential mirror), and the CSV
+    # roundtrip must preserve it — incl. the NULL enum column (written
+    # empty, read back NULL).
+    oracle=f"""
+    SELECT main_index, initiator, type_of_initiation
+    FROM read_parquet('{golden_path("llm_extract_initiator")}')
+    """,
     doc="Identifier-results CSV sink (outputUnion.csv semantics, ref "
     "InitiatorIdentifier.py:26-50): identifier pipeline → ordered CSV → "
     "read back.",
@@ -165,7 +211,15 @@ def sink_csv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sink_kv_store",
-    oracle=None,  # side-effecting sink → rows-only
+    # r10 graduation: the filing fixture ships as parquet, so DuckDB
+    # recomputes the expected store — every filing under the
+    # main_index // 100 bucketing rule — and the hash row proves the
+    # partitioned write+read roundtrip preserves values.
+    oracle=f"""
+    SELECT main_index, CAST(floor(main_index / 100) AS INTEGER) AS bucket,
+           CAST(length(content) AS BIGINT) AS content_len
+    FROM read_parquet('{_FILINGS_PQ_PATH}')
+    """,
     doc="Bucketed keyed store write → full read-back (ref Mongo inserts "
     "Processor.py:288-297 et al.; partitionBy('bucket') parquet).",
     eager=True,  # construction writes to the scratch store
@@ -182,7 +236,14 @@ def sink_kv_store_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "scan_kv_store",
-    oracle=None,  # partition-pruned point lookup → rows-only
+    # r10 graduation: DuckDB recomputes the expected point-lookup row
+    # (key 411 = filing 3 under the *137 rekey) from the filing fixture.
+    oracle=f"""
+    SELECT main_index * 137 AS main_index, company_a,
+           CAST(floor((main_index * 137) / 100) AS INTEGER) AS bucket
+    FROM read_parquet('{_FILINGS_PQ_PATH}')
+    WHERE main_index * 137 = 411
+    """,
     doc="Keyed point lookup with partition pruning (ref find_one at "
     "SeperatorHandler.py:53-64): bucket predicate prunes to one partition "
     "before the key filter.",
@@ -201,7 +262,12 @@ def scan_kv_store_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sink_fs_dump",
-    oracle=None,  # side-effecting sink → rows-only
+    # r10 graduation: the dump must emit exactly one FILE: line per
+    # filing, which DuckDB recomputes from the fixture.
+    oracle=f"""
+    SELECT main_index FROM read_parquet('{_FILINGS_PQ_PATH}')
+    ORDER BY main_index
+    """,
     doc="Store → per-row text dump, directory per bucket (ref "
     "tools/dumpdata.py:4-38), read back as text lines.",
     eager=True,  # construction writes to the scratch store
@@ -222,7 +288,20 @@ def sink_fs_dump_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sink_log",
-    oracle=None,  # side-effecting sink → rows-only
+    # r10 graduation: the per-class line counts are a projection of the
+    # crawler-audit golden table (sequential mirror) under the logs.txt
+    # tag mapping — accepted -> [+], flagged -> [x], the three reject
+    # classes -> [-].
+    oracle=f"""
+    SELECT tag, CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT CASE WHEN status = 'accepted' THEN '[+]'
+                  WHEN status = 'flagged_manual_inspection' THEN '[x]'
+                  ELSE '[-]' END AS tag
+      FROM read_parquet('{golden_path("pipeline_crawler_audit")}')
+    ) t
+    GROUP BY tag ORDER BY tag
+    """,
     doc="Timestamped run-log sink with the reference's logs.txt line "
     "taxonomy (ref src/utils/Logger.py:12-24; line formats "
     "Processor.py:299, CrawlerSupport.py:414/435/445, "

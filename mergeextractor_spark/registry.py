@@ -243,6 +243,18 @@ _ORACLE_BACKLOG: tuple[str, ...] = (
     "pipeline_crawler",
     "pipeline_crawler_audit",
     "text_compression_ratio",
+    # second wave: sink/source keys whose expected output DuckDB
+    # recomputes from the fixtures (the injected fetchers are pure
+    # functions of the URL; the roundtrips must reproduce their source
+    # tables; sink_log's counts project the audit golden)
+    "source_http_fts",
+    "source_http_doc",
+    "sink_csv_append",
+    "sink_csv_union",
+    "sink_kv_store",
+    "scan_kv_store",
+    "sink_fs_dump",
+    "sink_log",
 )
 
 # Already-green keys whose PLANS changed this round — ranked directly
@@ -274,13 +286,11 @@ _REVERIFY: tuple[str, ...] = (
 # (IVF k-means), mocked HTTP sources, and the multimodal binary keys
 # (rows-only by contract).
 _ROWS_ONLY_EVIDENCED: tuple[str, ...] = (
-    "sink_log",
     "vector_pca_project", "pipeline_incremental_ingest",
     "multimodal_image_phash", "dedup_image_phash",
     "multimodal_audio_fingerprint", "dedup_audio_fingerprint",
     "multimodal_video_fingerprint", "dedup_video_fingerprint",
-    "sink_kv_roundtrip", "sink_kv_upsert", "sink_fs_dump",
-    "source_http_fts", "source_http_doc",
+    "sink_kv_roundtrip", "sink_kv_upsert",
     "multimodal_image_meta", "multimodal_audio_meta",
     "multimodal_video_meta", "multimodal_frame_sample",
     "ann_ivf_trained",
@@ -288,7 +298,6 @@ _ROWS_ONLY_EVIDENCED: tuple[str, ...] = (
     "events_approx_distinct",
     "source_pyds_fts", "agg_hll_daily_union",
     "sink_pyds_kv",
-    "sink_csv_append", "sink_csv_union", "sink_kv_store", "scan_kv_store",
 )
 
 # Number of previously-green keys re-checked per round, sampled
