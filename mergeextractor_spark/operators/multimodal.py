@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..registry import register
-from ._util import truncate_lineage
+from ._util import golden_path, truncate_lineage
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -729,13 +729,11 @@ _MEDIA_CACHE: "weakref.WeakKeyDictionary[SparkSession, DataFrame]" = (
 )
 
 
-def _media_df(spark: SparkSession) -> DataFrame:
-    """Deterministic media fixture: real PNG containers + FAKEIMG payloads
-    + byte-stream 'videos'. Driver-side row build is fine — the payloads
-    are the fixture, not the data path (at scale these arrive as a binary
-    parquet/blob column)."""
-    if spark in _MEDIA_CACHE:
-        return _MEDIA_CACHE[spark]
+def media_rows() -> list[dict]:
+    """The deterministic media fixture as plain rows — pure Python, no
+    Spark. Factored out of :func:`_media_df` (r10) so the sequential
+    golden-oracle mirror (tools/make_golden.py) reads the IDENTICAL
+    payload set the registered queries process, with zero copy-drift."""
     rows = []
     for i in range(8):
         rows.append(
@@ -884,16 +882,35 @@ def _media_df(spark: SparkSession) -> DataFrame:
                 "mime": "video/fake",
             }
         )
+    return rows
+
+
+def _media_df(spark: SparkSession) -> DataFrame:
+    """Deterministic media fixture: real PNG containers + FAKEIMG payloads
+    + byte-stream 'videos'. Driver-side row build is fine — the payloads
+    are the fixture, not the data path (at scale these arrive as a binary
+    parquet/blob column)."""
+    if spark in _MEDIA_CACHE:
+        return _MEDIA_CACHE[spark]
     # pandas/Arrow build (not list-of-dicts): keeps the payload bytes as
     # JVM-local batches instead of a Python RDD re-pickled on every action.
-    df = spark.createDataFrame(pd.DataFrame(rows), schema=MEDIA_SCHEMA).coalesce(1)
+    df = spark.createDataFrame(
+        pd.DataFrame(media_rows()), schema=MEDIA_SCHEMA
+    ).coalesce(1)
     _MEDIA_CACHE[spark] = df
     return df
 
 
 @register(
     "multimodal_image_meta",
-    oracle=None,  # binary mapInPandas decode → rows-only
+    # r10 graduation: golden-table oracle — the sequential decode of the
+    # IDENTICAL media_rows() payload set (tools/make_golden.py), so the
+    # hash row proves the Arrow-batched binary plumbing delivers the
+    # sequential codec output.
+    oracle=f"""
+    SELECT media_id, width, height, n_bytes
+    FROM read_parquet('{golden_path("multimodal_image_meta")}')
+    """,
     doc="Image metadata extraction over a binary media column: real PNG "
     "headers + synthetic FAKEIMG payloads through the stdlib header codec "
     "via Arrow-batched mapInPandas. Payload bytes never shuffle — only "
@@ -906,7 +923,11 @@ def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_frame_sample",
-    oracle=None,  # binary UDTF fan-out → rows-only
+    # r10 graduation: golden-table oracle (sequential byte-slice mirror).
+    oracle=f"""
+    SELECT media_id, frame_idx, frame_len
+    FROM read_parquet('{golden_path("multimodal_frame_sample")}')
+    """,
     doc="Frame sampling over binary video payloads (1 row → N frames, "
     "UDTF shape via mapInPandas); returns frame sizes so the rows-only "
     "check pins the fan-out arithmetic.",
@@ -920,7 +941,13 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_audio_meta",
-    oracle=None,  # binary mapInPandas decode → rows-only
+    # r10 graduation: golden-table oracle (sequential WAV/FAKEAUD decode
+    # of the identical media_rows() payload set).
+    oracle=f"""
+    SELECT media_id, channels, sample_rate, bits_per_sample, duration_ms,
+           n_bytes
+    FROM read_parquet('{golden_path("multimodal_audio_meta")}')
+    """,
     doc="Audio metadata extraction over a binary media column: real "
     "RIFF/WAVE containers (stdlib wave fixtures) + synthetic FAKEAUD "
     "payloads through the chunk-walking header codec via Arrow-batched "
@@ -1050,7 +1077,12 @@ def video_metadata(
 
 @register(
     "multimodal_video_meta",
-    oracle=None,  # binary mapInPandas decode → rows-only
+    # r10 graduation: golden-table oracle (sequential ISO-BMFF box-walk
+    # over the identical media_rows() payload set).
+    oracle=f"""
+    SELECT media_id, duration_ms, timescale, n_tracks, mdat_bytes, n_bytes
+    FROM read_parquet('{golden_path("multimodal_video_meta")}')
+    """,
     doc="Video metadata extraction over a binary media column: real "
     "ISO-BMFF (MP4) containers through a stdlib box-walk codec — "
     "duration / timescale / track count / mdat payload size without "
@@ -1149,7 +1181,13 @@ def dedup_image_phash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_audio_fingerprint",
-    oracle=None,  # binary mapInPandas decode → rows-only
+    # r10 graduation: golden-table oracle — sequential PCM decode +
+    # envelope hash over the identical media_rows() payload set;
+    # undecodable payloads carry NULL signatures on both sides.
+    oracle=f"""
+    SELECT media_id, phash
+    FROM read_parquet('{golden_path("multimodal_audio_fingerprint")}')
+    """,
     doc="64-bit energy-envelope fingerprint per audio clip: stdlib WAV "
     "PCM decode (injectable ffmpeg/soundfile seam for other formats) → "
     "65 relative frames → mean-|amplitude| envelope → adjacent-frame "
@@ -1177,7 +1215,12 @@ def dedup_audio_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_video_fingerprint",
-    oracle=None,  # binary mapInPandas decode → rows-only
+    # r10 graduation: golden-table oracle (sequential temporal-envelope
+    # mirror over the identical media_rows() payload set).
+    oracle=f"""
+    SELECT media_id, phash
+    FROM read_parquet('{golden_path("multimodal_video_fingerprint")}')
+    """,
     doc="64-bit temporal-envelope fingerprint per video: 65 byte-range "
     "frames by relative position, per-frame scalar (mean byte value by "
     "default; an injected decoder supplies per-frame mean luma), "

@@ -255,6 +255,15 @@ _ORACLE_BACKLOG: tuple[str, ...] = (
     "scan_kv_store",
     "sink_fs_dump",
     "sink_log",
+    # third wave: multimodal keys whose sequential-mirror golden decodes
+    # the IDENTICAL media_rows() payload set (the dedup_* banded-join
+    # trio and the sf-scaled phash corpus stay rows-only)
+    "multimodal_image_meta",
+    "multimodal_audio_meta",
+    "multimodal_video_meta",
+    "multimodal_frame_sample",
+    "multimodal_audio_fingerprint",
+    "multimodal_video_fingerprint",
 )
 
 # Already-green keys whose PLANS changed this round — ranked directly
@@ -288,11 +297,8 @@ _REVERIFY: tuple[str, ...] = (
 _ROWS_ONLY_EVIDENCED: tuple[str, ...] = (
     "vector_pca_project", "pipeline_incremental_ingest",
     "multimodal_image_phash", "dedup_image_phash",
-    "multimodal_audio_fingerprint", "dedup_audio_fingerprint",
-    "multimodal_video_fingerprint", "dedup_video_fingerprint",
+    "dedup_audio_fingerprint", "dedup_video_fingerprint",
     "sink_kv_roundtrip", "sink_kv_upsert",
-    "multimodal_image_meta", "multimodal_audio_meta",
-    "multimodal_video_meta", "multimodal_frame_sample",
     "ann_ivf_trained",
     "agg_percentile_approx", "dedup_bloom_prefilter",
     "events_approx_distinct",

@@ -51,12 +51,12 @@ def test_gate_window_rotation_order():
     n_fix = len(registry._EVIDENCE_FIX)
     n_first = len(registry._ROTATION_FIRST)
     n_backlog = len(registry._ORACLE_BACKLOG)
-    # window arithmetic: 12 canaries + 5 stragglers + 23 graduations +
-    # 15 re-verifies = 55 — the graduations (first-ever value evidence)
-    # outrank the re-verify tail, whose last few keys may slip past a
+    # window arithmetic: 12 canaries + 5 stragglers + 29 graduations +
+    # 15 re-verifies — the graduations (first-ever value evidence)
+    # outrank the re-verify tail, whose last keys may slip past a
     # wall-capped ~50-key window; those are the lowest-stakes entries
     # (plan-only condition swaps, builder-verified green at two sfs)
-    assert n_fix == 0 and n_first == 5 and n_backlog == 23
+    assert n_fix == 0 and n_first == 5 and n_backlog == 29
     assert (
         registry._CANARY_SLOTS + n_first + n_backlog <= 50
     )

@@ -32,6 +32,12 @@ GOLDEN_DIR = os.path.join(REPO, "tests", "fixtures", "golden")
 sys.path.insert(0, os.path.join(REPO, "tools"))
 
 FIXTURE_KEYS = [
+    "multimodal_image_meta",
+    "multimodal_audio_meta",
+    "multimodal_video_meta",
+    "multimodal_frame_sample",
+    "multimodal_audio_fingerprint",
+    "multimodal_video_fingerprint",
     "header_cascade",
     "llm_classify_doc",
     "abbrev_enrich",

@@ -412,7 +412,12 @@ def _distinct_texts() -> list[str]:
         f"SELECT text FROM read_parquet('{d}/documents.parquet')" for d in SF_DIRS
     )
     con = duckdb.connect()
-    texts = [r[0] for r in con.execute(union).fetchall()]
+    # ORDER BY md5: UNION output order is nondeterministic, which would
+    # reshuffle the golden parquet bytes on every regeneration (git churn
+    # with identical content)
+    texts = [
+        r[0] for r in con.execute(f"SELECT text FROM ({union}) ORDER BY md5(text)").fetchall()
+    ]
     con.close()
     return texts
 
@@ -478,6 +483,151 @@ def golden_text_compression_ratio(texts) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# golden builders — multimodal fixture keys (sequential decode of the
+# SAME media_rows() the registered queries process)
+
+
+def golden_multimodal_image_meta() -> dict:
+    from mergeextractor_spark.operators.multimodal import (
+        decode_image,
+        header_image_codec,
+        media_rows,
+    )
+
+    rows = []
+    for m in media_rows():
+        if m["kind"] != "image":
+            continue
+        try:
+            w, h = decode_image(bytes(m["payload"]), header_image_codec)
+        except Exception:
+            w = h = -1
+        rows.append((m["media_id"], w, h, len(m["payload"])))
+    return {
+        "media_id": [r[0] for r in rows],
+        "width": [r[1] for r in rows],
+        "height": [r[2] for r in rows],
+        "n_bytes": [r[3] for r in rows],
+    }
+
+
+def golden_multimodal_audio_meta() -> dict:
+    from mergeextractor_spark.operators.multimodal import media_rows, wav_header_codec
+
+    rows = []
+    for m in media_rows():
+        if m["kind"] != "audio":
+            continue
+        data = bytes(m["payload"])
+        try:
+            ch, rate, bits, n_frames = wav_header_codec(data)
+            dur = int(n_frames * 1000 // max(rate, 1))
+        except Exception:
+            ch = rate = bits = -1
+            dur = -1
+        rows.append((m["media_id"], ch, rate, bits, dur, len(data)))
+    return {
+        "media_id": [r[0] for r in rows],
+        "channels": [r[1] for r in rows],
+        "sample_rate": [r[2] for r in rows],
+        "bits_per_sample": [r[3] for r in rows],
+        "duration_ms": [r[4] for r in rows],
+        "n_bytes": [r[5] for r in rows],
+    }
+
+
+def golden_multimodal_video_meta() -> dict:
+    from mergeextractor_spark.operators.multimodal import media_rows, mp4_box_codec
+
+    rows = []
+    for m in media_rows():
+        if m["kind"] != "video":
+            continue
+        data = bytes(m["payload"])
+        try:
+            dur, ts, nt, mb = mp4_box_codec(data)
+        except Exception:
+            dur = ts = nt = mb = -1
+        rows.append((m["media_id"], dur, ts, nt, mb, len(data)))
+    return {
+        "media_id": [r[0] for r in rows],
+        "duration_ms": [r[1] for r in rows],
+        "timescale": [r[2] for r in rows],
+        "n_tracks": [r[3] for r in rows],
+        "mdat_bytes": [r[4] for r in rows],
+        "n_bytes": [r[5] for r in rows],
+    }
+
+
+def golden_multimodal_frame_sample(every_n_bytes: int = 128) -> dict:
+    from mergeextractor_spark.operators.multimodal import media_rows
+
+    rows = []
+    for m in media_rows():
+        if m["kind"] != "video":
+            continue
+        data = bytes(m["payload"])
+        for i, start in enumerate(range(0, len(data), every_n_bytes)):
+            rows.append((m["media_id"], i, len(data[start : start + every_n_bytes])))
+    return {
+        "media_id": [r[0] for r in rows],
+        "frame_idx": [r[1] for r in rows],
+        "frame_len": [r[2] for r in rows],
+    }
+
+
+def golden_multimodal_audio_fingerprint() -> dict:
+    from mergeextractor_spark.operators.multimodal import (
+        audiohash64,
+        media_rows,
+        stdlib_pcm_codec,
+    )
+
+    rows = []
+    for m in media_rows():
+        if m["kind"] != "audio":
+            continue
+        try:
+            ph = audiohash64(stdlib_pcm_codec(bytes(m["payload"]))) - (1 << 63)
+        except Exception:
+            ph = None
+        rows.append((m["media_id"], ph))
+    return {
+        "media_id": [r[0] for r in rows],
+        "phash": [r[1] for r in rows],
+    }
+
+
+def golden_multimodal_video_fingerprint() -> dict:
+    from mergeextractor_spark.operators.multimodal import media_rows
+
+    rows = []
+    for m in media_rows():
+        if m["kind"] != "video":
+            continue
+        try:
+            raw = bytes(m["payload"])
+            if len(raw) < 65:
+                raise ValueError("too short to fingerprint")
+            vals = []
+            for k in range(65):
+                lo, hi = (k * len(raw)) // 65, ((k + 1) * len(raw)) // 65
+                b = raw[lo:hi]
+                vals.append(sum(b) / len(b) if b else 0.0)
+            bits = 0
+            for k in range(64):
+                bits = (bits << 1) | (1 if vals[k] > vals[k + 1] else 0)
+            ph = bits - (1 << 63)
+        except Exception:
+            ph = None
+        rows.append((m["media_id"], ph))
+    return {
+        "media_id": [r[0] for r in rows],
+        "phash": [r[1] for r in rows],
+    }
+
+
 def golden_fuzzy_partial_ratio() -> dict:
     import duckdb
 
@@ -534,12 +684,27 @@ def build_all() -> dict[str, "object"]:
         "str_normalize_unicode": (golden_str_normalize_unicode(texts), []),
         "text_compression_ratio": (golden_text_compression_ratio(texts), []),
         "fuzzy_partial_ratio": (golden_fuzzy_partial_ratio(), []),
+        "multimodal_image_meta": (golden_multimodal_image_meta(), ["width", "height"]),
+        "multimodal_audio_meta": (
+            golden_multimodal_audio_meta(),
+            ["channels", "sample_rate", "bits_per_sample"],
+        ),
+        "multimodal_video_meta": (
+            golden_multimodal_video_meta(),
+            ["timescale", "n_tracks"],
+        ),
+        "multimodal_frame_sample": (golden_multimodal_frame_sample(), ["frame_idx"]),
+        "multimodal_audio_fingerprint": (golden_multimodal_audio_fingerprint(), []),
+        "multimodal_video_fingerprint": (golden_multimodal_video_fingerprint(), []),
     }
     out = {}
     for name, (data, int32_cols) in tables.items():
         df = pd.DataFrame(data)
         for c in int32_cols:
             df[c] = df[c].astype("int32")
+        if "phash" in df.columns:
+            # nullable 64-bit: undecodable payloads carry a NULL signature
+            df["phash"] = pd.array(data["phash"], dtype="Int64")
         out[name] = df
     return out
 
