@@ -19,6 +19,11 @@ from ._util import golden_path, scratch_dir, t, r4
 
 RERANK_QUERY = "events leading up to the merger agreement between the companies"
 
+_FILINGS_PQ = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "fixtures", "filings.parquet",
+)
+
 
 @register(
     "embed_text",
@@ -134,7 +139,16 @@ def abbrev_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sink_kv_roundtrip",
-    oracle=None,  # side-effecting sink → rows-only roundtrip
+    # r10 graduation: DuckDB recomputes the expected point-lookup row
+    # (key 255 = filing 5 under the +250 rekey) from the filing fixture,
+    # so the hash row proves the write -> partition-pruned point read
+    # preserves values.
+    oracle=f"""
+    SELECT main_index + 250 AS main_index, company_a,
+           CAST(floor((main_index + 250) / 100) AS INTEGER) AS bucket
+    FROM read_parquet('{_FILINGS_PQ}')
+    WHERE main_index + 250 = 255
+    """,
     doc="Bucketed KV-store write→point-read roundtrip (ref Mongo sharding "
     "DatabaseHandler.py:24-34 → partitionBy('bucket') parquet; the read is "
     "partition-pruned).",
@@ -152,7 +166,22 @@ def sink_kv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sink_kv_upsert",
-    oracle=None,  # side-effecting sink → rows-only roundtrip
+    # r10 graduation: DuckDB recomputes the post-MERGE state from the
+    # filing fixture — row 0 with the replaced company_a, row 1 intact,
+    # row 999 inserted as filing 1's copy — so the hash row proves the
+    # MERGE semantics (matched-replace / not-matched-insert / untouched
+    # rows intact), not just the row count.
+    oracle=f"""
+    SELECT main_index,
+           CASE WHEN main_index = 0 THEN 'Updated Alpha Holdings'
+                ELSE company_a END AS company_a,
+           CAST(floor(main_index / 100) AS INTEGER) AS bucket
+    FROM read_parquet('{_FILINGS_PQ}') WHERE main_index IN (0, 1)
+    UNION ALL
+    SELECT CAST(999 AS BIGINT) AS main_index, company_a,
+           CAST(9 AS INTEGER) AS bucket
+    FROM read_parquet('{_FILINGS_PQ}') WHERE main_index = 1
+    """,
     doc="Row-level MERGE upsert into the bucketed store (ref "
     "patchabbrev.py:224-229 Mongo update_one(upsert=True)): one matched "
     "row replaced, one new row inserted, untouched rows intact; only the "

@@ -242,7 +242,7 @@ def image_phash(
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
+            mids, phs = [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
                     px = codec(bytes(payload))
@@ -250,8 +250,15 @@ def image_phash(
                     ph = dhash64(px) - (1 << 63)
                 except Exception:
                     ph = None
-                rows.append({"media_id": mid, "phash": ph})
-            yield pd.DataFrame(rows, columns=["media_id", "phash"])
+                mids.append(mid)
+                phs.append(ph)
+            # nullable Int64, NOT a dict-built frame: one undecodable
+            # payload in a batch would coerce the whole phash column to
+            # float64, silently destroying the low signature bits of
+            # every row in the batch (caught by the r10 golden mirror)
+            yield pd.DataFrame(
+                {"media_id": mids, "phash": pd.array(phs, dtype="Int64")}
+            )
 
     return media.filter(F.col("kind") == "image").select("media_id", "payload").mapInPandas(
         _run, PHASH_SCHEMA
@@ -492,14 +499,20 @@ def audio_fingerprint(
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
+            mids, phs = [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
                     ph = audiohash64(codec(bytes(payload))) - (1 << 63)
                 except Exception:
                     ph = None
-                rows.append({"media_id": mid, "phash": ph})
-            yield pd.DataFrame(rows, columns=["media_id", "phash"])
+                mids.append(mid)
+                phs.append(ph)
+            # nullable Int64 — see image_phash: a dict-built frame with
+            # one None coerces the column to float64 and corrupts the
+            # low signature bits of the whole batch
+            yield pd.DataFrame(
+                {"media_id": mids, "phash": pd.array(phs, dtype="Int64")}
+            )
 
     return media.filter(F.col("kind") == "audio").select("media_id", "payload").mapInPandas(
         _run, PHASH_SCHEMA
@@ -532,7 +545,7 @@ def video_fingerprint(
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
+            mids, phs = [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
                     raw = bytes(payload)
@@ -548,8 +561,14 @@ def video_fingerprint(
                     ph = bits - (1 << 63)
                 except Exception:
                     ph = None
-                rows.append({"media_id": mid, "phash": ph})
-            yield pd.DataFrame(rows, columns=["media_id", "phash"])
+                mids.append(mid)
+                phs.append(ph)
+            # nullable Int64 — see image_phash: a dict-built frame with
+            # one None coerces the column to float64 and corrupts the
+            # low signature bits of the whole batch
+            yield pd.DataFrame(
+                {"media_id": mids, "phash": pd.array(phs, dtype="Int64")}
+            )
 
     return media.filter(F.col("kind") == "video").select("media_id", "payload").mapInPandas(
         _run, PHASH_SCHEMA
@@ -1143,7 +1162,20 @@ def _image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_image_phash",
-    oracle=None,  # binary mapInPandas decode → rows-only
+    # r10 graduation: golden-table oracle — sequential PNG/FAKEIMG pixel
+    # decode + dHash over the fixture images plus the md5-chain corpus
+    # payloads, which are a pure function of doc_id; doc_id sets NEST
+    # across sfs, so the corpus half joins against the live documents
+    # table and one golden serves every sf.
+    oracle=f"""
+    SELECT media_id, phash
+    FROM read_parquet('{golden_path("multimodal_image_phash")}')
+    WHERE media_id < 1000000
+    UNION ALL
+    SELECT g.media_id, g.phash
+    FROM read_parquet('{golden_path("multimodal_image_phash")}') g
+    JOIN documents d ON g.media_id = d.doc_id + 1000000
+    """,
     doc="64-bit dHash perceptual signature per image: stdlib pixel codec "
     "(full zlib decode of the filter-0 grayscale PNG subset + FAKEIMG "
     "raw bytes; injectable Pillow seam for everything else) → 9×8 "
@@ -1160,7 +1192,22 @@ def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_image_phash",
-    oracle=None,  # built on the UDF signature → rows-only
+    # r10 graduation: golden-table oracle from the sequential ALL-PAIRS
+    # mirror (tools/make_golden.banded_dedup_mirror) — the banded join's
+    # double-pigeonhole guarantees recall equal to the all-pairs scan at
+    # hamming <= 6, so the hash row re-proves that guarantee end-to-end
+    # on real signatures. Rep assignments restrict soundly to any sf:
+    # a surviving row's rep comes only from SMALLER media_ids, which all
+    # exist at every sf (ids nest upward).
+    oracle=f"""
+    SELECT media_id, phash, rep_id, is_dup
+    FROM read_parquet('{golden_path("dedup_image_phash")}')
+    WHERE media_id < 1000000
+    UNION ALL
+    SELECT g.media_id, g.phash, g.rep_id, g.is_dup
+    FROM read_parquet('{golden_path("dedup_image_phash")}') g
+    JOIN documents d ON g.media_id = d.doc_id + 1000000
+    """,
     doc="Image near-dup dedup over the dHash signature: 7-band × "
     "8-block double-pigeonhole compound-key equi-join "
     "(dedup_simhash_neardup posture — banded candidates, never "
@@ -1201,7 +1248,13 @@ def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_audio_fingerprint",
-    oracle=None,  # built on the UDF signature → rows-only
+    # r10 graduation: golden-table oracle from the sequential all-pairs
+    # mirror over the fixture envelope hashes (NULL-signature fakes are
+    # excluded on both sides, as the pipeline's isNotNull filter does).
+    oracle=f"""
+    SELECT media_id, phash, rep_id, is_dup
+    FROM read_parquet('{golden_path("dedup_audio_fingerprint")}')
+    """,
     doc="Audio near-dup dedup over the envelope fingerprint through the "
     "same banded-Hamming pipeline as dedup_image_phash (7-band × "
     "8-block compound-key candidates with guaranteed hamming-≤-6 "
@@ -1234,7 +1287,12 @@ def multimodal_video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_video_fingerprint",
-    oracle=None,  # built on the UDF signature → rows-only
+    # r10 graduation: golden-table oracle from the sequential all-pairs
+    # mirror over the fixture temporal-envelope hashes.
+    oracle=f"""
+    SELECT media_id, phash, rep_id, is_dup
+    FROM read_parquet('{golden_path("dedup_video_fingerprint")}')
+    """,
     doc="Video near-dup dedup over the temporal-envelope fingerprint "
     "through the shared banded-Hamming pipeline (band candidates, "
     "bit_count verify, keep-first rep, one row per video).",

@@ -127,7 +127,25 @@ def source_http_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "source_pyds_fts",
-    oracle=None,  # network-source seam → rows-only (hermetic synthetic fetcher)
+    # r10 graduation: the default synthetic fetcher is a pure md5
+    # function of (query, page, idx), so DuckDB recomputes every row the
+    # partition-per-page-slice reader must emit — the hash row proves
+    # the DataSource protocol (partition planning, per-slice reads,
+    # ragged tails) delivers exactly the per-page rows.
+    oracle="""
+    WITH g AS (
+      SELECT p.page, i.idx,
+             md5('background of the merger|' || CAST(p.page AS VARCHAR)
+                 || '|' || CAST(i.idx AS VARCHAR)) AS h
+      FROM (SELECT unnest(generate_series(0, 5)) AS page) p
+      CROSS JOIN (SELECT unnest(generate_series(0, 19)) AS idx) i
+    )
+    SELECT CAST(page AS BIGINT) AS page, CAST(idx AS BIGINT) AS idx,
+           'https://example.test/filings/' || h[1:12] || '.htm' AS doc_url,
+           'filing ' || h[1:8] AS title,
+           '... background of the merger excerpt ' || h[9:16] || ' ...' AS snippet
+    FROM g
+    """,
     doc="Paged FTS ingestion as a Spark 4 PYTHON DATA SOURCE "
     "(sources/fts_datasource.py): spark.read.format('fts_pages') plans "
     "one input partition per page slice, so crawl pagination fans out "

@@ -264,6 +264,22 @@ _ORACLE_BACKLOG: tuple[str, ...] = (
     "multimodal_frame_sample",
     "multimodal_audio_fingerprint",
     "multimodal_video_fingerprint",
+    # fourth wave: the KV roundtrip/MERGE sinks (DuckDB recomputes the
+    # expected store state from the filing fixture) and the
+    # phash/banded-dedup family — the dedup goldens come from an
+    # ALL-PAIRS sequential mirror, so their hash rows re-prove the
+    # banded join's recall guarantee end-to-end; the corpus-scaled
+    # image keys join the golden against the live documents table
+    # (doc_id sets nest across sfs)
+    "sink_kv_roundtrip",
+    "sink_kv_upsert",
+    "multimodal_image_phash",
+    "dedup_image_phash",
+    "dedup_audio_fingerprint",
+    "dedup_video_fingerprint",
+    # the Python-DataSource read path: the synthetic fetcher is a pure
+    # md5 function of (query, page, idx), recomputable in SQL
+    "source_pyds_fts",
 )
 
 # Already-green keys whose PLANS changed this round — ranked directly
@@ -296,13 +312,10 @@ _REVERIFY: tuple[str, ...] = (
 # (rows-only by contract).
 _ROWS_ONLY_EVIDENCED: tuple[str, ...] = (
     "vector_pca_project", "pipeline_incremental_ingest",
-    "multimodal_image_phash", "dedup_image_phash",
-    "dedup_audio_fingerprint", "dedup_video_fingerprint",
-    "sink_kv_roundtrip", "sink_kv_upsert",
     "ann_ivf_trained",
     "agg_percentile_approx", "dedup_bloom_prefilter",
     "events_approx_distinct",
-    "source_pyds_fts", "agg_hll_daily_union",
+    "agg_hll_daily_union",
     "sink_pyds_kv",
 )
 

@@ -32,6 +32,10 @@ GOLDEN_DIR = os.path.join(REPO, "tests", "fixtures", "golden")
 sys.path.insert(0, os.path.join(REPO, "tools"))
 
 FIXTURE_KEYS = [
+    "multimodal_image_phash",
+    "dedup_image_phash",
+    "dedup_audio_fingerprint",
+    "dedup_video_fingerprint",
     "multimodal_image_meta",
     "multimodal_audio_meta",
     "multimodal_video_meta",

@@ -628,6 +628,112 @@ def golden_multimodal_video_fingerprint() -> dict:
     }
 
 
+def _fixture_image_phashes() -> list[tuple[int, int | None]]:
+    from mergeextractor_spark.operators.multimodal import (
+        dhash64,
+        media_rows,
+        stdlib_pixel_codec,
+    )
+
+    out = []
+    for m in media_rows():
+        if m["kind"] != "image":
+            continue
+        try:
+            ph = dhash64(stdlib_pixel_codec(bytes(m["payload"]))) - (1 << 63)
+        except Exception:
+            ph = None
+        out.append((m["media_id"], ph))
+    return out
+
+
+def _corpus_image_phashes(n_docs: int = 5000, w: int = 32, h: int = 16) -> list[tuple[int, int]]:
+    """Sequential mirror of multimodal.media_from_documents + dHash: the
+    payload is a pure function of doc_id (md5 chains; every 5th doc
+    reuses its predecessor's pixel basis), and doc_id sets NEST across
+    sfs (0..499 ⊂ 0..4999), so one golden over the max-sf id range
+    serves every sf via a documents semijoin."""
+    from mergeextractor_spark.operators.multimodal import dhash64
+
+    n_blocks = (w * h) // 16
+    out = []
+    for doc_id in range(n_docs):
+        base = doc_id - 1 if doc_id % 5 == 4 else doc_id
+        px = b"".join(
+            hashlib.md5(f"px|{base}|{i}".encode()).digest() for i in range(n_blocks)
+        )
+        rows = [list(px[y * w : (y + 1) * w]) for y in range(h)]
+        out.append((doc_id + 1_000_000, dhash64(rows) - (1 << 63)))
+    return out
+
+
+def golden_multimodal_image_phash() -> dict:
+    rows = _fixture_image_phashes() + _corpus_image_phashes()
+    return {
+        "media_id": [r[0] for r in rows],
+        "phash": [r[1] for r in rows],
+    }
+
+
+def banded_dedup_mirror(sig: list[tuple[int, int | None]]) -> list[tuple[int, int, int, bool]]:
+    """Sequential mirror of multimodal._banded_hamming_dedup — via the
+    ALL-PAIRS scan the banded join's double-pigeonhole guarantees equal
+    recall to (hamming ≤ 6 after exact-collapse, keep-first rep).  The
+    driver hash row therefore does double duty: it re-proves the recall
+    guarantee end-to-end on real signatures, not just the planted
+    pytest battery."""
+    pairs = [(mid, ph) for mid, ph in sig if ph is not None]
+    groups: dict[int, int] = {}
+    for mid, ph in pairs:
+        groups[ph] = min(groups.get(ph, mid), mid)
+    gids = sorted((gid, ph) for ph, gid in groups.items())
+    rep_via: dict[int, int] = {}
+    # unshift to the raw unsigned 64-bit space before XOR: Python's ^ on
+    # a NEGATIVE int sign-extends infinitely (bin() is not two's
+    # complement), which fabricates hamming distances for mixed-sign
+    # pairs; the constant bit-63 shift cancels under XOR exactly as the
+    # pipeline's comment says, but only in fixed-width arithmetic
+    rep_via = {}
+    for i in range(len(gids)):
+        gi, pi = gids[i]
+        ui = pi + (1 << 63)
+        for j in range(i + 1, len(gids)):
+            gj, pj = gids[j]
+            if bin(ui ^ (pj + (1 << 63))).count("1") <= 6:
+                rep_via[gj] = min(rep_via.get(gj, gi), gi)
+    out = []
+    for mid, ph in pairs:
+        gid = groups[ph]
+        rep = rep_via.get(gid, gid)
+        out.append((mid, ph, rep, rep < mid))
+    return out
+
+
+def _dedup_cols(rows) -> dict:
+    return {
+        "media_id": [r[0] for r in rows],
+        "phash": [r[1] for r in rows],
+        "rep_id": [r[2] for r in rows],
+        "is_dup": [r[3] for r in rows],
+    }
+
+
+def golden_dedup_image_phash() -> dict:
+    return _dedup_cols(
+        banded_dedup_mirror(_fixture_image_phashes() + _corpus_image_phashes())
+    )
+
+
+def golden_dedup_audio_fingerprint() -> dict:
+    d = golden_multimodal_audio_fingerprint()
+    return _dedup_cols(banded_dedup_mirror(list(zip(d["media_id"], d["phash"]))))
+
+
+def golden_dedup_video_fingerprint() -> dict:
+    d = golden_multimodal_video_fingerprint()
+    return _dedup_cols(banded_dedup_mirror(list(zip(d["media_id"], d["phash"]))))
+
+
 def golden_fuzzy_partial_ratio() -> dict:
     import duckdb
 
@@ -696,6 +802,10 @@ def build_all() -> dict[str, "object"]:
         "multimodal_frame_sample": (golden_multimodal_frame_sample(), ["frame_idx"]),
         "multimodal_audio_fingerprint": (golden_multimodal_audio_fingerprint(), []),
         "multimodal_video_fingerprint": (golden_multimodal_video_fingerprint(), []),
+        "multimodal_image_phash": (golden_multimodal_image_phash(), []),
+        "dedup_image_phash": (golden_dedup_image_phash(), []),
+        "dedup_audio_fingerprint": (golden_dedup_audio_fingerprint(), []),
+        "dedup_video_fingerprint": (golden_dedup_video_fingerprint(), []),
     }
     out = {}
     for name, (data, int32_cols) in tables.items():
