@@ -128,6 +128,12 @@ QUERIES = [
     "sample_logprob_bucket",
     "sample_anneal_mix",
     "eval_ks_drift",
+    # round-10 shapes: the exact-quantile path after the all-NULL-group
+    # reinstatement (pushdown IS NULL scan + result-sized anti-join +
+    # checkpointed straddling-rows frame — exponent ≈ 1.0 expected, the
+    # added stages are result-sized)
+    "agg_percentile",
+    "dq_outlier_iqr",
     "agg_rfm_segmentation",
     "window_value_percentiles",
     "eval_langid_auc",
