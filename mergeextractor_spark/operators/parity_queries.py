@@ -765,7 +765,15 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sink_pyds_kv",
-    oracle=None,  # side-effecting sink → rows-only + pytest protocol checks
+    # r10 graduation: the manifest-verified read-back must reproduce the
+    # source documents exactly (per-source counts are partition-layout
+    # independent), which DuckDB computes directly — the hash row proves
+    # the staged-write/commit/manifest protocol loses and duplicates
+    # nothing; the commit/abort/idempotence edges stay in pytest.
+    oracle="""
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY source ORDER BY source
+    """,
     doc="Write side of the Spark 4 Python DataSource surface "
     "(sources/kv_datasource.py): documents stream through "
     "df.write.format('kv_json_sink') — per-task staged files named by "

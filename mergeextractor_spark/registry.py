@@ -277,9 +277,11 @@ _ORACLE_BACKLOG: tuple[str, ...] = (
     "dedup_image_phash",
     "dedup_audio_fingerprint",
     "dedup_video_fingerprint",
-    # the Python-DataSource read path: the synthetic fetcher is a pure
-    # md5 function of (query, page, idx), recomputable in SQL
+    # the Python-DataSource pair: the read path's synthetic fetcher is a
+    # pure md5 function of (query, page, idx), and the write path's
+    # read-back per-source counts are partition-layout independent
     "source_pyds_fts",
+    "sink_pyds_kv",
 )
 
 # Already-green keys whose PLANS changed this round — ranked directly
@@ -316,7 +318,6 @@ _ROWS_ONLY_EVIDENCED: tuple[str, ...] = (
     "agg_percentile_approx", "dedup_bloom_prefilter",
     "events_approx_distinct",
     "agg_hll_daily_union",
-    "sink_pyds_kv",
 )
 
 # Number of previously-green keys re-checked per round, sampled

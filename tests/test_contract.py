@@ -51,16 +51,16 @@ def test_gate_window_rotation_order():
     n_fix = len(registry._EVIDENCE_FIX)
     n_first = len(registry._ROTATION_FIRST)
     n_backlog = len(registry._ORACLE_BACKLOG)
-    # window arithmetic: 12 canaries + 5 stragglers + 36 graduations +
+    # window arithmetic: 12 canaries + 5 stragglers + 37 graduations +
     # 15 re-verifies — the graduations (first-ever value evidence)
     # outrank the re-verify band, which will largely slip past a
     # wall-capped ~50-key window this round; those are the lowest-stakes
     # entries (plan-only condition swaps, builder-verified green at two
     # sfs, re-queued next round if they miss). Most graduated keys are
     # sub-second fixture queries, so the wall budget may stretch past 50.
-    assert n_fix == 0 and n_first == 5 and n_backlog == 36
+    assert n_fix == 0 and n_first == 5 and n_backlog == 37
     assert (
-        registry._CANARY_SLOTS + n_first + n_backlog <= 53
+        registry._CANARY_SLOTS + n_first + n_backlog <= 54
     )
     assert registry._CANARY_SLOTS >= 12  # VERDICT r7 item 3 / r8 item 5
 
