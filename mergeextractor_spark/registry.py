@@ -320,15 +320,13 @@ _ROWS_ONLY_EVIDENCED: tuple[str, ...] = (
     "agg_hll_daily_union",
 )
 
-# Number of previously-green keys re-checked per round, sampled
-# deterministically from _DRIVER_GREEN seeded by _ROUND so a regression
-# in r01-era code cannot stay invisible forever.  Canaries sit at the
-# FRONT of the window so they cannot be squeezed out:
-# 12 canaries + 16 rotation-first = 28, leaving ~22 surplus slots of
-# the driver's demonstrated 50-key budget to fall through to the
-# round-shuffled green re-checks (rank 4 below) — together cutting the
-# full-recheck cycle to well under the r7-planned ~25 rounds over the
-# ~330-key green pool (VERDICT r7 item 3 / r8 item 5).
+# Number of previously-green keys re-checked per round, drawn
+# OLDEST-EVIDENCE-FIRST from _DRIVER_GREEN (VERDICT r9 item 5) so a
+# regression in r01-era code cannot stay invisible forever.  Canaries
+# sit at the FRONT of the window so they cannot be squeezed out: in r10
+# the window is 12 canaries + 5 stragglers + 37 graduations = 54, with
+# the 15-key changed-plan re-verify band behind them — the band's tail
+# may slip a wall-capped ~50-key window and re-queues next round.
 _CANARY_SLOTS: int = 12
 
 
@@ -362,21 +360,20 @@ def canary_keys(round_no: int = _ROUND) -> tuple[str, ...]:
 def load_all() -> dict[str, Query]:
     """Import every module that registers queries (idempotent).
 
-    Returned order implements the r09 gate-window rotation (VERDICT r8
-    items 4 and 5):
-      0. 12 canary re-checks of previously-green keys (seeded by round;
-         cheap, pinned to the front so they can never be squeezed out);
-      1. the 16 never-driver-checked oracle keys (_ROTATION_FIRST: the
-         whole r8 _ORACLE_BACKLOG in its encoded order) — the window's
-         critical cargo; after them every registered key holds a
-         driver row again;
-      2. evidence-fix keys (_EVIDENCE_FIX: empty in r09);
-      3. oracle keys registered after the r09 window snapshot
-         (_ORACLE_BACKLOG: empty; the rank-function fallback catches
-         any key registered without a scheduling entry);
-      4. green keys whose PLANS changed this round (_REVERIFY, parity
-         fixes first) so the driver re-hashes every changed key before
-         spending budget on unchanged greens;
+    Returned order implements the r10 gate-window rotation (VERDICT r9
+    items 1-5):
+      0. 12 canary re-checks of previously-green keys, drawn
+         oldest-evidence-first (all from the r2 cohort this round);
+      1. the 5 changed-plan stragglers whose latest driver rows predate
+         their r9 fixes (_ROTATION_FIRST — VERDICT r9 item 1);
+      2. evidence-fix keys (_EVIDENCE_FIX: empty in r10);
+      3. the 37 rows-only -> oracle graduations (_ORACLE_BACKLOG):
+         first-ever value-level hash rows, the window's critical cargo
+         (VERDICT r9 items 2-4); the rank-function fallback catches any
+         key registered without a scheduling entry;
+      4. green keys whose PLANS changed this round (_REVERIFY: the
+         null-safe offsets join / all-NULL-group callers) so the driver
+         re-hashes changed keys before unchanged greens;
       5. the remaining already-green oracle keys, ROUND-SHUFFLED
          (seeded by _ROUND) so surplus slots re-check a different
          green slice each round instead of the same import-order
