@@ -744,3 +744,12 @@ def test_grouped_exact_percentiles_keeps_all_null_groups(spark):
     }
     assert got == want
     assert got["dead"] == (None, None) and got[None] == (None, None)
+    # the high-cardinality dial (shuffled offsets join + shuffled
+    # anti-join) must reinstate the same all-NULL groups
+    got_nb = {
+        r.g: (r.p50, r.p90)
+        for r in grouped_exact_percentiles(
+            df, ["g"], "v", ps, broadcast_offsets=False
+        ).collect()
+    }
+    assert got_nb == want
