@@ -1201,10 +1201,14 @@ BURN_SLOW = 1.05  # 6h-window burn multiplier that must ALSO be breached
     "BOTH exceed their burn multipliers of the error budget — the "
     "two-window rule that makes alerts fast on real incidents yet "
     "immune to single-hour blips (Google SRE workbook shape). The "
-    "rolling window is a RANGE frame over the hourly AGGREGATE (one "
-    "row per hour — ~9k rows/year), so after the one combinable "
-    "count aggregate the alert evaluation is effectively free at any "
-    "event volume.",
+    "rolling window is the bounded-frame explode: each hourly row "
+    "contributes its counts to the 6 target hours [hr, hr+5] map-side "
+    "(6x a calendar-bounded aggregate), a groupBy(hr) re-sums, and an "
+    "equi-join back to the hourly frame keeps exactly the hours that "
+    "exist — RANGE-frame semantics with every stage parallel (the r10 "
+    "verdict flagged the old coalesce(1) single-task sweep; this is "
+    "the shape that survives a 100x hour count, and the sums stay "
+    "exact integers so the rewrite is hash-invariant).",
 )
 def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = (
@@ -1214,20 +1218,20 @@ def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.count(F.when(F.col("event_type") == "error", 1)).alias("n_err"),
         )
-        .coalesce(1)
     )
-    w6 = (
-        W.partitionBy(F.spark_partition_id())
-        .orderBy("hr")
-        .rangeBetween(-5, 0)
-    )
-    rolled = hourly.select(
-        "hr",
+    # RANGE BETWEEN 5 PRECEDING AND CURRENT ROW over hr VALUES: hour h's
+    # 6h window sums contributors with hr in [h-5, h] — equivalently each
+    # contributor fans out to targets [hr, hr+5]; hours absent from the
+    # data contribute nothing and are dropped by the inner join back.
+    contrib = hourly.select(
+        F.explode(F.sequence(F.col("hr"), F.col("hr") + F.lit(5))).alias("hr"),
         "n",
         "n_err",
-        F.sum("n").over(w6).alias("n_6h"),
-        F.sum("n_err").over(w6).alias("err_6h"),
     )
+    rolled6 = contrib.groupBy("hr").agg(
+        F.sum("n").alias("n_6h"), F.sum("n_err").alias("err_6h")
+    )
+    rolled = hourly.join(rolled6, "hr")
     rate_1h = F.col("n_err").cast("double") / F.col("n")
     rate_6h = F.col("err_6h").cast("double") / F.col("n_6h")
     return rolled.select(
@@ -1652,9 +1656,12 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "count whose max is the capacity answer — the interval-concurrency "
     "algorithm licensing/capacity questions reduce to, done without "
     "expanding intervals into per-second rows. The global sweep runs "
-    "over CHANGE POINTS (2 per session); at 100 TB range-partition by "
-    "time and carry partition boundary offsets, exactly the "
-    "window_running_total discipline.",
+    "over CHANGE POINTS (2 per session) via _util.global_cumsum — "
+    "range-partition by time, cumulate per partition in parallel, add "
+    "the collected partition-boundary offsets (the r11 swap off the "
+    "coalesce(1) single-task sweep this docstring used to merely "
+    "prescribe; integer deltas, so the two-phase sum is hash-exact).",
+    eager=True,  # construction collects the range-partition offsets
 )
 def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     es = F.unix_timestamp("ts")
@@ -1683,13 +1690,11 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     deltas = sessions.select(F.col("s_start").alias("t"), F.lit(1).alias("d")).unionByName(
         sessions.select(F.col("s_end").alias("t"), F.lit(-1).alias("d"))
     )
-    merged = deltas.groupBy("t").agg(F.sum("d").alias("net")).coalesce(1)
-    sweep_w = (
-        W.partitionBy(F.spark_partition_id())
-        .orderBy("t")
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    swept = merged.withColumn("live", F.sum("net").over(sweep_w))
+    from ._util import global_cumsum
+
+    merged = deltas.groupBy("t").agg(F.sum("d").alias("net"))
+    swept, _tot = global_cumsum(merged, ["t"], ["net"])
+    swept = swept.withColumnRenamed("cum_net", "live")
     n_sess = sessions.agg(F.count("*").cast("bigint").alias("n_sessions"))
     return (
         swept.agg(
@@ -2182,24 +2187,33 @@ def eval_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "changepoint locator behind 'when did traffic actually change', "
     "with the peak normalized by the daily stddev for a scale-free "
     "signal (≳ a few means a real shift, not noise). The running sum "
-    "walks the |days|-row aggregate; the corpus-sized work is one "
-    "combinable daily count.",
+    "walks the |days|-row aggregate via _util.global_cumsum (the r11 "
+    "swap off the coalesce(1) single-task sweep), in the EXACT-integer "
+    "form: sum_{d'<=d}(n-m) = cum_n(d) - rank(d)*m, so the two-phase "
+    "split cumulates only bigints (hash-exact under any partitioning) "
+    "and the sole float op is one multiply-subtract per output row; "
+    "the corpus-sized work is one combinable daily count.",
+    eager=True,  # construction collects the range-partition offsets
 )
 def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import global_cumsum
+
     daily = (
         t(spark, sf_dir, "events")
         .groupBy(F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"))
-        .agg(F.count("*").cast("double").alias("n"))
-        .coalesce(1)
+        .agg(F.count("*").alias("n_i"))
+        .withColumn("n", F.col("n_i").cast("double"))
     )
     mu = daily.agg(F.avg("n").alias("m"))
-    w = (
-        W.partitionBy(F.spark_partition_id())
-        .orderBy("day")
-        .rowsBetween(W.unboundedPreceding, 0)
+    cum, _tot = global_cumsum(
+        daily.withColumn("one", F.lit(1).cast("bigint")), ["day"], ["n_i", "one"]
     )
-    cusum = daily.crossJoin(F.broadcast(mu)).select(
-        "day", F.sum(F.col("n") - F.col("m")).over(w).alias("cs")
+    cusum = cum.crossJoin(F.broadcast(mu)).select(
+        "day",
+        (
+            F.col("cum_n_i").cast("double")
+            - F.col("cum_one").cast("double") * F.col("m")
+        ).alias("cs"),
     )
     peak = cusum.orderBy(F.abs(F.col("cs")).desc(), F.asc("day")).limit(1)
     stats = daily.agg(
@@ -2361,9 +2375,13 @@ def events_fraud_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "to that age — the payback-period curve that prices acquisition "
     "(retention cohorts say WHO returns; this says what returning is "
     "WORTH). Revenue buckets by age in one pass; the running sum walks "
-    "the |ages|-row aggregate and survivor counts come from the tenure "
-    "HISTOGRAM (|distinct tenures| <= observation days — result-sized), "
-    "never an ages x users cross join (r9 inverse-class audit).",
+    "the |ages|-row aggregate via _util.global_cumsum (range-partition "
+    "on age, parallel per-partition cumulate, collected boundary "
+    "offsets — the r11 swap off the coalesce(1) single-task sweep) "
+    "and survivor counts come from the tenure HISTOGRAM (|distinct "
+    "tenures| <= observation days — result-sized), never an ages x "
+    "users cross join (r9 inverse-class audit).",
+    eager=True,  # construction collects the range-partition offsets
 )
 def agg_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     day = F.floor(F.unix_timestamp("ts") / 86400).cast("bigint")
@@ -2380,13 +2398,11 @@ def agg_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(firsts, "user_id")
         .select((F.col("day") - F.col("first_day")).alias("age"), "value")
     )
-    by_age = rev.groupBy("age").agg(F.sum("value").alias("day_rev")).coalesce(1)
-    w = (
-        W.partitionBy(F.spark_partition_id())
-        .orderBy("age")
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    cum = by_age.select("age", F.sum("day_rev").over(w).alias("cum_rev"))
+    from ._util import global_cumsum
+
+    by_age = rev.groupBy("age").agg(F.sum("value").alias("day_rev"))
+    cum_df, _tot = global_cumsum(by_age, ["age"], ["day_rev"])
+    cum = cum_df.select("age", F.col("cum_day_rev").alias("cum_rev"))
     # survivor counts come from the TENURE HISTOGRAM (one row per
     # distinct tenure, bounded by the observation window in DAYS — a
     # few thousand at any corpus size), never a per-user cross join:
@@ -2508,29 +2524,28 @@ def eval_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     "leads with, and the denominator DAU/MAU ratios divide by. "
     "Cumulative DISTINCT reduced to a running SUM of first appearances "
     "(the standard rewrite — distinct-over-window is not directly "
-    "computable); the running sum walks the |days|-row aggregate.",
+    "computable); the running sum walks the |days|-row aggregate via "
+    "_util.global_cumsum (the r11 swap off the coalesce(1) single-task "
+    "sweep — integer counts, so the two-phase sum is hash-exact).",
+    eager=True,  # construction collects the range-partition offsets
 )
 def agg_user_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import global_cumsum
+
     day = F.floor(F.unix_timestamp("ts") / 86400).cast("bigint")
     firsts = (
         t(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(F.min(day).alias("first_day"))
     )
-    per_day = (
-        firsts.groupBy(F.col("first_day").alias("day"))
-        .agg(F.count("*").alias("new_users"))
-        .coalesce(1)
+    per_day = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("new_users")
     )
-    w = (
-        W.partitionBy(F.spark_partition_id())
-        .orderBy("day")
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    return per_day.select(
+    cum, _tot = global_cumsum(per_day, ["day"], ["new_users"])
+    return cum.select(
         "day",
         F.col("new_users").cast("bigint").alias("new_users"),
-        F.sum("new_users").over(w).cast("bigint").alias("total_users"),
+        F.col("cum_new_users").cast("bigint").alias("total_users"),
     )
 
 

@@ -497,6 +497,36 @@ def test_r9_rank_battery_keys_two_phase(spark):
         assert "Scan ExistingRDD" in plan, key
 
 
+def test_r11_streaming_cumsum_keys_no_single_task_sweep(spark):
+    """The r11 sweep of the last coalesce(1) prefix-sum sites in
+    streaming_queries.py (VERDICT r10 item 5): the four cumsum keys run
+    via _util.global_cumsum (range-partitioned two-phase prefix sums,
+    checkpoint read present from the pre-materialization) and the SLO
+    burn-rate's 6h RANGE frame runs via the bounded-frame explode —
+    no coalesce(1) single-task sweep anywhere in the five plans."""
+    for key in (
+        "events_slo_burn_rate",
+        "events_peak_concurrency",
+        "events_changepoint_cusum",
+        "agg_ltv_curve",
+        "agg_user_growth_curve",
+    ):
+        plan = plan_of(spark, key)
+        assert "Coalesce 1" not in plan and "Coalesce(1" not in plan, key
+    # the four global_cumsum callers carry the pre-materialized subtree
+    for key in (
+        "events_peak_concurrency",
+        "events_changepoint_cusum",
+        "agg_ltv_curve",
+        "agg_user_growth_curve",
+    ):
+        assert "Scan ExistingRDD" in plan_of(spark, key), key
+    # the explode rewrite keeps the rolling sum as aggregates + equi-join
+    plan = plan_of(spark, "events_slo_burn_rate")
+    assert "Generate explode" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_triangle_count_never_cartesian(spark):
     """Wedge generation and closure must stay equi-joins on the oriented
     edge list (the 1-row stat cross joins are broadcast loops, fine)."""
