@@ -1910,9 +1910,11 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey", "c_mktsegment")
         .agg(F.count("*").alias("class_size"))
     )
-    return classes.select(
-        "*", F.sum("class_size").over(W.partitionBy()).alias("n")
-    ).select(
+    # row total via agg + broadcast cross join over the |nations x
+    # segments|-row aggregate — not an unpartitioned window (r11 sweep
+    # of the bounded-frame WindowExec warning class)
+    tot = classes.agg(F.sum("class_size").alias("n"))
+    return classes.crossJoin(F.broadcast(tot)).select(
         "c_nationkey",
         "c_mktsegment",
         F.col("class_size").cast("bigint").alias("class_size"),

@@ -99,19 +99,52 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HLL_RSD = 0.05  # approx_count_distinct default relative standard deviation
+HLL_BOUND = 5 * HLL_RSD  # hashable acceptance band: |est - exact| ≤ 25%
+
+
 @register(
     "events_approx_distinct",
-    oracle=None,  # sketch values are engine-specific → rows-only check
+    # Bounded-error oracle (VERDICT r10 item 7): the HLL++ estimate is
+    # engine-specific, but the EXACT count and the claim that the
+    # estimate fell within 5x the sketch's relative standard deviation
+    # of it are hashable — the oracle recomputes the exact distinct
+    # count independently and asserts within_bound TRUE; the Spark side
+    # computes the estimate AND the exact count and emits the measured
+    # boolean. 5x rsd is far outside HLL++'s observed envelope (~2-3%
+    # at rsd=0.05), so a pass is meaningful and deterministic for a
+    # fixed fixture (the sketch hash seed is fixed).
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type
+    """,
     doc="approx_count_distinct (HyperLogLog++) per event_type — the scale "
     "path for distinct counting: no exact-distinct shuffle explosion, "
-    "mergeable sketches. Rows-only check (sketch estimates are "
-    "engine-specific by design).",
+    "mergeable sketches — hash-verified via its ERROR BOUND rather than "
+    "the engine-specific estimate: the exact distinct count rides the "
+    "same aggregate and within_bound asserts the sketch landed within "
+    "5x its relative standard deviation. The exact side exists to make "
+    "the bound hashable; the production scale path is the sketch alone "
+    "(the exact twin is agg_count_distinct).",
 )
 def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    g = (
         t(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+        .agg(
+            F.approx_count_distinct("user_id", HLL_RSD).alias("approx_users"),
+            F.countDistinct("user_id").alias("n_exact"),
+        )
+    )
+    return g.select(
+        "event_type",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        (
+            F.abs(F.col("approx_users") - F.col("n_exact"))
+            <= HLL_BOUND * F.col("n_exact")
+        ).alias("within_bound"),
     )
 
 
@@ -1598,9 +1631,11 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     lag_us = F.col("g_us") - F.col("last_epoch_us")
-    return per.select(
-        "*", F.max("last_epoch_us").over(W.partitionBy()).alias("g_us")
-    ).select(
+    # global max via agg + broadcast cross join over the |event_types|-
+    # row aggregate — not an unpartitioned window (r11 sweep of the
+    # bounded-frame WindowExec warning class)
+    g = per.agg(F.max("last_epoch_us").alias("g_us"))
+    return per.crossJoin(F.broadcast(g)).select(
         "event_type",
         "n_events",
         "last_epoch_us",

@@ -56,7 +56,7 @@ def register(key: str, oracle: str | None = None, doc: str = "", eager: bool = F
 # CORRECTNESS file is folded into _DRIVER_GREEN below; seeds the canary
 # sample so each round re-checks a different deterministic slice of the
 # already-green keys (VERDICT r3 "Next round" item 3).
-_ROUND: int = 10
+_ROUND: int = 11
 
 # Keys that already hold a green hash-checked row in CORRECTNESS_r01–r03
 # (historical fact, frozen).  The driver's correctness gate walks the dict
@@ -195,26 +195,47 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "sample_token_budget", "agg_source_gini", "eval_calibration_bins",
     "dq_k_anonymity", "dq_freshness_lag", "graph_triangle_count",
     "eval_ks_drift", "sample_anneal_mix",
+    # CORRECTNESS_r10.json (50 hash-green rows: the 33 r10 graduation
+    # keys below earned their FIRST value-level hash rows; the other 17
+    # were canary/straggler re-passes already listed above)
+    "abbrev_enrich", "chunk_split_overlap", "dedup_image_phash",
+    "embed_text", "fuzzy_partial_ratio", "header_cascade",
+    "llm_classify_doc", "llm_extract_initiator",
+    "multimodal_audio_fingerprint", "multimodal_audio_meta",
+    "multimodal_frame_sample", "multimodal_image_meta",
+    "multimodal_image_phash", "multimodal_video_fingerprint",
+    "multimodal_video_meta", "pipeline_crawler", "pipeline_crawler_audit",
+    "pipeline_separator", "scan_kv_store", "scan_orc_roundtrip",
+    "sink_csv_append", "sink_csv_union", "sink_fs_dump",
+    "sink_kv_roundtrip", "sink_kv_store", "sink_kv_upsert", "sink_log",
+    "source_http_doc", "source_http_fts", "str_normalize_unicode",
+    "stream_dedup_first_seen", "stream_upsert_to_kv",
+    "text_compression_ratio",
 })
 
-# Keys without CLEAN driver evidence in the window.  r10: none.
+# Keys without CLEAN driver evidence in the window.  r11: none.
 _EVIDENCE_FIX: tuple[str, ...] = ()
 
-# The r10 window's head cargo (VERDICT r9 item 1): the five
-# changed-plan keys whose latest driver rows PREDATE their r9 fixes —
-# they sat at the tail of the r9 _REVERIFY list and lost the slot race
-# to the 12 canaries + 16 backlog + 22 earlier re-verifies.  Their
-# plans/semantics changed in commits a855c89/b88b321 (broadcast
-# unhints, the |ages|x|users| cross-join fix) and the exact-quantile
-# sweep; builder-swept green at sf0.01/sf0.1 but not yet
-# driver-evidenced.  Pinned directly behind the canaries so they
-# cannot fall off a wall-capped window again.
+# The r11 window's head cargo (VERDICT r10 item 1): the 15-key r10
+# _REVERIFY band — every caller of the null-safe offsets join
+# (_util._nullsafe_offsets_join) and the all-NULL-group +
+# straddle-checkpoint rework of grouped_exact_percentiles — whose
+# physical plans changed in r10 while the r10 window filled at
+# 12 canaries + 5 stragglers + 33 graduations.  All are
+# builder-verified green at sf0.001/sf0.01 against unchanged oracles,
+# but until the driver re-hashes them the r10 NULL-handling fixes are
+# self-reported.  They LEAD the window this round (rank 0 — VERDICT
+# r10 moved the head cargo ahead of the canaries after the r10 slot
+# race dropped positions 51-54).  Exact-quantile callers first (they
+# gained a union + anti-join stage; the rest only swapped the join
+# condition).
 _ROTATION_FIRST: tuple[str, ...] = (
-    "agg_winsorized_mean",
-    "agg_new_vs_returning",
-    "agg_ltv_curve",
-    "text_bm25_topk",
-    "text_collocation_pmi",
+    "agg_percentile", "dq_outlier_iqr", "olap_median_order_by_segment",
+    "eval_psi_drift", "events_anomaly_mad", "events_time_to_value",
+    "sample_quality_decile", "sample_logprob_bucket",
+    "pipeline_pretrain_corpus", "agg_rfm_segmentation", "dq_skew_report",
+    "events_interarrival_profile", "sample_pack_sequences",
+    "text_zipf_slope", "sample_anneal_mix",
 )
 
 # Rows-only → oracle graduations landing THIS round (VERDICT r9 items
@@ -223,111 +244,71 @@ _ROTATION_FIRST: tuple[str, ...] = (
 # each graduation lands; see the per-key docstrings for what the new
 # oracle proves (DuckDB recompute vs sequential-mirror golden table).
 _ORACLE_BACKLOG: tuple[str, ...] = (
-    # DuckDB-recompute oracles (the strongest class: the oracle derives
-    # the expected state independently from the events table)
-    "stream_dedup_first_seen",
-    "stream_upsert_to_kv",
-    "scan_orc_roundtrip",
-    # sequential-mirror golden tables (tools/make_golden.py: the pure-
-    # Python path the UDFs wrap, run OFF-Spark over the same inputs;
-    # the hash row proves the distributed plan reproduces it)
-    "chunk_split_overlap",
-    "header_cascade",
-    "fuzzy_partial_ratio",
-    "embed_text",
-    "str_normalize_unicode",
-    "abbrev_enrich",
-    "llm_classify_doc",
-    "llm_extract_initiator",
-    "pipeline_separator",
-    "pipeline_crawler",
-    "pipeline_crawler_audit",
-    "text_compression_ratio",
-    # second wave: sink/source keys whose expected output DuckDB
-    # recomputes from the fixtures (the injected fetchers are pure
-    # functions of the URL; the roundtrips must reproduce their source
-    # tables; sink_log's counts project the audit golden)
-    "source_http_fts",
-    "source_http_doc",
-    "sink_csv_append",
-    "sink_csv_union",
-    "sink_kv_store",
-    "scan_kv_store",
-    "sink_fs_dump",
-    "sink_log",
-    # third wave: multimodal keys whose sequential-mirror golden decodes
-    # the IDENTICAL media_rows() payload set (the dedup_* banded-join
-    # trio and the sf-scaled phash corpus stay rows-only)
-    "multimodal_image_meta",
-    "multimodal_audio_meta",
-    "multimodal_video_meta",
-    "multimodal_frame_sample",
-    "multimodal_audio_fingerprint",
-    "multimodal_video_fingerprint",
-    # fourth wave: the KV roundtrip/MERGE sinks (DuckDB recomputes the
-    # expected store state from the filing fixture) and the
-    # phash/banded-dedup family — the dedup goldens come from an
-    # ALL-PAIRS sequential mirror, so their hash rows re-prove the
-    # banded join's recall guarantee end-to-end; the corpus-scaled
-    # image keys join the golden against the live documents table
-    # (doc_id sets nest across sfs)
-    "sink_kv_roundtrip",
-    "sink_kv_upsert",
-    "multimodal_image_phash",
-    "dedup_image_phash",
+    # The 4 r10 graduations that slipped the 50-key window (positions
+    # 51-54 of a 54-key schedule — VERDICT r10 item 2): their oracles
+    # landed in r10 (ALL-PAIRS sequential-mirror goldens for the banded
+    # dedup pair; DuckDB fixture recomputes for the Spark 4 Python
+    # DataSource pair) but they still hold stale rows-only driver rows.
     "dedup_audio_fingerprint",
     "dedup_video_fingerprint",
-    # the Python-DataSource pair: the read path's synthetic fetcher is a
-    # pure md5 function of (query, page, idx), and the write path's
-    # read-back per-source counts are partition-layout independent
-    "source_pyds_fts",
     "sink_pyds_kv",
+    "source_pyds_fts",
+    # Bounded-error graduations landing THIS round (VERDICT r10 item 7):
+    # the sketch ESTIMATE can never hash-match across engines, but its
+    # published error bound can — both keys now emit the independently
+    # recomputed exact values plus a within_bound boolean the oracle
+    # asserts TRUE, converting `err: no_oracle` rows into value-level
+    # hash rows that prove the sketch honored its bound.
+    "agg_percentile_approx",
+    "events_approx_distinct",
 )
 
 # Already-green keys whose PLANS changed this round — ranked directly
-# behind the backlog so the driver re-hashes every changed key before
-# spending surplus budget on unchanged greens.  r10 change: the
-# null-safe offsets join in partitioned_row_number/ntile/cumsum and the
-# all-NULL-group reinstatement in grouped_exact_percentiles (ADVICE r9)
-# alter the physical plans of every caller below; all were
-# builder-verified green at sf0.001/sf0.01 against unchanged oracles
-# after the change.  Exact-quantile callers first (they gained a
-# union + anti-join stage; the others only swapped the join condition).
+# behind the backlog (and AHEAD of the canaries: changed-plan evidence
+# can never again lose the slot race to re-checks of unchanged keys —
+# the r10 lesson).  r11 changes: the five streaming cumsum keys swapped
+# their coalesce(1) single-task prefix-sum sweeps onto
+# _util.global_cumsum / the bounded-frame explode (VERDICT r10 item 5),
+# and the three bounded-frame unpartitioned-window sites (grand totals
+# over result-sized aggregates) swapped onto agg + broadcast cross
+# join; all builder-verified green at sf0.001/sf0.01 against unchanged
+# oracles after the change.
 _REVERIFY: tuple[str, ...] = (
-    "agg_percentile", "dq_outlier_iqr", "olap_median_order_by_segment",
-    "eval_psi_drift", "events_anomaly_mad", "events_time_to_value",
-    # null-safe offsets-join condition swap (plan-only)
-    "sample_quality_decile", "sample_logprob_bucket",
-    "pipeline_pretrain_corpus", "agg_rfm_segmentation", "dq_skew_report",
-    "events_interarrival_profile", "sample_pack_sequences",
-    "text_zipf_slope", "sample_anneal_mix",
+    "events_slo_burn_rate",
+    "events_peak_concurrency",
+    "events_changepoint_cusum",
+    "agg_ltv_curve",
+    "agg_user_growth_curve",
+    "dq_k_anonymity",
+    "eval_calibration_bins",
+    "dq_freshness_lag",
 )
 
 # Rows-only keys WITH driver evidence.  They queue at the tail — every
 # key here already holds a clean CORRECTNESS row, and a rows-only re-run
-# is weaker evidence than a hash re-check of a green oracle key.  r10
-# removed the 15 keys graduated to value-level oracles (they now live in
-# _ORACLE_BACKLOG above for their first hash rows); what remains is
-# genuinely hash-inexpressible — side-effecting sinks whose value parity
-# is pytest-pinned, approx sketches (HLL/bloom), iterative training
-# (IVF k-means), mocked HTTP sources, and the multimodal binary keys
-# (rows-only by contract).
+# is weaker evidence than a hash re-check of a green oracle key.  r11
+# graduated the two bounded-error sketch keys (agg_percentile_approx,
+# events_approx_distinct — now in _ORACLE_BACKLOG for their first hash
+# rows); what remains is genuinely hash-inexpressible — float-ordering-
+# sensitive iterative training (IVF k-means, PCA), the bloom sketch
+# (probe-set membership has no stable cross-engine value), and the
+# incremental-ingest warehouse pipeline (each is value-pinned in pytest
+# via bounds/recall/roundtrip assertions).
 _ROWS_ONLY_EVIDENCED: tuple[str, ...] = (
     "vector_pca_project", "pipeline_incremental_ingest",
-    "ann_ivf_trained",
-    "agg_percentile_approx", "dedup_bloom_prefilter",
-    "events_approx_distinct",
+    "ann_ivf_trained", "dedup_bloom_prefilter",
     "agg_hll_daily_union",
 )
 
 # Number of previously-green keys re-checked per round, drawn
 # OLDEST-EVIDENCE-FIRST from _DRIVER_GREEN (VERDICT r9 item 5) so a
-# regression in r01-era code cannot stay invisible forever.  Canaries
-# sit at the FRONT of the window so they cannot be squeezed out: in r10
-# the window is 12 canaries + 5 stragglers + 37 graduations = 54, with
-# the 15-key changed-plan re-verify band behind them — the band's tail
-# may slip a wall-capped ~50-key window and re-queues next round.
-_CANARY_SLOTS: int = 12
+# regression in r01-era code cannot stay invisible forever.  r11 raises
+# the slots 12 → 24 for one round to burn the r2/r3 staleness tail
+# (VERDICT r10 item 3): head cargo is only 26 keys (15 re-verifies + 6
+# backlog + 5 changed-plan), so the window has room, and the green band
+# behind the canaries is ALSO staleness-ordered now — if the wall-clock
+# budget stretches past 50 keys the burn continues seamlessly.
+_CANARY_SLOTS: int = 24
 
 
 def canary_keys(round_no: int = _ROUND) -> tuple[str, ...]:
@@ -360,24 +341,30 @@ def canary_keys(round_no: int = _ROUND) -> tuple[str, ...]:
 def load_all() -> dict[str, Query]:
     """Import every module that registers queries (idempotent).
 
-    Returned order implements the r10 gate-window rotation (VERDICT r9
-    items 1-5):
-      0. 12 canary re-checks of previously-green keys, drawn
-         oldest-evidence-first (all from the r2 cohort this round);
-      1. the 5 changed-plan stragglers whose latest driver rows predate
-         their r9 fixes (_ROTATION_FIRST — VERDICT r9 item 1);
-      2. evidence-fix keys (_EVIDENCE_FIX: empty in r10);
-      3. the 37 rows-only -> oracle graduations (_ORACLE_BACKLOG):
-         first-ever value-level hash rows, the window's critical cargo
-         (VERDICT r9 items 2-4); the rank-function fallback catches any
-         key registered without a scheduling entry;
-      4. green keys whose PLANS changed this round (_REVERIFY: the
-         null-safe offsets join / all-NULL-group callers) so the driver
-         re-hashes changed keys before unchanged greens;
-      5. the remaining already-green oracle keys, ROUND-SHUFFLED
-         (seeded by _ROUND) so surplus slots re-check a different
-         green slice each round instead of the same import-order
-         prefix;
+    Returned order implements the r11 gate-window rotation (VERDICT r10
+    items 1-3, 7).  Evidence-bearing cargo now LEADS the window — the
+    r10 slot race dropped changed-plan keys at positions 51-54, so
+    nothing that creates NEW evidence may queue behind re-checks of
+    unchanged keys:
+      0. the 15-key r10 _REVERIFY band (_ROTATION_FIRST): null-safe
+         offsets-join / all-NULL-group callers whose r10 plan changes
+         are still driver-unevidenced (VERDICT r10 item 1);
+      1. evidence-fix keys (_EVIDENCE_FIX: empty in r11);
+      2. the 6-key _ORACLE_BACKLOG: the 4 slipped r10 graduations plus
+         the 2 bounded-error sketch graduations — each run yields a
+         FIRST value-level hash row (VERDICT r10 items 2, 7); the
+         rank-function fallback catches any key registered without a
+         scheduling entry;
+      3. green keys whose PLANS changed THIS round (_REVERIFY: the five
+         coalesce(1)->global_cumsum swaps plus the three bounded-frame
+         unpartitioned-window -> agg+broadcast swaps);
+      4. 24 canary re-checks of previously-green keys, drawn
+         oldest-evidence-first (doubled for one round to burn the
+         r2/r3 staleness tail — VERDICT r10 item 3);
+      5. the remaining already-green oracle keys, ALSO staleness-
+         ordered (oldest evidence first, round-seeded tiebreak) so a
+         wall-clock budget that stretches past the canaries keeps
+         burning the tail (VERDICT r10 item 3);
       6. rows-only keys that already hold driver rows (weakest
          evidence per run, so they queue last).
     """
@@ -407,35 +394,40 @@ def load_all() -> dict[str, Query]:
 
     import random
 
+    from ._evidence import LAST_GREEN
+
     fixes = {k: i for i, k in enumerate(_EVIDENCE_FIX)}
     canaries = {k: i for i, k in enumerate(canary_keys())}
     first = {k: i for i, k in enumerate(_ROTATION_FIRST)}
     backlog = {k: i for i, k in enumerate(_ORACLE_BACKLOG)}
     reverify = {k: i for i, k in enumerate(_REVERIFY)}
     rows_only = {k: i for i, k in enumerate(_ROWS_ONLY_EVIDENCED)}
+    # the green band behind the canaries is staleness-ordered too
+    # (VERDICT r10 item 3): oldest driver evidence first, round-seeded
+    # tiebreak so equally-stale keys rotate deterministically
     greens = sorted(_DRIVER_GREEN)
-    random.Random(_ROUND * 7919).shuffle(greens)
+    rng = random.Random(_ROUND * 7919)
+    tie = {k: rng.random() for k in greens}
+    greens.sort(key=lambda k: (LAST_GREEN.get(k, 0), tie[k]))
     green_rank = {k: i for i, k in enumerate(greens)}
 
     def rank(kv: tuple[str, Query]) -> tuple[int, int]:
         key, q = kv
-        if key in canaries:
-            return (0, canaries[key])
         if key in first:
-            return (1, first[key])
+            return (0, first[key])
         if key in fixes:
-            return (2, fixes[key])
+            return (1, fixes[key])
         if key in backlog:
-            return (3, backlog[key])
+            return (2, backlog[key])
         if key in reverify and q.oracle is not None:
-            return (4, reverify[key])
+            return (3, reverify[key])
+        if key in canaries:
+            return (4, canaries[key])
         if q.oracle is None:
             # rows-only: every key here holds driver evidence (r04-r08)
             return (6, rows_only.get(key, len(_ROWS_ONLY_EVIDENCED)))
         if key in _DRIVER_GREEN:
-            # round-shuffled so surplus window slots rotate their
-            # re-checks instead of re-walking the import-order prefix
             return (5, green_rank[key])
-        return (3, len(_ORACLE_BACKLOG))  # new oracle key → backlog rank
+        return (2, len(_ORACLE_BACKLOG))  # new oracle key → backlog rank
 
     return dict(sorted(REGISTRY.items(), key=rank))

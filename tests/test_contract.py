@@ -33,13 +33,14 @@ def test_every_oracle_key_has_a_query(spark):
 
 def test_gate_window_rotation_order():
     """The driver walks queries() in order under a wall-clock budget that
-    historically covers ~50 keys per round.  The r10 rotation (VERDICT r9
-    items 1, 2-4 and 5) must put: (a) the 12 staleness-ordered canaries
-    first (cheap, can never be squeezed out), (b) the 5 changed-plan
-    stragglers whose latest driver rows predate their r9 fixes, (c) the
-    15 rows-only -> oracle graduations (first value-level hash rows),
-    (d) this round's changed-plan re-verify band, then the surplus slots
-    fall through to round-shuffled green re-checks with the rows-only
+    historically covers ~50 keys per round.  The r11 rotation (VERDICT
+    r10 items 1-3, 7) puts evidence-bearing cargo FIRST — the r10 slot
+    race dropped changed-plan keys at positions 51-54, so nothing that
+    creates new evidence may queue behind re-checks of unchanged keys:
+    (a) the 15-key r10 re-verify band, (b) the 6-key oracle backlog
+    (4 slipped graduations + 2 bounded-error sketch graduations),
+    (c) this round's 5 changed-plan keys, (d) 24 staleness-ordered
+    canaries, then staleness-ordered green re-checks with the rows-only
     keys (weakest evidence per run) queued at the very tail."""
     from mergeextractor_spark import registry
     from mergeextractor_spark._evidence import LAST_GREEN
@@ -51,22 +52,40 @@ def test_gate_window_rotation_order():
     n_fix = len(registry._EVIDENCE_FIX)
     n_first = len(registry._ROTATION_FIRST)
     n_backlog = len(registry._ORACLE_BACKLOG)
-    # window arithmetic: 12 canaries + 5 stragglers + 37 graduations +
-    # 15 re-verifies — the graduations (first-ever value evidence)
-    # outrank the re-verify band, which will largely slip past a
-    # wall-capped ~50-key window this round; those are the lowest-stakes
-    # entries (plan-only condition swaps, builder-verified green at two
-    # sfs, re-queued next round if they miss). Most graduated keys are
-    # sub-second fixture queries, so the wall budget may stretch past 50.
-    assert n_fix == 0 and n_first == 5 and n_backlog == 37
-    assert (
-        registry._CANARY_SLOTS + n_first + n_backlog <= 54
-    )
+    n_rev = len(registry._REVERIFY)
+    # window arithmetic: 15 re-verifies + 6 backlog + 8 changed-plan
+    # = 29 head-cargo keys, all inside any plausible wall cap; the 24
+    # canaries fill positions 30-53.
+    assert n_fix == 0 and n_first == 15 and n_backlog == 6 and n_rev == 8
+    assert registry._CANARY_SLOTS + n_first + n_backlog + n_rev <= 54
     assert registry._CANARY_SLOTS >= 12  # VERDICT r7 item 3 / r8 item 5
+
+    at = 0
+    assert keys[at : at + n_first] == list(registry._ROTATION_FIRST)
+    for key in registry._ROTATION_FIRST:
+        # re-verify band: every key already green, oracle unchanged
+        assert key in osql and key in registry._DRIVER_GREEN, key
+    at += n_first + n_fix
+
+    # the graduations ride directly behind the head band: every one
+    # must now carry an oracle (that is the graduation) and none can
+    # already hold a hash-green driver row
+    assert keys[at : at + n_backlog] == list(registry._ORACLE_BACKLOG)
+    for key in registry._ORACLE_BACKLOG:
+        assert key in osql, f"graduated key {key!r} lost its oracle"
+        assert key not in registry._DRIVER_GREEN, key
+    at += n_backlog
+
+    # keys whose plans changed THIS round re-hash before any re-check
+    # of unchanged greens
+    assert keys[at : at + n_rev] == list(registry._REVERIFY)
+    for key in registry._REVERIFY:
+        assert key in osql and key in registry._DRIVER_GREEN, key
+    at += n_rev
 
     canaries = registry.canary_keys()
     assert len(canaries) == registry._CANARY_SLOTS
-    assert keys[: len(canaries)] == list(canaries)
+    assert keys[at : at + len(canaries)] == list(canaries)
     # Canaries are a deterministic, staleness-ordered sample of green keys
     assert registry.canary_keys() == registry.canary_keys()
     assert set(canaries) <= registry._DRIVER_GREEN
@@ -86,44 +105,25 @@ def test_gate_window_rotation_order():
         if k not in scheduled and k not in canaries
     ]
     assert all(LAST_GREEN[k] >= max_canary_age for k in undrawn)
+    at += len(canaries)
 
-    at = len(canaries)
-    assert keys[at : at + n_first] == list(registry._ROTATION_FIRST)
-    for key in registry._ROTATION_FIRST:
-        assert key in osql, f"rotation key {key!r} lost its oracle"
-
-    at += n_first
-    # the 15 graduations ride directly behind the stragglers: every one
-    # must now carry an oracle (that is the graduation) and none can
-    # already hold a hash-green driver row
-    assert keys[at : at + n_backlog] == list(registry._ORACLE_BACKLOG)
-    for key in registry._ORACLE_BACKLOG:
-        assert key in osql, f"graduated key {key!r} lost its oracle"
-        assert key not in registry._DRIVER_GREEN, key
-    at += n_backlog
-
-    # the changed-plan re-verify band rides behind the graduations so the
-    # driver re-hashes every key whose plan changed this round before
-    # unchanged greens
-    n_rev = len(registry._REVERIFY)
-    assert keys[at : at + n_rev] == list(registry._REVERIFY)
-    for key in registry._REVERIFY:
-        assert key in osql and key in registry._DRIVER_GREEN, key
-    at += n_rev
-    # positions behind the re-verify band: round-shuffled green oracle
-    # keys (every one driver-green), THEN every rows-only key at the tail
+    # positions behind the canaries: green oracle keys, ALSO staleness-
+    # ordered (VERDICT r10 item 3 — a stretched wall budget keeps
+    # burning the tail), THEN every rows-only key at the very end
     rows_only = [k for k in keys if k not in osql]
     assert sorted(rows_only) == sorted(registry._ROWS_ONLY_EVIDENCED)
     mid_green = [k for k in keys[at:] if k in osql]
     assert set(mid_green) <= registry._DRIVER_GREEN
+    ages = [LAST_GREEN.get(k, 0) for k in mid_green]
+    assert ages == sorted(ages), "green band must be oldest-evidence-first"
     first_rows_only = min(keys.index(k) for k in rows_only)
     last_green = max(keys.index(k) for k in mid_green)
     assert last_green < first_rows_only, (
         "green oracle re-checks must precede the rows-only tail"
     )
-    # the surplus-slot shuffle is deterministic within a round...
+    # the ordering is deterministic within a round...
     assert list(mod.queries()) == keys
-    # ...and NOT the sorted/import order (it rotates round to round)
+    # ...and NOT the sorted/import order (the tiebreak rotates per round)
     assert mid_green != sorted(mid_green)
 
 
