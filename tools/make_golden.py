@@ -20,6 +20,37 @@ driver testdata documents tables for sf0.001/0.01/0.1 keyed by md5(text)
 doc_id-keyed golden would pin one sf; the md5 join keeps one golden file
 correct at every sf the driver or selfcheck runs).
 
+MIRROR-INDEPENDENCE BOUNDARY (VERDICT r10 item 6) — what each golden's
+hash row proves.  Two proof classes:
+  [IR] independent recompute — the mirror derives the expected value
+       from frozen inline code / stdlib only; a semantic bug in the
+       package CANNOT pass both sides.
+  [DE] distribution equivalence — the mirror calls the SAME pure
+       function the Arrow-batched UDF wraps, so the hash row proves the
+       DISTRIBUTED plan (batching, joins, windows, null handling)
+       reproduces the sequential composition; the shared function's own
+       SEMANTICS are carried by the named pytest.
+
+  golden key                | class | shared functions          | semantic check for the shared part
+  --------------------------+-------+---------------------------+-----------------------------------
+  header_cascade            |  DE   | split_text, two_pass_passage | test_golden_cascade.py (labeled corpus), test_chunking_properties.py, test_optional_real_models.py (langchain/spacy, opt-in)
+  llm_classify_doc          |  DE   | two_pass_passage (client re-derived inline: mirror_classify) | test_golden_cascade.py
+  abbrev_enrich             |  DE   | split_text, two_pass_passage (ORG regex + find_definition inline) | test_golden_cascade.py; inline MIRROR_ORG_PATTERN freezes the NER surface form
+  pipeline_separator        |  DE   | split_text, separator_passage | test_cascade.py separator battery
+  llm_extract_initiator     |  DE   | + mock_initiator_client    | test_domain.py initiator pins, test_model_seams.py (real-client seam)
+  pipeline_crawler(+_audit) |  DE   | split_text, two_pass_passage, separator_passage (company_present inline) | test_filing_pipeline.py, test_golden_cascade.py
+  chunk_split_overlap       |  DE   | split_text (the function under test) | test_chunking_properties.py, golden_chunks.json regression, test_optional_real_models.py (byte parity, opt-in)
+  embed_text                |  DE   | hash_embed                 | test_model_seams.py (seam contract), test_ann.py recall floors
+  str_normalize_unicode     |  IR   | — (stdlib unicodedata)     | n/a
+  text_compression_ratio    |  IR   | — (stdlib zlib)            | n/a
+  fuzzy_partial_ratio       |  DE   | fuzz_partial_ratio         | test_fuzzy.py::test_partial_ratio_matches_bruteforce (hypothesis, vs an O(n*m^2) brute-force DP)
+  multimodal_*_meta         |  DE   | header codecs (decode_image, wav_header_codec, mp4_box_codec) | test_multimodal.py header pins, test_optional_real_codecs.py (real Pillow/wave, opt-in)
+  multimodal_frame_sample   |  IR   | — (inline byte slicing)    | n/a
+  multimodal_audio_fp       |  DE   | stdlib_pcm_codec, audiohash64 | test_multimodal.py planted-pair battery
+  multimodal_video_fp       |  IR   | — (inline byte-slab dHash) | n/a
+  multimodal_image_phash    |  DE   | dhash64, stdlib_pixel_codec | test_multimodal.py dHash pins
+  dedup_{image,audio,video} |  IR*  | signatures via the fingerprint goldens above; the DEDUP step (all-pairs hamming<=6 scan) is fully inline | *independent of the banded join under test — the hash row re-proves the 7-band x 8-block pigeonhole's recall on real signatures
+
 Usage: python tools/make_golden.py [--outdir tests/fixtures/golden]
 """
 
@@ -130,12 +161,26 @@ def company_tokens_present(passage: str, ca: str, cb: str) -> bool:
     return ta.replace("-", " ") in clean and tb.replace("-", " ") in clean
 
 
+# Re-derived INLINE (not imported from the package under test — VERDICT
+# r10 item 6): capitalized-token runs ending in a corporate suffix, the
+# org surface form the reference's regex NER recognizes (ref
+# InitiatorIdentifier.py org extraction).  Spelled from its parts here so
+# the mirror stays frozen independent text: if the package's
+# enrich.ORG_PATTERN ever drifts, the golden diverges and the driver
+# hash / test_golden_oracles fails loudly instead of both sides moving
+# together.
+_MIRROR_ORG_SUFFIXES = (
+    "Inc|Corp|Corporation|Co|Company|Group|Holdings|Technologies|Systems"
+)
+MIRROR_ORG_PATTERN = (
+    r"((?:[A-Z][A-Za-z0-9&.\-]*\s+)+(?:" + _MIRROR_ORG_SUFFIXES + r")\.?)"
+)
+
+
 def top_orgs(text: str, k: int = 5) -> list[str]:
     """operators/enrich.top_orgs over one passage: top-k by (count desc,
-    org asc)."""
-    from mergeextractor_spark.operators.enrich import ORG_PATTERN
-
-    matches = [m.group(1).strip(" ") for m in re.finditer(ORG_PATTERN, text)]
+    org asc) — pattern re-derived inline (MIRROR_ORG_PATTERN)."""
+    matches = [m.group(1).strip(" ") for m in re.finditer(MIRROR_ORG_PATTERN, text)]
     counts = Counter(matches)
     ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
     return [org for org, _ in ranked]
@@ -198,15 +243,27 @@ def golden_header_cascade(filings) -> dict:
     }
 
 
-def golden_llm_classify(filings) -> dict:
-    from mergeextractor_spark.operators.llm import mock_classify_client
+def mirror_classify(text: str) -> tuple[bool, str, float]:
+    """Classify stand-in re-derived INLINE (VERDICT r10 item 6 — not
+    imported from operators/llm.mock_classify_client): hasSection iff a
+    catalog phrase heads a >200-char passage, matchHeader = the
+    passage's first line trimmed, confidence 0.9/0.1 (the judgment the
+    reference's fallback LLM prompt encodes, ref config.py:76-107).
+    The passage LOCATOR (two_pass_passage) stays shared — its semantic
+    independence is carried by test_golden_cascade.py's labeled corpus."""
+    from mergeextractor_spark.operators.cascade import two_pass_passage
 
+    passage = two_pass_passage(text)
+    if passage is None:
+        return (False, "", 0.1)
+    return (True, passage.splitlines()[0].strip(), 0.9)
+
+
+def golden_llm_classify(filings) -> dict:
     rows = []
     for f in filings:
-        d = json.loads(mock_classify_client(f["content"]))
-        rows.append(
-            (f["main_index"], d["hasSection"], d["matchHeader"], r4(d["confidence"]))
-        )
+        has, header, conf = mirror_classify(f["content"])
+        rows.append((f["main_index"], has, header, r4(conf)))
     return {
         "main_index": [r[0] for r in rows],
         "has_section": [r[1] for r in rows],
