@@ -95,20 +95,45 @@ HEADLINE = [
 ]
 
 
+def _one_sample(spark, q, sf_dir: str) -> float:
+    """One isolated sample of one key: cache clear + warm + timed run.
+
+    Per-query cache isolation (r7): keys whose plans .cache() internally
+    leave relations in the CacheManager (plan-canonicalization matching
+    means later constructions reuse them), so residue would otherwise
+    grow across the interleaved suite — the late-suite agg_source_overlap
+    spike (median 2.51 s vs 1.08 s isolated).  Clearing before the warm
+    run removes cross-query residue while the warm + timed runs of THIS
+    sample still share their own cache, exactly the per-key semantics the
+    pre-r11 consecutive-sample bench measured (comparability across
+    rounds)."""
+    spark.catalog.clearCache()
+    df = q.spark(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()  # warm
+    t0 = time.time()
+    df = q.spark(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     reg = load_all()
     spark = get_spark("bench")
 
-    # n timed runs per query after one warm run (plan + IO cache); the
-    # reported per-query number is the MEDIAN and stdev is recorded so
-    # round-over-round deltas can be read against measured noise
-    # (VERDICT r2 item 10), not an asserted ±15%.
+    # INTERLEAVED passes (VERDICT r10 item 4): two consecutive rounds of
+    # driver bench records were contaminated by host-load bursts because
+    # each key's 5-9 samples ran consecutively — a burst mapped onto a
+    # contiguous block of WHOLE keys (r10: positions 35-51 at 2-7x).
+    # Running the suite as N round-robin passes spreads any burst across
+    # every key as ONE sample, which the per-key median then rejects; the
+    # per-pass load averages and pass durations in the stderr record let
+    # a reader locate a burst window even when the medians absorb it.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     sub_second_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS_SUBSEC", "9"))
 
-    # Suite-level JVM warmup: the per-query warm run caches plan+IO but
+    # Suite-level JVM warmup: the per-sample warm run caches plan+IO but
     # the first timed queries still paid whole-process JIT compilation
     # (measured: the suite-leading flagship read 1.6 s at position 1 vs
     # 0.85 s re-measured hot in the same session — a position effect, not
@@ -116,45 +141,46 @@ def main() -> None:
     for key in ("extract_section_pipeline", "olap_nation_revenue"):
         for _ in range(2):
             reg[key].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    timings: dict[str, float] = {}
-    stdevs: dict[str, float] = {}
-    n_samples: dict[str, int] = {}
-    for key in HEADLINE:
-        q = reg[key]
-        # Per-query cache isolation (r7): keys whose plans .cache()
-        # internally leave relations in the CacheManager for the REST of
-        # the suite (plan-canonicalization matching means later
-        # constructions reuse them), so storage residue grows with suite
-        # position — the late-suite agg_source_overlap spike (median
-        # 2.51 s, stdev 4.3, vs 1.08 s isolated). Clearing ONCE before
-        # each query's warm run removes cross-query residue while the
-        # warm + timed runs of THIS query still share their own cache.
-        spark.catalog.clearCache()
-        df = q.spark(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()  # warm
-        samples = []
-        for _ in range(n_runs):
-            t0 = time.time()
-            df = q.spark(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            samples.append(time.time() - t0)
-        # Sub-second keys ride a ±20-40% session envelope that cost three
-        # adjudications in r9 (VERDICT r9 item 8): the construction/JIT
-        # jitter is a fixed absolute cost, so it dominates exactly when
-        # the query is fast. Boost those to 9 samples and report the
-        # median-of-9 — extra runs are cheap precisely because the key is
-        # sub-second.
-        if statistics.median(samples) < 1.0:
-            for _ in range(max(0, sub_second_runs - n_runs)):
-                t0 = time.time()
-                df = q.spark(spark, sf_dir)
-                df.write.format("noop").mode("overwrite").save()
-                samples.append(time.time() - t0)
-        timings[key] = round(statistics.median(samples), 3)
-        stdevs[key] = round(statistics.stdev(samples), 3) if len(samples) > 1 else 0.0
-        n_samples[key] = len(samples)
+
+    samples: dict[str, list[float]] = {k: [] for k in HEADLINE}
+    pass_load: list[float] = []
+    pass_sec: list[float] = []
+    for _ in range(n_runs):
+        t_pass = time.time()
+        for key in HEADLINE:
+            samples[key].append(_one_sample(spark, reg[key], sf_dir))
+        pass_load.append(round(os.getloadavg()[0], 2))
+        pass_sec.append(round(time.time() - t_pass, 1))
         print(
-            f"  {key}: {timings[key]}s ±{stdevs[key]} (n={len(samples)})",
+            f"  pass {len(pass_sec)}/{n_runs}: {pass_sec[-1]}s"
+            f" load={pass_load[-1]}",
+            file=sys.stderr,
+            flush=True,
+        )
+    # Sub-second keys ride a ±20-40% session envelope that cost three
+    # adjudications in r9 (VERDICT r9 item 8): the construction/JIT
+    # jitter is a fixed absolute cost, so it dominates exactly when the
+    # query is fast. Boost those to 9 samples — as EXTRA round-robin
+    # passes over only the sub-second keys, keeping burst-spreading.
+    subsec = [k for k in HEADLINE if statistics.median(samples[k]) < 1.0]
+    for _ in range(max(0, sub_second_runs - n_runs)):
+        if not subsec:
+            break
+        t_pass = time.time()
+        for key in subsec:
+            samples[key].append(_one_sample(spark, reg[key], sf_dir))
+        pass_load.append(round(os.getloadavg()[0], 2))
+        pass_sec.append(round(time.time() - t_pass, 1))
+
+    timings = {k: round(statistics.median(v), 3) for k, v in samples.items()}
+    stdevs = {
+        k: round(statistics.stdev(v), 3) if len(v) > 1 else 0.0
+        for k, v in samples.items()
+    }
+    n_samples = {k: len(v) for k, v in samples.items()}
+    for key in HEADLINE:
+        print(
+            f"  {key}: {timings[key]}s ±{stdevs[key]} (n={n_samples[key]})",
             file=sys.stderr,
             flush=True,
         )
@@ -172,8 +198,11 @@ def main() -> None:
                 "stdev": stdevs,
                 "runs_per_query": n_runs,
                 "samples_per_query": n_samples,
-                # host context: a uniform shift across unrelated queries is
-                # the box, not the code (PERFORMANCE.md box-drift caveat)
+                # per-pass host context: a burst shows up as one slow
+                # pass with a high load stamp — the record self-
+                # identifies its burst window (VERDICT r10 item 4)
+                "pass_seconds": pass_sec,
+                "pass_load_avg_1m": pass_load,
                 "load_avg_1m": round(os.getloadavg()[0], 2),
                 "uptime_s": round(time.clock_gettime(time.CLOCK_BOOTTIME)),
             }
