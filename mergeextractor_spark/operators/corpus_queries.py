@@ -229,14 +229,18 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(pos).alias("pos_rate"),
         r4(F.abs(F.avg("prob") - pos)).alias("calib_gap"),
     )
-    tot = bins.agg(F.sum("n_docs").alias("__tot"))
-    return (
-        bins.crossJoin(F.broadcast(tot))
-        .select(
-            "*",
-            r4(F.col("n_docs").cast("double") / F.col("__tot")).alias("bin_share"),
-        )
-        .drop("__tot")
+    # grand total via pack-and-explode (the temperature_boosts shape):
+    # collect_list + sum ride ONE aggregate over the 10-row frame, so the
+    # corpus is still scanned exactly once (test_plans single-scan pin)
+    # and no unpartitioned window appears — an agg + cross join here
+    # would re-execute the whole upstream scan for the total
+    packed = bins.agg(
+        F.collect_list(F.struct(*bins.columns)).alias("__rows"),
+        F.sum("n_docs").alias("__tot"),
+    )
+    return packed.select(F.explode("__rows").alias("__r"), "__tot").select(
+        F.col("__r.*"),
+        r4(F.col("__r.n_docs").cast("double") / F.col("__tot")).alias("bin_share"),
     )
 
 
@@ -545,11 +549,20 @@ def sample_anneal_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("__tile") == 1, "anneal").otherwise("main").alias("phase"),
     )
     totals = phased.groupBy("phase").agg(F.sum("n_tok").alias("phase_tok"))
-    # grand total via agg + broadcast cross join, not an unpartitioned
-    # window: same 2-row frame, but keeps the plan free of the
-    # WindowExec single-partition warning class the r8-r11 sweeps hunt
-    grand = totals.agg(F.sum("phase_tok").alias("tot"))
-    totals = totals.crossJoin(F.broadcast(grand))
+    # grand total via pack-and-explode (the temperature_boosts shape):
+    # tot rides the SAME aggregate as collect_list over the 2-row phase
+    # frame — no unpartitioned window (WindowExec warning class), and no
+    # cross join that would read the partitioned_ntile checkpoint a
+    # third time
+    packed = totals.agg(
+        F.collect_list(F.struct("phase", "phase_tok")).alias("__rows"),
+        F.sum("phase_tok").alias("tot"),
+    )
+    totals = packed.select(F.explode("__rows").alias("__r"), "tot").select(
+        F.col("__r.phase").alias("phase"),
+        F.col("__r.phase_tok").alias("phase_tok"),
+        "tot",
+    )
     share = F.when(F.col("phase") == "anneal", ANNEAL_SHARE).otherwise(
         1 - ANNEAL_SHARE
     )

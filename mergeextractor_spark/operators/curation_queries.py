@@ -332,7 +332,32 @@ def bloom_build(hashed: DataFrame):
 
 @register(
     "dedup_bloom_prefilter",
-    oracle=None,  # probabilistic sketch → rows-only (pytest bounds the FP rate)
+    # r11 graduation — and unlike the probabilistic-SEED sketches, this
+    # one earns a FULL exact-value oracle: the bloom's bit positions are
+    # md5 slices (engine-independent), so its entire membership function
+    # INCLUDING false positives is deterministic and DuckDB can rebuild
+    # it — the distinct corpus-half bit set, then bool_and(probe bit ∈
+    # set) per incoming row.  A hash match pins the exact novel set the
+    # distributed scatter-OR/broadcast-probe produces, FP drops and all.
+    oracle=f"""
+    WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+    pos AS (SELECT i FROM range({BLOOM_K}) t(i)),
+    corpus_bits AS (
+      SELECT DISTINCT
+             CAST(concat('0x', substr(h, 1 + 5 * i, 5)) AS BIGINT) % {BLOOM_M_BITS} AS b
+      FROM d CROSS JOIN pos WHERE doc_id % 2 = 0
+    ),
+    probed AS (
+      SELECT d.doc_id, d.h,
+             bool_and(
+               CAST(concat('0x', substr(d.h, 1 + 5 * p.i, 5)) AS BIGINT)
+                 % {BLOOM_M_BITS} IN (SELECT b FROM corpus_bits)
+             ) AS maybe_dup
+      FROM d CROSS JOIN pos p WHERE d.doc_id % 2 = 1
+      GROUP BY d.doc_id, d.h
+    )
+    SELECT doc_id, h FROM probed WHERE NOT maybe_dup
+    """,
     doc="Bloom-filter novelty prefilter: how a 100 TB deployment dedups an "
     "incoming crawl batch against the existing corpus WITHOUT joining it. "
     "Bit positions are md5 slices computed natively; the corpus half's "
@@ -344,7 +369,11 @@ def bloom_build(hashed: DataFrame):
     "(true dups + ~1% FPs) proceed to an exact anti-join. Guarantees: "
     "zero false negatives (pytest-asserted) and candidate volume ≈ dup "
     "volume. Returns the definitely-novel set. No shuffle anywhere: "
-    "build is a tree-reduce, probe is map-side.",
+    "build is a tree-reduce, probe is map-side. Hash-verified (r11): "
+    "the md5-sliced positions make the whole membership function "
+    "deterministic, so the oracle rebuilds the bloom in SQL and the "
+    "hash row pins the exact novel set, false-positive drops included.",
+    eager=True,  # construction collects the per-partition bitmaps
 )
 def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents").select("doc_id", F.md5("text").alias("h"))
@@ -1899,10 +1928,11 @@ K_ANONYMITY_K = 10  # minimum safe equivalence-class size
     "identifiers against an external dataset, the standard privacy "
     "check a release pipeline runs before publishing user-derived "
     "training data (Sweeney 2002). One grouped count on the QI key "
-    "(map-side combinable) plus an unpartitioned window total over the "
-    "class table (one scan of the base table, not two); at 100 TB the "
-    "class table is |QI-combinations|-sized, orders of magnitude below "
-    "the row count.",
+    "(map-side combinable); the table total rides the same pack-and-"
+    "explode aggregate as the class rows (one scan of the base table, "
+    "not two, and no unpartitioned window); at 100 TB the class table "
+    "is |QI-combinations|-sized, orders of magnitude below the row "
+    "count.",
 )
 def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     classes = (
@@ -1910,16 +1940,21 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey", "c_mktsegment")
         .agg(F.count("*").alias("class_size"))
     )
-    # row total via agg + broadcast cross join over the |nations x
-    # segments|-row aggregate — not an unpartitioned window (r11 sweep
-    # of the bounded-frame WindowExec warning class)
-    tot = classes.agg(F.sum("class_size").alias("n"))
-    return classes.crossJoin(F.broadcast(tot)).select(
-        "c_nationkey",
-        "c_mktsegment",
-        F.col("class_size").cast("bigint").alias("class_size"),
-        (F.col("class_size") < K_ANONYMITY_K).alias("at_risk"),
-        r4(F.col("class_size").cast("double") / F.col("n")).alias("class_share"),
+    # row total via pack-and-explode (the temperature_boosts shape): the
+    # total rides the SAME aggregate as collect_list over the |nations x
+    # segments|-row class table, so the base table is scanned exactly
+    # once (test_plans single-scan pin), no unpartitioned window, and no
+    # cross join that would re-execute the upstream scan
+    packed = classes.agg(
+        F.collect_list(F.struct(*classes.columns)).alias("__rows"),
+        F.sum("class_size").alias("__n"),
+    )
+    return packed.select(F.explode("__rows").alias("__r"), "__n").select(
+        F.col("__r.c_nationkey").alias("c_nationkey"),
+        F.col("__r.c_mktsegment").alias("c_mktsegment"),
+        F.col("__r.class_size").cast("bigint").alias("class_size"),
+        (F.col("__r.class_size") < K_ANONYMITY_K).alias("at_risk"),
+        r4(F.col("__r.class_size").cast("double") / F.col("__n")).alias("class_share"),
     )
 
 

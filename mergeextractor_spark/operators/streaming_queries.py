@@ -101,6 +101,7 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 HLL_RSD = 0.05  # approx_count_distinct default relative standard deviation
 HLL_BOUND = 5 * HLL_RSD  # hashable acceptance band: |est - exact| ≤ 25%
+HLL_UNION_BOUND = 0.25  # DataSketches lgK=12 rsd ≈ 1.6%; 25% is ~15x that
 
 
 @register(
@@ -150,30 +151,66 @@ def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_hll_daily_union",
-    oracle=None,  # sketch bytes/estimates are engine-specific → rows-only
+    # r11 bounded-error graduation (the events_approx_distinct pattern):
+    # the DataSketches estimates and sketch bytes are engine-specific,
+    # but the EXACT counts and the claim that every estimate — each
+    # per-day sketch AND the re-unioned total — landed within the bound
+    # are hashable.  The oracle recomputes the exact daily / overall
+    # distinct counts independently and asserts within_bound TRUE.
+    oracle="""
+    WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events)
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           TRUE AS within_bound
+    FROM du GROUP BY day
+    UNION ALL
+    SELECT NULL AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS within_bound
+    FROM events
+    """,
     doc="PERSISTABLE distinct-count sketches via Spark 4's DataSketches "
     "HLL functions: one hll_sketch_agg(user_id) per day, re-aggregated "
     "with hll_union_agg for the overall count (day IS NULL row). This is "
     "the 100 TB cube trick approx_count_distinct alone cannot do — "
     "per-partition sketches are STORED once and re-unioned for any "
     "rollup (daily → monthly → lifetime) without rescanning events; "
-    "distinct counts become additive. Estimate-vs-exact error bounded "
-    "in tests/test_streaming.py; rows-only by design.",
+    "distinct counts become additive. Hash-verified via the bounded-"
+    "error oracle: exact counts ride a twin aggregate and within_bound "
+    "asserts every sketch estimate (daily AND the union) landed within "
+    "25% of its exact value — ~10x the lgK=12 sketch's rsd envelope. "
+    "The exact side exists to make the bound hashable; the production "
+    "scale path is the sketch rollup alone.",
 )
 def agg_hll_daily_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    daily = (
-        t(spark, sf_dir, "events")
-        .groupBy(F.to_date("ts").alias("day"))
-        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("n_exact"),
     )
     per_day = daily.select(
-        "day", F.hll_sketch_estimate("sk").cast("bigint").alias("est_users")
+        "day",
+        F.hll_sketch_estimate("sk").cast("bigint").alias("est_users"),
+        "n_exact",
     )
-    total = daily.agg(F.hll_union_agg("sk").alias("u")).select(
+    total = daily.agg(
+        F.hll_union_agg("sk").alias("u"),
+    ).crossJoin(
+        F.broadcast(ev.agg(F.countDistinct("user_id").alias("n_exact")))
+    ).select(
         F.lit(None).cast("date").alias("day"),
         F.hll_sketch_estimate("u").cast("bigint").alias("est_users"),
+        "n_exact",
     )
-    return per_day.unionByName(total)
+    both = per_day.unionByName(total)
+    return both.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        (
+            F.abs(F.col("est_users") - F.col("n_exact"))
+            <= HLL_UNION_BOUND * F.col("n_exact")
+        ).alias("within_bound"),
+    )
 
 
 SLIDE_SEC = 300
@@ -1630,15 +1667,20 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.max("ts").cast("timestamp")).alias("last_epoch_us"),
         )
     )
-    lag_us = F.col("g_us") - F.col("last_epoch_us")
-    # global max via agg + broadcast cross join over the |event_types|-
-    # row aggregate — not an unpartitioned window (r11 sweep of the
-    # bounded-frame WindowExec warning class)
-    g = per.agg(F.max("last_epoch_us").alias("g_us"))
-    return per.crossJoin(F.broadcast(g)).select(
-        "event_type",
-        "n_events",
-        "last_epoch_us",
+    # global max via pack-and-explode (the temperature_boosts shape):
+    # the max rides the SAME aggregate as collect_list over the
+    # |event_types|-row frame — one scan of events (test_plans single-
+    # scan pin), no unpartitioned window, no cross join re-executing
+    # the upstream scan
+    packed = per.agg(
+        F.collect_list(F.struct(*per.columns)).alias("__rows"),
+        F.max("last_epoch_us").alias("__g_us"),
+    )
+    lag_us = F.col("__g_us") - F.col("__r.last_epoch_us")
+    return packed.select(F.explode("__rows").alias("__r"), "__g_us").select(
+        F.col("__r.event_type").alias("event_type"),
+        F.col("__r.n_events").alias("n_events"),
+        F.col("__r.last_epoch_us").alias("last_epoch_us"),
         r4(lag_us / 1000000.0).alias("lag_sec"),
         (lag_us > FRESHNESS_SLA_SEC * 1_000_000).alias("stale"),
     )

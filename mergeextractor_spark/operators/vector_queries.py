@@ -14,7 +14,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import t, r4, spread, truncate_lineage
+from ._util import t, r4, spread, truncate_lineage, golden_path
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -517,6 +517,24 @@ PCA_K = 8  # components kept by the fixture projection
 
 @register(
     "vector_pca_project",
+    # r11 graduation via a fully-INLINE golden mirror (nothing shared
+    # with this module — tools/make_golden.py recomputes covariance /
+    # eigh / sign convention / projection in plain numpy): the
+    # eigendecomposition runs on the r4-ROUNDED covariance, so both
+    # sides factor a bit-identical matrix and the deterministic
+    # largest-|coordinate|-positive sign convention removes the
+    # eigensolver sign freedom.  The golden is keyed by a corpus
+    # signature recomputed here from the live embeddings view (sf0.001
+    # and sf0.01 both hold 500 different vectors — row count cannot
+    # key it).
+    oracle=f"""
+    SELECT vec_id, component, value
+    FROM read_parquet('{golden_path("vector_pca_project")}')
+    WHERE corpus_sig = (
+      SELECT md5(string_agg(CAST(embedding AS VARCHAR), '|' ORDER BY vec_id))
+      FROM embeddings
+    )
+    """,
     doc="PCA projection of the embedding corpus onto its top-k principal "
     "components: the covariance comes from agg_embedding_covariance's "
     "Arrow-batched partial pass, the d×d eigendecomposition runs on the "
@@ -524,12 +542,15 @@ PCA_K = 8  # components kept by the fixture projection
     "never by corpus size, the same driver-side footprint as the PQ "
     "codebooks), and the component matrix broadcasts back into a "
     "vectorized batch projection. This is the whitening/rotation step "
-    "OPQ and IVF cell balance build on. No DuckDB twin (eigensolvers "
-    "are engine-specific up to sign/order) — value checks live in "
-    "pytest: orthonormal components, diagonal projected covariance, "
-    "monotone reconstruction error. Output is exploded to "
-    "(vec_id, component, value) rows — scalar columns only, so the "
-    "driver's pandas-sort canonicalizer can hash it (r5 verdict fix).",
+    "OPQ and IVF cell balance build on. Hash-verified (r11): eigh runs "
+    "on the r4-rounded covariance (bit-identical input on both sides) "
+    "with a deterministic sign convention, so the golden mirror "
+    "reproduces the projection exactly; pytest additionally pins "
+    "orthonormal components, diagonal projected covariance, monotone "
+    "reconstruction error. Output is exploded to (vec_id, component, "
+    "value) rows — scalar columns only, so the driver's pandas-sort "
+    "canonicalizer can hash it (r5 verdict fix).",
+    eager=True,  # construction collects the covariance cells
 )
 def vector_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np

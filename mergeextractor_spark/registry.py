@@ -255,12 +255,22 @@ _ORACLE_BACKLOG: tuple[str, ...] = (
     "source_pyds_fts",
     # Bounded-error graduations landing THIS round (VERDICT r10 item 7):
     # the sketch ESTIMATE can never hash-match across engines, but its
-    # published error bound can — both keys now emit the independently
+    # published error bound can — these keys now emit the independently
     # recomputed exact values plus a within_bound boolean the oracle
     # asserts TRUE, converting `err: no_oracle` rows into value-level
     # hash rows that prove the sketch honored its bound.
     "agg_percentile_approx",
     "events_approx_distinct",
+    "agg_hll_daily_union",
+    # FULL exact-value graduations: the bloom's bit positions are md5
+    # slices (engine-independent), so the whole membership function —
+    # false positives included — is deterministic and DuckDB rebuilds
+    # it in SQL; the PCA projection's eigendecomposition runs on the
+    # r4-ROUNDED covariance with a deterministic sign convention, so a
+    # fully-inline numpy mirror reproduces it exactly (golden keyed by
+    # a corpus signature — row counts collide across sfs).
+    "dedup_bloom_prefilter",
+    "vector_pca_project",
 )
 
 # Already-green keys whose PLANS changed this round — ranked directly
@@ -287,28 +297,27 @@ _REVERIFY: tuple[str, ...] = (
 # Rows-only keys WITH driver evidence.  They queue at the tail — every
 # key here already holds a clean CORRECTNESS row, and a rows-only re-run
 # is weaker evidence than a hash re-check of a green oracle key.  r11
-# graduated the two bounded-error sketch keys (agg_percentile_approx,
-# events_approx_distinct — now in _ORACLE_BACKLOG for their first hash
-# rows); what remains is genuinely hash-inexpressible — float-ordering-
-# sensitive iterative training (IVF k-means, PCA), the bloom sketch
-# (probe-set membership has no stable cross-engine value), and the
-# incremental-ingest warehouse pipeline (each is value-pinned in pytest
-# via bounds/recall/roundtrip assertions).
+# graduated five more (the bounded-error sketch trio, the md5-sliced
+# bloom prefilter, and the rounded-covariance PCA projection — now in
+# _ORACLE_BACKLOG for their first hash rows); what remains is genuinely
+# hash-inexpressible — float-ordering-sensitive iterative training
+# (IVF k-means) and the incremental-ingest warehouse pipeline whose
+# bloom-candidate counts ride Spark's SEEDED bloom_filter_agg (each is
+# value-pinned in pytest via bounds/recall/roundtrip assertions).
 _ROWS_ONLY_EVIDENCED: tuple[str, ...] = (
-    "vector_pca_project", "pipeline_incremental_ingest",
-    "ann_ivf_trained", "dedup_bloom_prefilter",
-    "agg_hll_daily_union",
+    "pipeline_incremental_ingest",
+    "ann_ivf_trained",
 )
 
 # Number of previously-green keys re-checked per round, drawn
 # OLDEST-EVIDENCE-FIRST from _DRIVER_GREEN (VERDICT r9 item 5) so a
 # regression in r01-era code cannot stay invisible forever.  r11 raises
-# the slots 12 → 24 for one round to burn the r2/r3 staleness tail
-# (VERDICT r10 item 3): head cargo is only 26 keys (15 re-verifies + 6
-# backlog + 5 changed-plan), so the window has room, and the green band
-# behind the canaries is ALSO staleness-ordered now — if the wall-clock
-# budget stretches past 50 keys the burn continues seamlessly.
-_CANARY_SLOTS: int = 24
+# the slots 12 → 22 to burn the r2/r3 staleness tail (VERDICT r10
+# item 3): head cargo is 31 keys (15 re-verifies + 8 backlog + 8
+# changed-plan), the canaries fill to position 53, and the green band
+# behind them is ALSO staleness-ordered now — if the wall-clock budget
+# stretches past the canaries the burn continues seamlessly.
+_CANARY_SLOTS: int = 22
 
 
 def canary_keys(round_no: int = _ROUND) -> tuple[str, ...]:
@@ -350,11 +359,11 @@ def load_all() -> dict[str, Query]:
          offsets-join / all-NULL-group callers whose r10 plan changes
          are still driver-unevidenced (VERDICT r10 item 1);
       1. evidence-fix keys (_EVIDENCE_FIX: empty in r11);
-      2. the 6-key _ORACLE_BACKLOG: the 4 slipped r10 graduations plus
-         the 2 bounded-error sketch graduations — each run yields a
-         FIRST value-level hash row (VERDICT r10 items 2, 7); the
-         rank-function fallback catches any key registered without a
-         scheduling entry;
+      2. the 8-key _ORACLE_BACKLOG: the 4 slipped r10 graduations plus
+         the 3 bounded-error sketch graduations and the exact-oracle
+         bloom prefilter — each run yields a FIRST value-level hash row
+         (VERDICT r10 items 2, 7); the rank-function fallback catches
+         any key registered without a scheduling entry;
       3. green keys whose PLANS changed THIS round (_REVERIFY: the five
          coalesce(1)->global_cumsum swaps plus the three bounded-frame
          unpartitioned-window -> agg+broadcast swaps);

@@ -53,10 +53,10 @@ def test_gate_window_rotation_order():
     n_first = len(registry._ROTATION_FIRST)
     n_backlog = len(registry._ORACLE_BACKLOG)
     n_rev = len(registry._REVERIFY)
-    # window arithmetic: 15 re-verifies + 6 backlog + 8 changed-plan
-    # = 29 head-cargo keys, all inside any plausible wall cap; the 24
-    # canaries fill positions 30-53.
-    assert n_fix == 0 and n_first == 15 and n_backlog == 6 and n_rev == 8
+    # window arithmetic: 15 re-verifies + 9 backlog + 8 changed-plan
+    # = 32 head-cargo keys, all inside any plausible wall cap; the 22
+    # canaries fill positions 33-54.
+    assert n_fix == 0 and n_first == 15 and n_backlog == 9 and n_rev == 8
     assert registry._CANARY_SLOTS + n_first + n_backlog + n_rev <= 54
     assert registry._CANARY_SLOTS >= 12  # VERDICT r7 item 3 / r8 item 5
 

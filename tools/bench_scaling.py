@@ -139,6 +139,19 @@ QUERIES = [
     "eval_langid_auc",
     "dq_skew_report",
     "events_interarrival_profile",
+    # round-11 shapes: the five coalesce(1)->two-phase cumsum swaps
+    # (exponent ≈ 1.0 expected — the cumsum frame is an aggregate whose
+    # row count grows with days/hours/change-points, and the two-phase
+    # split keeps every stage parallel) and the two bounded-error
+    # sketch oracles (the exact-anchor side adds a two-phase rank /
+    # exact distinct whose cost IS the scale term being audited)
+    "events_slo_burn_rate",
+    "events_peak_concurrency",
+    "events_changepoint_cusum",
+    "agg_ltv_curve",
+    "agg_user_growth_curve",
+    "agg_percentile_approx",
+    "events_approx_distinct",
 ]
 
 

@@ -44,6 +44,7 @@ hash row proves.  Two proof classes:
   str_normalize_unicode     |  IR   | — (stdlib unicodedata)     | n/a
   text_compression_ratio    |  IR   | — (stdlib zlib)            | n/a
   fuzzy_partial_ratio       |  DE   | fuzz_partial_ratio         | test_fuzzy.py::test_partial_ratio_matches_bruteforce (hypothesis, vs an O(n*m^2) brute-force DP)
+  vector_pca_project        |  IR   | — (inline numpy cov/eigh/sign/project; eigh input is the r4-rounded covariance, bit-identical both sides) | n/a (test_ann.py pins orthonormality/diagonality/reconstruction independently)
   multimodal_*_meta         |  DE   | header codecs (decode_image, wav_header_codec, mp4_box_codec) | test_multimodal.py header pins, test_optional_real_codecs.py (real Pillow/wave, opt-in)
   multimodal_frame_sample   |  IR   | — (inline byte slicing)    | n/a
   multimodal_audio_fp       |  DE   | stdlib_pcm_codec, audiohash64 | test_multimodal.py planted-pair battery
@@ -791,6 +792,67 @@ def golden_dedup_video_fingerprint() -> dict:
     return _dedup_cols(banded_dedup_mirror(list(zip(d["media_id"], d["phash"]))))
 
 
+PCA_SIG_SQL = (
+    "SELECT md5(string_agg(CAST(embedding AS VARCHAR), '|' ORDER BY vec_id)) "
+    "FROM read_parquet('{pq}')"
+)
+
+
+def golden_vector_pca_project() -> dict:
+    """[IR] Fully-INLINE mirror of the PCA stack (nothing imported from
+    the package): covariance entries r4-rounded exactly as
+    agg_embedding_covariance emits them (upper-triangle computed,
+    mirrored, -0.0 folded), numpy eigh on the IDENTICAL rounded matrix
+    (bit-identical on the same BLAS), the largest-|coordinate|-positive
+    sign convention, projection rounded to 4.  Keyed by a corpus
+    signature DuckDB computes from the embedding content — the oracle
+    recomputes the same signature from its own embeddings view
+    (sf0.001 and sf0.01 both hold 500 DIFFERENT vectors, so a row-count
+    key would collide).  The only cross-side float risk is an r4
+    knife-edge on a covariance cell between the distributed partial
+    sums and the sequential sum — absorbed by 4-decimal rounding at
+    ~1e-11 residual error."""
+    import duckdb
+    import numpy as np
+
+    k = 8  # PCA_K in the registered query
+    rows = []
+    con = duckdb.connect()
+    for d_dir in SF_DIRS:
+        pq = f"{d_dir}/embeddings.parquet"
+        sig = con.execute(PCA_SIG_SQL.format(pq=pq)).fetchone()[0]
+        data = con.execute(
+            f"SELECT vec_id, embedding FROM read_parquet('{pq}') ORDER BY vec_id"
+        ).fetchall()
+        ids = [r[0] for r in data]
+        X = np.array([r[1] for r in data], dtype=np.float32).astype(np.float64)
+        n, d = X.shape
+        mu = X.sum(axis=0) / n
+        P2 = X.T @ X
+        C = np.zeros((d, d))
+        for i in range(d):
+            for j in range(i, d):
+                C[i, j] = C[j, i] = r4(P2[i, j] / n - mu[i] * mu[j]) + 0.0
+        vals, vecs = np.linalg.eigh(C)
+        order = np.argsort(vals)[::-1][:k]
+        W = vecs[:, order]
+        for c in range(W.shape[1]):
+            piv = np.argmax(np.abs(W[:, c]))
+            if W[piv, c] < 0:
+                W[:, c] = -W[:, c]
+        P = np.round(X @ W, 4)
+        for vid, prow in zip(ids, P):
+            for comp in range(k):
+                rows.append((sig, int(vid), comp, float(prow[comp])))
+    con.close()
+    return {
+        "corpus_sig": [r[0] for r in rows],
+        "vec_id": [r[1] for r in rows],
+        "component": [r[2] for r in rows],
+        "value": [r[3] for r in rows],
+    }
+
+
 def golden_fuzzy_partial_ratio() -> dict:
     import duckdb
 
@@ -847,6 +909,7 @@ def build_all() -> dict[str, "object"]:
         "str_normalize_unicode": (golden_str_normalize_unicode(texts), []),
         "text_compression_ratio": (golden_text_compression_ratio(texts), []),
         "fuzzy_partial_ratio": (golden_fuzzy_partial_ratio(), []),
+        "vector_pca_project": (golden_vector_pca_project(), ["component"]),
         "multimodal_image_meta": (golden_multimodal_image_meta(), ["width", "height"]),
         "multimodal_audio_meta": (
             golden_multimodal_audio_meta(),
