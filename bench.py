@@ -95,25 +95,39 @@ HEADLINE = [
 ]
 
 
-def _one_sample(spark, q, sf_dir: str) -> float:
-    """One isolated sample of one key: cache clear + warm + timed run.
+def _drain_residue(spark) -> None:
+    """Per-block cache isolation (r7 + r11): keys whose plans .cache()
+    internally leave relations in the CacheManager (plan-canonicalization
+    matching means later constructions reuse them), so residue would
+    otherwise grow across the suite — the late-suite agg_source_overlap
+    spike (median 2.51 s vs 1.08 s isolated).  The shingle cache is
+    drained EXPLICITLY (the bench_scaling discipline): clearCache alone
+    drops the data but leaves live frame references accumulating across
+    repeated blocks of the same key, and the r11 profiling session
+    measured the resulting storage-memory thrash at 49 s on one
+    dedup_minhash_lsh run."""
+    from mergeextractor_spark.operators.dedup import _LIVE_SHINGLE_CACHE
 
-    Per-query cache isolation (r7): keys whose plans .cache() internally
-    leave relations in the CacheManager (plan-canonicalization matching
-    means later constructions reuse them), so residue would otherwise
-    grow across the interleaved suite — the late-suite agg_source_overlap
-    spike (median 2.51 s vs 1.08 s isolated).  Clearing before the warm
-    run removes cross-query residue while the warm + timed runs of THIS
-    sample still share their own cache, exactly the per-key semantics the
-    pre-r11 consecutive-sample bench measured (comparability across
-    rounds)."""
+    while _LIVE_SHINGLE_CACHE:
+        _LIVE_SHINGLE_CACHE.pop().unpersist(blocking=True)
     spark.catalog.clearCache()
+
+
+def _block(spark, q, sf_dir: str, k: int) -> list[float]:
+    """One BLOCK of one key: drain + warm + k timed samples, exactly the
+    per-key semantics every earlier round's bench measured (warm run
+    immediately precedes the timed runs and they share the key's own
+    cache), so per-key medians stay comparable across rounds."""
+    _drain_residue(spark)
     df = q.spark(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()  # warm
-    t0 = time.time()
-    df = q.spark(spark, sf_dir)
-    df.write.format("noop").mode("overwrite").save()
-    return time.time() - t0
+    out = []
+    for _ in range(k):
+        t0 = time.time()
+        df = q.spark(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        out.append(time.time() - t0)
+    return out
 
 
 def main() -> None:
@@ -122,18 +136,26 @@ def main() -> None:
     reg = load_all()
     spark = get_spark("bench")
 
-    # INTERLEAVED passes (VERDICT r10 item 4): two consecutive rounds of
-    # driver bench records were contaminated by host-load bursts because
-    # each key's 5-9 samples ran consecutively — a burst mapped onto a
-    # contiguous block of WHOLE keys (r10: positions 35-51 at 2-7x).
-    # Running the suite as N round-robin passes spreads any burst across
-    # every key as ONE sample, which the per-key median then rejects; the
-    # per-pass load averages and pass durations in the stderr record let
-    # a reader locate a burst window even when the medians absorb it.
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+    # BLOCK-INTERLEAVED passes (VERDICT r10 item 4): two consecutive
+    # rounds of driver bench records were contaminated by host-load
+    # bursts because each key's 5-9 samples ran consecutively — a burst
+    # mapped onto a contiguous block of WHOLE keys (r10: positions 35-51
+    # at 2-7x).  The suite now runs as N passes of per-key BLOCKS (drain
+    # + warm + k timed samples): a key's samples split across N
+    # time-separated blocks, so a burst corrupts at most one block =
+    # k of n·k samples and the per-key median rejects it, while within a
+    # block the old warm-then-timed semantics (and wall cost) are
+    # preserved.  Fully per-sample interleaving was measured 3-4x more
+    # expensive (every sample re-paid the key's internal cache build) —
+    # PERFORMANCE.md r11.  Per-pass load averages and durations in the
+    # stderr record let a reader locate a burst window even when the
+    # medians absorb it.
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    per_block = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     sub_second_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS_SUBSEC", "9"))
+    n_runs = n_passes * per_block
 
-    # Suite-level JVM warmup: the per-sample warm run caches plan+IO but
+    # Suite-level JVM warmup: the per-block warm run caches plan+IO but
     # the first timed queries still paid whole-process JIT compilation
     # (measured: the suite-leading flagship read 1.6 s at position 1 vs
     # 0.85 s re-measured hot in the same session — a position effect, not
@@ -145,14 +167,14 @@ def main() -> None:
     samples: dict[str, list[float]] = {k: [] for k in HEADLINE}
     pass_load: list[float] = []
     pass_sec: list[float] = []
-    for _ in range(n_runs):
+    for _ in range(n_passes):
         t_pass = time.time()
         for key in HEADLINE:
-            samples[key].append(_one_sample(spark, reg[key], sf_dir))
+            samples[key].extend(_block(spark, reg[key], sf_dir, per_block))
         pass_load.append(round(os.getloadavg()[0], 2))
         pass_sec.append(round(time.time() - t_pass, 1))
         print(
-            f"  pass {len(pass_sec)}/{n_runs}: {pass_sec[-1]}s"
+            f"  pass {len(pass_sec)}/{n_passes}: {pass_sec[-1]}s"
             f" load={pass_load[-1]}",
             file=sys.stderr,
             flush=True,
@@ -160,15 +182,16 @@ def main() -> None:
     # Sub-second keys ride a ±20-40% session envelope that cost three
     # adjudications in r9 (VERDICT r9 item 8): the construction/JIT
     # jitter is a fixed absolute cost, so it dominates exactly when the
-    # query is fast. Boost those to 9 samples — as EXTRA round-robin
-    # passes over only the sub-second keys, keeping burst-spreading.
+    # query is fast. Boost those to 9 samples with one extra block over
+    # only the sub-second keys — extra runs are cheap precisely because
+    # the key is sub-second.
     subsec = [k for k in HEADLINE if statistics.median(samples[k]) < 1.0]
-    for _ in range(max(0, sub_second_runs - n_runs)):
-        if not subsec:
-            break
+    if subsec and sub_second_runs > n_runs:
         t_pass = time.time()
         for key in subsec:
-            samples[key].append(_one_sample(spark, reg[key], sf_dir))
+            samples[key].extend(
+                _block(spark, reg[key], sf_dir, sub_second_runs - n_runs)
+            )
         pass_load.append(round(os.getloadavg()[0], 2))
         pass_sec.append(round(time.time() - t_pass, 1))
 
