@@ -37,7 +37,7 @@ hash row proves.  Two proof classes:
   llm_classify_doc          |  DE   | two_pass_passage (client re-derived inline: mirror_classify) | test_golden_cascade.py
   abbrev_enrich             |  DE   | split_text, two_pass_passage (ORG regex + find_definition inline) | test_golden_cascade.py; inline MIRROR_ORG_PATTERN freezes the NER surface form
   pipeline_separator        |  DE   | split_text, separator_passage | test_cascade.py separator battery
-  llm_extract_initiator     |  DE   | + mock_initiator_client    | test_domain.py initiator pins, test_model_seams.py (real-client seam)
+  llm_extract_initiator     |  DE   | split_text, separator_passage (initiator client re-derived inline: mirror_initiator) | test_domain.py initiator pins, test_model_seams.py (real-client seam)
   pipeline_crawler(+_audit) |  DE   | split_text, two_pass_passage, separator_passage (company_present inline) | test_filing_pipeline.py, test_golden_cascade.py
   chunk_split_overlap       |  DE   | split_text (the function under test) | test_chunking_properties.py, golden_chunks.json regression, test_optional_real_models.py (byte parity, opt-in)
   embed_text                |  DE   | hash_embed                 | test_model_seams.py (seam contract), test_ann.py recall floors
@@ -344,23 +344,57 @@ def golden_pipeline_separator(filings) -> dict:
     }
 
 
-def golden_llm_extract_initiator(filings) -> dict:
-    from mergeextractor_spark.operators.llm import (
-        INITIATION_TYPES,
-        mock_initiator_client,
-    )
+# Re-derived INLINE (VERDICT r10 item 6 follow-through — not imported
+# from operators/llm): the templated initiator extraction mirroring the
+# reference's tool schema (ref config.py:167-208): initiator from an
+# 'initiated by X' sentence, date = first long-form date, type from
+# keyword cues, reasons = first 'in order to ...' clause; whitespace
+# collapsed first (filing prose wraps at terminal width).  Frozen
+# mirror text: package drift fails the golden diff loudly.
+_MIRROR_INITIATION_TYPES = (
+    "Acquirer-Initiated Deal",
+    "Target-Initiated Deal",
+    "Third-Party-Initiated Deal",
+    "Mutual",
+)
+_MIRROR_DATE_RE = re.compile(
+    r"\b(?:January|February|March|April|May|June|July|August|September|October|"
+    r"November|December)\s+\d{1,2},\s+\d{4}\b"
+)
+_MIRROR_INITIATED_RE = re.compile(r"initiated by ([A-Z][A-Za-z0-9&.\- ]+?)(?:\.|,|;|\n)")
 
+
+def mirror_initiator(text: str) -> tuple[str, str, str, str]:
+    text = re.sub(r"\s+", " ", text)
+    m = _MIRROR_INITIATED_RE.search(text)
+    initiator = m.group(1).strip() if m else "Mutual"
+    dm = _MIRROR_DATE_RE.search(text)
+    date = dm.group(0) if dm else ""
+    low = text.lower()
+    if "jointly" in low or "mutual" in low:
+        t = "Mutual"
+    elif "advisor" in low or "third party" in low:
+        t = "Third-Party-Initiated Deal"
+    elif "target proposed" in low or "approached its acquirer" in low:
+        t = "Target-Initiated Deal"
+    else:
+        t = "Acquirer-Initiated Deal"
+    rm = re.search(r"in order to ([^.\n]+)", text)
+    reasons = rm.group(1).strip() if rm else ""
+    return initiator, date, t, reasons
+
+
+def golden_llm_extract_initiator(filings) -> dict:
     rows = []
     for s in separator_sections(filings):
-        d = json.loads(mock_initiator_client(s["content"]))
-        t = d["type_of_initiation"]
+        initiator, date, t, reasons = mirror_initiator(s["content"])
         rows.append(
             (
                 s["main_index"],
-                d["initiator"],
-                d["date_of_initiation"],
-                t if t in INITIATION_TYPES else None,
-                d["stated_reasons"],
+                initiator,
+                date,
+                t if t in _MIRROR_INITIATION_TYPES else None,
+                reasons,
             )
         )
     return {
