@@ -100,29 +100,44 @@ def _drain_residue(spark) -> None:
     internally leave relations in the CacheManager (plan-canonicalization
     matching means later constructions reuse them), so residue would
     otherwise grow across the suite — the late-suite agg_source_overlap
-    spike (median 2.51 s vs 1.08 s isolated).  The shingle cache is
-    drained EXPLICITLY (the bench_scaling discipline): clearCache alone
-    drops the data but leaves live frame references accumulating across
-    repeated blocks of the same key, and the r11 profiling session
-    measured the resulting storage-memory thrash at 49 s on one
-    dedup_minhash_lsh run."""
+    spike (median 2.51 s vs 1.08 s isolated).  The sweep must also drop
+    PERSISTENT RDDs: clearCache leaves localCheckpoint blocks pinned,
+    one per construction of every two-phase-rank/cumsum key, and their
+    accumulation tips storage memory into eviction thrash (measured
+    12 s → 278 s between two identical runs at derived sf1 —
+    PERFORMANCE.md r11).  The shingle list is popped first so the
+    Python-side references are dropped too."""
     from mergeextractor_spark.operators.dedup import _LIVE_SHINGLE_CACHE
+    from mergeextractor_spark.operators._util import drain_persistent_rdds
 
     while _LIVE_SHINGLE_CACHE:
         _LIVE_SHINGLE_CACHE.pop().unpersist(blocking=True)
-    spark.catalog.clearCache()
+    drain_persistent_rdds(spark)
 
 
 def _block(spark, q, sf_dir: str, k: int) -> list[float]:
     """One BLOCK of one key: drain + warm + k timed samples, exactly the
     per-key semantics every earlier round's bench measured (warm run
     immediately precedes the timed runs and they share the key's own
-    cache), so per-key medians stay comparable across rounds."""
+    cache), so per-key medians stay comparable across rounds.
+
+    Between timed samples, superseded localCheckpoint blocks are swept
+    (they are NEVER reused across constructions — each construct
+    re-checkpoints — so this is pure hygiene against the storage-thrash
+    cliff PERFORMANCE.md r11 measures at 12 s → 278 s). The sweep skips
+    keys holding live shingle-cache frames: those are the one family
+    whose SQL cache IS reused across constructions, and they do not
+    checkpoint."""
+    from mergeextractor_spark.operators.dedup import _LIVE_SHINGLE_CACHE
+    from mergeextractor_spark.operators._util import drain_persistent_rdds
+
     _drain_residue(spark)
     df = q.spark(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()  # warm
     out = []
-    for _ in range(k):
+    for i in range(k):
+        if i and not _LIVE_SHINGLE_CACHE:
+            drain_persistent_rdds(spark, sql_cache=False)
         t0 = time.time()
         df = q.spark(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
@@ -179,6 +194,13 @@ def main() -> None:
             file=sys.stderr,
             flush=True,
         )
+        # pass-boundary GC sweep: dead session objects (broadcasts,
+        # shuffle states) are only released by the ContextCleaner on
+        # JVM GC, and a big heap may never GC on its own — measured
+        # 15-20 s vs 115-330 s on identical runs (PERFORMANCE.md r11)
+        from mergeextractor_spark.operators._util import drain_persistent_rdds as _dpr
+
+        _dpr(spark, gc_sweep=True)
     # Sub-second keys ride a ±20-40% session envelope that cost three
     # adjudications in r9 (VERDICT r9 item 8): the construction/JIT
     # jitter is a fixed absolute cost, so it dominates exactly when the

@@ -219,13 +219,26 @@ def bench_at(spark, sf_dir: str, runs: int) -> dict[str, float]:
         # minhash shingle cache holds a ~10x-replicated exploded table whose
         # memory pressure measurably inflated UNRELATED later queries
         # (events_sessionize read 4.3s contaminated vs 0.8s solo, a fake
-        # e=1.3 in the first r5 run of this table).
+        # e=1.3 in the first r5 run of this table).  r11 extends the sweep
+        # to ALL persistent RDDs: localCheckpoint blocks survive
+        # clearCache and accumulate one per construction, and at sf1 the
+        # third live 6M-row checkpoint tips storage memory into eviction
+        # thrash (agg_percentile_approx measured 12 s -> 278 s between
+        # two identical runs; a fake e=2.09 in the first r11 run).
+        from mergeextractor_spark.operators._util import drain_persistent_rdds
+
         while _LIVE_SHINGLE_CACHE:
             _LIVE_SHINGLE_CACHE.pop().unpersist(blocking=True)
-        spark.catalog.clearCache()
+        drain_persistent_rdds(spark, gc_sweep=True)
         run_noop(reg[key].spark(spark, sf_dir))  # warm (plan + IO cache)
         times = []
-        for _ in range(runs):
+        for i in range(runs):
+            # sweep superseded checkpoints between runs (never reused
+            # across constructions; see the r11 cliff note above) —
+            # skipped for shingle-cache keys, the one family whose SQL
+            # cache is deliberately reused across constructions
+            if i and not _LIVE_SHINGLE_CACHE:
+                drain_persistent_rdds(spark, sql_cache=False, gc_sweep=True)
             t0 = time.time()
             run_noop(reg[key].spark(spark, sf_dir))
             times.append(time.time() - t0)
