@@ -112,7 +112,16 @@ def _drain_residue(spark) -> None:
 
     while _LIVE_SHINGLE_CACHE:
         _LIVE_SHINGLE_CACHE.pop().unpersist(blocking=True)
-    drain_persistent_rdds(spark)
+    # adaptive GC: a heap full of dead session objects turns any
+    # allocation-heavy key (the 2 KB-string concat aggregate) into a GC
+    # storm — measured 67-91 s in-suite vs 1.6 s settled on identical
+    # runs. A full System.gc() per block would cost minutes across the
+    # suite, so sweep only when the JVM heap is more than half used.
+    rt = spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+    used_frac = (rt.totalMemory() - rt.freeMemory()) / max(rt.maxMemory(), 1)
+    if used_frac > 0.5 and os.environ.get("SPARK_GRAFT_BENCH_VERBOSE", "") == "1":
+        print(f"    [gc sweep: heap {used_frac:.0%} used]", file=sys.stderr, flush=True)
+    drain_persistent_rdds(spark, gc_sweep=used_frac > 0.5)
 
 
 def _block(spark, q, sf_dir: str, k: int) -> list[float]:
@@ -179,13 +188,31 @@ def main() -> None:
         for _ in range(2):
             reg[key].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Wall-clock budget guard: a degraded host (the 2-3x sustained-drift
+    # mode PERFORMANCE.md documents) must never leave the driver with NO
+    # record — once a completed pass would overrun the budget, stop
+    # adding passes and report medians over the samples already taken
+    # (every key has >= per_block samples after pass 1).
+    max_wall = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_S", "1500"))
+    t_suite = time.time()
+
     samples: dict[str, list[float]] = {k: [] for k in HEADLINE}
     pass_load: list[float] = []
     pass_sec: list[float] = []
-    for _ in range(n_passes):
+    truncated = False
+    verbose = os.environ.get("SPARK_GRAFT_BENCH_VERBOSE", "") == "1"
+    for p in range(n_passes):
         t_pass = time.time()
         for key in HEADLINE:
+            t_blk = time.time()
             samples[key].extend(_block(spark, reg[key], sf_dir, per_block))
+            if verbose:
+                print(
+                    f"    block {key}: {round(time.time() - t_blk, 2)}s"
+                    f" (timed {[round(x, 2) for x in samples[key][-per_block:]]})",
+                    file=sys.stderr,
+                    flush=True,
+                )
         pass_load.append(round(os.getloadavg()[0], 2))
         pass_sec.append(round(time.time() - t_pass, 1))
         print(
@@ -194,6 +221,16 @@ def main() -> None:
             file=sys.stderr,
             flush=True,
         )
+        if p + 1 < n_passes and time.time() - t_suite + pass_sec[-1] > max_wall:
+            truncated = True
+            print(
+                f"  budget: stopping after pass {p + 1}/{n_passes} — "
+                f"{round(time.time() - t_suite)}s elapsed + another "
+                f"~{pass_sec[-1]}s pass would exceed {max_wall}s",
+                file=sys.stderr,
+                flush=True,
+            )
+            break
         # pass-boundary GC sweep: dead session objects (broadcasts,
         # shuffle states) are only released by the ContextCleaner on
         # JVM GC, and a big heap may never GC on its own — measured
@@ -208,6 +245,8 @@ def main() -> None:
     # only the sub-second keys — extra runs are cheap precisely because
     # the key is sub-second.
     subsec = [k for k in HEADLINE if statistics.median(samples[k]) < 1.0]
+    if truncated or time.time() - t_suite > max_wall:
+        subsec = []  # budget-bound: skip the sub-second top-up block
     if subsec and sub_second_runs > n_runs:
         t_pass = time.time()
         for key in subsec:
@@ -248,6 +287,7 @@ def main() -> None:
                 # identifies its burst window (VERDICT r10 item 4)
                 "pass_seconds": pass_sec,
                 "pass_load_avg_1m": pass_load,
+                "budget_truncated": truncated,
                 "load_avg_1m": round(os.getloadavg()[0], 2),
                 "uptime_s": round(time.clock_gettime(time.CLOCK_BOOTTIME)),
             }
