@@ -26,9 +26,10 @@ Plan shape per batch:
    (idempotent replay). A crash before the rename leaves the store
    untouched (same discipline as sources/sinks.py merge_kv_store).
 
-Registered as ``pipeline_incremental_ingest`` (rows-only: the summary
-counts depend on the engine's own bloom bitmap, which has no DuckDB
-twin; content-exactness and idempotency are pytest-pinned instead).
+Registered as ``pipeline_incremental_ingest`` with a FULL exact oracle
+(r11): the bloom is the md5-sliced one, so DuckDB recomputes every
+summary count — bit set, probe with false positives, exact-text dedup,
+token gate; content-exactness and idempotency stay pytest-pinned.
 """
 
 from __future__ import annotations
@@ -41,6 +42,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..operators._util import scratch_dir, t
+from ..operators.curation_queries import BLOOM_K, BLOOM_M_BITS
 
 GATE_MIN_TOKENS = 50
 GATE_MAX_TOKENS = 100_000
@@ -111,7 +113,40 @@ def ingest_batch(
 
 @register(
     "pipeline_incremental_ingest",
-    oracle=None,  # bloom-candidate counts have no DuckDB twin → rows-only
+    # r11 graduation — a FULL exact oracle after all: the pipeline's
+    # bloom is the md5-sliced one (curation_queries.bloom_build — the
+    # registry note blaming Spark's seeded bloom_filter_agg was stale),
+    # so every count in the summary is deterministic and DuckDB
+    # recomputes the whole thing: the store-half bit set, the batch-half
+    # probe (FPs included), the exact-text dedup, and the token gate.
+    # The 20 re-keyed dup rows carry store TEXT, so they probe positive
+    # and drop at the verify join regardless of WHICH 20 limit() picked.
+    oracle=f"""
+    WITH store AS (SELECT text FROM documents WHERE doc_id % 10 < 8),
+    batch8 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8),
+    pos AS (SELECT i FROM range({BLOOM_K}) t(i)),
+    bits AS (
+      SELECT DISTINCT
+             CAST(concat('0x', substr(md5(text), 1 + 5 * i, 5)) AS BIGINT) % {BLOOM_M_BITS} AS b
+      FROM store CROSS JOIN pos
+    ),
+    probe8 AS (
+      SELECT b8.doc_id, b8.text,
+             bool_and(
+               CAST(concat('0x', substr(md5(b8.text), 1 + 5 * p.i, 5)) AS BIGINT)
+                 % {BLOOM_M_BITS} IN (SELECT b FROM bits)
+             ) AS maybe
+      FROM batch8 b8 CROSS JOIN pos p GROUP BY 1, 2
+    )
+    SELECT 'b001' AS batch_id,
+           CAST((SELECT count(*) FROM batch8) + 20 AS BIGINT) AS incoming,
+           CAST((SELECT count(*) FROM probe8 WHERE maybe) + 20 AS BIGINT) AS bloom_candidates,
+           CAST((SELECT count(*) FROM batch8 b
+                 WHERE b.text NOT IN (SELECT text FROM store)
+                   AND len(list_filter(string_split_regex(lower(b.text), '\\s+'), x -> x <> ''))
+                       BETWEEN {GATE_MIN_TOKENS} AND {GATE_MAX_TOKENS}) AS BIGINT) AS appended,
+           TRUE AS replay_short_circuited
+    """,
     doc="Flagship #6 — crash-safe incremental ingest: an existing store "
     "(documents with doc_id%10<8) receives a batch of the remaining "
     "docs PLUS re-keyed copies of store content; the bloom prefilter "
@@ -119,9 +154,13 @@ def ingest_batch(
     "anti-join drops the true dups (bloom FPs survive to here, so "
     "content is exact), the Gopher token gate filters, and the append "
     "commits atomically behind a batch marker — replaying the same "
-    "batch appends zero rows. Returns the per-stage count summary; "
-    "exactness + idempotency + crash-recovery pinned in "
-    "tests/test_incremental_ingest.py.",
+    "batch appends zero rows. Returns the per-stage count summary, "
+    "hash-verified end-to-end (r11): the md5-sliced bloom makes every "
+    "count deterministic, so the oracle rebuilds the store bit set, "
+    "the probe (false positives included), the exact-text dedup, and "
+    "the token gate in SQL; exactness + idempotency + crash-recovery "
+    "pinned in tests/test_incremental_ingest.py.",
+    eager=True,  # construction writes the store and runs both ingests
 )
 def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")

@@ -271,6 +271,15 @@ _ORACLE_BACKLOG: tuple[str, ...] = (
     # a corpus signature — row counts collide across sfs).
     "dedup_bloom_prefilter",
     "vector_pca_project",
+    # the last two rows-only keys, graduated late in r11 — the contract
+    # now carries ZERO oracle-less keys: the ingest flagship's bloom
+    # turned out to be the md5-sliced one (full exact oracle over bit
+    # set + probe + dedup + gate), and trained-IVF emits the
+    # recall-floor summary whose exact ground-truth pair count DuckDB
+    # recomputes via the brute-force ranking (the neighbor list itself
+    # rides a float-ordering-sensitive codebook and can never hash).
+    "pipeline_incremental_ingest",
+    "ann_ivf_trained",
 )
 
 # Already-green keys whose PLANS changed this round — ranked directly
@@ -294,30 +303,26 @@ _REVERIFY: tuple[str, ...] = (
     "dq_freshness_lag",
 )
 
-# Rows-only keys WITH driver evidence.  They queue at the tail — every
-# key here already holds a clean CORRECTNESS row, and a rows-only re-run
-# is weaker evidence than a hash re-check of a green oracle key.  r11
-# graduated five more (the bounded-error sketch trio, the md5-sliced
-# bloom prefilter, and the rounded-covariance PCA projection — now in
-# _ORACLE_BACKLOG for their first hash rows); what remains is genuinely
-# hash-inexpressible — float-ordering-sensitive iterative training
-# (IVF k-means) and the incremental-ingest warehouse pipeline whose
-# bloom-candidate counts ride Spark's SEEDED bloom_filter_agg (each is
-# value-pinned in pytest via bounds/recall/roundtrip assertions).
-_ROWS_ONLY_EVIDENCED: tuple[str, ...] = (
-    "pipeline_incremental_ingest",
-    "ann_ivf_trained",
-)
+# Rows-only keys WITH driver evidence.  EMPTY since late r11: all seven
+# keys that entered the round oracle-less graduated — the bounded-error
+# sketch trio, the md5-sliced bloom prefilter (full exact oracle), the
+# rounded-covariance PCA projection (inline numpy golden), the ingest
+# flagship (full exact oracle — its bloom was the md5-sliced one), and
+# trained-IVF (recall-floor summary with an exact ground-truth anchor).
+# The tuple and the rank-6 branch below stay: a future genuinely
+# hash-inexpressible key re-enters here rather than resurrecting the
+# machinery.
+_ROWS_ONLY_EVIDENCED: tuple[str, ...] = ()
 
 # Number of previously-green keys re-checked per round, drawn
 # OLDEST-EVIDENCE-FIRST from _DRIVER_GREEN (VERDICT r9 item 5) so a
 # regression in r01-era code cannot stay invisible forever.  r11 raises
-# the slots 12 → 22 to burn the r2/r3 staleness tail (VERDICT r10
-# item 3): head cargo is 31 keys (15 re-verifies + 8 backlog + 8
-# changed-plan), the canaries fill to position 53, and the green band
+# the slots 12 → 20 to burn the r2/r3 staleness tail (VERDICT r10
+# item 3): head cargo is 34 keys (15 re-verifies + 11 backlog + 8
+# changed-plan), the canaries fill to position 54, and the green band
 # behind them is ALSO staleness-ordered now — if the wall-clock budget
 # stretches past the canaries the burn continues seamlessly.
-_CANARY_SLOTS: int = 22
+_CANARY_SLOTS: int = 20
 
 
 def canary_keys(round_no: int = _ROUND) -> tuple[str, ...]:
@@ -359,11 +364,13 @@ def load_all() -> dict[str, Query]:
          offsets-join / all-NULL-group callers whose r10 plan changes
          are still driver-unevidenced (VERDICT r10 item 1);
       1. evidence-fix keys (_EVIDENCE_FIX: empty in r11);
-      2. the 8-key _ORACLE_BACKLOG: the 4 slipped r10 graduations plus
-         the 3 bounded-error sketch graduations and the exact-oracle
-         bloom prefilter — each run yields a FIRST value-level hash row
-         (VERDICT r10 items 2, 7); the rank-function fallback catches
-         any key registered without a scheduling entry;
+      2. the 11-key _ORACLE_BACKLOG: the 4 slipped r10 graduations plus
+         the 7 r11 graduations (bounded-error sketch trio, exact-oracle
+         bloom prefilter + ingest flagship, inline-numpy PCA golden,
+         recall-floor trained-IVF) — each run yields a FIRST value-level
+         hash row and empties the rows-only class entirely (VERDICT r10
+         items 2, 7); the rank-function fallback catches any key
+         registered without a scheduling entry;
       3. green keys whose PLANS changed THIS round (_REVERIFY: the five
          coalesce(1)->global_cumsum swaps plus the three bounded-frame
          unpartitioned-window -> agg+broadcast swaps);
@@ -375,7 +382,7 @@ def load_all() -> dict[str, Query]:
          wall-clock budget that stretches past the canaries keeps
          burning the tail (VERDICT r10 item 3);
       6. rows-only keys that already hold driver rows (weakest
-         evidence per run, so they queue last).
+         evidence per run, so they queue last) — EMPTY since late r11.
     """
     from .operators import (  # noqa: F401
         relational,

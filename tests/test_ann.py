@@ -71,15 +71,21 @@ def test_trained_ivf_recall_vs_bruteforce(spark):
     structure, recall ~ scan fraction); at nprobe 8/16 cells the floor is
     0.7 and the measured value 0.8. Real embedding distributions cluster,
     which is where the trained codebook pays off."""
+    from mergeextractor_spark.operators.scale_queries import trained_ivf_topk
+
     reg = load_all()
     truth_top3 = {
         (r["query_id"], r["neighbor_id"])
         for r in reg["ann_bruteforce_topk"].spark(spark, SF).collect()
         if r["rank"] <= 3
     }
-    trained = _pairs(reg["ann_ivf_trained"].spark(spark, SF))
+    trained = _pairs(trained_ivf_topk(spark, SF))
     recall = len(trained & truth_top3) / len(truth_top3)
     assert recall >= 0.7, f"trained-IVF recall {recall:.3f} < 0.7"
+
+    # and the registered bounded-recall contract shape holds end-to-end
+    row = reg["ann_ivf_trained"].spark(spark, SF).collect()[0]
+    assert row.above_floor and row.n_exact_pairs == len(truth_top3)
 
 
 def test_ivf_pq_recall_vs_bruteforce(spark):

@@ -53,10 +53,10 @@ def test_gate_window_rotation_order():
     n_first = len(registry._ROTATION_FIRST)
     n_backlog = len(registry._ORACLE_BACKLOG)
     n_rev = len(registry._REVERIFY)
-    # window arithmetic: 15 re-verifies + 9 backlog + 8 changed-plan
-    # = 32 head-cargo keys, all inside any plausible wall cap; the 22
-    # canaries fill positions 33-54.
-    assert n_fix == 0 and n_first == 15 and n_backlog == 9 and n_rev == 8
+    # window arithmetic: 15 re-verifies + 11 backlog + 8 changed-plan
+    # = 34 head-cargo keys, all inside any plausible wall cap; the 20
+    # canaries fill positions 35-54.
+    assert n_fix == 0 and n_first == 15 and n_backlog == 11 and n_rev == 8
     assert registry._CANARY_SLOTS + n_first + n_backlog + n_rev <= 54
     assert registry._CANARY_SLOTS >= 12  # VERDICT r7 item 3 / r8 item 5
 
@@ -109,18 +109,15 @@ def test_gate_window_rotation_order():
 
     # positions behind the canaries: green oracle keys, ALSO staleness-
     # ordered (VERDICT r10 item 3 — a stretched wall budget keeps
-    # burning the tail), THEN every rows-only key at the very end
+    # burning the tail). The rows-only class is EMPTY since late r11 —
+    # every registered key carries a value-level oracle.
     rows_only = [k for k in keys if k not in osql]
     assert sorted(rows_only) == sorted(registry._ROWS_ONLY_EVIDENCED)
+    assert rows_only == [], "every registered key must carry an oracle"
     mid_green = [k for k in keys[at:] if k in osql]
     assert set(mid_green) <= registry._DRIVER_GREEN
     ages = [LAST_GREEN.get(k, 0) for k in mid_green]
     assert ages == sorted(ages), "green band must be oldest-evidence-first"
-    first_rows_only = min(keys.index(k) for k in rows_only)
-    last_green = max(keys.index(k) for k in mid_green)
-    assert last_green < first_rows_only, (
-        "green oracle re-checks must precede the rows-only tail"
-    )
     # the ordering is deterministic within a round...
     assert list(mod.queries()) == keys
     # ...and NOT the sorted/import order (the tiebreak rotates per round)
