@@ -209,8 +209,10 @@ def text_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array fold as text_hash_classifier (bit-identical across engines, "
     "so bin assignment never flips); one map stage plus a 10-group "
     "aggregate — no shuffle carries text, and the corpus total for "
-    "bin_share is an agg + broadcast cross join over the 10-row "
-    "aggregate (one scan, no unpartitioned window).",
+    "bin_share comes from the pack-and-explode form (collect_list + "
+    "sum in ONE aggregate, re-exploded to rows) so the upstream scan "
+    "runs once — a cross join back onto the aggregate would re-execute "
+    "it (one scan, no unpartitioned window).",
 )
 def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _tokens(F.col("text"))

@@ -2268,41 +2268,53 @@ VOCAB_CHECKPOINTS = (10, 100, 1000, 10000)
     f"covered by the top-{{{', '.join(map(str, VOCAB_CHECKPOINTS))}}} "
     "words — the sizing curve tokenizer and embedding-table decisions "
     "read (Zipf says the first 100 words carry most of the mass; this "
-    "measures exactly how much for THIS corpus). The rank/cumsum "
-    "window runs over the vocabulary-sized count table; checkpoints "
-    "are a 4-row broadcast.",
+    "measures exactly how much for THIS corpus). Vocabulary is DATA-"
+    "sized, not result-sized (Heaps' law: ~1e8-1e9 distinct tokens on "
+    "a 100 TB web corpus), so the rank+cumsum runs via "
+    "_util.global_cumsum over (desc n, asc w) with a constant-1 "
+    "column: cum_one IS the global rank (the order is a total order, "
+    "so the RANGE frame has no peers), one range exchange covers both "
+    "sums, and the grand totals (token mass, vocabulary size) come "
+    "back from the partition-totals collect for free. Only ranks "
+    "<= max(checkpoint) can ever contribute coverage, so the "
+    "checkpoint cross join sees a bounded 10k-row frame, never the "
+    "vocabulary (the r12 swap off the coalesce(1) single-task sweep — "
+    "VERDICT r11 item 2).",
+    eager=True,  # construction collects the range-partition offsets
 )
 def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import global_cumsum
+
     words = t(spark, sf_dir, "documents").select(
         F.explode(
             F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
         ).alias("w")
     )
-    wc = words.groupBy("w").agg(F.count("*").alias("n")).coalesce(1)
-    w_ord = W.partitionBy(F.spark_partition_id()).orderBy(F.desc("n"), F.asc("w"))
-    ranked = wc.select(
-        "n",
-        F.row_number().over(w_ord).alias("rn"),
-        F.sum("n").over(w_ord.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+    wc = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .withColumn("one", F.lit(1).cast("bigint"))
     )
-    tot = wc.agg(
-        F.sum("n").cast("double").alias("total"), F.count("*").alias("vocab")
+    cum, tot = global_cumsum(wc, [F.desc("n"), F.asc("w")], ["one", "n"])
+    total, vocab = float(tot["n"]), int(tot["one"])
+    top = cum.filter(F.col("cum_one") <= max(VOCAB_CHECKPOINTS)).select(
+        F.col("cum_one").alias("rn"), F.col("cum_n").alias("cum")
     )
-    ks = F.explode(
-        F.array(*[F.lit(k) for k in VOCAB_CHECKPOINTS])
-    ).alias("vocab_size")
-    checkpoints = t(spark, sf_dir, "documents").limit(1).select(ks)
+    checkpoints = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in VOCAB_CHECKPOINTS])).alias(
+            "vocab_size"
+        )
+    )
     return (
-        ranked.crossJoin(F.broadcast(checkpoints))
-        .crossJoin(F.broadcast(tot))
-        .groupBy("vocab_size", "total", "vocab")
+        top.crossJoin(F.broadcast(checkpoints))
+        .groupBy("vocab_size")
         .agg(
             r4(
                 F.coalesce(
                     F.max(
                         F.when(F.col("rn") <= F.col("vocab_size"), F.col("cum"))
                     )
-                    / F.col("total"),
+                    / F.lit(total),
                     F.lit(0.0),
                 )
             ).alias("token_coverage")
@@ -2310,7 +2322,7 @@ def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vocab_size",
             "token_coverage",
-            F.col("vocab").cast("bigint").alias("full_vocab"),
+            F.lit(vocab).cast("bigint").alias("full_vocab"),
         )
     )
 

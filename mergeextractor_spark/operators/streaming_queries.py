@@ -2426,15 +2426,15 @@ def events_fraud_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev AS (
       SELECT e.user_id,
              CAST(floor(epoch(e.ts) / 86400) AS BIGINT) - f.first_day AS age,
-             e.value
+             CAST(round(e.value * 10000) AS BIGINT) AS v_i
       FROM events e JOIN firsts f USING (user_id)
       WHERE e.event_type = 'purchase'
     ),
     by_age AS (
-      SELECT age, sum(value) AS day_rev FROM rev GROUP BY age
+      SELECT age, sum(v_i) AS day_rev_i FROM rev GROUP BY age
     ),
     cum AS (
-      SELECT age, sum(day_rev) OVER (ORDER BY age ROWS UNBOUNDED PRECEDING) AS cum_rev
+      SELECT age, sum(day_rev_i) OVER (ORDER BY age ROWS UNBOUNDED PRECEDING) AS cum_i
       FROM by_age
     ),
     reach AS (
@@ -2442,9 +2442,9 @@ def events_fraud_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
              (SELECT count(*) FROM firsts f WHERE f.last_day - f.first_day >= c.age) AS n_reached
       FROM cum c
     )
-    SELECT c.age, round(c.cum_rev, 4) AS cum_revenue,
+    SELECT c.age, round(c.cum_i / 10000.0, 4) AS cum_revenue,
            CAST(r.n_reached AS BIGINT) AS users_reached,
-           round(c.cum_rev / r.n_reached, 4) AS ltv_per_reached_user
+           round(c.cum_i / 10000.0 / r.n_reached, 4) AS ltv_per_reached_user
     FROM cum c JOIN reach r USING (age)
     """,
     doc="LTV curve by user age: cumulative purchase revenue at each day "
@@ -2454,8 +2454,14 @@ def events_fraud_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "WORTH). Revenue buckets by age in one pass; the running sum walks "
     "the |ages|-row aggregate via _util.global_cumsum (range-partition "
     "on age, parallel per-partition cumulate, collected boundary "
-    "offsets — the r11 swap off the coalesce(1) single-task sweep) "
-    "and survivor counts come from the tenure HISTOGRAM (|distinct "
+    "offsets — the r11 swap off the coalesce(1) single-task sweep) in "
+    "SCALED-INTEGER form (ADVICE r11): revenue is quantized to "
+    "round(value*10000) bigints BEFORE any summation on BOTH engines, "
+    "so the two-phase prefix sum cumulates only integers — exact and "
+    "hash-identical under ANY partition layout, where a double cumsum "
+    "would reassociate FP additions and could flip the 4th decimal at "
+    "a knife edge. The single float op is one divide per output row. "
+    "Survivor counts come from the tenure HISTOGRAM (|distinct "
     "tenures| <= observation days — result-sized), never an ages x "
     "users cross join (r9 inverse-class audit).",
     eager=True,  # construction collects the range-partition offsets
@@ -2473,13 +2479,18 @@ def agg_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         ev.filter(F.col("event_type") == "purchase")
         .join(firsts, "user_id")
-        .select((F.col("day") - F.col("first_day")).alias("age"), "value")
+        .select(
+            (F.col("day") - F.col("first_day")).alias("age"),
+            F.round(F.col("value") * 10000).cast("bigint").alias("v_i"),
+        )
     )
     from ._util import global_cumsum
 
-    by_age = rev.groupBy("age").agg(F.sum("value").alias("day_rev"))
-    cum_df, _tot = global_cumsum(by_age, ["age"], ["day_rev"])
-    cum = cum_df.select("age", F.col("cum_day_rev").alias("cum_rev"))
+    by_age = rev.groupBy("age").agg(F.sum("v_i").alias("day_rev_i"))
+    cum_df, _tot = global_cumsum(by_age, ["age"], ["day_rev_i"])
+    cum = cum_df.select(
+        "age", (F.col("cum_day_rev_i") / F.lit(10000.0)).alias("cum_rev")
+    )
     # survivor counts come from the TENURE HISTOGRAM (one row per
     # distinct tenure, bounded by the observation window in DAYS — a
     # few thousand at any corpus size), never a per-user cross join:

@@ -56,7 +56,7 @@ def register(key: str, oracle: str | None = None, doc: str = "", eager: bool = F
 # CORRECTNESS file is folded into _DRIVER_GREEN below; seeds the canary
 # sample so each round re-checks a different deterministic slice of the
 # already-green keys (VERDICT r3 "Next round" item 3).
-_ROUND: int = 11
+_ROUND: int = 12
 
 # Keys that already hold a green hash-checked row in CORRECTNESS_r01–r03
 # (historical fact, frozen).  The driver's correctness gate walks the dict
@@ -211,96 +211,46 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "source_http_doc", "source_http_fts", "str_normalize_unicode",
     "stream_dedup_first_seen", "stream_upsert_to_kv",
     "text_compression_ratio",
+    # CORRECTNESS_r11.json (50 hash-green rows: the 11 _ORACLE_BACKLOG
+    # keys below earned their FIRST value-level hash rows — emptying the
+    # rows-only class entirely; the other 39 were head-cargo/reverify/
+    # canary re-passes already listed above)
+    "dedup_audio_fingerprint", "dedup_video_fingerprint", "sink_pyds_kv",
+    "source_pyds_fts", "agg_percentile_approx", "events_approx_distinct",
+    "agg_hll_daily_union", "dedup_bloom_prefilter", "vector_pca_project",
+    "pipeline_incremental_ingest", "ann_ivf_trained",
 })
 
-# Keys without CLEAN driver evidence in the window.  r11: none.
+# Keys without CLEAN driver evidence in the window.  r12: none.
 _EVIDENCE_FIX: tuple[str, ...] = ()
 
-# The r11 window's head cargo (VERDICT r10 item 1): the 15-key r10
-# _REVERIFY band — every caller of the null-safe offsets join
-# (_util._nullsafe_offsets_join) and the all-NULL-group +
-# straddle-checkpoint rework of grouped_exact_percentiles — whose
-# physical plans changed in r10 while the r10 window filled at
-# 12 canaries + 5 stragglers + 33 graduations.  All are
-# builder-verified green at sf0.001/sf0.01 against unchanged oracles,
-# but until the driver re-hashes them the r10 NULL-handling fixes are
-# self-reported.  They LEAD the window this round (rank 0 — VERDICT
-# r10 moved the head cargo ahead of the canaries after the r10 slot
-# race dropped positions 51-54).  Exact-quantile callers first (they
-# gained a union + anti-join stage; the rest only swapped the join
-# condition).
-_ROTATION_FIRST: tuple[str, ...] = (
-    "agg_percentile", "dq_outlier_iqr", "olap_median_order_by_segment",
-    "eval_psi_drift", "events_anomaly_mad", "events_time_to_value",
-    "sample_quality_decile", "sample_logprob_bucket",
-    "pipeline_pretrain_corpus", "agg_rfm_segmentation", "dq_skew_report",
-    "events_interarrival_profile", "sample_pack_sequences",
-    "text_zipf_slope", "sample_anneal_mix",
-)
+# r12: EMPTY — the r11 head cargo (the 15-key r10 _REVERIFY band)
+# landed its driver rows at the head of CORRECTNESS_r11, so for the
+# first time since r4 there is no evidence-bearing head cargo and the
+# whole window goes to the staleness burn (VERDICT r11 item 1).
+_ROTATION_FIRST: tuple[str, ...] = ()
 
-# Rows-only → oracle graduations landing THIS round (VERDICT r9 items
-# 2-4): each converts an `err: no_oracle` row into its FIRST value-level
-# hash row, so they rank directly behind the head cargo.  Populated as
-# each graduation lands; see the per-key docstrings for what the new
-# oracle proves (DuckDB recompute vs sequential-mirror golden table).
-_ORACLE_BACKLOG: tuple[str, ...] = (
-    # The 4 r10 graduations that slipped the 50-key window (positions
-    # 51-54 of a 54-key schedule — VERDICT r10 item 2): their oracles
-    # landed in r10 (ALL-PAIRS sequential-mirror goldens for the banded
-    # dedup pair; DuckDB fixture recomputes for the Spark 4 Python
-    # DataSource pair) but they still hold stale rows-only driver rows.
-    "dedup_audio_fingerprint",
-    "dedup_video_fingerprint",
-    "sink_pyds_kv",
-    "source_pyds_fts",
-    # Bounded-error graduations landing THIS round (VERDICT r10 item 7):
-    # the sketch ESTIMATE can never hash-match across engines, but its
-    # published error bound can — these keys now emit the independently
-    # recomputed exact values plus a within_bound boolean the oracle
-    # asserts TRUE, converting `err: no_oracle` rows into value-level
-    # hash rows that prove the sketch honored its bound.
-    "agg_percentile_approx",
-    "events_approx_distinct",
-    "agg_hll_daily_union",
-    # FULL exact-value graduations: the bloom's bit positions are md5
-    # slices (engine-independent), so the whole membership function —
-    # false positives included — is deterministic and DuckDB rebuilds
-    # it in SQL; the PCA projection's eigendecomposition runs on the
-    # r4-ROUNDED covariance with a deterministic sign convention, so a
-    # fully-inline numpy mirror reproduces it exactly (golden keyed by
-    # a corpus signature — row counts collide across sfs).
-    "dedup_bloom_prefilter",
-    "vector_pca_project",
-    # the last two rows-only keys, graduated late in r11 — the contract
-    # now carries ZERO oracle-less keys: the ingest flagship's bloom
-    # turned out to be the md5-sliced one (full exact oracle over bit
-    # set + probe + dedup + gate), and trained-IVF emits the
-    # recall-floor summary whose exact ground-truth pair count DuckDB
-    # recomputes via the brute-force ranking (the neighbor list itself
-    # rides a float-ordering-sensitive codebook and can never hash).
-    "pipeline_incremental_ingest",
-    "ann_ivf_trained",
-)
+# r12: EMPTY — all 11 r11 backlog keys (the 4 slipped r10 graduations,
+# the bounded-error sketch trio, the exact-oracle bloom/PCA pair, the
+# ingest flagship and trained-IVF) earned their first value-level hash
+# rows in CORRECTNESS_r11; the rows-only class is empty and stays
+# empty.  A future genuinely hash-inexpressible key re-enters here.
+_ORACLE_BACKLOG: tuple[str, ...] = ()
 
 # Already-green keys whose PLANS changed this round — ranked directly
 # behind the backlog (and AHEAD of the canaries: changed-plan evidence
 # can never again lose the slot race to re-checks of unchanged keys —
-# the r10 lesson).  r11 changes: the five streaming cumsum keys swapped
-# their coalesce(1) single-task prefix-sum sweeps onto
-# _util.global_cumsum / the bounded-frame explode (VERDICT r10 item 5),
-# and the three bounded-frame unpartitioned-window sites (grand totals
-# over result-sized aggregates) swapped onto agg + broadcast cross
-# join; all builder-verified green at sf0.001/sf0.01 against unchanged
-# oracles after the change.
+# the r10 lesson).  r12 changes: text_vocab_coverage_curve swapped its
+# coalesce(1) single-task rank+cumsum over the VOCABULARY-sized count
+# table (Heaps-law data-sized, ~1e9 tokens at 100 TB) onto one
+# _util.global_cumsum pass with a constant-1 rank column (VERDICT r11
+# item 2), and agg_ltv_curve swapped its double cumsum onto the
+# scaled-integer cents-style form so the two-phase prefix sum is exact
+# under any partition layout (ADVICE r11 medium; oracle updated
+# identically).  Both builder-verified green at sf0.001/sf0.01.
 _REVERIFY: tuple[str, ...] = (
-    "events_slo_burn_rate",
-    "events_peak_concurrency",
-    "events_changepoint_cusum",
+    "text_vocab_coverage_curve",
     "agg_ltv_curve",
-    "agg_user_growth_curve",
-    "dq_k_anonymity",
-    "eval_calibration_bins",
-    "dq_freshness_lag",
 )
 
 # Rows-only keys WITH driver evidence.  EMPTY since late r11: all seven
@@ -316,13 +266,17 @@ _ROWS_ONLY_EVIDENCED: tuple[str, ...] = ()
 
 # Number of previously-green keys re-checked per round, drawn
 # OLDEST-EVIDENCE-FIRST from _DRIVER_GREEN (VERDICT r9 item 5) so a
-# regression in r01-era code cannot stay invisible forever.  r11 raises
-# the slots 12 → 20 to burn the r2/r3 staleness tail (VERDICT r10
-# item 3): head cargo is 34 keys (15 re-verifies + 11 backlog + 8
-# changed-plan), the canaries fill to position 54, and the green band
-# behind them is ALSO staleness-ordered now — if the wall-clock budget
-# stretches past the canaries the burn continues seamlessly.
-_CANARY_SLOTS: int = 20
+# regression in r01-era code cannot stay invisible forever.  r12: the
+# head cargo is just the 2-key _REVERIFY band, so the slots jump to 48
+# for one round — the whole 50-key window burns the staleness tail
+# (VERDICT r11 item 1): the 7 r2-evidence keys, all 38 r3 keys, and 3
+# of r4, leaving no key older than r4.  The green band behind the
+# canaries stays staleness-ordered, so a stretched wall-clock budget
+# keeps burning r4.  STEADY-STATE POLICY (VERDICT r11 item 7): after
+# this one-round burn, drop back to 12 — with ~337 keys and ~48 free
+# window seats per round, 12 canaries + changed-plan reverifies hold
+# max staleness at ~5 rounds without re-litigating the number.
+_CANARY_SLOTS: int = 48
 
 
 def canary_keys(round_no: int = _ROUND) -> tuple[str, ...]:
@@ -355,32 +309,27 @@ def canary_keys(round_no: int = _ROUND) -> tuple[str, ...]:
 def load_all() -> dict[str, Query]:
     """Import every module that registers queries (idempotent).
 
-    Returned order implements the r11 gate-window rotation (VERDICT r10
-    items 1-3, 7).  Evidence-bearing cargo now LEADS the window — the
-    r10 slot race dropped changed-plan keys at positions 51-54, so
-    nothing that creates NEW evidence may queue behind re-checks of
-    unchanged keys:
-      0. the 15-key r10 _REVERIFY band (_ROTATION_FIRST): null-safe
-         offsets-join / all-NULL-group callers whose r10 plan changes
-         are still driver-unevidenced (VERDICT r10 item 1);
-      1. evidence-fix keys (_EVIDENCE_FIX: empty in r11);
-      2. the 11-key _ORACLE_BACKLOG: the 4 slipped r10 graduations plus
-         the 7 r11 graduations (bounded-error sketch trio, exact-oracle
-         bloom prefilter + ingest flagship, inline-numpy PCA golden,
-         recall-floor trained-IVF) — each run yields a FIRST value-level
-         hash row and empties the rows-only class entirely (VERDICT r10
-         items 2, 7); the rank-function fallback catches any key
-         registered without a scheduling entry;
-      3. green keys whose PLANS changed THIS round (_REVERIFY: the five
-         coalesce(1)->global_cumsum swaps plus the three bounded-frame
-         unpartitioned-window -> agg+broadcast swaps);
-      4. 24 canary re-checks of previously-green keys, drawn
-         oldest-evidence-first (doubled for one round to burn the
-         r2/r3 staleness tail — VERDICT r10 item 3);
+    Returned order implements the r12 gate-window rotation (VERDICT r11
+    items 1, 4, 7).  For the first time since r4 the evidence-bearing
+    head cargo is EMPTY (_ROTATION_FIRST and _ORACLE_BACKLOG both
+    cleared by CORRECTNESS_r11), so the whole 50-key window goes to the
+    staleness burn:
+      0. head cargo (_ROTATION_FIRST: empty in r12);
+      1. evidence-fix keys (_EVIDENCE_FIX: empty in r12);
+      2. oracle graduations (_ORACLE_BACKLOG: empty in r12 — the
+         rows-only class emptied in r11); the rank-function fallback
+         still catches any key registered without a scheduling entry;
+      3. green keys whose PLANS changed THIS round (_REVERIFY: the
+         vocab-curve coalesce(1)->global_cumsum swap and the LTV
+         scaled-integer cumsum swap — 2 keys);
+      4. 48 canary re-checks of previously-green keys, drawn
+         oldest-evidence-first (one-round burst: clears every r2- and
+         r3-evidence key plus 3 of r4 — VERDICT r11 item 1; drops back
+         to 12 next round per the steady-state policy at _CANARY_SLOTS);
       5. the remaining already-green oracle keys, ALSO staleness-
          ordered (oldest evidence first, round-seeded tiebreak) so a
          wall-clock budget that stretches past the canaries keeps
-         burning the tail (VERDICT r10 item 3);
+         burning the tail;
       6. rows-only keys that already hold driver rows (weakest
          evidence per run, so they queue last) — EMPTY since late r11.
     """

@@ -33,15 +33,16 @@ def test_every_oracle_key_has_a_query(spark):
 
 def test_gate_window_rotation_order():
     """The driver walks queries() in order under a wall-clock budget that
-    historically covers ~50 keys per round.  The r11 rotation (VERDICT
-    r10 items 1-3, 7) puts evidence-bearing cargo FIRST — the r10 slot
-    race dropped changed-plan keys at positions 51-54, so nothing that
-    creates new evidence may queue behind re-checks of unchanged keys:
-    (a) the 15-key r10 re-verify band, (b) the 6-key oracle backlog
-    (4 slipped graduations + 2 bounded-error sketch graduations),
-    (c) this round's 5 changed-plan keys, (d) 24 staleness-ordered
-    canaries, then staleness-ordered green re-checks with the rows-only
-    keys (weakest evidence per run) queued at the very tail."""
+    historically covers ~50 keys per round.  The r12 rotation (VERDICT
+    r11 items 1, 4, 7) has an EMPTY evidence-bearing head cargo for the
+    first time since r4 — the r11 re-verify band and the 11-key oracle
+    backlog both landed their rows in CORRECTNESS_r11 — so the window
+    is: (a) this round's 2 changed-plan keys (vocab-curve global_cumsum
+    swap, LTV scaled-integer cumsum), then (b) 48 staleness-ordered
+    canaries (one-round burst that clears every r2- and r3-evidence key
+    plus 3 of r4), then staleness-ordered green re-checks.  The
+    rows-only class is empty — every registered key carries an
+    oracle."""
     from mergeextractor_spark import registry
     from mergeextractor_spark._evidence import LAST_GREEN
 
@@ -53,10 +54,9 @@ def test_gate_window_rotation_order():
     n_first = len(registry._ROTATION_FIRST)
     n_backlog = len(registry._ORACLE_BACKLOG)
     n_rev = len(registry._REVERIFY)
-    # window arithmetic: 15 re-verifies + 11 backlog + 8 changed-plan
-    # = 34 head-cargo keys, all inside any plausible wall cap; the 20
-    # canaries fill positions 35-54.
-    assert n_fix == 0 and n_first == 15 and n_backlog == 11 and n_rev == 8
+    # window arithmetic: 2 changed-plan keys + 48 canaries = exactly
+    # the 50-key window the wall cap historically covers.
+    assert n_fix == 0 and n_first == 0 and n_backlog == 0 and n_rev == 2
     assert registry._CANARY_SLOTS + n_first + n_backlog + n_rev <= 54
     assert registry._CANARY_SLOTS >= 12  # VERDICT r7 item 3 / r8 item 5
 

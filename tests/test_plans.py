@@ -527,6 +527,20 @@ def test_r11_streaming_cumsum_keys_no_single_task_sweep(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
+def test_r12_vocab_curve_two_phase(spark):
+    """The r12 swap (VERDICT r11 item 2): text_vocab_coverage_curve's
+    rank+cumsum runs over the VOCABULARY-sized count table — Heaps-law
+    data-sized (~1e9 distinct tokens at 100 TB), not result-sized — so
+    it must use _util.global_cumsum (range-partitioned two-phase prefix
+    sum, checkpoint read present from the pre-materialization), never a
+    coalesce(1) single-task sweep or a spark_partition_id window over
+    one partition."""
+    plan = plan_of(spark, "text_vocab_coverage_curve")
+    assert "Coalesce 1" not in plan and "Coalesce(1" not in plan
+    assert "spark_partition_id" not in plan.lower()
+    assert "Scan ExistingRDD" in plan
+
+
 def test_triangle_count_never_cartesian(spark):
     """Wedge generation and closure must stay equi-joins on the oriented
     edge list (the 1-row stat cross joins are broadcast loops, fine)."""

@@ -366,6 +366,81 @@ def main() -> None:
     probe("hot-key ntile: per-lang WINDOW", hotkey_window_ntile)
     probe("hot-key ntile: two-phase rank", hotkey_two_phase_ntile)
 
+    # r12 (VERDICT r11 item 6): 20x envelope for the two newest oracle
+    # classes. The bounded-error sketch keys pair the production sketch
+    # with an EXACT-ANCHOR verification side whose scaling is known
+    # linear (e≈0.91 at 0.1→1 in scaling_r11.txt — a full two-phase
+    # rank); these probes verify the anchor side has no superlinear
+    # surprise at 20x in-flight, and that the bloom/ingest exact
+    # membership path keeps its candidate fraction.
+    from mergeextractor_spark.operators._util import partitioned_row_number
+
+    def pctl_anchor_band():
+        li2 = big_li.select("l_returnflag", "l_extendedprice")
+        est = li2.groupBy("l_returnflag").agg(
+            F.approx_percentile(
+                "l_extendedprice", F.lit(0.5), F.lit(1000)
+            ).alias("p50")
+        )
+        ranked = partitioned_row_number(
+            li2, ["l_returnflag"], ["l_extendedprice"], out="rn", n_out="n"
+        )
+        lo_k = F.greatest(
+            F.lit(1).cast("bigint"), F.floor(0.498 * F.col("n")).cast("bigint")
+        )
+        hi_k = F.least(F.col("n"), F.ceil(0.502 * F.col("n")).cast("bigint"))
+        band = ranked.filter((F.col("rn") == lo_k) | (F.col("rn") == hi_k))
+        return band.join(F.broadcast(est), "l_returnflag").count()
+
+    probe("pctl-approx exact-anchor band", pctl_anchor_band)
+
+    ev = table(spark, args.sf, "events")
+    big_ev = replicate(ev, "user_id", args.k, 10_000_000)
+
+    def hll_daily_anchor():
+        daily = big_ev.groupBy(F.to_date("ts").alias("day")).agg(
+            F.hll_sketch_agg("user_id").alias("sk"),
+            F.count_distinct("user_id").alias("n_exact"),
+        )
+        per_day = daily.select(
+            "day", F.hll_sketch_estimate("sk").alias("est"), "n_exact"
+        )
+        total_row = daily.agg(F.hll_union_agg("sk").alias("u")).crossJoin(
+            F.broadcast(big_ev.agg(F.count_distinct("user_id").alias("n_exact")))
+        )
+        return per_day.count() + total_row.count()
+
+    probe("hll daily+union w/ exact anchors", hll_daily_anchor)
+
+    # bloom membership at 20x: build over half the replicated corpus,
+    # probe the whole of it, then the exact verify anti-join on the
+    # candidate side only (the ingest flagship's stages 1-3, no writes)
+    from mergeextractor_spark.operators.curation_queries import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    def bloom_probe_verify_gate():
+        hashed = big_docs.select(
+            "doc_id", "text", F.md5("text").alias("h")
+        )
+        store = hashed.filter(F.col("doc_id") % 2 == 0)
+        batch = hashed
+        bm = bloom_build(store.select("h"))
+        maybe = bloom_probe(batch, bm, "h")
+        fresh = maybe.filter(~F.col("maybe_dup"))
+        candidates = maybe.filter(F.col("maybe_dup")).drop("maybe_dup")
+        verified_new = candidates.join(
+            store.select("h").distinct(), "h", "left_anti"
+        )
+        nw = F.size(F.split(F.lower("text"), r"\s+"))
+        survivors = fresh.drop("maybe_dup").unionByName(verified_new).filter(
+            (nw >= 50) & (nw <= 100000)
+        )
+        return survivors.count()
+
+    probe("bloom probe->verify->gate (ingest)", bloom_probe_verify_gate)
+
     total = sum(dt for _, _, dt in probes)
     print(f"TOTAL {total:.1f}s at K={args.k}", flush=True)
 
