@@ -152,6 +152,13 @@ QUERIES = [
     "agg_user_growth_curve",
     "agg_percentile_approx",
     "events_approx_distinct",
+    # round-12 shape: the vocab-curve coalesce(1)->global_cumsum swap.
+    # Exponent ≈ vocabulary-growth expected (Heaps' law: sublinear in
+    # tokens), with every stage parallel — the old single-task sweep
+    # serialized the whole vocabulary through one task, which is what
+    # the swap removed (agg_ltv_curve above also changed in r12: the
+    # cumsum now runs over scaled-integer revenue, same plan shape)
+    "text_vocab_coverage_curve",
 ]
 
 
