@@ -280,6 +280,14 @@ def main() -> None:
         json.dumps(
             {
                 "stdev": stdevs,
+                # raw per-key samples in block order (r12): a host freeze
+                # burst hits a contiguous run of blocks, and the median
+                # can only absorb spikes in < half the samples — the raw
+                # list lets an adjudicator strip the exact freeze-hit
+                # blocks after the fact instead of reconstructing from
+                # median+stdev (only exact at n=2). Stderr-only: the
+                # driver's stdout line stays compact.
+                "samples": {k: [round(x, 3) for x in v] for k, v in samples.items()},
                 "runs_per_query": n_runs,
                 "samples_per_query": n_samples,
                 # per-pass host context: a burst shows up as one slow
