@@ -535,6 +535,51 @@ def test_global_cumsum_matches_single_window(spark):
     assert got_df.count() == 0 and tot == {"a": 0, "b": 0}
 
 
+def test_global_cumsum_rejects_float_sum_cols(spark):
+    """ADVICE r11 (made structural in r12): the two-phase split
+    reassociates additions, so a double cumsum is partition-layout-
+    dependent — the helper must REFUSE float sum columns unless the
+    caller opts in, pointing at the scaled-integer fix."""
+    import pytest
+
+    from mergeextractor_spark.operators._util import global_cumsum
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "v long, x double"
+    )
+    with pytest.raises(ValueError, match="scaled integers"):
+        global_cumsum(df, ["v"], ["x"])
+    got, tot = global_cumsum(df, ["v"], ["x"], allow_float=True)
+    assert got.count() == 10 and tot["x"] == sum(range(10))
+
+
+def test_global_cumsum_of_ones_is_global_rank(spark):
+    """The r12 vocab-curve trick: under a UNIQUE total order the RANGE
+    frame has no peers, so cumulating a constant-1 column yields exactly
+    row_number() over the same order — one range exchange covers rank
+    AND cumsum, and the totals collect returns (row count, mass) free."""
+    from mergeextractor_spark.operators._util import (
+        global_cumsum,
+        global_row_number,
+    )
+
+    rows = [(i, ((7 * i) % 301), (i % 13) + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, u long, n long")
+    one = df.withColumn("one", F.lit(1).cast("bigint"))
+    cum, tot = global_cumsum(
+        one, [F.desc("n"), F.asc("u")], ["one", "n"], num_partitions=7
+    )
+    want = {
+        r.id: r.i
+        for r in global_row_number(
+            df, [F.desc("n"), F.asc("u")], out="i", num_partitions=3
+        ).collect()
+    }
+    got = {r.id: r.cum_one for r in cum.collect()}
+    assert got == want
+    assert tot == {"one": 300, "n": sum(r[2] for r in rows)}
+
+
 def test_partitioned_ntile_matches_window_ntile(spark):
     """partitioned_ntile (two-phase rank + broadcast offsets, the scale
     path for the per-language bucket cuts — VERDICT r8 item 2) must emit
