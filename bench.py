@@ -92,6 +92,9 @@ HEADLINE = [
     "sample_anneal_mix",         # partitioned_ntile decile cut + budget split
     "eval_ks_drift",             # global_cumsum two-phase ECDF
     "agg_rfm_segmentation",      # 3 chained global quintile cuts over the user frame
+    # round 12 addition: the last coalesce(1) sweep — the vocab-sized
+    # rank+cumsum now rides ONE global_cumsum pass (cum-of-ones rank)
+    "text_vocab_coverage_curve",  # two-phase rank+cumsum over the vocabulary
 ]
 
 
