@@ -2460,7 +2460,14 @@ def events_fraud_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "so the two-phase prefix sum cumulates only integers — exact and "
     "hash-identical under ANY partition layout, where a double cumsum "
     "would reassociate FP additions and could flip the 4th decimal at "
-    "a knife edge. The single float op is one divide per output row. "
+    "a knife edge. Known tradeoff (ADVICE r12): this is round-THEN-sum "
+    "— each event's value quantizes to 1e-4 before summation, so "
+    "cum_revenue can drift up to ~5e-5 per purchase event vs a "
+    "sum-then-round metric; both engines quantize identically so the "
+    "gate is exact. A 1e6 scale would shrink the bound 100x but eats "
+    "bigint headroom: 1e12 events x avg 100.0 value x 1e6 ~ 1e20 > "
+    "int64 max, while 1e4 keeps two orders of safety at 100 TB. "
+    "The single float op is one divide per output row. "
     "Survivor counts come from the tenure HISTOGRAM (|distinct "
     "tenures| <= observation days — result-sized), never an ages x "
     "users cross join (r9 inverse-class audit).",

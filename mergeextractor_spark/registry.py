@@ -56,7 +56,7 @@ def register(key: str, oracle: str | None = None, doc: str = "", eager: bool = F
 # CORRECTNESS file is folded into _DRIVER_GREEN below; seeds the canary
 # sample so each round re-checks a different deterministic slice of the
 # already-green keys (VERDICT r3 "Next round" item 3).
-_ROUND: int = 12
+_ROUND: int = 13
 
 # Keys that already hold a green hash-checked row in CORRECTNESS_r01–r03
 # (historical fact, frozen).  The driver's correctness gate walks the dict
@@ -221,14 +221,18 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "pipeline_incremental_ingest", "ann_ivf_trained",
 })
 
-# Keys without CLEAN driver evidence in the window.  r12: none.
+# Keys without CLEAN driver evidence in the window.  r13: none.
 _EVIDENCE_FIX: tuple[str, ...] = ()
 
-# r12: EMPTY — the r11 head cargo (the 15-key r10 _REVERIFY band)
-# landed its driver rows at the head of CORRECTNESS_r11, so for the
-# first time since r4 there is no evidence-bearing head cargo and the
-# whole window goes to the staleness burn (VERDICT r11 item 1).
-_ROTATION_FIRST: tuple[str, ...] = ()
+# r13 head cargo: the round's NEW keys (VERDICT r12 items 4-5) — the
+# iterative BPE tokenizer-training flagship and the incremental
+# cross-batch MinHash dedup store pair.  New oracle keys always lead
+# the window so their first driver rows land the same round they ship.
+_ROTATION_FIRST: tuple[str, ...] = (
+    "pipeline_bpe_train",
+    "dedup_minhash_store_write",
+    "dedup_minhash_incremental",
+)
 
 # r12: EMPTY — all 11 r11 backlog keys (the 4 slipped r10 graduations,
 # the bounded-error sketch trio, the exact-oracle bloom/PCA pair, the
@@ -240,18 +244,10 @@ _ORACLE_BACKLOG: tuple[str, ...] = ()
 # Already-green keys whose PLANS changed this round — ranked directly
 # behind the backlog (and AHEAD of the canaries: changed-plan evidence
 # can never again lose the slot race to re-checks of unchanged keys —
-# the r10 lesson).  r12 changes: text_vocab_coverage_curve swapped its
-# coalesce(1) single-task rank+cumsum over the VOCABULARY-sized count
-# table (Heaps-law data-sized, ~1e9 tokens at 100 TB) onto one
-# _util.global_cumsum pass with a constant-1 rank column (VERDICT r11
-# item 2), and agg_ltv_curve swapped its double cumsum onto the
-# scaled-integer cents-style form so the two-phase prefix sum is exact
-# under any partition layout (ADVICE r11 medium; oracle updated
-# identically).  Both builder-verified green at sf0.001/sf0.01.
-_REVERIFY: tuple[str, ...] = (
-    "text_vocab_coverage_curve",
-    "agg_ltv_curve",
-)
+# the r10 lesson).  r13: empty so far — both r12 entries landed their
+# hash rows at the head of CORRECTNESS_r12 (50/50 green).  Any plan
+# changed during r13 re-enters here.
+_REVERIFY: tuple[str, ...] = ()
 
 # Rows-only keys WITH driver evidence.  EMPTY since late r11: all seven
 # keys that entered the round oracle-less graduated — the bounded-error
@@ -266,17 +262,15 @@ _ROWS_ONLY_EVIDENCED: tuple[str, ...] = ()
 
 # Number of previously-green keys re-checked per round, drawn
 # OLDEST-EVIDENCE-FIRST from _DRIVER_GREEN (VERDICT r9 item 5) so a
-# regression in r01-era code cannot stay invisible forever.  r12: the
-# head cargo is just the 2-key _REVERIFY band, so the slots jump to 48
-# for one round — the whole 50-key window burns the staleness tail
-# (VERDICT r11 item 1): the 7 r2-evidence keys, all 38 r3 keys, and 3
-# of r4, leaving no key older than r4.  The green band behind the
-# canaries stays staleness-ordered, so a stretched wall-clock budget
-# keeps burning r4.  STEADY-STATE POLICY (VERDICT r11 item 7): after
-# this one-round burn, drop back to 12 — with ~337 keys and ~48 free
-# window seats per round, 12 canaries + changed-plan reverifies hold
-# max staleness at ~5 rounds without re-litigating the number.
-_CANARY_SLOTS: int = 48
+# regression in r01-era code cannot stay invisible forever.
+# r13: STEADY-STATE at 12 (the policy VERDICT r11 item 7 set and
+# VERDICT r12 item 3 confirms): the r12 one-round burn cleared the
+# r2/r3 bands (post-r12 histogram: 34 keys at r4, oldest), so 12
+# canaries per round clears the r4 band in ~3 rounds while leaving
+# ~35 window seats for new keys, reverifies, and the staleness-ordered
+# green tail.  The canary tail points at the r4 band automatically
+# (oldest-evidence-first over the regenerated _evidence.py).
+_CANARY_SLOTS: int = 12
 
 
 def canary_keys(round_no: int = _ROUND) -> tuple[str, ...]:
@@ -309,27 +303,24 @@ def canary_keys(round_no: int = _ROUND) -> tuple[str, ...]:
 def load_all() -> dict[str, Query]:
     """Import every module that registers queries (idempotent).
 
-    Returned order implements the r12 gate-window rotation (VERDICT r11
-    items 1, 4, 7).  For the first time since r4 the evidence-bearing
-    head cargo is EMPTY (_ROTATION_FIRST and _ORACLE_BACKLOG both
-    cleared by CORRECTNESS_r11), so the whole 50-key window goes to the
-    staleness burn:
-      0. head cargo (_ROTATION_FIRST: empty in r12);
-      1. evidence-fix keys (_EVIDENCE_FIX: empty in r12);
-      2. oracle graduations (_ORACLE_BACKLOG: empty in r12 — the
-         rows-only class emptied in r11); the rank-function fallback
-         still catches any key registered without a scheduling entry;
-      3. green keys whose PLANS changed THIS round (_REVERIFY: the
-         vocab-curve coalesce(1)->global_cumsum swap and the LTV
-         scaled-integer cumsum swap — 2 keys);
-      4. 48 canary re-checks of previously-green keys, drawn
-         oldest-evidence-first (one-round burst: clears every r2- and
-         r3-evidence key plus 3 of r4 — VERDICT r11 item 1; drops back
-         to 12 next round per the steady-state policy at _CANARY_SLOTS);
+    Returned order implements the r13 gate-window rotation — the first
+    STEADY-STATE round (VERDICT r12 item 3):
+      0. head cargo (_ROTATION_FIRST: the 3 new r13 keys — the BPE
+         tokenizer-training flagship and the incremental MinHash store
+         pair, VERDICT r12 items 4-5);
+      1. evidence-fix keys (_EVIDENCE_FIX: empty in r13);
+      2. oracle graduations (_ORACLE_BACKLOG: empty — the rows-only
+         class emptied in r11); the rank-function fallback still
+         catches any key registered without a scheduling entry;
+      3. green keys whose PLANS changed THIS round (_REVERIFY: empty
+         so far in r13 — both r12 entries landed);
+      4. 12 canary re-checks of previously-green keys, drawn
+         oldest-evidence-first (steady-state cadence: clears the
+         34-key r4 band in ~3 rounds);
       5. the remaining already-green oracle keys, ALSO staleness-
          ordered (oldest evidence first, round-seeded tiebreak) so a
          wall-clock budget that stretches past the canaries keeps
-         burning the tail;
+         burning the r4 band;
       6. rows-only keys that already hold driver rows (weakest
          evidence per run, so they queue last) — EMPTY since late r11.
     """
@@ -355,6 +346,7 @@ def load_all() -> dict[str, Query]:
         curation_pipeline,
         pretrain_pipeline,
         incremental_pipeline,
+        bpe_pipeline,
     )
 
     import random

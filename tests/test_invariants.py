@@ -553,6 +553,22 @@ def test_global_cumsum_rejects_float_sum_cols(spark):
     assert got.count() == 10 and tot["x"] == sum(range(10))
 
 
+def test_global_cumsum_rejects_missing_sum_cols(spark):
+    """ADVICE r12: a misspelled sum column must fail FAST with a clear
+    message, not slip past the float guard (dtypes.get -> None) and
+    surface later as an opaque analysis error inside the window."""
+    import pytest
+
+    from mergeextractor_spark.operators._util import global_cumsum
+
+    df = spark.createDataFrame([(i, i) for i in range(5)], "v long, x long")
+    with pytest.raises(ValueError, match="not in frame"):
+        global_cumsum(df, ["v"], ["xx"])
+    # the guard must fire even when the caller opts into floats
+    with pytest.raises(ValueError, match="not in frame"):
+        global_cumsum(df, ["v"], ["xx"], allow_float=True)
+
+
 def test_global_cumsum_of_ones_is_global_rank(spark):
     """The r12 vocab-curve trick: under a UNIQUE total order the RANGE
     frame has no peers, so cumulating a constant-1 column yields exactly

@@ -15,8 +15,17 @@ be simplified), and (b) the sweep really does drop them.
 
 from __future__ import annotations
 
+import pytest
+
 
 def _n_persistent(spark) -> int:
+    # Reaches through the py4j gateway (private API) — classic-session
+    # only.  Under Spark Connect there is no _jsc; skip rather than
+    # crash so a Connect-based CI run degrades gracefully (ADVICE r12).
+    if not hasattr(spark, "sparkContext") or not hasattr(
+        spark.sparkContext, "_jsc"
+    ):
+        pytest.skip("persistent-RDD introspection needs a classic session")
     return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
 
 
