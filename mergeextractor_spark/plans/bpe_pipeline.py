@@ -1,0 +1,203 @@
+"""Flagship #8: iterative BPE tokenizer TRAINING (`pipeline_bpe_train`)
+— the end-to-end merge LOOP the single-round keys only sample
+(VERDICT r12 item 4): `text_bpe_merge_candidates` ranks one round of
+merge candidates and `text_bpe_encode` applies a FIXED merge table;
+this plan runs the actual trainer — k rounds of
+
+    count adjacent symbol pairs over the vocabulary
+    →  pick the argmax pair (freq desc, (lhs, rhs) asc tiebreak)
+    →  apply the merge to every word's segmentation
+    →  repeat on the merged vocabulary
+
+and returns the learned, ordered merge table. Reference parity:
+MergeExtractor tokenizes with a pre-trained BPE vocabulary (SURVEY §2.8
+embed/token paths); this is the operator that PRODUCES such a
+vocabulary from the corpus, the missing end of the tokenizer family.
+
+Representation and apply semantics are exactly `text_bpe_encode`'s
+(curation_queries.py): a word is a space-separated symbol string with
+space sentinels (" h e l l o "), and applying merge (a, b) rewrites
+" a b " → " ab " with plain string replace run TWICE (replace resumes
+scanning after each substitution; the second pass catches the
+alternating occurrences the first sweep skips — identical
+left-to-right resume semantics in Spark, DuckDB, and Python
+str.replace, so the learned table round-trips through the encoder
+bit-identically: pytest-pinned in tests/test_bpe_train.py).
+
+Scale shape (100 TB): the ONLY corpus-sized work is the seed pass —
+one tokenize + groupBy(word) building the (word, freq) vocabulary,
+the classic BPE trick (pair statistics are frequency-weighted sums
+over DISTINCT words, so every training round touches |vocab| short
+strings regardless of corpus token count; at 100 TB that is ~1e7-1e8
+rows vs ~1e13 tokens). Each round is one vocab-sized pair-count
+aggregate (map-side partial sums; shuffles carry (lhs, rhs, freq)
+only, never text) plus a 1-ROW argmax collect — bounded by the round
+count, the same boundedness class as global_cumsum's per-partition
+offsets — and a narrow map applying two literal replaces. Lineage is
+truncated every second round exactly like graph_pagerank
+(graph_queries.py pagerank), so the composed plan never exceeds two
+rounds of depth.
+
+The DuckDB oracle unrolls the IDENTICAL rounds as chained CTEs
+(the _pagerank_oracle pattern), so the iterative trainer is
+value-checked end-to-end, not rows-only. seg{k} is referenced twice
+per round (pair counts + next segmentation), so each round's CTEs are
+AS MATERIALIZED — naive inlining would double the expression tree per
+round (2^k blowup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators._util import t, truncate_lineage
+from ..registry import register
+
+BPE_TRAIN_ROUNDS = 20
+
+
+def _bpe_train_oracle(rounds: int = BPE_TRAIN_ROUNDS) -> str:
+    """Unrolled CTE oracle: seg0 = per-character segmentation of the
+    distinct alphabetic vocabulary; each round materializes pair counts,
+    the argmax pair, and the merged segmentation.  An exhausted
+    vocabulary (no pairs left) empties best{k}, which empties every
+    later seg{k} via the CROSS JOIN — contributing zero rows from that
+    round on, exactly matching the Spark loop's early break."""
+    parts = [
+        r"""
+    WITH words AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w
+      FROM documents
+    ),
+    seg0 AS MATERIALIZED (
+      SELECT w, count(*) AS freq,
+             ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s
+      FROM words WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w
+    )"""
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f""",
+    pairs{k} AS MATERIALIZED (
+      SELECT sy[i] AS lhs, sy[i + 1] AS rhs, sum(freq) AS pfreq
+      FROM (SELECT freq, string_split(trim(s), ' ') AS sy FROM seg{k - 1}),
+           unnest(range(1, len(sy))) AS u(i)
+      WHERE len(sy) >= 2
+      GROUP BY sy[i], sy[i + 1]
+    ),
+    best{k} AS MATERIALIZED (
+      SELECT lhs, rhs, pfreq FROM pairs{k}
+      ORDER BY pfreq DESC, lhs, rhs LIMIT 1
+    ),
+    seg{k} AS MATERIALIZED (
+      SELECT t.w, t.freq,
+             replace(replace(t.s, ' ' || b.lhs || ' ' || b.rhs || ' ',
+                                  ' ' || b.lhs || b.rhs || ' '),
+                     ' ' || b.lhs || ' ' || b.rhs || ' ',
+                     ' ' || b.lhs || b.rhs || ' ') AS s
+      FROM seg{k - 1} t CROSS JOIN best{k} b
+    )"""
+        )
+    selects = [
+        f"SELECT {k} AS merge_rank, lhs, rhs, lhs || rhs AS merged, "
+        f"CAST(pfreq AS BIGINT) AS freq FROM best{k}"
+        for k in range(1, rounds + 1)
+    ]
+    parts.append("\n    " + "\n    UNION ALL ".join(selects))
+    return "".join(parts)
+
+
+def seed_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trainer's corpus-sized pass: distinct alphabetic words with
+    counts, seeded to per-character segmentation (text_bpe_encode's
+    representation: space-separated symbols, space sentinels)."""
+    wtok = t(spark, sf_dir, "documents").select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+        ).alias("w")
+    )
+    wc = (
+        wtok.filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    s = F.concat(
+        F.lit(" "),
+        F.array_join(F.filter(F.split(F.col("w"), ""), lambda x: x != ""), " "),
+        F.lit(" "),
+    )
+    return wc.select("w", "freq", s.alias("s"))
+
+
+def bpe_train(
+    vocab: DataFrame, rounds: int = BPE_TRAIN_ROUNDS
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """Run ``rounds`` BPE merge rounds over a ``(w, freq, s)`` vocabulary
+    frame; returns (merge table rows, final segmented vocabulary).
+
+    Per round: pair-count aggregate (vocab-sized), 1-ROW argmax collect
+    (driver traffic bounded by the round count), two literal replaces.
+    Lineage truncated every second round (and after the last merge) —
+    each truncation is a blocking job, and a two-round plan (1 aggregate
+    + 2 narrow maps per round) is trivially small for Catalyst, so
+    halving the barrier count is pure win (the graph_pagerank policy)."""
+    vocab = truncate_lineage(vocab)
+    merges: list[tuple[int, str, str, str, int]] = []
+    for k in range(1, rounds + 1):
+        sym = F.split(F.trim("s"), " ")
+        pairs = vocab.select(
+            "freq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(sym) - 1),
+                    lambda i: F.struct(
+                        F.element_at(sym, i).alias("lhs"),
+                        F.element_at(sym, i + 1).alias("rhs"),
+                    ),
+                )
+            ).alias("pr"),
+        ).filter(F.size(sym) >= 2)
+        best = (
+            pairs.groupBy("pr.lhs", "pr.rhs")
+            .agg(F.sum("freq").alias("pfreq"))
+            .orderBy(F.desc("pfreq"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break  # vocabulary exhausted — matches the oracle's
+            # empty-CROSS-JOIN cascade (zero rows from round k on)
+        a, b, pf = best[0].lhs, best[0].rhs, int(best[0].pfreq)
+        merges.append((k, a, b, a + b, pf))
+        s = F.col("s")
+        for _ in range(2):
+            s = F.replace(s, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+        vocab = vocab.select("w", "freq", s.alias("s"))
+        if k % 2 == 0 or k == rounds:
+            vocab = truncate_lineage(vocab)
+    return merges, vocab
+
+
+@register(
+    "pipeline_bpe_train",
+    oracle=_bpe_train_oracle(),
+    doc=f"Flagship #8: iterative BPE tokenizer training — "
+    f"{BPE_TRAIN_ROUNDS} merge rounds over the distinct alphabetic "
+    "vocabulary (count adjacent pairs → argmax with (freq desc, pair "
+    "asc) tiebreak → apply ' a b '→' ab ' twice, the text_bpe_encode "
+    "apply semantics), returning the learned ordered merge table. "
+    "Oracle unrolls the identical rounds as MATERIALIZED CTEs (the "
+    "graph_pagerank pattern), so the loop is value-checked end-to-end. "
+    "Corpus-sized work is ONE tokenize+groupBy(word) seed pass; each "
+    "round is a |vocab|-row pair aggregate plus a 1-row argmax collect "
+    "(driver traffic bounded by the round count) and lineage truncates "
+    "every second round. Round-trip through the encoder is "
+    "pytest-pinned (tests/test_bpe_train.py).",
+    eager=True,  # construction runs the merge loop (argmax collects)
+)
+def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges, _final = bpe_train(seed_vocab(spark, sf_dir))
+    return spark.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, merged string, freq bigint"
+    )
