@@ -95,6 +95,9 @@ HEADLINE = [
     # round 12 addition: the last coalesce(1) sweep — the vocab-sized
     # rank+cumsum now rides ONE global_cumsum pass (cum-of-ones rank)
     "text_vocab_coverage_curve",  # two-phase rank+cumsum over the vocabulary
+    # round 13 additions (VERDICT r12 items 4-5)
+    "pipeline_bpe_train",         # flagship #8: 20-round iterative BPE merge loop
+    "dedup_minhash_incremental",  # batch probe of the persisted band-bucket store
 ]
 
 
@@ -127,11 +130,74 @@ def _drain_residue(spark) -> None:
     drain_persistent_rdds(spark, gc_sweep=used_frac > 0.5)
 
 
-def _block(spark, q, sf_dir: str, k: int) -> list[float]:
-    """One BLOCK of one key: drain + warm + k timed samples, exactly the
-    per-key semantics every earlier round's bench measured (warm run
-    immediately precedes the timed runs and they share the key's own
-    cache), so per-key medians stay comparable across rounds.
+class _TaskMetrics:
+    """Host-steal-immune per-sample counters from Spark's own task
+    metrics (VERDICT r12 item 1): four straight rounds of hypervisor
+    freeze/drift exhausted wall-clock evidence, so the record now
+    carries, per key per sample, the JVM-side counters the scheduler
+    already tracks — executorCpuTime (ON-CPU nanoseconds: a frozen vCPU
+    accrues none, so a code regression moves it and a freeze window
+    does not), executorRunTime, and shuffle read+write bytes — read in
+    ONE http GET per snapshot from the /api/v1 status endpoint (the UI
+    is re-enabled for the bench session only).
+
+    The ledger is cumulative and keyed by (stageId, attemptId): metric
+    increases are accumulated, so stage eviction from the status store
+    (spark.ui.retainedStages) can never produce negative deltas, and a
+    sample's delta is just snapshot(after) - snapshot(before)."""
+
+    def __init__(self, spark) -> None:
+        sc = spark.sparkContext
+        self.url = (
+            f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}"
+            "/stages?details=false"
+        )
+        self._seen: dict[tuple[int, int], tuple[int, int, int]] = {}
+        # cumulative (cpu_ns, run_ms, shuffle_bytes)
+        self._tot = [0, 0, 0]
+
+    def snapshot(self) -> tuple[int, int, int]:
+        import urllib.request
+
+        with urllib.request.urlopen(self.url, timeout=30) as r:
+            stages = json.load(r)
+        for s in stages:
+            key = (s["stageId"], s.get("attemptId", 0))
+            cur = (
+                s.get("executorCpuTime", 0),
+                s.get("executorRunTime", 0),
+                s.get("shuffleReadBytes", 0) + s.get("shuffleWriteBytes", 0),
+            )
+            old = self._seen.get(key, (0, 0, 0))
+            for i in range(3):
+                if cur[i] > old[i]:
+                    self._tot[i] += cur[i] - old[i]
+            self._seen[key] = tuple(
+                max(c, o) for c, o in zip(cur, old)
+            )
+        return tuple(self._tot)
+
+
+def _freeze_probe(spark) -> float:
+    """Constant JVM work (fixed 2e8-element codegen'd aggregate), timed:
+    the per-block host-health stamp (VERDICT r12 item 6). Identical work
+    every call, so its wall time moves ONLY with the host — a block
+    whose probe reads ~3x the session median ran inside a hypervisor
+    freeze/steal window and its wall samples are quarantined from the
+    clean medians (they still appear in the raw record)."""
+    t0 = time.time()
+    spark.range(200_000_000, numPartitions=32).selectExpr(
+        "sum(id % 1000) AS s"
+    ).collect()
+    return time.time() - t0
+
+
+def _block(spark, q, sf_dir: str, k: int, metrics: _TaskMetrics) -> dict:
+    """One BLOCK of one key: drain + probe + warm + k timed samples,
+    exactly the per-key semantics every earlier round's bench measured
+    (warm run immediately precedes the timed runs and they share the
+    key's own cache), so per-key medians stay comparable across rounds.
+    Returns {"probe": s, "wall": [s...], "cpu_ms": [...], "mb": [...]}.
 
     Between timed samples, superseded localCheckpoint blocks are swept
     (they are NEVER reused across constructions — each construct
@@ -144,16 +210,21 @@ def _block(spark, q, sf_dir: str, k: int) -> list[float]:
     from mergeextractor_spark.operators._util import drain_persistent_rdds
 
     _drain_residue(spark)
+    probe = _freeze_probe(spark)
     df = q.spark(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()  # warm
-    out = []
+    out = {"probe": round(probe, 3), "wall": [], "cpu_ms": [], "mb": []}
     for i in range(k):
         if i and not _LIVE_SHINGLE_CACHE:
             drain_persistent_rdds(spark, sql_cache=False)
+        before = metrics.snapshot()
         t0 = time.time()
         df = q.spark(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        out.append(time.time() - t0)
+        out["wall"].append(time.time() - t0)
+        after = metrics.snapshot()
+        out["cpu_ms"].append(round((after[0] - before[0]) / 1e6, 1))
+        out["mb"].append(round((after[2] - before[2]) / 1e6, 2))
     return out
 
 
@@ -161,7 +232,19 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     reg = load_all()
-    spark = get_spark("bench")
+    # UI back on for THIS session only: the /api/v1 status endpoint is
+    # where _TaskMetrics reads executorCpuTime / shuffle bytes (VERDICT
+    # r12 item 1). retainedStages is sized so no stage can complete AND
+    # evict between two consecutive per-sample snapshots.
+    spark = get_spark(
+        "bench",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "3000",
+            "spark.ui.retainedJobs": "300",
+        },
+    )
+    metrics = _TaskMetrics(spark)
 
     # BLOCK-INTERLEAVED passes (VERDICT r10 item 4): two consecutive
     # rounds of driver bench records were contaminated by host-load
@@ -199,6 +282,7 @@ def main() -> None:
     max_wall = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_S", "1500"))
     t_suite = time.time()
 
+    blocks: dict[str, list[dict]] = {k: [] for k in HEADLINE}
     samples: dict[str, list[float]] = {k: [] for k in HEADLINE}
     pass_load: list[float] = []
     pass_sec: list[float] = []
@@ -208,11 +292,15 @@ def main() -> None:
         t_pass = time.time()
         for key in HEADLINE:
             t_blk = time.time()
-            samples[key].extend(_block(spark, reg[key], sf_dir, per_block))
+            blk = _block(spark, reg[key], sf_dir, per_block, metrics)
+            blocks[key].append(blk)
+            samples[key].extend(blk["wall"])
             if verbose:
                 print(
                     f"    block {key}: {round(time.time() - t_blk, 2)}s"
-                    f" (timed {[round(x, 2) for x in samples[key][-per_block:]]})",
+                    f" (probe {blk['probe']}s,"
+                    f" timed {[round(x, 2) for x in blk['wall']]},"
+                    f" cpu {blk['cpu_ms']}ms)",
                     file=sys.stderr,
                     flush=True,
                 )
@@ -253,9 +341,11 @@ def main() -> None:
     if subsec and sub_second_runs > n_runs:
         t_pass = time.time()
         for key in subsec:
-            samples[key].extend(
-                _block(spark, reg[key], sf_dir, sub_second_runs - n_runs)
+            blk = _block(
+                spark, reg[key], sf_dir, sub_second_runs - n_runs, metrics
             )
+            blocks[key].append(blk)
+            samples[key].extend(blk["wall"])
         pass_load.append(round(os.getloadavg()[0], 2))
         pass_sec.append(round(time.time() - t_pass, 1))
 
@@ -265,9 +355,46 @@ def main() -> None:
         for k, v in samples.items()
     }
     n_samples = {k: len(v) for k, v in samples.items()}
+
+    # Freeze quarantine (VERDICT r12 item 6): a block whose constant-work
+    # probe exceeded PROBE_CUT x the session median ran inside a host
+    # freeze/steal window — its wall samples are excluded from the CLEAN
+    # medians (raw medians and raw samples stay in the record untouched).
+    PROBE_CUT = 3.0
+    all_probes = [b["probe"] for v in blocks.values() for b in v]
+    probe_med = statistics.median(all_probes) if all_probes else 0.0
+    clean_median: dict[str, float] = {}
+    frozen_blocks = 0
+    for k, v in blocks.items():
+        clean = [
+            x
+            for b in v
+            if b["probe"] <= PROBE_CUT * probe_med
+            for x in b["wall"]
+        ]
+        frozen_blocks += sum(1 for b in v if b["probe"] > PROBE_CUT * probe_med)
+        # a key whose every block was frozen keeps its raw median — an
+        # empty clean set must not fabricate a zero
+        clean_median[k] = round(
+            statistics.median(clean if clean else samples[k]), 3
+        )
+    # Host-immune counters: per-key medians of executor CPU time and
+    # shuffled bytes (VERDICT r12 item 1 — adjudicate on these FIRST;
+    # CPU-ns do not accrue while a vCPU is frozen, shuffle bytes are a
+    # pure function of the plan and data).
+    cpu_ms = {
+        k: round(statistics.median(x for b in v for x in b["cpu_ms"]), 1)
+        for k, v in blocks.items()
+    }
+    shuffle_mb = {
+        k: round(statistics.median(x for b in v for x in b["mb"]), 2)
+        for k, v in blocks.items()
+    }
     for key in HEADLINE:
         print(
-            f"  {key}: {timings[key]}s ±{stdevs[key]} (n={n_samples[key]})",
+            f"  {key}: {timings[key]}s ±{stdevs[key]} (n={n_samples[key]},"
+            f" clean {clean_median[key]}s, cpu {cpu_ms[key]}ms,"
+            f" shuffle {shuffle_mb[key]}MB)",
             file=sys.stderr,
             flush=True,
         )
@@ -291,6 +418,23 @@ def main() -> None:
                 # median+stdev (only exact at n=2). Stderr-only: the
                 # driver's stdout line stays compact.
                 "samples": {k: [round(x, 3) for x in v] for k, v in samples.items()},
+                # host-immune adjudication record (VERDICT r12 items 1+6):
+                # per-key medians of executor CPU and shuffle bytes, the
+                # freeze-stripped wall medians, and per-block constant-
+                # work probe stamps so the quarantine is auditable.
+                "executor_cpu_ms": cpu_ms,
+                "shuffle_mb": shuffle_mb,
+                "clean_median": clean_median,
+                "probe_median_s": round(probe_med, 3),
+                "frozen_blocks": frozen_blocks,
+                "total_blocks": len(all_probes),
+                "block_probes": {
+                    k: [b["probe"] for b in v] for k, v in blocks.items()
+                },
+                "cpu_samples": {
+                    k: [x for b in v for x in b["cpu_ms"]]
+                    for k, v in blocks.items()
+                },
                 "runs_per_query": n_runs,
                 "samples_per_query": n_samples,
                 # per-pass host context: a burst shows up as one slow
@@ -307,16 +451,38 @@ def main() -> None:
         flush=True,
     )
 
-    print(build_stdout_line(timings, total, n_runs, sf), flush=True)
+    print(
+        build_stdout_line(
+            timings,
+            total,
+            n_runs,
+            sf,
+            extra={
+                # the three host-immune suite aggregates ride the compact
+                # driver line: total executor CPU seconds (steal-immune),
+                # the freeze-stripped wall total, and how many blocks the
+                # probe quarantined (0 = a clean record)
+                "cpu_s": round(sum(cpu_ms.values()) / 1000.0, 1),
+                "clean_value": round(sum(clean_median.values()), 2),
+                "frozen_blocks": frozen_blocks,
+            },
+        ),
+        flush=True,
+    )
 
 
 def build_stdout_line(
-    timings: dict[str, float], total: float, n_runs: int, sf: float
+    timings: dict[str, float],
+    total: float,
+    n_runs: int,
+    sf: float,
+    extra: dict | None = None,
 ) -> str:
     """The ONE stdout JSON line the driver parses. Must stay under its
     tail-capture buffer (~2000 bytes, learned from the r5 parse failure):
     compact separators, and if the full per-query dict would overflow,
-    keep only the slowest queries plus an explicit omission count."""
+    keep only the slowest queries plus an explicit omission count.
+    ``extra`` carries the compact host-immune suite aggregates (r13)."""
 
     def _line(queries: dict[str, float], omitted: int = 0) -> str:
         payload = {
@@ -327,6 +493,7 @@ def build_stdout_line(
             "runs_per_query": n_runs,
             "sf": sf,
         }
+        payload.update(extra or {})
         if omitted:
             # top-level sibling, NOT a fake queries entry — consumers that
             # iterate queries as name->seconds must never see a count

@@ -1162,17 +1162,26 @@ def agg_ab_test_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "into the classic 3-digit RFM code — the segmentation every CRM "
     "report starts from. Ties broken by user_id so the quintile "
     "assignment is deterministic across engines. One purchase-filtered "
-    "aggregate (map-side combinable) + three GLOBAL quintile cuts over "
-    "the USER-level table — |users| is itself ~1e9 at 100 TB, so each "
-    "cut runs via _util.partitioned_ntile (range-partitioned two-phase "
-    "rank, exact ntile semantics), never a coalesce(1) single-task "
-    "window (the r9 sweep of the VERDICT r8 item 2 class).",
+    "aggregate (map-side combinable), then the three GLOBAL quintile "
+    "cuts run FUSED through a single _util.partitioned_ntile pass "
+    "(VERDICT r12 item 2): the user frame unions into (metric, key, "
+    "user_id) long form — keys cast to double, exact for int64 counts/"
+    "epochs below 2^53 — and ntile(5) PARTITION BY metric assigns all "
+    "three scores in ONE range exchange + ONE offsets collect + ONE "
+    "checkpoint where the r9 form chained three of each (the 3x "
+    "fixed-cost floor the r12 bench flagged at 1.88x). Bucket "
+    "assignment is bit-identical to three separate cuts (same "
+    "(key desc, user_id) total order per metric), so the oracle keeps "
+    "plain ntile(). |users| is ~1e9 at 100 TB: the long frame is 3e9 "
+    "narrow rows through one parallel range sort — never a coalesce(1) "
+    "single-task window — and the pivot back is a groupBy(user_id) "
+    "map-side-combinable aggregate.",
     eager=True,  # construction collects the range-partition offsets
 )
 def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ._util import partitioned_ntile
+    from ._util import partitioned_ntile, truncate_lineage
 
-    p = (
+    p = truncate_lineage(
         t(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
         .groupBy("user_id")
@@ -1182,21 +1191,27 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("value").alias("monetary"),
         )
     )
-    # three independent orderings → three chained two-phase cuts over
-    # the narrow user frame (each is a parallel range sort; no joins
-    # needed back since the frame carries all three metrics)
-    p = partitioned_ntile(p, [], [F.desc("last_es"), F.asc("user_id")], 5, "r_s")
-    p = partitioned_ntile(p, [], [F.desc("freq"), F.asc("user_id")], 5, "f_s")
-    p = partitioned_ntile(p, [], [F.desc("monetary"), F.asc("user_id")], 5, "m_s")
-    scored = p.select(
-        "user_id",
-        F.col("r_s").cast("bigint").alias("r_score"),
-        F.col("f_s").cast("bigint").alias("f_score"),
-        F.col("m_s").cast("bigint").alias("m_score"),
-        F.col("freq").cast("bigint").alias("n_purchases"),
-        r4(F.col("monetary")).alias("monetary"),
+    # three orderings, ONE two-phase cut: long form partitioned by metric
+    long = None
+    for metric, key in (("r", "last_es"), ("f", "freq"), ("m", "monetary")):
+        piece = p.select(
+            F.lit(metric).alias("metric"),
+            F.col(key).cast("double").alias("key"),
+            "user_id",
+        )
+        long = piece if long is None else long.unionByName(piece)
+    cut = partitioned_ntile(
+        long, ["metric"], [F.desc("key"), F.asc("user_id")], 5, "b"
     )
-    return scored.select(
+    scores = cut.groupBy("user_id").agg(
+        *[
+            F.max(F.when(F.col("metric") == m, F.col("b")))
+            .cast("bigint")
+            .alias(f"{m}_score")
+            for m in ("r", "f", "m")
+        ]
+    )
+    return p.join(scores, "user_id").select(
         "user_id",
         "r_score",
         "f_score",
@@ -1204,8 +1219,8 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
         .cast("bigint")
         .alias("rfm"),
-        "n_purchases",
-        "monetary",
+        F.col("freq").cast("bigint").alias("n_purchases"),
+        r4(F.col("monetary")).alias("monetary"),
     )
 
 

@@ -244,10 +244,14 @@ _ORACLE_BACKLOG: tuple[str, ...] = ()
 # Already-green keys whose PLANS changed this round — ranked directly
 # behind the backlog (and AHEAD of the canaries: changed-plan evidence
 # can never again lose the slot race to re-checks of unchanged keys —
-# the r10 lesson).  r13: empty so far — both r12 entries landed their
-# hash rows at the head of CORRECTNESS_r12 (50/50 green).  Any plan
-# changed during r13 re-enters here.
-_REVERIFY: tuple[str, ...] = ()
+# the r10 lesson).  r13 change: agg_rfm_segmentation fused its three
+# chained partitioned_ntile cuts into ONE pass (long-form union
+# partitioned by metric — VERDICT r12 item 2's suggested fix): one
+# range exchange + one offsets collect + one checkpoint where the r9
+# form paid three of each.  Isolated A/B at sf0.1: wall 2.0->1.2 s,
+# executor CPU 1000->320 ms, bucket assignment bit-identical (oracle
+# unchanged, builder-verified hash-green at sf0.001/sf0.01).
+_REVERIFY: tuple[str, ...] = ("agg_rfm_segmentation",)
 
 # Rows-only keys WITH driver evidence.  EMPTY since late r11: all seven
 # keys that entered the round oracle-less graduated — the bounded-error

@@ -14,7 +14,15 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app_name: str = "mergeextractor-spark") -> SparkSession:
+def get_spark(
+    app_name: str = "mergeextractor-spark",
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """``extra_conf`` overrides builder confs (bench.py re-enables the UI
+    so the /api/v1 status endpoint serves per-stage executorCpuTime /
+    shuffle bytes — the host-steal-immune counters VERDICT r12 item 1
+    adjudicates on; everything else keeps the UI off: it is pure
+    overhead for tests and the driver gate)."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -29,6 +37,8 @@ def get_spark(app_name: str = "mergeextractor-spark") -> SparkSession:
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
