@@ -273,6 +273,11 @@ def main() -> None:
     for key in ("extract_section_pipeline", "olap_nation_revenue"):
         for _ in range(2):
             reg[key].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Warm the freeze probe too: its FIRST execution pays its own
+    # whole-stage-codegen + JIT (~3.6 s measured vs ~0.15 s steady on an
+    # idle box) — unwarmed, the session's first block would always read
+    # as a ~20x "freeze" and lose its samples to the quarantine.
+    _freeze_probe(spark)
 
     # Wall-clock budget guard: a degraded host (the 2-3x sustained-drift
     # mode PERFORMANCE.md documents) must never leave the driver with NO

@@ -159,6 +159,14 @@ QUERIES = [
     # the swap removed (agg_ltv_curve above also changed in r12: the
     # cumsum now runs over scaled-integer revenue, same plan shape)
     "text_vocab_coverage_curve",
+    # round-13 shapes: the iterative BPE trainer (corpus-sized work is
+    # ONE seed tokenize+groupBy; the 20 merge rounds are vocab-bound, so
+    # the exponent should track Heaps-law vocabulary growth, well below
+    # 1) and the incremental minhash probe (batch shingling + pruned
+    # store read + candidate-bounded verify; store build cost is paid
+    # once per corpus commit and memoized across constructions)
+    "pipeline_bpe_train",
+    "dedup_minhash_incremental",
 ]
 
 

@@ -441,6 +441,84 @@ def main() -> None:
 
     probe("bloom probe->verify->gate (ingest)", bloom_probe_verify_gate)
 
+    # r13 (VERDICT r12 item 7): 20x envelope for the two r12-changed
+    # plans, which had sf<=1 evidence only. The vocab curve's
+    # interesting axis is the VOCABULARY (Heaps-law frame, ~1e9 distinct
+    # words at 100 TB), so the probe feeds a synthetic Zipf vocabulary
+    # of 50k*K words straight into the key's rank+cumsum shape — one
+    # global_cumsum range exchange carrying (one, n) — plus the bounded
+    # checkpoint crossJoin. The LTV probe replicates events K x and runs
+    # the full scaled-integer pipeline (quantize -> groupBy(age) ->
+    # integer global_cumsum -> tenure-histogram reach join).
+    from mergeextractor_spark.operators._util import global_cumsum
+
+    def vocab_curve_at_k():
+        n_vocab = 50_000 * args.k
+        wc = spark.range(n_vocab).select(
+            F.concat(F.lit("w"), F.col("id").cast("string")).alias("w"),
+            (F.lit(1_000_000_000) / (F.col("id") + 1)).cast("bigint").alias("n"),
+        ).withColumn("one", F.lit(1).cast("bigint"))
+        cum, tot = global_cumsum(wc, [F.desc("n"), F.asc("w")], ["one", "n"])
+        total_n = float(tot["n"])
+        cps = [1000, 10_000, 100_000, n_vocab]
+        checkpoints = spark.range(1).select(
+            F.explode(F.array(*[F.lit(c) for c in cps])).alias("vocab_size")
+        )
+        return (
+            cum.filter(F.col("cum_one") <= max(cps))
+            .crossJoin(F.broadcast(checkpoints))
+            .groupBy("vocab_size")
+            .agg(
+                (
+                    F.max(
+                        F.when(
+                            F.col("cum_one") <= F.col("vocab_size"),
+                            F.col("cum_n"),
+                        )
+                    )
+                    / F.lit(total_n)
+                ).alias("cov")
+            )
+            .count()
+        )
+
+    probe("vocab curve, 50k*K Zipf vocab", vocab_curve_at_k)
+
+    def ltv_scaled_int_at_k():
+        day = F.floor(F.unix_timestamp("ts") / 86400).cast("bigint")
+        ev2 = big_ev.select("user_id", day.alias("day"), "event_type", "value")
+        firsts = ev2.groupBy("user_id").agg(
+            F.min("day").alias("first_day"), F.max("day").alias("last_day")
+        )
+        rev = (
+            ev2.filter(F.col("event_type") == "purchase")
+            .join(firsts, "user_id")
+            .select(
+                (F.col("day") - F.col("first_day")).alias("age"),
+                F.round(F.col("value") * 10000).cast("bigint").alias("v_i"),
+            )
+        )
+        by_age = rev.groupBy("age").agg(F.sum("v_i").alias("day_rev_i"))
+        cum_df, _tot = global_cumsum(by_age, ["age"], ["day_rev_i"])
+        tenure_hist = (
+            firsts.select((F.col("last_day") - F.col("first_day")).alias("tenure"))
+            .groupBy("tenure")
+            .agg(F.count("*").alias("n_t"))
+        )
+        return (
+            cum_df.crossJoin(F.broadcast(tenure_hist))
+            .groupBy("age", "cum_day_rev_i")
+            .agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("tenure") >= F.col("age"), F.col("n_t"))),
+                    F.lit(0),
+                ).alias("users_reached")
+            )
+            .count()
+        )
+
+    probe("ltv scaled-int cumsum (K-repl ev)", ltv_scaled_int_at_k)
+
     total = sum(dt for _, _, dt in probes)
     print(f"TOTAL {total:.1f}s at K={args.k}", flush=True)
 
