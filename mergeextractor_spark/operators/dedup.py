@@ -253,6 +253,39 @@ def _minhash_sql_cols() -> str:
     )
 
 
+def _spread_doc_shingles(d: DataFrame) -> DataFrame:
+    """(doc_id, shingle) with per-doc distinct shingles, parallelized for
+    a local under-parallel scan (returns the RAW frame — callers cache).
+
+    Spread the INPUT docs when the local scan is under-parallel (see
+    _util.spread — no-op on a real cluster): the shingle/explode
+    expressions must sit after the exchange for the spread to help
+    (measured: 55 s cold at derived sf1 starved vs 7.8 s spread).
+    array_distinct BEFORE the explode: per-doc dedup is a map-side array
+    op, so no shuffle is spent making (doc_id, shingle) unique.
+    """
+    spread_in = spread(d)
+    sh_raw = spread_in.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(F.col("text")))).alias("shingle"),
+    )
+    if spread_in is not d:
+        # The (to-be-)CACHED relation narrows back to a data-proportional
+        # width: the heavy compute ran wide once, but the ~8 downstream
+        # stages re-read the cache per query, and at fixture scale
+        # 32-partition stages are pure task-launch overhead (warm sf0.1:
+        # 2.2 s at width 32 vs 1.1 s narrowed). Width scales with the
+        # input's optimizer size estimate (~256 KiB of source text per
+        # partition) so larger corpora keep signature/verify parallelism.
+        # On a cluster this branch never runs — the input was already
+        # parallel.
+        dp = d.sparkSession.sparkContext.defaultParallelism
+        est = int(d._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        width = max(2, min(dp, est // (256 * 1024)))
+        sh_raw = sh_raw.repartition(width)
+    return sh_raw
+
+
 @register(
     "dedup_minhash_lsh",
     oracle=f"""
@@ -332,31 +365,7 @@ def minhash_pairs_df(
     """``minhash_pairs`` over an arbitrary (doc_id, text, ...) DataFrame —
     the form a pipeline composes (e.g. over exact-dedup survivors) and the
     one tools/stress.py drives at K× replication."""
-    # Spread the INPUT docs when the local scan is under-parallel (see
-    # _util.spread — no-op on a real cluster): the shingle/explode
-    # expressions must sit after the exchange for the spread to help
-    # (measured: 55 s cold at derived sf1 starved vs 7.8 s spread).
-    spread_in = spread(d)
-    # array_distinct BEFORE the explode: per-doc dedup is a map-side array
-    # op, so no shuffle is spent making (doc_id, shingle) unique.
-    sh_raw = spread_in.select(
-        "doc_id",
-        F.explode(F.array_distinct(shingles(F.col("text")))).alias("shingle"),
-    )
-    if spread_in is not d:
-        # The CACHED relation narrows back to a data-proportional width:
-        # the heavy compute ran wide once, but the ~8 downstream stages
-        # re-read the cache per query, and at fixture scale 32-partition
-        # stages are pure task-launch overhead (warm sf0.1: 2.2 s at width
-        # 32 vs 1.1 s narrowed). Width scales with the input's optimizer
-        # size estimate (~256 KiB of source text per partition) so larger
-        # corpora keep signature/verify parallelism. On a cluster this
-        # branch never runs — the input was already parallel.
-        dp = d.sparkSession.sparkContext.defaultParallelism
-        est = int(d._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-        width = max(2, min(dp, est // (256 * 1024)))
-        sh_raw = sh_raw.repartition(width)
-    sh = _cache_shingles(sh_raw)
+    sh = _cache_shingles(_spread_doc_shingles(d))
     sig = sh.groupBy("doc_id").agg(*_minhash_agg_cols(n_hashes))
     bands = None
     for band in range(n_hashes // band_size):
@@ -1638,21 +1647,35 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     path = ensure_minhash_store(spark, sf_dir)
     batch = d.filter(F.col("doc_id") % INCR_BATCH_MOD == 0)
-    sh_b = _cache_shingles(_doc_shingles(batch))
+    sh_b = _cache_shingles(_spread_doc_shingles(batch))
     bands_b = _bands_of(sh_b.groupBy("doc_id").agg(*_minhash_agg_cols()))
     bands_hit, pfx_hit = _batch_band_parts(bands_b, sf_dir)
     store = minhash_store_read(spark, path).filter(
         F.col("band").isin(bands_hit) & F.col("bpfx").isin(pfx_hit)
     )
-    cand = (
+    # the candidate list is checkpointed: it feeds BOTH the committed-side
+    # semi-join prune and the verify join, and it is candidate-bounded
+    # (r13 A/B at derived sf1: 1,306 candidates from 50k docs)
+    cand = truncate_lineage(
         bands_b.join(store.select("band", "bucket", F.col("doc_id").alias("dup_of")),
                      ["band", "bucket"])
         .select("doc_id", "dup_of")
         .distinct()
     )
-    # verify: batch shingles are cached above; committed-side shingles are
-    # recomputed for candidate docs only (the join prunes the fetch)
-    sh_c = _doc_shingles(d.filter(F.col("doc_id") % INCR_BATCH_MOD != 0))
+    # verify: batch shingles are cached above; the committed side is
+    # pruned to candidate dup_of docs BEFORE shingling — a semi-join
+    # against the checkpointed candidate list, so only candidate docs'
+    # text is exploded and shuffled (the unpruned form shingled the
+    # WHOLE committed corpus per construction: 31M shuffled rows and
+    # 65 s/run at derived sf1 vs candidate-bounded after the fix).
+    # AQE picks the broadcast for the small checkpointed list and falls
+    # back to shuffle on dup-heavy corpora (the r2 no-hints rule).
+    cand_docs = cand.select(F.col("dup_of").alias("doc_id")).distinct()
+    committed = spread(d.filter(F.col("doc_id") % INCR_BATCH_MOD != 0))
+    sh_c = committed.join(cand_docs, "doc_id", "leftsemi").select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(F.col("text")))).alias("shingle"),
+    )
     sizes_b = sh_b.groupBy("doc_id").agg(F.count("*").alias("na"))
     sizes_c = sh_c.groupBy("doc_id").agg(F.count("*").alias("nb")).select(
         F.col("doc_id").alias("dup_of"), "nb"
