@@ -33,16 +33,14 @@ def test_every_oracle_key_has_a_query(spark):
 
 def test_gate_window_rotation_order():
     """The driver walks queries() in order under a wall-clock budget that
-    historically covers ~50 keys per round.  The r12 rotation (VERDICT
-    r11 items 1, 4, 7) has an EMPTY evidence-bearing head cargo for the
-    first time since r4 — the r11 re-verify band and the 11-key oracle
-    backlog both landed their rows in CORRECTNESS_r11 — so the window
-    is: (a) this round's 2 changed-plan keys (vocab-curve global_cumsum
-    swap, LTV scaled-integer cumsum), then (b) 48 staleness-ordered
-    canaries (one-round burst that clears every r2- and r3-evidence key
-    plus 3 of r4), then staleness-ordered green re-checks.  The
-    rows-only class is empty — every registered key carries an
-    oracle."""
+    historically covers ~50 keys per round.  The r13 rotation is the
+    first STEADY-STATE window (VERDICT r12 item 3): (a) the 3 NEW r13
+    keys lead (the BPE trainer + the incremental minhash store pair —
+    new oracle keys always earn their first driver rows the round they
+    ship), then (b) the changed-plan reverify band (the fused RFM cut),
+    then (c) 12 staleness-ordered canaries drawn from the r4 evidence
+    band, then staleness-ordered green re-checks.  The rows-only class
+    is empty — every registered key carries an oracle."""
     from mergeextractor_spark import registry
     from mergeextractor_spark._evidence import LAST_GREEN
 
@@ -54,17 +52,19 @@ def test_gate_window_rotation_order():
     n_first = len(registry._ROTATION_FIRST)
     n_backlog = len(registry._ORACLE_BACKLOG)
     n_rev = len(registry._REVERIFY)
-    # window arithmetic: 2 changed-plan keys + 48 canaries = exactly
-    # the 50-key window the wall cap historically covers.
-    assert n_fix == 0 and n_first == 0 and n_backlog == 0 and n_rev == 2
+    # window arithmetic: 3 new keys + 1 reverify + 12 canaries = 16-key
+    # head; the ~50-key wall budget then burns ~34 staleness-ordered
+    # greens from the r4 band behind them.
+    assert n_fix == 0 and n_first == 3 and n_backlog == 0 and n_rev == 1
     assert registry._CANARY_SLOTS + n_first + n_backlog + n_rev <= 54
     assert registry._CANARY_SLOTS >= 12  # VERDICT r7 item 3 / r8 item 5
 
     at = 0
     assert keys[at : at + n_first] == list(registry._ROTATION_FIRST)
     for key in registry._ROTATION_FIRST:
-        # re-verify band: every key already green, oracle unchanged
-        assert key in osql and key in registry._DRIVER_GREEN, key
+        # r13 head cargo: NEW keys — each carries an oracle and has no
+        # driver row yet (first hash rows land this round)
+        assert key in osql and key not in registry._DRIVER_GREEN, key
     at += n_first + n_fix
 
     # the graduations ride directly behind the head band: every one
