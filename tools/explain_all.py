@@ -158,6 +158,12 @@ HEADLINE = [
     "sample_pack_sequences",
     "dq_chi_square_independence",
     "text_zipf_slope",
+    # r13 additions: the BPE trainer's registered plan is the driver-side
+    # merge table (the loop's work is in construction, like pagerank),
+    # so the reviewable plans are the store pair's — the partition-
+    # pruned probe + candidate-bounded verify are the audit targets
+    "dedup_minhash_store_write",
+    "dedup_minhash_incremental",
 ]
 
 
