@@ -95,9 +95,10 @@ HEADLINE = [
     # round 12 addition: the last coalesce(1) sweep — the vocab-sized
     # rank+cumsum now rides ONE global_cumsum pass (cum-of-ones rank)
     "text_vocab_coverage_curve",  # two-phase rank+cumsum over the vocabulary
-    # round 13 additions (VERDICT r12 items 4-5)
+    # round 13 additions (VERDICT r12 items 4-5 + flagship #9)
     "pipeline_bpe_train",         # flagship #8: 20-round iterative BPE merge loop
     "dedup_minhash_incremental",  # batch probe of the persisted band-bucket store
+    "pipeline_classifier_train",  # flagship #9: 12-round exact-integer logistic GD
 ]
 
 

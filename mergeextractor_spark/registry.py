@@ -232,6 +232,7 @@ _ROTATION_FIRST: tuple[str, ...] = (
     "pipeline_bpe_train",
     "dedup_minhash_store_write",
     "dedup_minhash_incremental",
+    "pipeline_classifier_train",
 )
 
 # r12: EMPTY — all 11 r11 backlog keys (the 4 slipped r10 graduations,
@@ -351,6 +352,7 @@ def load_all() -> dict[str, Query]:
         pretrain_pipeline,
         incremental_pipeline,
         bpe_pipeline,
+        classifier_pipeline,
     )
 
     import random

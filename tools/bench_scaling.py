@@ -167,6 +167,11 @@ QUERIES = [
     # once per corpus commit and memoized across constructions)
     "pipeline_bpe_train",
     "dedup_minhash_incremental",
+    # flagship #9: the exact-integer logistic-GD trainer — corpus-sized
+    # work is the one feature pass; the 12 rounds shuffle (doc_id,int64)
+    # and (bucket,int64) only, so the exponent should sit near the
+    # tokenize cost's
+    "pipeline_classifier_train",
 ]
 
 
