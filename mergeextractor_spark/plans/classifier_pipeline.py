@@ -201,18 +201,22 @@ def clf_train(
             .groupBy("b")
             .agg(F.sum(F.col("r") * F.col("x")).alias("g"))
         )
-        w = truncate_lineage(
-            w.join(grad, "b", "left").select(
-                "b",
-                (
-                    F.col("w")
-                    - F.floor(
-                        F.coalesce(F.col("g"), F.lit(0))
-                        / F.lit(float(clf_lr_den(k) * n_docs))
-                    )
-                ).cast("long").alias("w"),
-            )
+        w = w.join(grad, "b", "left").select(
+            "b",
+            (
+                F.col("w")
+                - F.floor(
+                    F.coalesce(F.col("g"), F.lit(0))
+                    / F.lit(float(clf_lr_den(k) * n_docs))
+                )
+            ).cast("long").alias("w"),
         )
+        # every SECOND round (and the last), like graph_pagerank: each
+        # truncation is a blocking job on the 257-row frame, and a
+        # two-round-deep plan (4 joins + 4 aggs over the checkpointed
+        # features) is still trivially small for Catalyst
+        if k % 2 == 0 or k == rounds:
+            w = truncate_lineage(w)
     return w
 
 
