@@ -226,6 +226,13 @@ def _block(spark, q, sf_dir: str, k: int, metrics: _TaskMetrics) -> dict:
         after = metrics.snapshot()
         out["cpu_ms"].append(round((after[0] - before[0]) / 1e6, 1))
         out["mb"].append(round((after[2] - before[2]) / 1e6, 2))
+    # POST-block probe too (r13 final-bookend lesson): a degradation that
+    # BEGINS inside the block — the GC/eviction-thrash mode entered
+    # during pipeline_hybrid_search's own samples (62-118 s CPU at a
+    # clean 0.13 s pre-probe, while the NEXT block's pre-probe read
+    # 4.6 s) — is invisible to a leading stamp. The block is quarantined
+    # if EITHER stamp exceeds the cut.
+    out["probe_after"] = round(_freeze_probe(spark), 3)
     return out
 
 
@@ -367,18 +374,23 @@ def main() -> None:
     # freeze/steal window — its wall samples are excluded from the CLEAN
     # medians (raw medians and raw samples stay in the record untouched).
     PROBE_CUT = 3.0
-    all_probes = [b["probe"] for v in blocks.values() for b in v]
+    all_probes = [
+        p for v in blocks.values() for b in v
+        for p in (b["probe"], b.get("probe_after", b["probe"]))
+    ]
     probe_med = statistics.median(all_probes) if all_probes else 0.0
+
+    def _hot(b: dict) -> bool:
+        return (
+            max(b["probe"], b.get("probe_after", b["probe"]))
+            > PROBE_CUT * probe_med
+        )
+
     clean_median: dict[str, float] = {}
     frozen_blocks = 0
     for k, v in blocks.items():
-        clean = [
-            x
-            for b in v
-            if b["probe"] <= PROBE_CUT * probe_med
-            for x in b["wall"]
-        ]
-        frozen_blocks += sum(1 for b in v if b["probe"] > PROBE_CUT * probe_med)
+        clean = [x for b in v if not _hot(b) for x in b["wall"]]
+        frozen_blocks += sum(1 for b in v if _hot(b))
         # a key whose every block was frozen keeps its raw median — an
         # empty clean set must not fabricate a zero
         clean_median[k] = round(
@@ -436,6 +448,10 @@ def main() -> None:
                 "total_blocks": len(all_probes),
                 "block_probes": {
                     k: [b["probe"] for b in v] for k, v in blocks.items()
+                },
+                "block_probes_after": {
+                    k: [b.get("probe_after") for b in v]
+                    for k, v in blocks.items()
                 },
                 "cpu_samples": {
                     k: [x for b in v for x in b["cpu_ms"]]
