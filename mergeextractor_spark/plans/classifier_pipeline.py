@@ -185,6 +185,11 @@ def clf_train(
             F.col("id").alias("b"), F.lit(0).cast("long").alias("w")
         )
     )
+    if n_docs == 0:
+        # empty corpus: nothing to train — all-zero weights, exactly the
+        # oracle's cascade (empty feat → empty s/r/g CTEs → w unchanged,
+        # so the registered key's w<>0 filter yields zero rows)
+        return w
     for k in range(1, rounds + 1):
         scores = (
             feat.join(F.broadcast(w), "b")
