@@ -621,6 +621,141 @@ def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INTERLEAVE_PATCH = 4   # fixture-scaled ViT patch edge (production: 14-16 px)
+IMG_ATTACH_MOD = 97    # deterministic media→document attachment key
+
+
+def pack_interleaved(items: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """Pack interleaved multimodal items — (doc_id, lang, text_tokens,
+    image_tokens, n_images) — into ``budget``-cost training sequences:
+    per-item cost = text_tokens + image_tokens, pack_id = floor(
+    preceding-mass / budget) over the deterministic doc_id order within
+    lang (the sample_pack_sequences gaps-and-islands formulation with a
+    MIXED per-row cost).  Concat-and-chunk semantics: a document is
+    never split, so a pack can overflow by at most one document — and a
+    single document costlier than the budget occupies its own pack span
+    (boundary cases pinned in tests/test_pack_interleaved.py).  Factored
+    so the pytest can drive synthetic boundary items through the exact
+    production path."""
+    from ._util import partitioned_cumsum
+
+    items = items.withColumn(
+        "cost", (F.col("text_tokens") + F.col("image_tokens")).cast("long")
+    )
+    cum = partitioned_cumsum(
+        items, ["lang"], [F.asc("doc_id")], "cost", out="__cum"
+    )
+    packed = cum.withColumn(
+        "pack_id",
+        F.floor((F.col("__cum") - F.col("cost")) / budget).cast("bigint"),
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_images").cast("bigint").alias("n_images"),
+        F.sum("text_tokens").cast("bigint").alias("pack_text_tokens"),
+        F.sum("image_tokens").cast("bigint").alias("pack_image_tokens"),
+        F.sum("cost").cast("bigint").alias("pack_cost"),
+    )
+
+
+@register(
+    "sample_pack_interleaved",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS text_tokens
+      FROM documents
+    ),
+    img AS (
+      SELECT media_id % {IMG_ATTACH_MOD} AS doc_id,
+             ((width + {INTERLEAVE_PATCH - 1}) // {INTERLEAVE_PATCH})
+               * ((height + {INTERLEAVE_PATCH - 1}) // {INTERLEAVE_PATCH}) AS patch_tokens
+      FROM read_parquet('{{GOLDEN_IMAGE_META}}')
+      WHERE width > 0 AND height > 0
+    ),
+    per_doc AS (
+      SELECT doc_id, sum(patch_tokens) AS image_tokens, count(*) AS n_images
+      FROM img GROUP BY doc_id
+    ),
+    items AS (
+      SELECT t.doc_id, t.lang, t.text_tokens,
+             coalesce(p.image_tokens, 0) AS image_tokens,
+             coalesce(p.n_images, 0) AS n_images,
+             t.text_tokens + coalesce(p.image_tokens, 0) AS cost
+      FROM toks t LEFT JOIN per_doc p USING (doc_id)
+    ),
+    packed AS (
+      SELECT lang, text_tokens, image_tokens, n_images, cost,
+             CAST(floor((sum(cost) OVER (PARTITION BY lang ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) - cost)
+                        / {PACK_BUDGET}) AS BIGINT) AS pack_id
+      FROM items
+    )
+    SELECT lang, pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_images) AS BIGINT) AS n_images,
+           CAST(sum(text_tokens) AS BIGINT) AS pack_text_tokens,
+           CAST(sum(image_tokens) AS BIGINT) AS pack_image_tokens,
+           CAST(sum(cost) AS BIGINT) AS pack_cost
+    FROM packed GROUP BY lang, pack_id
+    """.replace(
+        "{GOLDEN_IMAGE_META}", golden_path("multimodal_image_meta")
+    ),
+    doc="Multimodal interleaved sequence packing (VERDICT r13 item 4): "
+    "documents pack with MIXED token costs — whitespace text tokens "
+    "plus a per-image patch-token budget derived from decoded image "
+    f"dimensions (ceil(w/{INTERLEAVE_PATCH})·ceil(h/{INTERLEAVE_PATCH}) "
+    "via exact integer arithmetic; production uses 14-16 px ViT "
+    "patches). Images attach to documents by the deterministic "
+    f"media_id % {IMG_ATTACH_MOD} key; failed decodes (width=-1) "
+    "contribute nothing. The image side runs the REAL multimodal "
+    "plumbing — binary payloads through the Arrow-batched mapInPandas "
+    "header codec (multimodal_image_meta's path), dims aggregated "
+    "per doc and broadcast onto the corpus-sized text scan (the image "
+    "dimension table is tiny relative to text at any scale). Packing "
+    "is the sample_pack_sequences gaps-and-islands cumsum with the "
+    "mixed cost expression; oracle reads the image golden (the "
+    "sequential-codec mirror) and unrolls the identical SQL. Boundary "
+    "semantics (image exactly filling / overflowing a pack) pinned in "
+    "tests/test_pack_interleaved.py.",
+    eager=True,  # construction collects the range-partition offsets
+)
+def sample_pack_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .multimodal import _media_df, image_metadata
+
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")).alias(
+            "text_tokens"
+        ),
+    )
+    p = INTERLEAVE_PATCH
+    img = (
+        image_metadata(_media_df(spark))
+        .filter((F.col("width") > 0) & (F.col("height") > 0))
+        .select(
+            (F.col("media_id") % IMG_ATTACH_MOD).alias("doc_id"),
+            (
+                F.expr(f"(width + {p - 1}) div {p}")
+                * F.expr(f"(height + {p - 1}) div {p}")
+            ).cast("long").alias("patch_tokens"),
+        )
+    )
+    per_doc = img.groupBy("doc_id").agg(
+        F.sum("patch_tokens").alias("image_tokens"),
+        F.count("*").alias("n_images"),
+    )
+    items = toks.join(F.broadcast(per_doc), "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        F.col("text_tokens").cast("long").alias("text_tokens"),
+        F.coalesce("image_tokens", F.lit(0)).cast("long").alias("image_tokens"),
+        F.coalesce("n_images", F.lit(0)).cast("long").alias("n_images"),
+    )
+    return pack_interleaved(items)
+
+
 _RAW_URL = (
     "'HTTPS://WWW.' || source || '.example.com/Docs/' || CAST(doc_id % 7 AS VARCHAR)"
     " || '?utm_source=feed&utm_campaign=x&id=' || CAST(doc_id % 7 AS VARCHAR) || '/'"

@@ -1505,14 +1505,21 @@ def ensure_minhash_store(spark: SparkSession, sf_dir: str) -> str:
     with the ensure_ivf_store discipline: a complete dir (_SUCCESS
     present, newer than the source fixture) is reused across sessions;
     a husk from an interrupted write — or a store older than
-    regenerated fixtures — is cleared and rewritten."""
+    regenerated fixtures — is cleared and rewritten.
+
+    The directory suffix folds in a code-parameter fingerprint
+    (N_HASHES/BAND_SIZE/INCR_BATCH_MOD/prefix-len/shingle-n) so a store
+    written by OLDER CODE with different banding parameters is never
+    silently reused against an oracle that recomputes bands from source
+    (ADVICE r13)."""
     import hashlib
     import os
     import shutil
 
     from .scale_queries import _source_mtime
 
-    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    params = f"{sf_dir}|n{N_HASHES}r{BAND_SIZE}m{INCR_BATCH_MOD}p1s3"
+    suffix = hashlib.md5(params.encode()).hexdigest()[:8]
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     path = os.path.join(wh, f"minhash_band_store_{suffix}")
     success = os.path.join(path, "_SUCCESS")

@@ -767,12 +767,16 @@ def ensure_ivf_store(spark: SparkSession, sf_dir: str) -> str:
     write_bucketed_tables: a complete dir (_SUCCESS present, newer than
     the source fixtures) is reused as-is across sessions; a husk from an
     interrupted write — or a store older than regenerated fixtures — is
-    cleared and rewritten."""
+    cleared and rewritten.  The suffix folds in the clustering
+    parameter (N_CENTROIDS) so a store written by older code with a
+    different cell count is never silently reused (ADVICE r13 — the
+    ensure_minhash_store fix, applied to the store it was copied
+    from)."""
     import hashlib
     import os
     import shutil
 
-    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    suffix = hashlib.md5(f"{sf_dir}|c{N_CENTROIDS}".encode()).hexdigest()[:8]
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     path = os.path.join(wh, f"ivf_store_{suffix}")
     success = os.path.join(path, "_SUCCESS")

@@ -27,7 +27,14 @@ hash-checkable): every cross-engine AGGREGATION is integer.
     back to int64 — so the gradient  g_b = Σ_d r_d·x(d,b)  is again an
     exact integer sum under ANY partition layout (the agg_ltv_curve
     scaled-integer trick applied per GD round);
-  * the update w_b -= floor(g_b / (2·N)) is integer floor division.
+  * the update w_b -= floor(g_b / (lr_den·N)) is floor() of a DOUBLE
+    division on BOTH engines (long/double in Spark, g*1.0/(den*n) in
+    DuckDB) — identical IEEE-754 doubles, so the hash gate holds; the
+    result equals true integer floor division only while |g_b| and
+    lr_den·N stay within double's exact-integer range (< 2^53), which
+    B=256 buckets and S=1e4 units guarantee by orders of magnitude
+    (|g_b| <= S·N <= 1e4·N: exact up to N ~ 1e9 docs — beyond that,
+    switch both engines to true integral division) (ADVICE r13).
 So two engines can only disagree if their exp() differs in the last
 ulp AND that ulp lands within ~1e-12 of a residual rounding boundary —
 the same measure-zero class math_sigmoid already carries. Round 1 is
@@ -47,7 +54,7 @@ DuckDB CTEs, so the training loop is value-checked end-to-end.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators._util import t, truncate_lineage
@@ -56,7 +63,12 @@ from ..registry import register
 
 CLF_BUCKETS = 256      # hashed feature space (md5 % B; production ~1e5+)
 CLF_SCALE = 10_000     # integer weight/residual units (1e-4 resolution)
-CLF_ROUNDS = 12        # fixed GD rounds
+# Fixed GD rounds.  The timed bench suite overrides this DOWN via env
+# (VERDICT r13 item 5 — the two trainers were 21% of the r13 suite);
+# the oracle string is generated at import from the SAME constant, so a
+# reduced-round run still hash-matches its own oracle — the correctness
+# driver never sets the env and always gets the full 12.
+CLF_ROUNDS = int(__import__("os").environ.get("SPARK_GRAFT_CLF_ROUNDS", "12"))
 
 
 def clf_lr_den(k: int) -> int:
@@ -73,7 +85,11 @@ def clf_lr_den(k: int) -> int:
     return 2 * 2 ** ((k - 1) // 3)
 
 
-def _clf_train_oracle(rounds: int = CLF_ROUNDS) -> str:
+def _clf_cte_prefix(rounds: int = CLF_ROUNDS) -> str:
+    """The shared WITH-prefix: tokenize → hashed features → labels →
+    ``rounds`` unrolled GD rounds ending at ``w{rounds}`` — reused by
+    both the train oracle (reads the final weights) and the distill
+    oracle (joins the apply pass onto ``w{rounds}``)."""
     S, B = CLF_SCALE, CLF_BUCKETS
     parts = [
         rf"""
@@ -122,12 +138,39 @@ def _clf_train_oracle(rounds: int = CLF_ROUNDS) -> str:
       FROM w{k - 1} w LEFT JOIN g{k} g USING (b) CROSS JOIN n
     )"""
         )
-    parts.append(
-        f"""
+    return "".join(parts)
+
+
+def _clf_train_oracle(rounds: int = CLF_ROUNDS) -> str:
+    return (
+        _clf_cte_prefix(rounds)
+        + f"""
     SELECT b AS bucket, w AS weight FROM w{rounds} WHERE w <> 0
     """
     )
-    return "".join(parts)
+
+
+def _clf_distill_oracle(rounds: int = CLF_ROUNDS) -> str:
+    """Train CTEs (shared prefix) + the APPLY pass: score every doc with
+    the learned w{rounds} weights, emit per-doc (score_units,
+    learned_label, heuristic_label).  Docs with no tokens have no
+    feature rows → score 0 → learned_label 1 (p = 0.5 classifies
+    positive), identical on both engines via the LEFT JOIN."""
+    return (
+        _clf_cte_prefix(rounds)
+        + f""",
+    s_apply AS MATERIALIZED (
+      SELECT f.doc_id, sum(f.x * w.w) AS s
+      FROM feat f JOIN w{rounds} w USING (b) GROUP BY f.doc_id
+    )
+    SELECT l.doc_id,
+           CAST(coalesce(s.s, 0) AS BIGINT) AS score_units,
+           CAST(CASE WHEN coalesce(s.s, 0) >= 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS learned_label,
+           CAST(l.y AS BIGINT) AS heuristic_label
+    FROM lab l LEFT JOIN s_apply s USING (doc_id)
+    """
+    )
 
 
 def _doc_tokens(d: DataFrame):
@@ -251,4 +294,121 @@ def pipeline_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = clf_train(clf_features(d), clf_labels(d))
     return w.filter(F.col("w") != 0).select(
         F.col("b").alias("bucket"), F.col("w").alias("weight")
+    )
+
+
+def clf_store_write(spark: SparkSession, sf_dir: str, path: str,
+                    rounds: int = CLF_ROUNDS) -> None:
+    """Train and persist the FULL (b, w) weight table (all 257 rows,
+    zeros included — the apply join wants the complete space).  At
+    100 TB the weight store is the model artifact: trained once per
+    corpus snapshot, broadcast into every downstream scoring join."""
+    d = t(spark, sf_dir, "documents")
+    clf_train(clf_features(d), clf_labels(d), rounds=rounds).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def ensure_clf_store(spark: SparkSession, sf_dir: str,
+                     rounds: int = CLF_ROUNDS) -> str:
+    """Materialize the trained weight store once per (warehouse, sf_dir,
+    training parameters) — the ensure_minhash_store discipline: a
+    complete dir (_SUCCESS present, newer than the documents fixture)
+    is reused across sessions; a husk from an interrupted write, or a
+    store older than regenerated fixtures, is cleared and retrained.
+    The suffix folds in a code-parameter fingerprint (buckets / scale /
+    rounds / step schedule) so a store trained by older code or a
+    reduced-round bench profile is never silently reused against an
+    oracle that retrains from source (the ADVICE-r13 store rule)."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..operators.scale_queries import _source_mtime
+
+    params = f"{sf_dir}|b{CLF_BUCKETS}s{CLF_SCALE}r{rounds}h3"
+    suffix = hashlib.md5(params.encode()).hexdigest()[:8]
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    path = os.path.join(wh, f"clf_weight_store_{suffix}")
+    success = os.path.join(path, "_SUCCESS")
+    fresh = os.path.isfile(success) and os.path.getmtime(
+        success
+    ) >= _source_mtime(sf_dir, ("documents",))
+    if not fresh:
+        shutil.rmtree(path, ignore_errors=True)
+        clf_store_write(spark, sf_dir, path, rounds=rounds)
+    return path
+
+
+def clf_store_read(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-pinned read of the weight store (explicit schema — the
+    257-row table must not depend on inference)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("b", T.LongType()), T.StructField("w", T.LongType())]
+    )
+    return spark.read.schema(schema).parquet(path)
+
+
+@register(
+    "pipeline_classifier_distill",
+    oracle=_clf_distill_oracle(),
+    doc="Flagship #10 (VERDICT r13 item 2): the closed classifier "
+    "train→persist→apply distillation loop. Trains the "
+    f"{CLF_ROUNDS}-round integer-GD classifier, persists the full "
+    "257-row weight table to a parquet weight store (the minhash-store "
+    "pattern: _SUCCESS freshness vs the source fixture + a "
+    "code-parameter fingerprint in the directory suffix; the returned "
+    "frame derives from the DISK read, so the hash row proves the "
+    "write path), then scores EVERY document with the LEARNED weights "
+    "via a broadcast join of the 257-row store onto the hashed feature "
+    "table, emitting per-doc (score_units, learned_label, "
+    "heuristic_label). score_units is the exact int64 Σ w_b·x(d,b) "
+    "(p = sigmoid(score_units/1e4)); learned_label = score>=0; "
+    "heuristic_label is the integer stopword rule the trainer "
+    "distilled. Docs with no tokens score 0 → label 1 on both engines "
+    "(LEFT JOIN + coalesce). Oracle: the shared train CTEs + the apply "
+    "join on w12 — the full loop is value-checked end-to-end. Scale "
+    "shape: train as pipeline_classifier_train; apply is ONE feature "
+    "pass + a (doc_id,int64) aggregate with the weight table "
+    "broadcast — no corpus-sized shuffle beyond the score aggregate. "
+    "Accuracy vs the heuristic is pinned >= 0.91 at sf0.001 in "
+    "tests/test_classifier_distill.py.",
+    eager=True,  # construction may train + write the weight store
+)
+def pipeline_classifier_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    w = clf_store_read(spark, ensure_clf_store(spark, sf_dir))
+    scores = (
+        clf_features(d)
+        .join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("x") * F.col("w")).alias("s"))
+    )
+    s0 = F.coalesce(F.col("s"), F.lit(0))
+    return clf_labels(d).join(scores, "doc_id", "left").select(
+        "doc_id",
+        s0.cast("long").alias("score_units"),
+        F.when(s0 >= 0, 1).otherwise(0).cast("long").alias("learned_label"),
+        F.col("y").alias("heuristic_label"),
+    )
+
+
+def clf_distill_summary(per_doc: DataFrame) -> DataFrame:
+    """Accuracy/confusion summary over the distill frame: one row per
+    (heuristic_label, learned_label) cell with its count and the cell's
+    share of all docs — the training-report surface
+    tests/test_classifier_distill.py pins (accuracy >= 0.91 at
+    sf0.001)."""
+    total = F.sum("n").over(Window.partitionBy())
+    return (
+        per_doc.groupBy("heuristic_label", "learned_label")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "heuristic_label",
+            "learned_label",
+            "n",
+            F.round(F.col("n") / total, 4).alias("share"),
+        )
     )

@@ -56,7 +56,7 @@ def register(key: str, oracle: str | None = None, doc: str = "", eager: bool = F
 # CORRECTNESS file is folded into _DRIVER_GREEN below; seeds the canary
 # sample so each round re-checks a different deterministic slice of the
 # already-green keys (VERDICT r3 "Next round" item 3).
-_ROUND: int = 13
+_ROUND: int = 14
 
 # Keys that already hold a green hash-checked row in CORRECTNESS_r01–r03
 # (historical fact, frozen).  The driver's correctness gate walks the dict
@@ -219,20 +219,24 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "source_pyds_fts", "agg_percentile_approx", "events_approx_distinct",
     "agg_hll_daily_union", "dedup_bloom_prefilter", "vector_pca_project",
     "pipeline_incremental_ingest", "ann_ivf_trained",
+    # CORRECTNESS_r13.json (50 hash-green rows: the 4 r13 head-cargo keys
+    # below earned their FIRST value-level hash rows; the other 46 were
+    # reverify/canary/staleness-tail re-passes already listed above)
+    "pipeline_bpe_train", "pipeline_classifier_train",
+    "dedup_minhash_store_write", "dedup_minhash_incremental",
 })
 
-# Keys without CLEAN driver evidence in the window.  r13: none.
+# Keys without CLEAN driver evidence in the window.  r14: none.
 _EVIDENCE_FIX: tuple[str, ...] = ()
 
-# r13 head cargo: the round's NEW keys (VERDICT r12 items 4-5) — the
-# iterative BPE tokenizer-training flagship and the incremental
-# cross-batch MinHash dedup store pair.  New oracle keys always lead
-# the window so their first driver rows land the same round they ship.
+# r14 head cargo: the round's NEW keys (VERDICT r13 items 2 and 4) —
+# the composed classifier train→persist→apply distillation flagship and
+# the multimodal interleaved sequence-packing key.  New oracle keys
+# always lead the window so their first driver rows land the same round
+# they ship.
 _ROTATION_FIRST: tuple[str, ...] = (
-    "pipeline_bpe_train",
-    "dedup_minhash_store_write",
-    "dedup_minhash_incremental",
-    "pipeline_classifier_train",
+    "pipeline_classifier_distill",
+    "sample_pack_interleaved",
 )
 
 # r12: EMPTY — all 11 r11 backlog keys (the 4 slipped r10 graduations,
@@ -245,14 +249,10 @@ _ORACLE_BACKLOG: tuple[str, ...] = ()
 # Already-green keys whose PLANS changed this round — ranked directly
 # behind the backlog (and AHEAD of the canaries: changed-plan evidence
 # can never again lose the slot race to re-checks of unchanged keys —
-# the r10 lesson).  r13 change: agg_rfm_segmentation fused its three
-# chained partitioned_ntile cuts into ONE pass (long-form union
-# partitioned by metric — VERDICT r12 item 2's suggested fix): one
-# range exchange + one offsets collect + one checkpoint where the r9
-# form paid three of each.  Isolated A/B at sf0.1: wall 2.0->1.2 s,
-# executor CPU 1000->320 ms, bucket assignment bit-identical (oracle
-# unchanged, builder-verified hash-green at sf0.001/sf0.01).
-_REVERIFY: tuple[str, ...] = ("agg_rfm_segmentation",)
+# the r10 lesson).  r13's agg_rfm_segmentation entry landed its fused-cut
+# hash row in CORRECTNESS_r13, so it rotates out.  Populated per round as
+# plans change.
+_REVERIFY: tuple[str, ...] = ()
 
 # Rows-only keys WITH driver evidence.  EMPTY since late r11: all seven
 # keys that entered the round oracle-less graduated — the bounded-error
@@ -308,24 +308,24 @@ def canary_keys(round_no: int = _ROUND) -> tuple[str, ...]:
 def load_all() -> dict[str, Query]:
     """Import every module that registers queries (idempotent).
 
-    Returned order implements the r13 gate-window rotation — the first
-    STEADY-STATE round (VERDICT r12 item 3):
-      0. head cargo (_ROTATION_FIRST: the 3 new r13 keys — the BPE
-         tokenizer-training flagship and the incremental MinHash store
-         pair, VERDICT r12 items 4-5);
-      1. evidence-fix keys (_EVIDENCE_FIX: empty in r13);
+    Returned order implements the r14 gate-window rotation (steady
+    state since r13, VERDICT r12 item 3):
+      0. head cargo (_ROTATION_FIRST: the 2 new r14 keys — the
+         classifier train→persist→apply distillation flagship and the
+         interleaved multimodal packer, VERDICT r13 items 2 and 4);
+      1. evidence-fix keys (_EVIDENCE_FIX: empty in r14);
       2. oracle graduations (_ORACLE_BACKLOG: empty — the rows-only
          class emptied in r11); the rank-function fallback still
          catches any key registered without a scheduling entry;
       3. green keys whose PLANS changed THIS round (_REVERIFY: empty
-         so far in r13 — both r12 entries landed);
+         so far in r14 — the r13 agg_rfm_segmentation entry landed);
       4. 12 canary re-checks of previously-green keys, drawn
-         oldest-evidence-first (steady-state cadence: clears the
-         34-key r4 band in ~3 rounds);
+         oldest-evidence-first (the tail now points at the r5 band —
+         5 keys — then the 34-key r6 band, per VERDICT r13 item 3);
       5. the remaining already-green oracle keys, ALSO staleness-
          ordered (oldest evidence first, round-seeded tiebreak) so a
          wall-clock budget that stretches past the canaries keeps
-         burning the r4 band;
+         burning the oldest band;
       6. rows-only keys that already hold driver rows (weakest
          evidence per run, so they queue last) — EMPTY since late r11.
     """
