@@ -42,6 +42,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--k", type=int, default=20)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--only", default="", help="run only probes whose name contains this"
+    )
     args = ap.parse_args()
 
     spark = get_spark("stress")
@@ -60,6 +63,8 @@ def main() -> None:
     probes = []
 
     def probe(name, fn):
+        if args.only and args.only not in name:
+            return
         t0 = time.time()
         n = fn()
         dt = time.time() - t0
@@ -518,6 +523,85 @@ def main() -> None:
         )
 
     probe("ltv scaled-int cumsum (K-repl ev)", ltv_scaled_int_at_k)
+
+    def clf_gradient_at_prod_buckets():
+        """VERDICT r13 item 7: pipeline_classifier_train's gradient
+        aggregate at a PRODUCTION bucket count.  The fixture B=256 keeps
+        the (bucket, int64) shuffle trivially small; production hashed
+        classifiers run B~1e5-1e6.  One full GD round — feature build,
+        broadcast weight join + score aggregate, residual sigmoid,
+        gradient aggregate — at B=65,536 over the K-replicated corpus:
+        flat wall vs the B=256 twin proves the round cost is bounded by
+        the FEATURE table (corpus-sized, B-independent) and the weight
+        broadcast stays a broadcast (65,537 rows ~ 1 MiB)."""
+        from mergeextractor_spark.plans.classifier_pipeline import (
+            CLF_SCALE,
+            clf_features,
+            clf_labels,
+        )
+
+        B, S = 65_536, CLF_SCALE
+        feat = clf_features(big_docs, buckets=B)
+        lab = clf_labels(big_docs)
+        # deterministic nonzero weights so the sigmoid isn't constant
+        w = spark.range(-1, B).select(
+            F.col("id").alias("b"),
+            ((F.col("id") % 7) - 3).cast("long").alias("w"),
+        )
+        scores = (
+            feat.join(F.broadcast(w), "b")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("x") * F.col("w")).alias("s"))
+        )
+        p = F.lit(1.0) / (
+            F.lit(1.0) + F.exp(-(F.col("s") / F.lit(float(S))))
+        )
+        resid = scores.join(lab, "doc_id").select(
+            "doc_id", F.round(S * (p - F.col("y"))).cast("long").alias("r")
+        )
+        grad = (
+            feat.join(resid, "doc_id")
+            .groupBy("b")
+            .agg(F.sum(F.col("r") * F.col("x")).alias("g"))
+        )
+        return grad.count()
+
+    def clf_gradient_at_fixture_buckets():
+        """B=256 twin of the probe above — the flat-wall comparison
+        anchor (same corpus, same round, fixture bucket count)."""
+        from mergeextractor_spark.plans.classifier_pipeline import (
+            CLF_SCALE,
+            clf_features,
+            clf_labels,
+        )
+
+        B, S = 256, CLF_SCALE
+        feat = clf_features(big_docs, buckets=B)
+        lab = clf_labels(big_docs)
+        w = spark.range(-1, B).select(
+            F.col("id").alias("b"),
+            ((F.col("id") % 7) - 3).cast("long").alias("w"),
+        )
+        scores = (
+            feat.join(F.broadcast(w), "b")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("x") * F.col("w")).alias("s"))
+        )
+        p = F.lit(1.0) / (
+            F.lit(1.0) + F.exp(-(F.col("s") / F.lit(float(S))))
+        )
+        resid = scores.join(lab, "doc_id").select(
+            "doc_id", F.round(S * (p - F.col("y"))).cast("long").alias("r")
+        )
+        grad = (
+            feat.join(resid, "doc_id")
+            .groupBy("b")
+            .agg(F.sum(F.col("r") * F.col("x")).alias("g"))
+        )
+        return grad.count()
+
+    probe("clf GD round, B=256 (anchor)", clf_gradient_at_fixture_buckets)
+    probe("clf GD round, B=65536 (prod)", clf_gradient_at_prod_buckets)
 
     total = sum(dt for _, _, dt in probes)
     print(f"TOTAL {total:.1f}s at K={args.k}", flush=True)
