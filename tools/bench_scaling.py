@@ -280,7 +280,18 @@ def main() -> None:
             ap.error(f"--keys not in the study list: {unknown}")
         QUERIES[:] = [k for k in QUERIES if k in picked]
 
-    spark = get_spark("bench-scaling")
+    # Fixed pre-touched heap, same rationale as bench.py (r14 thrash
+    # root cause): exponent measurements must not absorb re-fault
+    # storms from heap pages the GC gave back to a host that discards
+    # them (Firecracker free-page reporting).  16g (vs bench's 12g)
+    # because derived-sf1 probes checkpoint multi-GB frames.
+    spark = get_spark(
+        "bench-scaling",
+        extra_conf={
+            "spark.driver.memory": "16g",
+            "spark.driver.extraJavaOptions": "-Xms16g -XX:+AlwaysPreTouch",
+        },
+    )
     spark.range(1).count()
     if args.rebuild or not os.path.exists(os.path.join(SCRATCH, "lineitem.parquet")):
         materialize(spark, "/root/testdata/sf0.1")
