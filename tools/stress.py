@@ -603,6 +603,56 @@ def main() -> None:
     probe("clf GD round, B=256 (anchor)", clf_gradient_at_fixture_buckets)
     probe("clf GD round, B=65536 (prod)", clf_gradient_at_prod_buckets)
 
+    def clf_gradient_synth_vocab():
+        """The fixture corpus' tiny vocabulary touches only ~32 buckets
+        (the probes above prove the round is bounded by the FEATURE
+        table, not B — but they cannot exercise a full bucket space).
+        This one can: 100k docs x 200 tokens drawn from a 1M-word
+        vocabulary, hashed into B=65,536 — every bucket populated, the
+        gradient aggregate's map-side combine bounded at B rows per
+        task, the 65,537-row weight table still broadcast."""
+        from mergeextractor_spark.plans.classifier_pipeline import CLF_SCALE
+
+        B, S = 65_536, CLF_SCALE
+        n_docs, toks_per_doc = 100_000, 200
+        feat = (
+            spark.range(n_docs * toks_per_doc)
+            .selectExpr(
+                f"id div {toks_per_doc} AS doc_id",
+                # 1M-word vocabulary md5-hashed into the bucket space —
+                # the same conv(substr(md5)) bucketing clf_features uses
+                f"cast(conv(substring(md5(concat('w', cast(id % 1000003 as string))), 1, 4), 16, 10) as bigint) % {B} AS b",
+            )
+            .groupBy("doc_id", "b")
+            .agg(F.count("*").cast("long").alias("x"))
+        )
+        lab = spark.range(n_docs).selectExpr(
+            "id AS doc_id", "cast(id % 2 as long) AS y"
+        )
+        w = spark.range(-1, B).select(
+            F.col("id").alias("b"),
+            ((F.col("id") % 7) - 3).cast("long").alias("w"),
+        )
+        scores = (
+            feat.join(F.broadcast(w), "b")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("x") * F.col("w")).alias("s"))
+        )
+        p = F.lit(1.0) / (
+            F.lit(1.0) + F.exp(-(F.col("s") / F.lit(float(S))))
+        )
+        resid = scores.join(lab, "doc_id").select(
+            "doc_id", F.round(S * (p - F.col("y"))).cast("long").alias("r")
+        )
+        grad = (
+            feat.join(resid, "doc_id")
+            .groupBy("b")
+            .agg(F.sum(F.col("r") * F.col("x")).alias("g"))
+        )
+        return grad.count()
+
+    probe("clf GD round, B=65536 synth-1M-vocab", clf_gradient_synth_vocab)
+
     total = sum(dt for _, _, dt in probes)
     print(f"TOTAL {total:.1f}s at K={args.k}", flush=True)
 
