@@ -172,6 +172,15 @@ QUERIES = [
     # and (bucket,int64) only, so the exponent should sit near the
     # tokenize cost's
     "pipeline_classifier_train",
+    # round-14 shapes: the distillation apply (train cost is paid once
+    # per corpus into the persisted weight store and memoized across
+    # constructions, so the measured exponent is the APPLY pass — one
+    # feature scan + a (doc_id,int64) aggregate with the 257-row store
+    # broadcast) and the interleaved packer (one corpus token scan +
+    # the two-phase cumsum; the image dim table is fixture-fixed, so
+    # the exponent is the text side's)
+    "pipeline_classifier_distill",
+    "sample_pack_interleaved",
 ]
 
 
