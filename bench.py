@@ -487,16 +487,20 @@ def main() -> None:
         for k, v in blocks.items()
     }
     # Thrash quarantine for the CPU record (r14 root cause —
-    # PERFORMANCE.md r14): a sample whose JVM SYSTEM time exceeds its
-    # USER time (and isn't trivially small) ran inside a host
-    # fault-storm window, where kernel-side page-fault servicing is
-    # charged to the task threads and executorCpuTime inflates on
-    # unchanged work.  Those samples are excluded from the CLEAN CPU
-    # medians the cross-round adjudication uses; the raw lists stay in
-    # the record.  A key whose every sample thrashed keeps its raw
+    # PERFORMANCE.md r14): a sample whose JVM SYSTEM time dwarfs its
+    # USER time ran inside a host fault-storm window, where kernel-side
+    # page-fault servicing is charged to the task threads and
+    # executorCpuTime inflates on unchanged work.  Those samples are
+    # excluded from the CLEAN CPU medians the cross-round adjudication
+    # uses; the raw lists stay in the record.  Calibration (first r14
+    # pre-bookend): Python-UDF-heavy keys (ANN/image families) idle at
+    # 3-10 s stime with 1-3 s JVM utime — pipe/shuffle/page-cache
+    # kernel work, not storms — while real storms read stime 271-1971 s
+    # against flat 12-120 s utime; hence BOTH a dominance ratio and an
+    # absolute floor.  A key whose every sample thrashed keeps its raw
     # median — an empty clean set must not fabricate a number.
     def _thrash(b: dict, i: int) -> bool:
-        return b["js"][i] > max(b["ju"][i], 2.0)
+        return b["js"][i] > max(3.0 * b["ju"][i], 15.0)
 
     clean_cpu_ms: dict[str, float] = {}
     thrash_samples = 0

@@ -546,3 +546,28 @@ def test_triangle_count_never_cartesian(spark):
     edge list (the 1-row stat cross joins are broadcast loops, fine)."""
     plan = plan_of(spark, "graph_triangle_count")
     assert "CartesianProduct" not in plan
+
+
+def test_r14_distill_weight_store_broadcasts(spark):
+    """The learned weight table (257 rows read back from the persisted
+    parquet store) must broadcast into the score join — the apply pass
+    must never shuffle the corpus-sized feature table on the bucket key
+    (a bucket-hash shuffle of every (doc, bucket) row would dwarf the
+    aggregate it feeds).  No cartesian anywhere; the corpus-grain joins
+    stay equi-joins under AQE."""
+    plan = plan_of(spark, "pipeline_classifier_distill")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_r14_pack_interleaved_two_phase_no_single_task(spark):
+    """The mixed-cost packer must ride the two-phase cumsum (checkpoint
+    read present), never a single-task window or coalesce(1) — the r9
+    coarse-partition-window rule applied to the new key; the image dim
+    table (tiny) must broadcast onto the corpus text scan."""
+    plan = plan_of(spark, "sample_pack_interleaved")
+    assert "Coalesce 1" not in plan and "Coalesce(1" not in plan
+    assert "Scan ExistingRDD" in plan  # partitioned_cumsum checkpoint
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
