@@ -114,9 +114,12 @@ HEADLINE = [
     "pipeline_bpe_train",         # flagship #8: iterative BPE merge loop
     "dedup_minhash_incremental",  # batch probe of the persisted band-bucket store
     "pipeline_classifier_train",  # flagship #9: exact-integer logistic GD
-    # round 14 additions (VERDICT r13 items 2 and 4)
+    # round 14 additions (VERDICT r13 items 2 and 4 + the two
+    # unordered loop-closers)
     "pipeline_classifier_distill",  # flagship #10: train -> weight store -> apply
     "sample_pack_interleaved",      # mixed text+image-patch cost packing
+    "pipeline_bpe_distill",         # flagship #11: train -> merge store -> encode
+    "dedup_minhash_store_compact",  # partition-scoped band-store commit
 ]
 
 

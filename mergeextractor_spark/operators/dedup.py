@@ -1702,3 +1702,111 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.2)
         .select("doc_id", "dup_of", r4(jac).alias("jaccard"))
     )
+
+
+def ensure_minhash_commit_store(spark: SparkSession, sf_dir: str) -> str:
+    """Committed-only band store at its OWN path (fingerprint tag 'c'),
+    the COMPACTION target — separate from ensure_minhash_store's probe
+    store so the incremental key's committed-only contract is never
+    violated by a commit."""
+    import hashlib
+    import os
+    import shutil
+
+    from .scale_queries import _source_mtime
+
+    params = f"{sf_dir}|n{N_HASHES}r{BAND_SIZE}m{INCR_BATCH_MOD}p1s3|c"
+    suffix = hashlib.md5(params.encode()).hexdigest()[:8]
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    path = os.path.join(wh, f"minhash_commit_store_{suffix}")
+    success = os.path.join(path, "_SUCCESS")
+    fresh = os.path.isfile(success) and os.path.getmtime(
+        success
+    ) >= _source_mtime(sf_dir, ("documents",))
+    if not fresh:
+        shutil.rmtree(path, ignore_errors=True)
+        minhash_store_write(spark, sf_dir, path)
+    return path
+
+
+def minhash_store_commit(spark: SparkSession, path: str,
+                         bands_new: DataFrame) -> int:
+    """Commit a batch's band keys into the store, rewriting ONLY the
+    (band, bucket-prefix) partitions the batch lands in — dynamic
+    partition overwrite, the index-maintenance write production runs
+    per ingest cycle.  The merged frame (touched-partition existing
+    rows ∪ new rows, DISTINCT so re-commits are idempotent) is
+    checkpointed BEFORE the overwrite so no task reads a file the job
+    is about to replace (production stages to a temp prefix + atomic
+    rename instead).  Returns the number of partitions rewritten —
+    bounded by bands x 16 at fixture parameters regardless of batch or
+    corpus size."""
+    from ._util import truncate_lineage
+
+    new = bands_new.withColumn("bpfx", F.substring("bucket", 1, 1)).select(
+        "doc_id", "bucket", "band", "bpfx"
+    )
+    parts = new.select("band", "bpfx").distinct().collect()  # <= bands x 16
+    # EXACT (band, bpfx) pairs — an isin(bands) & isin(prefixes) product
+    # would drag untouched partitions into the rewrite (caught by the
+    # mtime pin in tests/test_minhash_compact.py on first write)
+    import functools
+    import operator
+
+    pair_pred = functools.reduce(
+        operator.or_,
+        [
+            (F.col("band") == r.band) & (F.col("bpfx") == r.bpfx)
+            for r in parts
+        ],
+    )
+    existing = minhash_store_read(spark, path).filter(pair_pred)
+    merged = truncate_lineage(existing.unionByName(new).distinct())
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("band", "bpfx")
+        .parquet(path)
+    )
+    return len(parts)
+
+
+@register(
+    "dedup_minhash_store_compact",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    sig AS (SELECT doc_id, {_minhash_sql_cols()} FROM sh GROUP BY doc_id),
+    bands AS ({_bands_sql()})
+    SELECT band, substr(bucket, 1, 1) AS bpfx,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM bands GROUP BY band, substr(bucket, 1, 1)
+    """,
+    doc="Incremental-dedup index COMMIT (the write-back that closes "
+    "dedup_minhash_incremental's ingest cycle): the new batch "
+    f"(doc_id % {INCR_BATCH_MOD} == 0) is banded and committed into "
+    "the store via DYNAMIC PARTITION OVERWRITE — only the <= bands x 16 "
+    "(band, bucket-prefix) partitions the batch lands in are "
+    "rewritten (touched-partition existing rows ∪ batch rows, "
+    "DISTINCT so re-commits are idempotent; checkpointed before the "
+    "overwrite so nothing reads files mid-replace), every other "
+    "partition's files untouched (mtime-pinned in "
+    "tests/test_minhash_compact.py). The returned frame re-reads the "
+    "POST-COMMIT store from disk and rolls it up per partition, so the "
+    "hash row proves the commit produced exactly the full-corpus index "
+    "DuckDB recomputes from source. 100 TB: the rewrite cost is the "
+    "touched partitions' size, never the store's; the partition list "
+    "is driver-side bounded (the _probed_cids class).",
+    eager=True,  # construction builds the store + commits the batch
+)
+def dedup_minhash_store_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    path = ensure_minhash_commit_store(spark, sf_dir)
+    batch = d.filter(F.col("doc_id") % INCR_BATCH_MOD == 0)
+    sh_b = _cache_shingles(_spread_doc_shingles(batch))
+    bands_b = _bands_of(sh_b.groupBy("doc_id").agg(*_minhash_agg_cols()))
+    minhash_store_commit(spark, path, bands_b)
+    return minhash_store_read(spark, path).groupBy("band", "bpfx").agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.count_distinct(F.col("doc_id")).cast("bigint").alias("n_docs"),
+    )

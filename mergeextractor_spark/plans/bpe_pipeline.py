@@ -62,13 +62,15 @@ from ..registry import register
 BPE_TRAIN_ROUNDS = int(__import__("os").environ.get("SPARK_GRAFT_BPE_ROUNDS", "20"))
 
 
-def _bpe_train_oracle(rounds: int = BPE_TRAIN_ROUNDS) -> str:
-    """Unrolled CTE oracle: seg0 = per-character segmentation of the
-    distinct alphabetic vocabulary; each round materializes pair counts,
-    the argmax pair, and the merged segmentation.  An exhausted
-    vocabulary (no pairs left) empties best{k}, which empties every
-    later seg{k} via the CROSS JOIN — contributing zero rows from that
-    round on, exactly matching the Spark loop's early break."""
+def _bpe_cte_prefix(rounds: int = BPE_TRAIN_ROUNDS) -> str:
+    """Unrolled CTE prefix ending at seg{rounds}/best{rounds}: seg0 =
+    per-character segmentation of the distinct alphabetic vocabulary;
+    each round materializes pair counts, the argmax pair, and the
+    merged segmentation.  An exhausted vocabulary (no pairs left)
+    empties best{k}, which empties every later seg{k} via the CROSS
+    JOIN — contributing zero rows from that round on, exactly matching
+    the Spark loop's early break.  Shared by the train oracle (reads
+    the best{k} union) and the distill oracle (reads seg{rounds})."""
     parts = [
         r"""
     WITH words AS (
@@ -104,13 +106,42 @@ def _bpe_train_oracle(rounds: int = BPE_TRAIN_ROUNDS) -> str:
       FROM seg{k - 1} t CROSS JOIN best{k} b
     )"""
         )
+    return "".join(parts)
+
+
+def _bpe_train_oracle(rounds: int = BPE_TRAIN_ROUNDS) -> str:
     selects = [
         f"SELECT {k} AS merge_rank, lhs, rhs, lhs || rhs AS merged, "
         f"CAST(pfreq AS BIGINT) AS freq FROM best{k}"
         for k in range(1, rounds + 1)
     ]
-    parts.append("\n    " + "\n    UNION ALL ".join(selects))
-    return "".join(parts)
+    return (
+        _bpe_cte_prefix(rounds)
+        + "\n    "
+        + "\n    UNION ALL ".join(selects)
+    )
+
+
+def _bpe_distill_oracle(rounds: int = BPE_TRAIN_ROUNDS) -> str:
+    """Train CTEs (shared prefix) + the APPLY surface: seg{rounds} IS
+    the whole vocabulary segmented by the learned merge program — the
+    trainer maintains it in-loop.  The Spark side instead re-applies
+    the merges read back from the PERSISTED store to a fresh seed, so a
+    hash match proves the encoder round-trip through disk (the
+    tests/test_bpe_train.py round-trip property, now driver-checked).
+    Precondition: the vocabulary must not exhaust before ``rounds``
+    merges (an exhausted best{k} empties seg{rounds} here while the
+    Spark side would still emit the last segmentation) — at fixture
+    scales exhaustion needs thousands of rounds; pinned in
+    tests/test_bpe_distill.py."""
+    return (
+        _bpe_cte_prefix(rounds)
+        + f"""
+    SELECT w AS word, CAST(freq AS BIGINT) AS freq, trim(s) AS pieces,
+           CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_pieces
+    FROM seg{rounds}
+    """
+    )
 
 
 def seed_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -210,4 +241,99 @@ def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges, _final = bpe_train(seed_vocab(spark, sf_dir))
     return spark.createDataFrame(
         merges, "merge_rank int, lhs string, rhs string, merged string, freq bigint"
+    )
+
+
+def bpe_store_write(spark: SparkSession, sf_dir: str, path: str,
+                    rounds: int = BPE_TRAIN_ROUNDS) -> None:
+    """Train and persist the ordered merge table — the tokenizer
+    artifact.  At 100 TB this is what ships to every encode job: a
+    rounds-sized parquet read once per executor, never retrained in the
+    apply path."""
+    merges, _final = bpe_train(seed_vocab(spark, sf_dir), rounds=rounds)
+    spark.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, merged string, freq bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def ensure_bpe_store(spark: SparkSession, sf_dir: str,
+                     rounds: int = BPE_TRAIN_ROUNDS) -> str:
+    """Materialize the merge store once per (warehouse, sf_dir, training
+    parameters) — the ensure_clf_store discipline: _SUCCESS-freshness vs
+    the documents fixture plus a code-parameter fingerprint in the
+    directory suffix (rounds + representation version), so a store
+    trained by older code or a reduced-round bench profile is never
+    served to an oracle that trains full counts."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..operators.scale_queries import _source_mtime
+
+    suffix = hashlib.md5(f"{sf_dir}|r{rounds}v1".encode()).hexdigest()[:8]
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    path = os.path.join(wh, f"bpe_merge_store_{suffix}")
+    success = os.path.join(path, "_SUCCESS")
+    fresh = os.path.isfile(success) and os.path.getmtime(
+        success
+    ) >= _source_mtime(sf_dir, ("documents",))
+    if not fresh:
+        shutil.rmtree(path, ignore_errors=True)
+        bpe_store_write(spark, sf_dir, path, rounds=rounds)
+    return path
+
+
+def bpe_store_read(spark: SparkSession, path: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("merge_rank", T.IntegerType()),
+            T.StructField("lhs", T.StringType()),
+            T.StructField("rhs", T.StringType()),
+            T.StructField("merged", T.StringType()),
+            T.StructField("freq", T.LongType()),
+        ]
+    )
+    return spark.read.schema(schema).parquet(path)
+
+
+@register(
+    "pipeline_bpe_distill",
+    oracle=_bpe_distill_oracle(),
+    doc="Flagship #11: the closed BPE train→persist→encode loop (the "
+    "tokenizer twin of pipeline_classifier_distill). Trains the "
+    f"{BPE_TRAIN_ROUNDS}-merge table, persists it to a parquet merge "
+    "store (_SUCCESS freshness + parameter-fingerprinted directory), "
+    "reads it BACK from disk (rank-ordered driver collect bounded by "
+    "the round count), and encodes the ENTIRE distinct alphabetic "
+    "vocabulary with the learned program — per word: (word, freq, "
+    "pieces, n_pieces). The oracle reads seg{rounds}, the segmentation "
+    "the training loop maintained IN-LOOP — so a hash match proves the "
+    "persisted table round-trips through the encoder bit-identically "
+    "(the pytest round-trip property, now driver-checked through "
+    "disk). Scale shape: encode DISTINCT words once (the vocabulary "
+    "trick — vocab-sized, never corpus tokens; production joins the "
+    "segmentation table back to the token stream by word); the merge "
+    "program is a rounds-bounded chain of literal replaces, pure "
+    "map-side whole-stage codegen.",
+    eager=True,  # construction may train + write the merge store
+)
+def pipeline_bpe_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = ensure_bpe_store(spark, sf_dir)
+    merges = sorted(
+        (r.merge_rank, r.lhs, r.rhs)
+        for r in bpe_store_read(spark, path).collect()
+    )
+    vocab = seed_vocab(spark, sf_dir)
+    s = F.col("s")
+    for _rank, a, b in merges:
+        for _ in range(2):
+            s = F.replace(s, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+    pieces = F.trim(s)
+    return vocab.select(
+        F.col("w").alias("word"),
+        F.col("freq").cast("bigint").alias("freq"),
+        pieces.alias("pieces"),
+        F.size(F.split(pieces, " ")).cast("bigint").alias("n_pieces"),
     )

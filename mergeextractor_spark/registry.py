@@ -229,14 +229,18 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
 # Keys without CLEAN driver evidence in the window.  r14: none.
 _EVIDENCE_FIX: tuple[str, ...] = ()
 
-# r14 head cargo: the round's NEW keys (VERDICT r13 items 2 and 4) —
-# the composed classifier train→persist→apply distillation flagship and
-# the multimodal interleaved sequence-packing key.  New oracle keys
-# always lead the window so their first driver rows land the same round
-# they ship.
+# r14 head cargo: the round's NEW keys — the two ordered ones
+# (VERDICT r13 items 2 and 4: the classifier train→persist→apply
+# distillation flagship and the multimodal interleaved packer) plus two
+# unordered loop-closers built on the same store pattern (the BPE
+# train→persist→encode distill and the minhash band-store partition-
+# scoped COMMIT).  New oracle keys always lead the window so their
+# first driver rows land the same round they ship.
 _ROTATION_FIRST: tuple[str, ...] = (
     "pipeline_classifier_distill",
     "sample_pack_interleaved",
+    "pipeline_bpe_distill",
+    "dedup_minhash_store_compact",
 )
 
 # r12: EMPTY — all 11 r11 backlog keys (the 4 slipped r10 graduations,

@@ -34,10 +34,11 @@ def test_every_oracle_key_has_a_query(spark):
 def test_gate_window_rotation_order():
     """The driver walks queries() in order under a wall-clock budget that
     historically covers ~50 keys per round.  The r14 rotation (steady
-    state since r13): (a) the 2 NEW r14 keys lead (the classifier
-    distillation flagship and the interleaved multimodal packer — new
-    oracle keys always earn their first driver rows the round they
-    ship), then (b) the changed-plan reverify band (empty this round),
+    state since r13): (a) the 4 NEW r14 keys lead (the classifier
+    distillation flagship, the interleaved multimodal packer, the BPE
+    distill loop, and the minhash store commit — new oracle keys
+    always earn their first driver rows the round they ship), then
+    (b) the changed-plan reverify band (empty this round),
     then (c) 12 staleness-ordered canaries drawn from the r5/r6
     evidence bands, then staleness-ordered green re-checks.  The
     rows-only class is empty — every registered key carries an
@@ -53,10 +54,10 @@ def test_gate_window_rotation_order():
     n_first = len(registry._ROTATION_FIRST)
     n_backlog = len(registry._ORACLE_BACKLOG)
     n_rev = len(registry._REVERIFY)
-    # window arithmetic: 2 new keys + 12 canaries = 14-key head; the
-    # ~50-key wall budget then burns ~36 staleness-ordered greens from
+    # window arithmetic: 4 new keys + 12 canaries = 16-key head; the
+    # ~50-key wall budget then burns ~34 staleness-ordered greens from
     # the r5/r6 bands behind them.
-    assert n_fix == 0 and n_first == 2 and n_backlog == 0 and n_rev == 0
+    assert n_fix == 0 and n_first == 4 and n_backlog == 0 and n_rev == 0
     assert registry._CANARY_SLOTS + n_first + n_backlog + n_rev <= 54
     assert registry._CANARY_SLOTS >= 12  # VERDICT r7 item 3 / r8 item 5
 

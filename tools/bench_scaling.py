@@ -181,6 +181,11 @@ QUERIES = [
     # the exponent is the text side's)
     "pipeline_classifier_distill",
     "sample_pack_interleaved",
+    # the BPE distill's measured exponent is the vocab-sized encode
+    # (merge store memoized like the weight store); the commit's is the
+    # batch banding + touched-partition rewrite
+    "pipeline_bpe_distill",
+    "dedup_minhash_store_compact",
 ]
 
 
