@@ -571,3 +571,26 @@ def test_r14_pack_interleaved_two_phase_no_single_task(spark):
     assert "Scan ExistingRDD" in plan  # partitioned_cumsum checkpoint
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_r14_bpe_distill_encode_is_pure_map(spark):
+    """The learned-merge encode must stay a joinless vocab-sized plan:
+    one tokenize+groupBy seed exchange, then the rounds-bounded literal
+    replace chain runs map-side inside whole-stage codegen — no join,
+    no window, no cartesian anywhere (the merge table reaches the plan
+    as collected LITERALS, bounded by the round count, never as a
+    joined relation)."""
+    plan = plan_of(spark, "pipeline_bpe_distill")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_r14_compact_rollup_reads_the_store(spark):
+    """The commit key's returned frame must be disk truth: a parquet
+    scan of the commit store (partition columns band/bpfx in the read
+    schema) into one aggregate — joinless, windowless."""
+    plan = plan_of(spark, "dedup_minhash_store_compact")
+    assert "minhash_commit_store_" in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
