@@ -120,6 +120,7 @@ HEADLINE = [
     "sample_pack_interleaved",      # mixed text+image-patch cost packing
     "pipeline_bpe_distill",         # flagship #11: train -> merge store -> encode
     "dedup_minhash_store_compact",  # partition-scoped band-store commit
+    "pipeline_ingest_cycle",        # flagship #12: exact gate -> probe -> commit
 ]
 
 
@@ -539,8 +540,7 @@ def main() -> None:
     # `parsed: null` (VERDICT r5 item 2).  The stdout line stays compact:
     # contract fields only, tightest separators, and a safety valve that
     # keeps only the slowest queries if the line would outgrow the buffer.
-    print(
-        json.dumps(
+    record = (
             {
                 "stdev": stdevs,
                 # raw per-key samples in block order (r12): a host freeze
@@ -599,10 +599,20 @@ def main() -> None:
                 "load_avg_1m": round(os.getloadavg()[0], 2),
                 "uptime_s": round(time.clock_gettime(time.CLOCK_BOOTTIME)),
             }
-        ),
-        file=sys.stderr,
-        flush=True,
     )
+    record["timings"] = timings  # FULL per-key medians, no valve
+    print(json.dumps(record), file=sys.stderr, flush=True)
+    # Persist the full record beside the repo (r14): the driver captures
+    # only the last 2000 stdout chars, and at 69 keys the compact line
+    # can no longer carry every per-key timing — the valve may omit the
+    # fastest keys there, but longitudinal per-key adjudication reads
+    # THIS file, written on every run regardless of how the process was
+    # invoked.
+    try:
+        with open(os.path.join(_REPO, "bench_last_record.json"), "w") as f:
+            json.dump(record, f)
+    except OSError:
+        pass  # read-only checkout: the stderr copy still exists
 
     print(
         build_stdout_line(
@@ -652,7 +662,11 @@ def build_stdout_line(
             "metric": "headline_suite_seconds",
             "value": total,
             "unit": "sec",
-            "queries": queries,
+            # 2-decimal timings on the COMPACT line only (10 ms is noise
+            # at these medians; full 3-decimal values stay in the stderr
+            # record) — the 69-key r14 suite at 3 decimals hit exactly
+            # the driver's ~2000-byte tail-capture buffer
+            "queries": {k: round(v, 2) for k, v in queries.items()},
             "runs_per_query": n_runs,
             "sf": sf,
         }
@@ -665,7 +679,11 @@ def build_stdout_line(
         return json.dumps(payload, separators=(",", ":"))
 
     out = _line(timings)
-    if len(out) > 2000:  # stay under the driver's tail-capture buffer
+    # Trigger the valve BELOW the driver's ~2000-byte tail-capture
+    # buffer, not at it: the 69-key r14 suite produced a line of exactly
+    # 2000 bytes, one byte from an unparseable record (caught by
+    # test_contract's < 2000 pin).
+    if len(out) > 1900:
         keep = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
         while len(_line(keep, len(timings) - len(keep))) > 1900 and len(keep) > 1:
             keep.pop(next(reversed(keep)))

@@ -1660,6 +1660,23 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = minhash_store_read(spark, path).filter(
         F.col("band").isin(bands_hit) & F.col("bpfx").isin(pfx_hit)
     )
+    committed = spread(d.filter(F.col("doc_id") % INCR_BATCH_MOD != 0))
+    return minhash_verify_pairs(committed, sh_b, bands_b, store)
+
+
+def minhash_verify_pairs(
+    committed: DataFrame,
+    sh_b: DataFrame,
+    bands_b: DataFrame,
+    store: DataFrame,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Shared probe→verify tail of the incremental-dedup family:
+    band-join candidates against a store frame, exact-Jaccard verify
+    with the committed side SEMI-JOIN-PRUNED to candidate docs before
+    shingling, emit (doc_id, dup_of, jaccard >= threshold).  Extracted
+    from dedup_minhash_incremental unchanged (same ops, same order) so
+    pipeline_ingest_cycle composes the identical plan."""
     # the candidate list is checkpointed: it feeds BOTH the committed-side
     # semi-join prune and the verify join, and it is candidate-bounded
     # (r13 A/B at derived sf1: 1,306 candidates from 50k docs)
@@ -1669,8 +1686,8 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "dup_of")
         .distinct()
     )
-    # verify: batch shingles are cached above; the committed side is
-    # pruned to candidate dup_of docs BEFORE shingling — a semi-join
+    # verify: batch shingles are cached by the caller; the committed side
+    # is pruned to candidate dup_of docs BEFORE shingling — a semi-join
     # against the checkpointed candidate list, so only candidate docs'
     # text is exploded and shuffled (the unpruned form shingled the
     # WHOLE committed corpus per construction: 31M shuffled rows and
@@ -1678,7 +1695,6 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AQE picks the broadcast for the small checkpointed list and falls
     # back to shuffle on dup-heavy corpora (the r2 no-hints rule).
     cand_docs = cand.select(F.col("dup_of").alias("doc_id")).distinct()
-    committed = spread(d.filter(F.col("doc_id") % INCR_BATCH_MOD != 0))
     sh_c = committed.join(cand_docs, "doc_id", "leftsemi").select(
         "doc_id",
         F.explode(F.array_distinct(shingles(F.col("text")))).alias("shingle"),
@@ -1699,23 +1715,25 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         verified.join(sizes_b, "doc_id")
         .join(sizes_c, "dup_of")
-        .filter(jac >= 0.2)
+        .filter(jac >= threshold)
         .select("doc_id", "dup_of", r4(jac).alias("jaccard"))
     )
 
 
-def ensure_minhash_commit_store(spark: SparkSession, sf_dir: str) -> str:
-    """Committed-only band store at its OWN path (fingerprint tag 'c'),
-    the COMPACTION target — separate from ensure_minhash_store's probe
-    store so the incremental key's committed-only contract is never
-    violated by a commit."""
+def ensure_minhash_commit_store(spark: SparkSession, sf_dir: str,
+                                tag: str = "c") -> str:
+    """Committed-only band store at its OWN path (fingerprint ``tag``),
+    a COMMIT target — separate from ensure_minhash_store's probe store
+    so the incremental key's committed-only contract is never violated
+    by a commit.  Each commit-writing key passes its own tag so their
+    stores never cross-contaminate either."""
     import hashlib
     import os
     import shutil
 
     from .scale_queries import _source_mtime
 
-    params = f"{sf_dir}|n{N_HASHES}r{BAND_SIZE}m{INCR_BATCH_MOD}p1s3|c"
+    params = f"{sf_dir}|n{N_HASHES}r{BAND_SIZE}m{INCR_BATCH_MOD}p1s3|{tag}"
     suffix = hashlib.md5(params.encode()).hexdigest()[:8]
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     path = os.path.join(wh, f"minhash_commit_store_{suffix}")

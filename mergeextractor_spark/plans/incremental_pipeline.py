@@ -188,3 +188,176 @@ def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "batch_id string, incoming bigint, bloom_candidates bigint, "
         "appended bigint, replay_short_circuited boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# Flagship #12: the FULL ingest cycle — exact gate → minhash near-dup
+# probe → partition-scoped index commit, composed end-to-end.
+
+REKEY_BELOW = 50       # committed docs re-keyed into the batch (planted exact dups)
+REKEY_OFFSET = 1_000_000
+
+
+def _ingest_cycle_oracle() -> str:
+    from ..operators.dedup import (
+        INCR_BATCH_MOD,
+        _SHINGLE_CTE,
+        _bands_sql,
+        _minhash_sql_cols,
+    )
+
+    M = INCR_BATCH_MOD
+    return f"""
+    WITH {_SHINGLE_CTE},
+    sig AS (SELECT doc_id, {_minhash_sql_cols()} FROM sh GROUP BY doc_id),
+    bands AS ({_bands_sql()}),
+    committed AS (SELECT doc_id, text FROM documents WHERE doc_id % {M} <> 0),
+    rekeyed AS (
+      SELECT doc_id + {REKEY_OFFSET} AS doc_id, text
+      FROM committed WHERE doc_id < {REKEY_BELOW}
+    ),
+    batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % {M} = 0
+      UNION ALL SELECT doc_id, text FROM rekeyed
+    ),
+    fresh AS (
+      SELECT * FROM batch WHERE text NOT IN (SELECT text FROM committed)
+    ),
+    store AS (SELECT * FROM bands WHERE doc_id % {M} <> 0),
+    bb AS (
+      SELECT * FROM bands
+      WHERE doc_id % {M} = 0 AND doc_id IN (SELECT doc_id FROM fresh)
+    ),
+    cand AS (
+      SELECT DISTINCT b.doc_id AS doc_id, s.doc_id AS dup_of
+      FROM bb b JOIN store s ON s.band = b.band AND s.bucket = b.bucket
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    verified AS (
+      SELECT c.doc_id, c.dup_of, count(*) AS common
+      FROM cand c
+      JOIN sh s1 ON s1.doc_id = c.doc_id
+      JOIN sh s2 ON s2.doc_id = c.dup_of AND s2.shingle = s1.shingle
+      GROUP BY 1, 2
+    ),
+    neardup AS (
+      SELECT DISTINCT v.doc_id FROM verified v
+      JOIN sizes na ON na.doc_id = v.doc_id
+      JOIN sizes nb ON nb.doc_id = v.dup_of
+      WHERE v.common::DOUBLE / (na.n + nb.n - v.common) >= 0.2
+    ),
+    survivors AS (
+      SELECT doc_id FROM fresh
+      WHERE doc_id NOT IN (SELECT doc_id FROM neardup)
+    )
+    SELECT CAST((SELECT count(*) FROM batch) AS BIGINT) AS n_batch,
+           CAST((SELECT count(*) FROM batch)
+                - (SELECT count(*) FROM fresh) AS BIGINT) AS n_exact_dup,
+           CAST((SELECT count(*) FROM neardup) AS BIGINT) AS n_near_dup,
+           CAST((SELECT count(*) FROM survivors) AS BIGINT) AS n_appended,
+           CAST((SELECT count(DISTINCT doc_id) FROM bands
+                 WHERE doc_id % {M} <> 0
+                    OR doc_id IN (SELECT doc_id FROM survivors)) AS BIGINT)
+             AS n_store_docs
+    """
+
+
+@register(
+    "pipeline_ingest_cycle",
+    oracle=_ingest_cycle_oracle(),
+    doc="Flagship #12 — the FULL incremental ingest cycle, composing the "
+    "stages production runs per batch: (1) EXACT gate — the batch (the "
+    "doc_id%5==0 docs plus re-keyed copies of committed content, the "
+    "planted exact dups) drops rows whose md5(text) already exists in "
+    "the committed corpus via a hash anti-join; (2) NEAR-DUP gate — "
+    "survivors are shingled/banded and probed against the committed "
+    "band store (exact-pair partition-pruned read; the shared "
+    "minhash_verify_pairs tail: candidates band-join, committed side "
+    "semi-join-pruned before shingling, exact Jaccard >= 0.2), and any "
+    "batch doc with a verified pair drops via a distributed anti-join; "
+    "(3) COMMIT — survivors' band keys are committed into the store by "
+    "dynamic partition overwrite (exact touched partitions only, "
+    "idempotent distinct union). The summary row's n_store_docs "
+    "re-reads the POST-COMMIT store from disk, so the hash row proves "
+    "the whole cycle: gates, probe, and the committed index state. "
+    "Idempotent across constructions: the probe reads only the "
+    "committed (doc_id%5<>0) slice of the store, so previously "
+    "committed survivors never self-match. 100 TB: every stage is the "
+    "scale path its component key carries (hash anti-join, "
+    "candidate-bounded verify, touched-partition rewrite); driver "
+    "traffic is the <=48-row partition list plus five counts.",
+    eager=True,  # construction builds the store, probes, and commits
+)
+def pipeline_ingest_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import functools
+    import operator
+
+    from ..operators._util import spread
+    from ..operators.dedup import (
+        INCR_BATCH_MOD,
+        _bands_of,
+        _cache_shingles,
+        _minhash_agg_cols,
+        _spread_doc_shingles,
+        ensure_minhash_commit_store,
+        minhash_store_commit,
+        minhash_store_read,
+        minhash_verify_pairs,
+    )
+
+    M = INCR_BATCH_MOD
+    d = t(spark, sf_dir, "documents")
+    committed = d.filter(F.col("doc_id") % M != 0).select("doc_id", "text")
+    rekeyed = committed.filter(F.col("doc_id") < REKEY_BELOW).select(
+        (F.col("doc_id") + REKEY_OFFSET).alias("doc_id"), "text"
+    )
+    batch = (
+        d.filter(F.col("doc_id") % M == 0)
+        .select("doc_id", "text")
+        .unionByName(rekeyed)
+    )
+    n_batch = batch.count()
+
+    # 1. exact gate: hash anti-join against the committed corpus
+    comm_h = committed.select(F.md5("text").alias("h")).distinct()
+    fresh = (
+        batch.withColumn("h", F.md5("text"))
+        .join(comm_h, "h", "left_anti")
+        .drop("h")
+    )
+    n_fresh = fresh.count()
+
+    # 2. near-dup gate: probe the committed slice of the cycle store
+    path = ensure_minhash_commit_store(spark, sf_dir, tag="cycle")
+    sh_b = _cache_shingles(_spread_doc_shingles(fresh))
+    bands_b = _bands_of(sh_b.groupBy("doc_id").agg(*_minhash_agg_cols()))
+    parts = (
+        bands_b.select("band", F.substring("bucket", 1, 1).alias("bpfx"))
+        .distinct()
+        .collect()
+    )  # <= bands x 16, the _probed_cids boundedness class
+    pair_pred = functools.reduce(
+        operator.or_,
+        [(F.col("band") == r.band) & (F.col("bpfx") == r.bpfx) for r in parts],
+    )
+    store = minhash_store_read(spark, path).filter(
+        # committed slice only: previously committed survivors (%M == 0)
+        # must never self-match on a re-run
+        pair_pred & (F.col("doc_id") % M != 0)
+    )
+    pairs = minhash_verify_pairs(spread(committed), sh_b, bands_b, store)
+    near = pairs.select("doc_id").distinct()
+    n_near = near.count()
+
+    # 3. commit the survivors' band keys (partition-scoped, idempotent)
+    survivors_bands = bands_b.join(near, "doc_id", "left_anti")
+    minhash_store_commit(spark, path, survivors_bands)
+    n_store_docs = (
+        minhash_store_read(spark, path).select("doc_id").distinct().count()
+    )
+
+    return spark.createDataFrame(
+        [(n_batch, n_batch - n_fresh, n_near, n_fresh - n_near, n_store_docs)],
+        "n_batch bigint, n_exact_dup bigint, n_near_dup bigint, "
+        "n_appended bigint, n_store_docs bigint",
+    )

@@ -241,6 +241,7 @@ _ROTATION_FIRST: tuple[str, ...] = (
     "sample_pack_interleaved",
     "pipeline_bpe_distill",
     "dedup_minhash_store_compact",
+    "pipeline_ingest_cycle",
 )
 
 # r12: EMPTY — all 11 r11 backlog keys (the 4 slipped r10 graduations,

@@ -34,11 +34,12 @@ def test_every_oracle_key_has_a_query(spark):
 def test_gate_window_rotation_order():
     """The driver walks queries() in order under a wall-clock budget that
     historically covers ~50 keys per round.  The r14 rotation (steady
-    state since r13): (a) the 4 NEW r14 keys lead (the classifier
+    state since r13): (a) the 5 NEW r14 keys lead (the classifier
     distillation flagship, the interleaved multimodal packer, the BPE
-    distill loop, and the minhash store commit — new oracle keys
-    always earn their first driver rows the round they ship), then
-    (b) the changed-plan reverify band (empty this round),
+    distill loop, the minhash store commit, and the composed ingest
+    cycle — new oracle keys always earn their first driver rows the
+    round they ship), then (b) the changed-plan reverify band (empty
+    this round),
     then (c) 12 staleness-ordered canaries drawn from the r5/r6
     evidence bands, then staleness-ordered green re-checks.  The
     rows-only class is empty — every registered key carries an
@@ -54,10 +55,10 @@ def test_gate_window_rotation_order():
     n_first = len(registry._ROTATION_FIRST)
     n_backlog = len(registry._ORACLE_BACKLOG)
     n_rev = len(registry._REVERIFY)
-    # window arithmetic: 4 new keys + 12 canaries = 16-key head; the
-    # ~50-key wall budget then burns ~34 staleness-ordered greens from
+    # window arithmetic: 5 new keys + 12 canaries = 17-key head; the
+    # ~50-key wall budget then burns ~33 staleness-ordered greens from
     # the r5/r6 bands behind them.
-    assert n_fix == 0 and n_first == 4 and n_backlog == 0 and n_rev == 0
+    assert n_fix == 0 and n_first == 5 and n_backlog == 0 and n_rev == 0
     assert registry._CANARY_SLOTS + n_first + n_backlog + n_rev <= 54
     assert registry._CANARY_SLOTS >= 12  # VERDICT r7 item 3 / r8 item 5
 
@@ -217,12 +218,20 @@ def test_bench_stdout_line_stays_parseable_and_small():
 
     from bench import HEADLINE, build_stdout_line
 
-    # the real suite shape
+    # the real suite shape: the 69-key suite no longer fits every
+    # per-key timing in the driver's 2000-char tail capture, so the
+    # valve may omit the FASTEST keys with an explicit count — the full
+    # per-key record is persisted to bench_last_record.json on every
+    # run (r14), so nothing is lost.  The compact line must stay under
+    # the buffer, parse, keep the slowest keys, and account for every
+    # key.
     timings = {k: 1.234 for k in HEADLINE}
     line = build_stdout_line(timings, 60.0, 5, 0.1)
-    assert len(line) < 2000, len(line)
+    assert len(line) < 1950, len(line)
     d = json.loads(line)
-    assert d["metric"] == "headline_suite_seconds" and len(d["queries"]) == len(HEADLINE)
+    assert d["metric"] == "headline_suite_seconds"
+    assert len(d["queries"]) + d.get("omitted_fastest", 0) == len(HEADLINE)
+    assert len(d["queries"]) >= 55, "valve dropped far too many keys"
 
     # pathological: 300 long-named queries must trigger the valve
     big = {f"extremely_long_query_name_number_{i:03d}": i / 7 for i in range(300)}

@@ -186,6 +186,9 @@ QUERIES = [
     # batch banding + touched-partition rewrite
     "pipeline_bpe_distill",
     "dedup_minhash_store_compact",
+    # the cycle's exponent is batch banding + candidate-bounded verify +
+    # touched-partition rewrite (the store build is memoized)
+    "pipeline_ingest_cycle",
 ]
 
 
