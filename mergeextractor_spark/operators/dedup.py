@@ -1765,6 +1765,8 @@ def minhash_store_commit(spark: SparkSession, path: str,
         "doc_id", "bucket", "band", "bpfx"
     )
     parts = new.select("band", "bpfx").distinct().collect()  # <= bands x 16
+    if not parts:
+        return 0  # empty batch: nothing lands, no partition is rewritten
     # EXACT (band, bpfx) pairs — an isin(bands) & isin(prefixes) product
     # would drag untouched partitions into the rewrite (caught by the
     # mtime pin in tests/test_minhash_compact.py on first write)

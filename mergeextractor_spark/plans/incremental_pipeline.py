@@ -336,9 +336,18 @@ def pipeline_ingest_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .collect()
     )  # <= bands x 16, the _probed_cids boundedness class
-    pair_pred = functools.reduce(
-        operator.or_,
-        [(F.col("band") == r.band) & (F.col("bpfx") == r.bpfx) for r in parts],
+    # empty batch (quiet ingest day): no band keys → no touched partitions
+    # → the probed store slice is empty by construction
+    pair_pred = (
+        functools.reduce(
+            operator.or_,
+            [
+                (F.col("band") == r.band) & (F.col("bpfx") == r.bpfx)
+                for r in parts
+            ],
+        )
+        if parts
+        else F.lit(False)
     )
     store = minhash_store_read(spark, path).filter(
         # committed slice only: previously committed survivors (%M == 0)
