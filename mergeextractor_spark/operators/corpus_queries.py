@@ -295,14 +295,27 @@ NGRAM_OVERLAP_N = 8  # same shingle width as the decontamination screen
 def agg_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = NGRAM_OVERLAP_N
     ws = _tokens(F.col("text"))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(ws) - (n - 1)),
-        lambda i: F.substring(F.md5(F.concat_ws(" ", F.slice(ws, i, n))), 1, 16),
-    )
+    # explode the POSITION RANGE first, then build each gram in a plain
+    # codegen'd projection: transform()'s per-element lambda is evaluated
+    # through the interpreted HigherOrderFunction path, measured 2-7x the
+    # executor CPU of the identical slice/concat_ws/md5 chain compiled by
+    # whole-stage codegen after the Generate (OPTIMIZATION_r14.md). Same
+    # gram text, same md5, same multiset of rows — map-side either way.
     sg = (
         spread(t(spark, sf_dir, "documents"))
         .filter(F.size(ws) >= n)
-        .select("source", F.explode(grams).alias("gh"))
+        .select("source", ws.alias("ws"))
+        .select(
+            "source",
+            "ws",
+            F.explode(F.sequence(F.lit(1), F.size("ws") - (n - 1))).alias("i"),
+        )
+        .select(
+            "source",
+            F.substring(
+                F.md5(F.concat_ws(" ", F.slice(F.col("ws"), F.col("i"), n))), 1, 16
+            ).alias("gh"),
+        )
     )
     by_gram = sg.groupBy("gh").agg(F.sort_array(F.collect_set("source")).alias("ss"))
     # one pass over the per-gram source sets: each gram emits a singleton

@@ -952,12 +952,17 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(t(spark, sf_dir, "documents"))
     w = F.filter(F.split("text", r"\s+"), lambda x: x != "")
     tok = d.select("doc_id", w.alias("w")).filter(F.size("w") >= SPAN_W)
-    ghs = F.transform(
-        F.sequence(F.lit(1), F.size("w") - SPAN_W + 1),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("w"), i, SPAN_W))),
-    )
-    g = tok.select("doc_id", F.posexplode(ghs).alias("pos", "gh")).select(
-        "doc_id", (F.col("pos") + 1).alias("start_pos"), "gh"
+    # explode the window-start range, hash in a codegen'd projection (not a
+    # transform() lambda — interpreted HOF path, see OPTIMIZATION_r14.md);
+    # the sequence value IS start_pos, so no posexplode arithmetic either
+    g = tok.select(
+        "doc_id",
+        "w",
+        F.explode(F.sequence(F.lit(1), F.size("w") - SPAN_W + 1)).alias("start_pos"),
+    ).select(
+        "doc_id",
+        "start_pos",
+        F.md5(F.concat_ws(" ", F.slice(F.col("w"), F.col("start_pos"), SPAN_W))).alias("gh"),
     )
     dup = (
         g.groupBy("gh")
@@ -1095,21 +1100,33 @@ def paragraph_dedup_df(d: DataFrame, *, delim: str = "\n") -> DataFrame:
 def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(t(spark, sf_dir, "documents"))
     tok = d.select("doc_id", words(F.col("text")).alias("ws"))
-    blocks = F.transform(
-        F.sequence(
-            F.lit(1),
-            F.greatest(
-                F.lit(1), F.ceil(F.size("ws") / F.lit(float(PARA_TOKENS))).cast("int")
-            ),
-        ),
-        lambda i: F.concat_ws(
-            " ",
-            F.slice(F.col("ws"), (i - F.lit(1)) * PARA_TOKENS + F.lit(1), PARA_TOKENS),
-        ),
-    )
+    # explode the block-index range, build each block in a codegen'd
+    # projection (not a transform() lambda — interpreted HOF path, see
+    # OPTIMIZATION_r14.md); the sequence value IS pos
     paras = tok.select(
-        "doc_id", F.posexplode(blocks).alias("pos0", "para")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "para")
+        "doc_id",
+        "ws",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(
+                    F.lit(1),
+                    F.ceil(F.size("ws") / F.lit(float(PARA_TOKENS))).cast("int"),
+                ),
+            )
+        ).alias("pos"),
+    ).select(
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.col("ws"),
+                (F.col("pos") - F.lit(1)) * PARA_TOKENS + F.lit(1),
+                PARA_TOKENS,
+            ),
+        ).alias("para"),
+    )
     return paragraph_dedup(paras, " ")
 
 
@@ -1171,12 +1188,15 @@ def dedup_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(t(spark, sf_dir, "documents"))
     w = F.filter(F.split("text", r"\s+"), lambda x: x != "")
     tok = d.select("doc_id", w.alias("w")).filter(F.size("w") >= SPAN_W)
-    ghs = F.transform(
-        F.sequence(F.lit(1), F.size("w") - SPAN_W + 1),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("w"), i, SPAN_W))),
-    )
-    g = tok.select("doc_id", F.posexplode(ghs).alias("pos", "gh")).select(
-        "doc_id", (F.col("pos") + 1).alias("start_pos"), "gh"
+    # explode-first + codegen'd hash, same as dedup_substring_spans above
+    g = tok.select(
+        "doc_id",
+        "w",
+        F.explode(F.sequence(F.lit(1), F.size("w") - SPAN_W + 1)).alias("start_pos"),
+    ).select(
+        "doc_id",
+        "start_pos",
+        F.md5(F.concat_ws(" ", F.slice(F.col("w"), F.col("start_pos"), SPAN_W))).alias("gh"),
     )
     dup = (
         g.groupBy("gh")

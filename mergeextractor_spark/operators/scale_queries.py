@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ._util import t, r4, spread
-from .vector_queries import cosine, dot
+from .vector_queries import cosine, cosine_pre, dot, l2norm
 
 N_CENTROIDS = 4
 N_QUERIES = 10
@@ -90,14 +90,27 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast ONLY the query vectors (r2 bench regression: broadcasting
     # the full embedding table as the query side cost ~0.25 s/run at sf0.1
     # and would be a multi-GB broadcast at corpus scale)
+    # norms once per side, not per candidate pair (cosine_pre)
     qe = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        l2norm(F.col("embedding")).alias("q_n"),
     )
-    ce = e.select("vec_id", F.col("embedding").alias("c_emb"))
+    ce = e.select(
+        "vec_id",
+        F.col("embedding").alias("c_emb"),
+        l2norm(F.col("embedding")).alias("c_n"),
+    )
     scored = (
         cand.join(F.broadcast(qe), "qid")
         .join(ce, "vec_id")
-        .select("qid", "vec_id", cosine(F.col("c_emb"), F.col("q_emb")).alias("c"))
+        .select(
+            "qid",
+            "vec_id",
+            cosine_pre(
+                F.col("c_emb"), F.col("q_emb"), F.col("c_n"), F.col("q_n")
+            ).alias("c"),
+        )
     )
     w2 = W.partitionBy("qid").orderBy(F.desc("c"), F.asc("vec_id"))
     return (
@@ -274,14 +287,27 @@ def trained_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("qid"), "cid")
     )
     cand = qprobe.join(assign, "cid").filter(F.col("vec_id") != F.col("qid")).select("qid", "vec_id")
+    # norms once per side, not per candidate pair (cosine_pre)
     qe = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        l2norm(F.col("embedding")).alias("q_n"),
     )
-    ce = e.select("vec_id", F.col("embedding").alias("c_emb"))
+    ce = e.select(
+        "vec_id",
+        F.col("embedding").alias("c_emb"),
+        l2norm(F.col("embedding")).alias("c_n"),
+    )
     scored = (
         cand.join(F.broadcast(qe), "qid")
         .join(ce, "vec_id")
-        .select("qid", "vec_id", cosine(F.col("c_emb"), F.col("q_emb")).alias("c"))
+        .select(
+            "qid",
+            "vec_id",
+            cosine_pre(
+                F.col("c_emb"), F.col("q_emb"), F.col("c_n"), F.col("q_n")
+            ).alias("c"),
+        )
     )
     w2 = W.partitionBy("qid").orderBy(F.desc("c"), F.asc("vec_id"))
     return (

@@ -33,6 +33,20 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2norm(a) * l2norm(b))
 
 
+def cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine with PRE-COMPUTED per-side L2 norms: dot(a, b) / (na * nb).
+
+    Pair-scoring stages (corpus x queries) recompute both norms per PAIR
+    when built on ``cosine`` — three array aggregates per output row where
+    one suffices. Selecting ``l2norm`` once per side BEFORE the join leaves
+    only the dot per pair. The division consumes the identical IEEE-754
+    operand bits (a vector's norm does not depend on which pair it is in),
+    so every result — and every oracle hash — is unchanged by construction
+    (measured ~2.5x executor-CPU on the bruteforce pair stage,
+    OPTIMIZATION_r14.md)."""
+    return dot(a, b) / (na * nb)
+
+
 _COS_PAIRS_CTE = """
     WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {qid}),
     pairs AS (
@@ -58,10 +72,20 @@ _COS_PAIRS_CTE = """
 )
 def math_cosine_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), l2norm(F.col("embedding")).alias("qn")
+    )
     return (
         e.crossJoin(F.broadcast(q))
-        .select("vec_id", r4(cosine(F.col("embedding"), F.col("qe"))).alias("cos"))
+        .select(
+            "vec_id",
+            r4(
+                cosine_pre(
+                    F.col("embedding"), F.col("qe"),
+                    l2norm(F.col("embedding")), F.col("qn"),
+                )
+            ).alias("cos"),
+        )
     )
 
 
@@ -160,12 +184,23 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whole query; a 1-split fixture scan would run it on one core
     e = spread(t(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        l2norm(F.col("embedding")).alias("qn"),
     )
+    # norms once per side, not per pair (cosine_pre): |Q| x corpus pairs
+    # each pay one dot instead of dot + two norms
     scored = (
-        e.crossJoin(F.broadcast(q))
+        e.select("vec_id", "embedding", l2norm(F.col("embedding")).alias("an"))
+        .crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", cosine(F.col("embedding"), F.col("qe")).alias("c"))
+        .select(
+            "qid",
+            "vec_id",
+            cosine_pre(
+                F.col("embedding"), F.col("qe"), F.col("an"), F.col("qn")
+            ).alias("c"),
+        )
     )
     w = W.partitionBy("qid").orderBy(F.desc("c"), F.asc("vec_id"))
     return (
@@ -274,11 +309,22 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double") + 0.01).alias("embedding"),
     )
     aug = base.unionByName(clones)
-    a = aug.select(F.col("vec_id").alias("va"), F.col("label").alias("la"), F.col("embedding").alias("ea"))
-    b = aug.select(F.col("vec_id").alias("vb"), F.col("label").alias("lb"), F.col("embedding").alias("eb"))
+    # norm once per augmented row (cosine_pre): each row joins into many
+    # same-label pairs and would otherwise recompute its norm per pair
+    a = aug.select(
+        F.col("vec_id").alias("va"), F.col("label").alias("la"),
+        F.col("embedding").alias("ea"), l2norm(F.col("embedding")).alias("na"),
+    )
+    b = aug.select(
+        F.col("vec_id").alias("vb"), F.col("label").alias("lb"),
+        F.col("embedding").alias("eb"), l2norm(F.col("embedding")).alias("nb"),
+    )
     return (
         a.join(b, (F.col("va") < F.col("vb")) & (F.col("la") == F.col("lb")))
-        .select("va", "vb", cosine(F.col("ea"), F.col("eb")).alias("c"))
+        .select(
+            "va", "vb",
+            cosine_pre(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")).alias("c"),
+        )
         .filter(F.col("c") > 0.8)
         .select(F.col("va").alias("vec_a"), F.col("vb").alias("vec_b"), r4(F.col("c")).alias("cos"))
     )
@@ -409,13 +455,21 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("max_by(cid, struct(d, -cid))").alias("cid")
     )
     av = aug.join(assign, "vec_id")
-    a = av.select(F.col("vec_id").alias("va"), "cid", F.col("emb").alias("ea"))
+    # norm once per assigned row (cosine_pre), not per within-cluster pair
+    a = av.select(
+        F.col("vec_id").alias("va"), "cid",
+        F.col("emb").alias("ea"), l2norm(F.col("emb")).alias("na"),
+    )
     b = av.select(
-        F.col("vec_id").alias("vb"), F.col("cid").alias("cidb"), F.col("emb").alias("eb")
+        F.col("vec_id").alias("vb"), F.col("cid").alias("cidb"),
+        F.col("emb").alias("eb"), l2norm(F.col("emb")).alias("nb"),
     )
     cos = (
         a.join(b, (F.col("cid") == F.col("cidb")) & (F.col("va") < F.col("vb")))
-        .select("va", "vb", cosine(F.col("ea"), F.col("eb")).alias("c"))
+        .select(
+            "va", "vb",
+            cosine_pre(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")).alias("c"),
+        )
         .filter(F.col("c") >= SEM_TAU)
     )
     dup = cos.groupBy("vb").agg(F.min("va").alias("rep"))
@@ -677,13 +731,21 @@ def rank_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "sparse_rank")
     )
     e = t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    # query norm once on the broadcast side (cosine_pre), not per corpus row
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), l2norm(F.col("embedding")).alias("qn")
+    )
     dense = (
         e.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
         .select(
             F.col("vec_id").alias("doc_id"),
-            r4(cosine(F.col("embedding"), F.col("qe"))).alias("score"),
+            r4(
+                cosine_pre(
+                    F.col("embedding"), F.col("qe"),
+                    l2norm(F.col("embedding")), F.col("qn"),
+                )
+            ).alias("score"),
         )
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(RRF_POOL)
@@ -792,18 +854,34 @@ MRL_DIM = 32  # truncation prefix (full fixture dim: 64)
 )
 def eval_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spread(t(spark, sf_dir, "embeddings"))
-    q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
-    )
     trunc = lambda c: F.slice(c, 1, MRL_DIM)
+    # full and truncated norms once per side (cosine_pre): each pair pays
+    # two dots instead of two dots + four norms
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        l2norm(F.col("embedding")).alias("qn"),
+        l2norm(trunc(F.col("embedding"))).alias("qnt"),
+    )
     scored = (
-        e.crossJoin(F.broadcast(q))
+        e.select(
+            "vec_id",
+            "embedding",
+            l2norm(F.col("embedding")).alias("an"),
+            l2norm(trunc(F.col("embedding"))).alias("ant"),
+        )
+        .crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
             "vec_id",
-            cosine(F.col("embedding"), F.col("qe")).alias("c_full"),
-            cosine(trunc(F.col("embedding")), trunc(F.col("qe"))).alias("c_trunc"),
+            cosine_pre(
+                F.col("embedding"), F.col("qe"), F.col("an"), F.col("qn")
+            ).alias("c_full"),
+            cosine_pre(
+                trunc(F.col("embedding")), trunc(F.col("qe")),
+                F.col("ant"), F.col("qnt"),
+            ).alias("c_trunc"),
         )
     )
     wf = W.partitionBy("qid").orderBy(F.desc("c_full"), F.asc("vec_id"))
@@ -1109,11 +1187,21 @@ def _mmr_oracle() -> str:
 )
 def rank_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    # query norm once on the broadcast side (cosine_pre), not per corpus row
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), l2norm(F.col("embedding")).alias("qn")
+    )
     rel = (
         e.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
-        .select("vec_id", "embedding", cosine(F.col("embedding"), F.col("qe")).alias("rel"))
+        .select(
+            "vec_id",
+            "embedding",
+            cosine_pre(
+                F.col("embedding"), F.col("qe"),
+                l2norm(F.col("embedding")), F.col("qn"),
+            ).alias("rel"),
+        )
         .orderBy(F.desc("rel"), F.asc("vec_id"))
         .limit(MMR_POOL)
         .transform(truncate_lineage)
@@ -1225,13 +1313,21 @@ def eval_retrieval_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "sparse_rank")
     )
     e = t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    # query norm once on the broadcast side (cosine_pre), not per corpus row
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), l2norm(F.col("embedding")).alias("qn")
+    )
     dense = (
         e.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
         .select(
             F.col("vec_id").alias("doc_id"),
-            r4(cosine(F.col("embedding"), F.col("qe"))).alias("score"),
+            r4(
+                cosine_pre(
+                    F.col("embedding"), F.col("qe"),
+                    l2norm(F.col("embedding")), F.col("qn"),
+                )
+            ).alias("score"),
         )
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(RRF_POOL)
@@ -1305,13 +1401,23 @@ HN_RAND_K = 8  # random negatives: md5-drawn from the remaining corpus
 )
 def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spread(t(spark, sf_dir, "embeddings"))
+    # norms once per side, not per pair (cosine_pre)
     q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        l2norm(F.col("embedding")).alias("qn"),
     )
     scored = (
-        e.crossJoin(F.broadcast(q))
+        e.select("vec_id", "embedding", l2norm(F.col("embedding")).alias("an"))
+        .crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", cosine(F.col("embedding"), F.col("qe")).alias("c"))
+        .select(
+            "qid",
+            "vec_id",
+            cosine_pre(
+                F.col("embedding"), F.col("qe"), F.col("an"), F.col("qn")
+            ).alias("c"),
+        )
     )
     # SINGLE subtree: a union of hard/random branches would reference the
     # scored frame twice and re-execute the corpus cosine scan per branch
@@ -1427,11 +1533,21 @@ def eval_ndcg_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.floor(F.abs(x.cast("double")) * 7.0 / m + 0.5),
         )
 
-    ev = e.select("vec_id", "embedding", q8(F.col("embedding")).alias("e8"))
+    # exact and quantized norms once per side (cosine_pre): each pair pays
+    # two dots instead of two dots + four norms
+    ev = e.select(
+        "vec_id",
+        "embedding",
+        q8(F.col("embedding")).alias("e8"),
+        l2norm(F.col("embedding")).alias("an"),
+        l2norm(q8(F.col("embedding"))).alias("an8"),
+    )
     q = ev.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
         F.col("e8").alias("qq8"),
+        F.col("an").alias("qn"),
+        F.col("an8").alias("qn8"),
     )
     scored = (
         ev.crossJoin(F.broadcast(q))
@@ -1439,8 +1555,12 @@ def eval_ndcg_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "qid",
             "vec_id",
-            cosine(F.col("embedding"), F.col("qe")).alias("c"),
-            cosine(F.col("e8"), F.col("qq8")).alias("c8"),
+            cosine_pre(
+                F.col("embedding"), F.col("qe"), F.col("an"), F.col("qn")
+            ).alias("c"),
+            cosine_pre(
+                F.col("e8"), F.col("qq8"), F.col("an8"), F.col("qn8")
+            ).alias("c8"),
         )
     )
     true_w = W.partitionBy("qid").orderBy(F.desc("c"), F.asc("vec_id"))

@@ -44,7 +44,14 @@ def chunk_docs(docs: DataFrame) -> DataFrame:
 
 
 def score_chunks(chunks: DataFrame) -> DataFrame:
-    toks = F.array_distinct(F.filter(F.split(F.lower("chunk"), r"\s+"), lambda x: x != ""))
+    # score = |token-set ∩ query-set|. array_intersect already returns
+    # DISTINCT matches, and neither '' nor a duplicate token can be in the
+    # 5-word query array — so the empty-token filter() (an interpreted
+    # higher-order function) and the array_distinct are provably
+    # value-neutral here and are dropped: the whole score is now a plain
+    # codegen'd chain (OPTIMIZATION_r14.md; oracle keeps list_distinct +
+    # list_filter and hashes identically).
+    toks = F.split(F.lower("chunk"), r"\s+")
     score = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in QUERY_TOKENS])))
     return chunks.withColumn("score", score.cast("long"))
 
@@ -52,13 +59,19 @@ def score_chunks(chunks: DataFrame) -> DataFrame:
 def extract_sections(docs: DataFrame) -> DataFrame:
     chunks = chunk_docs(docs)
     scored = score_chunks(chunks)
-    # top-1 as a map-side-combinable max_by aggregate (highest score, then
+    # top-1 as a map-side-combinable aggregate (highest score, then
     # earliest chunk) — the shuffle carries one candidate per (partition,
-    # doc) instead of sorting every doc's chunks under a row_number window
+    # doc) instead of sorting every doc's chunks under a row_number window.
+    # max(struct(score, -chunk_idx)) picks the SAME chunk as
+    # max_by(struct(chunk_idx, score), struct(score, -chunk_idx)) — struct
+    # comparison is lexicographic and chunk_idx is unique per doc — but
+    # max(orderable) is a DeclarativeAggregate, so the aggregate plans as
+    # a HashAggregate instead of max_by's SortAggregate + two per-doc-key
+    # Sorts (plan pin: no Sort below the best-chunk Exchange).
     best = (
         scored.groupBy("doc_id")
-        .agg(F.expr("max_by(struct(chunk_idx, score), struct(score, -chunk_idx))").alias("b"))
-        .select("doc_id", F.col("b.chunk_idx").alias("best_idx"), F.col("b.score").alias("score"))
+        .agg(F.max(F.struct(F.col("score"), (-F.col("chunk_idx")).alias("nci"))).alias("b"))
+        .select("doc_id", (-F.col("b.nci")).alias("best_idx"), F.col("b.score").alias("score"))
     )
     c = chunks.select(F.col("doc_id").alias("cd"), "chunk_idx", "chunk")
     joined = best.join(

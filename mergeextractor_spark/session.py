@@ -24,6 +24,22 @@ def get_spark(
     adjudicates on; everything else keeps the UI off: it is pure
     overhead for tests and the driver gate)."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Shuffle/spill scratch on tmpfs (guide §2.1: local disk bandwidth can
+    # be the tighter limit for shuffle files; here it is by far).  On this
+    # sandbox the root disk is a Firecracker virtio volume whose page-cache
+    # pages are reclaimed host-side (free-page reporting — the r14 thrash
+    # root cause, PERFORMANCE.md r14), so every shuffle write/read re-faults
+    # pages at fault-storm rates charged to task threads as SYSTEM time:
+    # a bare 5000-row repartition measured 5.5-7.1 s executor-CPU on the
+    # default /tmp vs 0.6-0.8 s on /dev/shm (OPTIMIZATION_r14.md, ~10x).
+    # RAM-backed scratch is the sandbox analogue of the fast local NVMe a
+    # real cluster mounts for spark.local.dir; SPARK_GRAFT_LOCAL_DIR
+    # overrides (set it to the NVMe array in production; spills larger
+    # than RAM need a disk-backed dir).
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+        os.makedirs(local_dir, exist_ok=True)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -37,6 +53,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
