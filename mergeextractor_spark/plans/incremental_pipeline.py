@@ -292,7 +292,7 @@ def pipeline_ingest_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     import functools
     import operator
 
-    from ..operators._util import spread
+    from ..operators._util import spread, truncate_lineage
     from ..operators.dedup import (
         INCR_BATCH_MOD,
         _bands_of,
@@ -316,21 +316,31 @@ def pipeline_ingest_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .unionByName(rekeyed)
     )
-    n_batch = batch.count()
 
     # 1. exact gate: hash anti-join against the committed corpus
+    # (n_batch / n_fresh are pure summary counts — deferred to the
+    # concurrent count block after the commit, guide §2.6: the cycle's
+    # wall time was a chain of ~9 serial driver actions, and the counts
+    # have no downstream dependents)
     comm_h = committed.select(F.md5("text").alias("h")).distinct()
     fresh = (
         batch.withColumn("h", F.md5("text"))
         .join(comm_h, "h", "left_anti")
         .drop("h")
     )
-    n_fresh = fresh.count()
 
     # 2. near-dup gate: probe the committed slice of the cycle store
     path = ensure_minhash_commit_store(spark, sf_dir, tag="cycle")
     sh_b = _cache_shingles(_spread_doc_shingles(fresh))
-    bands_b = _bands_of(sh_b.groupBy("doc_id").agg(*_minhash_agg_cols()))
+    # checkpoint the batch band keys: they feed FOUR consumers (the
+    # partition-list collect, the verify band-join, the survivor
+    # anti-join, and the commit's own partition-list + merged write) —
+    # without the cut each consumer re-runs the signature aggregate
+    # (r14 profile: commit alone re-evaluated the whole verify tail
+    # twice, 5.5 s executor-CPU of the cycle's 8.4 s)
+    bands_b = truncate_lineage(
+        _bands_of(sh_b.groupBy("doc_id").agg(*_minhash_agg_cols()))
+    )
     parts = (
         bands_b.select("band", F.substring("bucket", 1, 1).alias("bpfx"))
         .distinct()
@@ -355,15 +365,30 @@ def pipeline_ingest_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         pair_pred & (F.col("doc_id") % M != 0)
     )
     pairs = minhash_verify_pairs(spread(committed), sh_b, bands_b, store)
-    near = pairs.select("doc_id").distinct()
-    n_near = near.count()
+    # checkpoint the near-dup doc list (<= batch-sized): the commit path
+    # below references it through the survivor anti-join, and an uncut
+    # lineage re-runs the full probe/verify join once per commit action
+    near = truncate_lineage(pairs.select("doc_id").distinct())
 
     # 3. commit the survivors' band keys (partition-scoped, idempotent)
     survivors_bands = bands_b.join(near, "doc_id", "left_anti")
     minhash_store_commit(spark, path, survivors_bands)
-    n_store_docs = (
-        minhash_store_read(spark, path).select("doc_id").distinct().count()
-    )
+
+    # 4. summary counts — four independent jobs submitted concurrently
+    # (guide §2.6: Spark runs several jobs at once inside one
+    # application; these share no dependency, so the pool overlaps
+    # their scan/join latencies instead of chaining four round-trips)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_batch = pool.submit(batch.count)
+        f_fresh = pool.submit(fresh.count)
+        f_near = pool.submit(near.count)
+        f_store = pool.submit(
+            minhash_store_read(spark, path).select("doc_id").distinct().count
+        )
+        n_batch, n_fresh = f_batch.result(), f_fresh.result()
+        n_near, n_store_docs = f_near.result(), f_store.result()
 
     return spark.createDataFrame(
         [(n_batch, n_batch - n_fresh, n_near, n_fresh - n_near, n_store_docs)],
