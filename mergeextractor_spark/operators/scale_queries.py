@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ._util import t, r4, spread
-from .vector_queries import cosine, cosine_pre, dot, l2norm
+from .vector_queries import assign_nearest, cosine, cosine_pre, dot, l2norm
 
 N_CENTROIDS = 4
 N_QUERIES = 10
@@ -66,23 +66,23 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
-    dots = (
-        e.crossJoin(F.broadcast(cents))
+    # Cell assignment MAP-SIDE over the packed broadcast codebook (r14,
+    # assign_nearest): same dots, same (d, -cid) argmax as the previous
+    # crossJoin + max_by aggregate, but zero candidate-row blowup, zero
+    # Exchange, zero SortAggregate — assignment is literally the one map
+    # stage the 100 TB docstring promises.
+    assign = assign_nearest(e, cents).select("vec_id", "cid")
+    # query probes need top-NPROBE cells for the N_QUERIES query vectors
+    # only — the query filter lands BEFORE the crossJoin, so the dot
+    # table is N_QUERIES×C rows, never N×C
+    qdots = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cents))
         .select("vec_id", "cid", dot(F.col("embedding"), F.col("ce")).alias("d"))
     )
-    # Cell assignment as an ALGEBRAIC aggregate, not a row_number window:
-    # max_by with a (d, -cid) tie-break is map-side combinable, so the full
-    # N×C dot table never sorts and the shuffle carries one row per vector
-    # (r2 ran a full-table window here — the sort dominated the query).
-    assign = dots.groupBy("vec_id").agg(
-        F.expr("max_by(cid, struct(d, -cid))").alias("cid")
-    )
-    # query probes need top-NPROBE cells for the N_QUERIES query vectors
-    # only — filter BEFORE the window so it sorts N_QUERIES×C rows, not N×C
     wq = W.partitionBy("vec_id").orderBy(F.desc("d"), F.asc("cid"))
     qprobe = (
-        dots.filter(F.col("vec_id") < N_QUERIES)
-        .withColumn("rn", F.row_number().over(wq))
+        qdots.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= NPROBE)
         .select(F.col("vec_id").alias("qid"), "cid")
     )
@@ -270,19 +270,17 @@ def trained_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
     cdf = spark.createDataFrame(cents, ["cid", "ce"]).coalesce(1)
-    dots = (
-        e.crossJoin(F.broadcast(cdf))
+    # same shape as ann_ivf_topk: map-side packed-codebook assignment
+    # (assign_nearest, r14), window only over the filtered query rows
+    assign = assign_nearest(e, cdf).select("vec_id", "cid")
+    qdots = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cdf))
         .select("vec_id", "cid", dot(F.col("embedding"), F.col("ce")).alias("d"))
-    )
-    # same shape as ann_ivf_topk: algebraic max_by for assignment, window
-    # only over the filtered query rows
-    assign = dots.groupBy("vec_id").agg(
-        F.expr("max_by(cid, struct(d, -cid))").alias("cid")
     )
     wq = W.partitionBy("vec_id").orderBy(F.desc("d"), F.asc("cid"))
     qprobe = (
-        dots.filter(F.col("vec_id") < N_QUERIES)
-        .withColumn("rn", F.row_number().over(wq))
+        qdots.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= NPROBE_TRAINED)
         .select(F.col("vec_id").alias("qid"), "cid")
     )
@@ -439,9 +437,10 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         vsubs.join(F.broadcast(cents), "sub")
         .select("vec_id", "sub", "code", dot(F.col("ve"), F.col("ce")).alias("d"))
     )
-    codes = vdots.groupBy("vec_id", "sub").agg(
-        F.expr("max_by(code, struct(d, -code))").alias("code")
-    )
+    # map-side packed-codebook encode (r14, _encode_codes): vdots below
+    # only feeds the query lookup, where the vec_id filter prunes it to
+    # the query rows at the scan
+    codes = _encode_codes(vsubs, cents)
     qlook = vdots.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), "sub", "code", "d"
     )
@@ -613,16 +612,17 @@ def _ivf_assign_probe(e: DataFrame) -> tuple[DataFrame, DataFrame]:
     cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
-    cdots = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "cid", dot(F.col("embedding"), F.col("ce")).alias("d")
-    )
-    assign = cdots.groupBy("vec_id").agg(
-        F.expr("max_by(cid, struct(d, -cid))").alias("cid")
+    # map-side packed-codebook assignment (assign_nearest, r14): same
+    # dots and argmax rule, no candidate blowup / exchange / sort
+    assign = assign_nearest(e, cents).select("vec_id", "cid")
+    qdots = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", "cid", dot(F.col("embedding"), F.col("ce")).alias("d"))
     )
     wq = W.partitionBy("vec_id").orderBy(F.desc("d"), F.asc("cid"))
     qprobe = (
-        cdots.filter(F.col("vec_id") < N_QUERIES)
-        .withColumn("rn", F.row_number().over(wq))
+        qdots.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= NPROBE)
         .select(F.col("vec_id").alias("qid"), "cid")
     )
@@ -667,10 +667,40 @@ def _pq_encode_parts(
         vsubs.join(F.broadcast(pcents), "sub")
         .select("vec_id", "sub", "code", dot(F.col("ve"), F.col("ce")).alias("d"))
     )
-    codes = vdots.groupBy("vec_id", "sub").agg(
-        F.expr("max_by(code, struct(d, -code))").alias("code")
-    )
+    codes = _encode_codes(vsubs, pcents)
     return vsubs, pcents, vdots, codes
+
+
+def _encode_codes(
+    vsubs: DataFrame, pcents: DataFrame, keep: tuple = ()
+) -> DataFrame:
+    """(vec_id, sub) → argmax-dot ``code``, MAP-SIDE (r14): the 16-entry
+    per-subspace codebook packs into 8 broadcast rows (one sorted
+    (code, ce)-struct array per sub) and each (vector, sub) row takes
+    ``array_max(transform(...))`` over its sub's array — the same dots
+    and the same (d, -code) argmax as the previous
+    ``vdots.groupBy(vec_id, sub).agg(max_by(code, struct(d, -code)))``,
+    without the |codes|× row blowup, its Exchange, or the SortAggregate
+    pair max_by's struct ordering forces (profiled: that pipeline was
+    ~46 s of ann_ivf_pq's task time at sf0.1).  Encode stays one map
+    stage over the corpus, which is the PQ ingest story at 100 TB."""
+    pc = pcents.groupBy("sub").agg(
+        F.array_sort(F.collect_list(F.struct("code", "ce"))).alias("__cb")
+    )
+    entries = F.transform(
+        F.col("__cb"),
+        lambda c: F.struct(
+            dot(F.col("ve"), c["ce"]).alias("d"), (-c["code"]).alias("nc")
+        ),
+    )
+    return (
+        vsubs.join(F.broadcast(pc), "sub")
+        .select(
+            "vec_id", "sub", (-F.array_max(entries)["nc"]).alias("code"),
+            *keep,
+        )
+        .filter(F.col("code").isNotNull())
+    )
 
 
 def _pq_query_lookup(vdots: DataFrame) -> DataFrame:
@@ -747,13 +777,11 @@ def ivf_store_write(spark: SparkSession, sf_dir: str, path: str) -> None:
     cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
-    cdots = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "cid", dot(F.col("embedding"), F.col("ce")).alias("d")
-    )
-    assign = cdots.groupBy("vec_id").agg(
-        F.expr("max_by(cid, struct(d, -cid))").alias("cid")
-    )
-    e.join(assign, "vec_id").write.mode("overwrite").partitionBy("cid").parquet(path)
+    # map-side packed-codebook assignment (assign_nearest, r14): the cid
+    # lands ON the embedding row, so the former assign-back join — which
+    # shuffled the raw vectors by vec_id just to re-attach their own
+    # cell — disappears; the write's partitionBy is the only exchange
+    assign_nearest(e, cents).write.mode("overwrite").partitionBy("cid").parquet(path)
 
 
 def ivf_store_probe(
@@ -1005,9 +1033,25 @@ def pq_codes_write(spark: SparkSession, sf_dir: str, path: str) -> None:
     its cells' code directories (8 bytes/vector/subspace, not raw
     floats)."""
     e = spread(t(spark, sf_dir, "embeddings"))
-    assign, _ = _ivf_assign_probe(e)
-    _vs, _pc, _vd, codes = _pq_encode_parts(e)
-    codes.join(assign, "vec_id").write.mode("overwrite").partitionBy("cid").parquet(path)
+    # both the cell assignment and the code encode are map-side packed-
+    # codebook projections now (r14), so the cid rides the row from the
+    # start and the former codes⋈assign re-shuffle disappears — the
+    # whole encode is one map stage into the partitioned write
+    cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    ecid = assign_nearest(e, cents)
+    sub = F.explode(F.sequence(F.lit(0), F.lit(PQ_SUBS - 1))).alias("sub")
+    vsubs = ecid.select("vec_id", "cid", "embedding", sub).select(
+        "vec_id", "cid", "sub",
+        F.slice("embedding", F.col("sub") * 8 + 1, 8).alias("ve"),
+    )
+    pcents = (
+        vsubs.filter(F.col("vec_id") < PQ_CODES)
+        .select(F.col("vec_id").alias("code"), "sub", F.col("ve").alias("ce"))
+    )
+    codes = _encode_codes(vsubs, pcents, keep=("cid",))
+    codes.write.mode("overwrite").partitionBy("cid").parquet(path)
 
 
 def ensure_pq_store(spark: SparkSession, sf_dir: str) -> str:

@@ -47,6 +47,47 @@ def cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
     return dot(a, b) / (na * nb)
 
 
+def assign_nearest(
+    vecs: DataFrame, cands: DataFrame, emb_col: str = "embedding",
+    out: str = "cid",
+) -> DataFrame:
+    """Append ``out`` = the max-dot candidate id (ties → smallest id) to
+    every row of ``vecs`` — the nearest-centroid assignment every IVF/
+    k-center key runs, computed MAP-SIDE (r14, guide §2.4).
+
+    The candidate frame (cid, ce) packs into ONE broadcast row (sorted
+    array of (cid, ce) structs) and each vector takes
+    ``array_max(transform(cb, c -> struct(dot, -cid)))`` over it.  The
+    row-blowup form this replaces — crossJoin × |cands| then
+    ``groupBy(vec).agg(max_by(cid, struct(d, -cid)))`` — multiplied the
+    corpus by the candidate count, exchanged it, and planned the argmax
+    as SortAggregate + per-group Sorts on BOTH sides of the exchange
+    (max_by's struct ordering keeps it off the hash path).  Here the
+    same dots and the same lexicographic (d, -cid) comparison happen
+    inside one projection: no candidate rows, no exchange, no sort —
+    assignment is one map stage, which is what the ann_ivf_topk
+    docstring promises at 100 TB.  The trailing isNotNull filter only
+    drops rows when the candidate frame is EMPTY (array_max over an
+    empty codebook) — exactly the rows the crossJoin form never
+    emitted."""
+    cb = cands.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("cid", "ce"))).alias("__cb")
+    )
+    entries = F.transform(
+        F.col("__cb"),
+        lambda c: F.struct(
+            dot(F.col(emb_col), c["ce"]).alias("d"),
+            (-c["cid"]).alias("nc"),
+        ),
+    )
+    return (
+        vecs.crossJoin(F.broadcast(cb))
+        .withColumn(out, -F.array_max(entries)["nc"])
+        .drop("__cb")
+        .filter(F.col(out).isNotNull())
+    )
+
+
 _COS_PAIRS_CTE = """
     WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {qid}),
     pairs AS (
@@ -448,13 +489,12 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = aug.filter(F.col("vec_id") < SEM_K).select(
         F.col("vec_id").alias("cid"), F.col("emb").alias("ce")
     )
-    cd = aug.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "cid", dot(F.col("emb"), F.col("ce")).alias("d")
-    )
-    assign = cd.groupBy("vec_id").agg(
-        F.expr("max_by(cid, struct(d, -cid))").alias("cid")
-    )
-    av = aug.join(assign, "vec_id")
+    # map-side packed-codebook assignment (assign_nearest, r14): same
+    # dots and (d, -cid) argmax as the crossJoin + max_by aggregate it
+    # replaces, and the cid lands ON the row — the assign-back join of
+    # the augmented corpus by vec_id disappears with the aggregate
+    av = assign_nearest(aug, cents, emb_col="emb")
+    assign = av.select("vec_id", "cid")
     # norm once per assigned row (cosine_pre), not per within-cluster pair
     a = av.select(
         F.col("vec_id").alias("va"), "cid",
