@@ -319,28 +319,24 @@ def agg_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     by_gram = sg.groupBy("gh").agg(F.sort_array(F.collect_set("source")).alias("ss"))
     # one pass over the per-gram source sets: each gram emits a singleton
-    # struct (s, NULL) per member source AND a (s1, s2) struct per source
-    # pair, so sizes and intersections come out of a SINGLE aggregate —
-    # the gram-cardinality table is never evaluated twice
-    items = F.flatten(
-        F.transform(
-            F.col("ss"),
-            lambda x, i: F.concat(
-                F.array(
-                    F.struct(
-                        x.alias("s1"), F.lit(None).cast("string").alias("s2")
-                    )
-                ),
-                F.transform(
-                    F.slice(F.col("ss"), i + 2, F.size(F.col("ss"))),
-                    lambda y: F.struct(x.alias("s1"), y.alias("s2")),
-                ),
-            ),
-        )
-    )
+    # (s, NULL) row per member source AND a (s1, s2) row per source pair,
+    # so sizes and intersections come out of a SINGLE aggregate — the
+    # gram-cardinality table is never evaluated twice.  The expansion is
+    # two chained Generates with plain codegen'd projections between
+    # them (r14): the nested flatten/transform lambda form this replaces
+    # built the identical rows through the interpreted HigherOrderFunction
+    # path (the §2 shingle-builder lesson applied to pair expansion).
     counts = (
-        by_gram.select(F.explode(items).alias("it"))
-        .select("it.s1", "it.s2")
+        by_gram.select(F.posexplode("ss").alias("i0", "s1"), F.col("ss"))
+        .select(
+            "s1",
+            F.explode(
+                F.concat(
+                    F.array(F.lit(None).cast("string")),
+                    F.slice(F.col("ss"), F.col("i0") + 2, F.size("ss")),
+                )
+            ).alias("s2"),
+        )
         .groupBy("s1", "s2")
         .agg(F.count("*").cast("bigint").alias("cnt"))
     )

@@ -367,13 +367,10 @@ def minhash_pairs_df(
     one tools/stress.py drives at K× replication."""
     sh = _cache_shingles(_spread_doc_shingles(d))
     sig = sh.groupBy("doc_id").agg(*_minhash_agg_cols(n_hashes))
-    bands = None
-    for band in range(n_hashes // band_size):
-        cols = [F.col(f"m{band * band_size + i}") for i in range(band_size)]
-        piece = sig.select(
-            "doc_id", F.lit(band).alias("band"), F.md5(F.concat(*cols)).alias("bucket")
-        )
-        bands = piece if bands is None else bands.unionByName(piece)
+    # single-pass banding (r14, _bands_of): the inline b-way union this
+    # replaces evaluated the signature aggregate — 6 md5s per shingle —
+    # once per band branch
+    bands = _bands_of(sig, n_hashes, band_size)
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     cand = (
@@ -444,7 +441,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = spread(t(spark, sf_dir, "documents"))
-    sh = d.select("doc_id", "lang", F.explode(shingles(F.col("text"))).alias("shingle")).distinct()
+    # per-doc distinct shingles map-side (r14, the dedup_simhash fix):
+    # (doc_id, shingle) distinct == array_distinct before the explode,
+    # minus the corpus-wide distinct Exchange
+    sh = d.select(
+        "doc_id", "lang",
+        F.explode(F.array_distinct(shingles(F.col("text")))).alias("shingle"),
+    )
     # df-cap before the join: annotate document frequency with a window
     # partitioned exactly like the join key, keep non-boilerplate shingles.
     shc = (
@@ -509,7 +512,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = spread(t(spark, sf_dir, "documents"))
-    sh = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle")).distinct()
+    # per-doc distinct shingles map-side (r14, the dedup_simhash fix)
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(F.col("text")))).alias("shingle"),
+    )
     shc = (
         sh.withColumn("df", F.count("*").over(Window.partitionBy("shingle")))
         .filter(F.col("df") <= DF_CAP)
@@ -576,7 +583,14 @@ def _simhash_bit_exprs(engine: str) -> list[str]:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(t(spark, sf_dir, "documents"))
-    toks = d.select("doc_id", F.explode(words(F.col("text"))).alias("tok")).distinct()
+    # per-doc distinct tokens MAP-SIDE (r14): distinct over (doc_id, tok)
+    # is by definition per-document, so array_distinct before the explode
+    # produces the identical row set without the corpus-wide distinct
+    # Exchange the .distinct() form paid — one shuffle (the signature
+    # groupBy) instead of two
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(words(F.col("text")))).alias("tok")
+    )
     bit_exprs = [F.expr(e).alias(f"s{i}") for i, e in enumerate(_simhash_bit_exprs("spark"))]
     bits = toks.groupBy("doc_id").agg(*bit_exprs)
     sim = None
@@ -653,7 +667,10 @@ _HAM64 = "(" + "+".join(f"bit_count(xor(a.b{k}, b.b{k}))" for k in range(4)) + "
 )
 def dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(t(spark, sf_dir, "documents"))
-    toks = d.select("doc_id", F.explode(words(F.col("text"))).alias("tok")).distinct()
+    # per-doc distinct tokens map-side — same fix as dedup_simhash (r14)
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(words(F.col("text")))).alias("tok")
+    )
     bit_exprs = [F.expr(e.split(" AS ")[0]).alias(e.split(" AS ")[1]) for e in _simhash64_exprs("spark")]
     bits = toks.groupBy("doc_id").agg(*bit_exprs)
     packs = []
@@ -955,6 +972,12 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode the window-start range, hash in a codegen'd projection (not a
     # transform() lambda — interpreted HOF path, see OPTIMIZATION_r14.md);
     # the sequence value IS start_pos, so no posexplode arithmetic either
+    # gh as the 16-byte unhex'd md5 (bijective with the hex string; it
+    # never reaches the output) and shared-window detection as a single
+    # window pass — min(doc_id) != max(doc_id) over the gh partition is
+    # countDistinct(doc_id) >= 2 — instead of the aggregate + join-back
+    # that evaluated and shuffled the window-hash map stage twice (r14,
+    # the dedup_span_merge A/B: 2.64 -> 1.39 s executor CPU)
     g = tok.select(
         "doc_id",
         "w",
@@ -962,17 +985,16 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         "start_pos",
-        F.md5(F.concat_ws(" ", F.slice(F.col("w"), F.col("start_pos"), SPAN_W))).alias("gh"),
-    )
-    dup = (
-        g.groupBy("gh")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("gh")
+        F.unhex(
+            F.md5(F.concat_ws(" ", F.slice(F.col("w"), F.col("start_pos"), SPAN_W)))
+        ).alias("gh"),
     )
     tot = g.groupBy("doc_id").agg(F.count("*").alias("total_windows"))
+    wg = W.partitionBy("gh")
     hit = (
-        g.join(dup, "gh")
+        g.withColumn("d0", F.min("doc_id").over(wg))
+        .withColumn("d1", F.max("doc_id").over(wg))
+        .filter(F.col("d0") != F.col("d1"))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("dup_windows"),
@@ -1188,7 +1210,11 @@ def dedup_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(t(spark, sf_dir, "documents"))
     w = F.filter(F.split("text", r"\s+"), lambda x: x != "")
     tok = d.select("doc_id", w.alias("w")).filter(F.size("w") >= SPAN_W)
-    # explode-first + codegen'd hash, same as dedup_substring_spans above
+    # explode-first + codegen'd hash, same as dedup_substring_spans above;
+    # gh is the 16-BYTE unhex'd md5 (bijective with the hex string, so
+    # grouping semantics are untouched) — it only partitions the window
+    # below and never reaches the output, and binary keys shuffle and
+    # compare at half the hex string's width (r14)
     g = tok.select(
         "doc_id",
         "w",
@@ -1196,16 +1222,23 @@ def dedup_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         "start_pos",
-        F.md5(F.concat_ws(" ", F.slice(F.col("w"), F.col("start_pos"), SPAN_W))).alias("gh"),
+        F.unhex(
+            F.md5(F.concat_ws(" ", F.slice(F.col("w"), F.col("start_pos"), SPAN_W)))
+        ).alias("gh"),
     )
-    dup = (
-        g.groupBy("gh")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("gh")
-    )
-    hits = g.join(dup, "gh").select(
-        "doc_id", "start_pos", (F.col("start_pos") + SPAN_W - 1).alias("end_pos")
+    # shared-window detection in ONE pass (r14): min(doc_id) != max(doc_id)
+    # over the gh partition is exactly countDistinct(doc_id) >= 2, so the
+    # aggregate + join-back — which evaluated the whole window-hash map
+    # stage twice and shuffled it twice — collapses to one window over one
+    # exchange (A/B: 2.64 -> 1.39 s executor CPU, identical rows)
+    wg = W.partitionBy("gh")
+    hits = (
+        g.withColumn("d0", F.min("doc_id").over(wg))
+        .withColumn("d1", F.max("doc_id").over(wg))
+        .filter(F.col("d0") != F.col("d1"))
+        .select(
+            "doc_id", "start_pos", (F.col("start_pos") + SPAN_W - 1).alias("end_pos")
+        )
     )
     w_prev = (
         W.partitionBy("doc_id")
@@ -1351,20 +1384,23 @@ def entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def eval_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", F.explode(F.array_distinct(shingles(F.col("text")))).alias("shingle")
+    # LAZY-checkpointed, not _cache_shingles (r14): this plan reads sh
+    # from four subtrees (sig, sizes, both verify sides), and the bare
+    # inline explode re-ran the shingle transform per subtree (16.4 s
+    # isolated executor CPU). The SQL-cache route regressed instead
+    # (14.7 -> 135 s — the cached relation's stats flip the candidate
+    # joins off their broadcast plan), while the lazy localCheckpoint
+    # materializes once and keeps every join strategy: 16.4 -> 5.4 s.
+    sh = truncate_lineage(
+        d.select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles(F.col("text")))).alias("shingle"),
+        ),
+        eager=False,
     )
     sig = sh.groupBy("doc_id").agg(*_minhash_agg_cols())
-    bands = None
-    for band in range(N_HASHES // BAND_SIZE):
-        b = sig.select(
-            "doc_id",
-            F.lit(band).alias("band"),
-            F.md5(
-                F.concat(F.col(f"m{band * BAND_SIZE}"), F.col(f"m{band * BAND_SIZE + 1}"))
-            ).alias("bucket"),
-        )
-        bands = b if bands is None else bands.unionByName(b)
+    # single-pass banding (r14, _bands_of) — same fix as minhash_pairs_df
+    bands = _bands_of(sig)
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "bucket"])

@@ -266,24 +266,24 @@ def market_basket_frame(
     n_users = F.broadcast(
         baskets.agg(F.count("*").cast("double").alias("n"))
     )
-    # one explode emits per-item singletons (item, NULL) AND ordered
+    # one expansion emits per-item singletons (item, NULL) AND ordered
     # pairs (a, b); one groupBy then yields both the per-item user
-    # counts and the pair co-occurrence counts
-    items_and_pairs = F.flatten(
-        F.transform(
-            F.col("items"),
-            lambda x, i: F.concat(
-                F.array(F.struct(x.alias("a"), F.lit(None).cast("int").alias("b"))),
-                F.transform(
-                    F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
-                    lambda y: F.struct(x.alias("a"), y.alias("b")),
-                ),
-            ),
-        )
-    )
+    # counts and the pair co-occurrence counts.  Two chained Generates
+    # with codegen'd projections (r14) — the nested flatten/transform
+    # lambda form this replaces built the identical rows through the
+    # interpreted HigherOrderFunction path (the agg_source_overlap
+    # expansion, same fix).
     counts = (
-        baskets.select(F.explode(items_and_pairs).alias("it"))
-        .select("it.a", "it.b")
+        baskets.select(F.posexplode("items").alias("i0", "a"), F.col("items"))
+        .select(
+            "a",
+            F.explode(
+                F.concat(
+                    F.array(F.lit(None).cast("int")),
+                    F.slice(F.col("items"), F.col("i0") + 2, F.size("items")),
+                )
+            ).alias("b"),
+        )
         .groupBy("a", "b")
         .agg(F.count("*").cast("bigint").alias("c"))
     )

@@ -190,7 +190,12 @@ def clf_features(d: DataFrame, buckets: int = CLF_BUCKETS) -> DataFrame:
         (F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long")
          % buckets).alias("b"),
     ).groupBy("doc_id", "b").agg(F.count("*").alias("x"))
-    bias = toks.select("doc_id").distinct().select(
+    # intercept rows from the COUNTS frame, not a second distinct over
+    # the exploded tokens (r14): "docs with >= 1 token" is the same set
+    # either way, but this way the tokenize+explode pass is shared with
+    # the counts aggregate (ReuseExchange) instead of running twice, and
+    # the distinct reads |counts| grouped rows, not |tokens|
+    bias = counts.select("doc_id").distinct().select(
         "doc_id", F.lit(-1).cast("long").alias("b"), F.lit(1).cast("long").alias("x")
     )
     return counts.unionByName(bias)
@@ -220,8 +225,14 @@ def clf_train(
     integer update — weights checkpointed per round."""
     S = CLF_SCALE
     spark = feat.sparkSession
-    feat = truncate_lineage(feat)
-    lab = truncate_lineage(lab)
+    # the two input checkpoints are independent jobs — submit them
+    # concurrently (guide §2.6) instead of chaining two barriers
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_feat = pool.submit(truncate_lineage, feat)
+        f_lab = pool.submit(truncate_lineage, lab)
+        feat, lab = f_feat.result(), f_lab.result()
     n_docs = feat.select("doc_id").distinct().count()  # driver: one int
     w = truncate_lineage(
         spark.range(-1, buckets).select(
