@@ -212,26 +212,34 @@ def test_no_registered_output_is_canonicalizer_hostile(spark):
 def test_bench_stdout_line_stays_parseable_and_small():
     """BENCH_r05 failed to parse because the stdout JSON outgrew the
     driver's tail-capture buffer. The line builder must stay under 2000
-    bytes for the real suite AND for pathological suites, keeping the
-    slowest queries and an explicit omission count."""
+    bytes for the real suite AND for pathological suites — and the
+    `queries` dict is the cross-round contract: a key missing from it
+    reads as a REMOVED query, so the real suite must ALWAYS emit every
+    key (the r14 rewrite sheds optional extras and decimals instead)."""
     import json
 
     from bench import HEADLINE, build_stdout_line
 
-    # the real suite shape: the 69-key suite no longer fits every
-    # per-key timing in the driver's 2000-char tail capture, so the
-    # valve may omit the FASTEST keys with an explicit count — the full
-    # per-key record is persisted to bench_last_record.json on every
-    # run (r14), so nothing is lost.  The compact line must stay under
-    # the buffer, parse, keep the slowest keys, and account for every
-    # key.
+    # the real suite shape, with the full r14 extras: EVERY key must be
+    # present — never an omission — and the line must fit the driver's
+    # 2000-char tail capture (it is the final stdout write).
     timings = {k: 1.234 for k in HEADLINE}
-    line = build_stdout_line(timings, 60.0, 5, 0.1)
-    assert len(line) < 1950, len(line)
+    extras = {
+        "cpu_s": 59.2,
+        "clean_cpu_s": 59.2,
+        "thrash_samples": 0,
+        "clean_value": 65.24,
+        "frozen_blocks": 28,
+        "trainer_profile": {"clf_rounds": 6, "bpe_rounds": 10},
+    }
+    line = build_stdout_line(timings, 60.0, 5, 0.1, extra=extras)
+    assert len(line) <= 1985, len(line)
     d = json.loads(line)
     assert d["metric"] == "headline_suite_seconds"
-    assert len(d["queries"]) + d.get("omitted_fastest", 0) == len(HEADLINE)
-    assert len(d["queries"]) >= 55, "valve dropped far too many keys"
+    assert "omitted_fastest" not in d, "real suite must never drop keys"
+    assert set(d["queries"]) == set(HEADLINE)
+    # the two adjudication aggregates survive the extra-shedding valve
+    assert "cpu_s" in d and "clean_value" in d
 
     # pathological: 300 long-named queries must trigger the valve
     big = {f"extremely_long_query_name_number_{i:03d}": i / 7 for i in range(300)}
