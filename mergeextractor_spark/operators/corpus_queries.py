@@ -301,6 +301,37 @@ def agg_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # executor CPU of the identical slice/concat_ws/md5 chain compiled by
     # whole-stage codegen after the Generate (OPTIMIZATION_r14.md). Same
     # gram text, same md5, same multiset of rows — map-side either way.
+    #
+    # Source sets ride a LONG BITMASK (r14): `source` is a bounded
+    # dimension (20 fixture values; subcorpora stay in the dozens at
+    # 100 TB), so the per-gram distinct source set is bit_or over
+    # per-source bits — a fully codegen'd HashAggregate with map-side
+    # partial aggregation — instead of sort_array(collect_set(...)),
+    # whose ObjectHashAggregate buffers fell back to sort-based
+    # aggregation in EVERY map task (numTasksFallBacked=32, 37.4 s of
+    # summed task time at sf0.1 — the plan-profile evidence in
+    # OPTIMIZATION_r14.md).  The mask is bijective with the sorted set
+    # (bit i == sorted-source i), so pair expansion over the tiny
+    # mask-count frame yields the identical counts.  The gram key
+    # shuffles as the 8-byte unhex of the 16-hex md5 prefix — bijective
+    # with the hex string, so collision behavior is byte-identical to
+    # the oracle's substr(md5, 1, 16).
+    srcs = [
+        r[0]
+        for r in t(spark, sf_dir, "documents")
+        .select("source")
+        .distinct()
+        .orderBy("source")
+        .collect()
+    ]  # bounded dimension collect — the _probed_cids boundedness class
+    if len(srcs) > 62:
+        raise ValueError(
+            "agg_source_overlap's bitmask form covers <= 62 sources; "
+            "shard the mask into multiple longs past that"
+        )
+    bit_of = F.create_map(
+        *[x for i, s in enumerate(srcs) for x in (F.lit(s), F.lit(1 << i))]
+    )[F.col("source")].cast("long")
     sg = (
         spread(t(spark, sf_dir, "documents"))
         .filter(F.size(ws) >= n)
@@ -311,34 +342,60 @@ def agg_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.sequence(F.lit(1), F.size("ws") - (n - 1))).alias("i"),
         )
         .select(
-            "source",
-            F.substring(
-                F.md5(F.concat_ws(" ", F.slice(F.col("ws"), F.col("i"), n))), 1, 16
+            bit_of.alias("b"),
+            F.unhex(
+                F.substring(
+                    F.md5(F.concat_ws(" ", F.slice(F.col("ws"), F.col("i"), n))),
+                    1,
+                    16,
+                )
             ).alias("gh"),
         )
     )
-    by_gram = sg.groupBy("gh").agg(F.sort_array(F.collect_set("source")).alias("ss"))
-    # one pass over the per-gram source sets: each gram emits a singleton
-    # (s, NULL) row per member source AND a (s1, s2) row per source pair,
-    # so sizes and intersections come out of a SINGLE aggregate — the
-    # gram-cardinality table is never evaluated twice.  The expansion is
-    # two chained Generates with plain codegen'd projections between
-    # them (r14): the nested flatten/transform lambda form this replaces
-    # built the identical rows through the interpreted HigherOrderFunction
-    # path (the §2 shingle-builder lesson applied to pair expansion).
-    counts = (
-        by_gram.select(F.posexplode("ss").alias("i0", "s1"), F.col("ss"))
-        .select(
-            "s1",
-            F.explode(
-                F.concat(
-                    F.array(F.lit(None).cast("string")),
-                    F.slice(F.col("ss"), F.col("i0") + 2, F.size("ss")),
+    # distinct masks present <= min(#grams, 2^|sources|) — per-mask gram
+    # counts are a tiny frame, and every downstream consumer re-runs
+    # only post-exchange work (ReuseExchange covers the corpus-sized
+    # aggregates)
+    mc = (
+        sg.groupBy("gh")
+        .agg(F.bit_or("b").alias("m"))
+        .groupBy("m")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # one pass over the mask counts: each mask emits a singleton
+    # (s, NULL) entry per member source AND a (s1, s2) entry per member
+    # pair (s1 < s2 in sorted-source order, matching the sort_array
+    # pairing this replaces), so sizes and intersections still come out
+    # of a SINGLE aggregate.  |sources| + C(|sources|, 2) gated entries
+    # per mask row — 210 at the 20-source fixture — over the tiny frame.
+    null_s = F.lit(None).cast("string")
+    entries = F.array(
+        *(
+            [
+                F.when(
+                    F.col("m").bitwiseAND(F.lit(1 << i).cast("long")) != 0,
+                    F.struct(F.lit(srcs[i]).alias("s1"), null_s.alias("s2")),
                 )
-            ).alias("s2"),
+                for i in range(len(srcs))
+            ]
+            + [
+                F.when(
+                    F.col("m").bitwiseAND(F.lit((1 << i) | (1 << j)).cast("long"))
+                    == F.lit((1 << i) | (1 << j)).cast("long"),
+                    F.struct(
+                        F.lit(srcs[i]).alias("s1"), F.lit(srcs[j]).alias("s2")
+                    ),
+                )
+                for i in range(len(srcs))
+                for j in range(i + 1, len(srcs))
+            ]
         )
-        .groupBy("s1", "s2")
-        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    counts = (
+        mc.select(F.explode(entries).alias("e"), "cnt")
+        .filter(F.col("e").isNotNull())
+        .groupBy(F.col("e.s1").alias("s1"), F.col("e.s2").alias("s2"))
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
     )
     inter = counts.filter(F.col("s2").isNotNull()).withColumnRenamed(
         "cnt", "n_inter"
