@@ -175,10 +175,12 @@ def bpe_train(
     Per round: pair-count aggregate (vocab-sized), 1-ROW argmax collect
     (driver traffic bounded by the round count), two literal replaces.
     Lineage truncated every second round (and after the last merge) —
-    each truncation is a blocking job, and a two-round plan (1 aggregate
-    + 2 narrow maps per round) is trivially small for Catalyst, so
-    halving the barrier count is pure win (the graph_pagerank policy)."""
-    vocab = truncate_lineage(vocab)
+    LAZILY (r14, the graph_pagerank policy): the round's argmax collect
+    is already a mandatory blocking job, so a lazy cut materializes
+    inside it instead of as a second driver job, and a two-round plan
+    (1 aggregate + 2 narrow maps per round) is trivially small for
+    Catalyst."""
+    vocab = truncate_lineage(vocab, eager=False)
     merges: list[tuple[int, str, str, str, int]] = []
     for k in range(1, rounds + 1):
         sym = F.split(F.trim("s"), " ")
@@ -187,17 +189,27 @@ def bpe_train(
         # on a single-symbol word sequence(1, size-1) = sequence(1, 0)
         # yields the DESCENDING [1, 0] and element_at(sym, 0) throws
         # "SQL array indices start at 1" (ADVICE r13 medium).
-        pairs = vocab.filter(F.size(sym) >= 2).select(
-            "freq",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(sym) - 1),
-                    lambda i: F.struct(
-                        F.element_at(sym, i).alias("lhs"),
-                        F.element_at(sym, i + 1).alias("rhs"),
-                    ),
-                )
-            ).alias("pr"),
+        # Explode the POSITION RANGE, then build the pair in a plain
+        # codegen'd projection (r14 §2: the transform() lambda runs
+        # through the interpreted HigherOrderFunction path) — same
+        # (lhs, rhs, freq) multiset by construction.
+        pairs = (
+            vocab.filter(F.size(sym) >= 2)
+            .select("freq", sym.alias("__sym"))
+            .select(
+                "freq",
+                "__sym",
+                F.explode(
+                    F.sequence(F.lit(1), F.size("__sym") - 1)
+                ).alias("__i"),
+            )
+            .select(
+                "freq",
+                F.struct(
+                    F.element_at("__sym", F.col("__i")).alias("lhs"),
+                    F.element_at("__sym", F.col("__i") + 1).alias("rhs"),
+                ).alias("pr"),
+            )
         )
         best = (
             pairs.groupBy("pr.lhs", "pr.rhs")
@@ -216,7 +228,7 @@ def bpe_train(
             s = F.replace(s, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
         vocab = vocab.select("w", "freq", s.alias("s"))
         if k % 2 == 0 or k == rounds:
-            vocab = truncate_lineage(vocab)
+            vocab = truncate_lineage(vocab, eager=False)
     return merges, vocab
 
 
