@@ -255,9 +255,52 @@ _ORACLE_BACKLOG: tuple[str, ...] = ()
 # behind the backlog (and AHEAD of the canaries: changed-plan evidence
 # can never again lose the slot race to re-checks of unchanged keys —
 # the r10 lesson).  r13's agg_rfm_segmentation entry landed its fused-cut
-# hash row in CORRECTNESS_r13, so it rotates out.  Populated per round as
-# plans change.
-_REVERIFY: tuple[str, ...] = ()
+# hash row in CORRECTNESS_r13, so it rotates out.  r14 is the first
+# OPTIMIZATION round, so the list is large: every key whose physical
+# plan the round rewrote (per-side norms, codegen shingle/pair builders,
+# packed-codebook argmax, single-pass banding, window-form spans,
+# map-side distincts, the bitmask overlap matrix, lazy iterative
+# checkpoints, the collect-free two-phase rank) queues for a fresh
+# driver hash row ahead of the canary tail.
+_REVERIFY: tuple[str, ...] = (
+    "agg_source_overlap",
+    "ann_ivf_pq",
+    "ann_ivf_pq_refine",
+    "ann_ivf_pq_refine_probe",
+    "ann_ivf_pq_stored",
+    "ann_ivf_topk",
+    "ann_ivf_trained",
+    "ann_pq_topk",
+    "ann_bruteforce_topk",
+    "agg_market_basket",
+    "dedup_containment",
+    "dedup_embedding_neardup",
+    "dedup_minhash_incremental",
+    "dedup_minhash_lsh",
+    "dedup_minhash_store_write",
+    "dedup_ngram_jaccard",
+    "dedup_paragraph",
+    "dedup_semantic_semdedup",
+    "dedup_simhash",
+    "dedup_span_merge",
+    "dedup_substring_spans",
+    "dedup_image_phash",
+    "eval_matryoshka_recall",
+    "eval_minhash_accuracy",
+    "eval_ndcg_quantized",
+    "extract_section_pipeline",
+    "multimodal_image_phash",
+    "pipeline_classifier_train",
+    "pipeline_hybrid_search",
+    "rank_mmr_diversify",
+    "rank_rrf_fusion",
+    "graph_pagerank",
+    "pipeline_bpe_train",
+    "sample_logprob_bucket",
+    "agg_rfm_segmentation",
+    "text_zipf_slope",
+    "pipeline_pretrain_corpus",
+)
 
 # Rows-only keys WITH driver evidence.  EMPTY since late r11: all seven
 # keys that entered the round oracle-less graduated — the bounded-error

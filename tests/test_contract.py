@@ -38,8 +38,10 @@ def test_gate_window_rotation_order():
     distillation flagship, the interleaved multimodal packer, the BPE
     distill loop, the minhash store commit, and the composed ingest
     cycle — new oracle keys always earn their first driver rows the
-    round they ship), then (b) the changed-plan reverify band (empty
-    this round),
+    round they ship), then (b) the changed-plan reverify band — 37 keys
+    this round: r14 is the first OPTIMIZATION round and every key whose
+    physical plan it rewrote queues for a fresh hash row ahead of any
+    re-check of unchanged greens,
     then (c) 12 staleness-ordered canaries drawn from the r5/r6
     evidence bands, then staleness-ordered green re-checks.  The
     rows-only class is empty — every registered key carries an
@@ -55,10 +57,10 @@ def test_gate_window_rotation_order():
     n_first = len(registry._ROTATION_FIRST)
     n_backlog = len(registry._ORACLE_BACKLOG)
     n_rev = len(registry._REVERIFY)
-    # window arithmetic: 5 new keys + 12 canaries = 17-key head; the
-    # ~50-key wall budget then burns ~33 staleness-ordered greens from
-    # the r5/r6 bands behind them.
-    assert n_fix == 0 and n_first == 5 and n_backlog == 0 and n_rev == 0
+    # window arithmetic: 5 new keys + 37 changed-plan reverifies + 12
+    # canaries = 54-key head — the optimization round spends its whole
+    # ~50-key wall budget proving the rewritten plans still hash.
+    assert n_fix == 0 and n_first == 5 and n_backlog == 0 and n_rev == 37
     assert registry._CANARY_SLOTS + n_first + n_backlog + n_rev <= 54
     assert registry._CANARY_SLOTS >= 12  # VERDICT r7 item 3 / r8 item 5
 
