@@ -339,6 +339,12 @@ def agg_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with the hex string, so collision behavior is byte-identical to
     # the oracle's substr(md5, 1, 16).
     srcs = _overlap_sources(spark, sf_dir)
+    if not srcs:
+        # empty corpus: no sources → no pairs (a zero-entry map/array
+        # literal would be VOID-typed and fail analysis)
+        return spark.createDataFrame(
+            [], "s1 string, s2 string, n_inter bigint, jaccard double"
+        )
     if len(srcs) > 62:
         raise ValueError(
             "agg_source_overlap's bitmask form covers <= 62 sources; "
