@@ -826,7 +826,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .transform(truncate_lineage)
+        .transform(lambda df: truncate_lineage(df, eager=False))
     )
     labels = connected_components(edges)
     isolated = (
@@ -863,7 +863,7 @@ def connected_components(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .select("doc_id", F.col("doc_id").alias("component_id"))
-        .transform(truncate_lineage)
+        .transform(lambda df: truncate_lineage(df, eager=False))
     )
     converged = False
     # Cap is a safety valve, not the convergence criterion: the loop exits
@@ -889,7 +889,9 @@ def connected_components(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
         new_labels = (
             prop.join(parent, "component_id")
             .select("doc_id", F.col("_short").alias("component_id"))
-            .transform(truncate_lineage)
+            # lazy (r14): the convergence count below is already a
+            # mandatory blocking job, so the cut rides inside it
+            .transform(lambda df: truncate_lineage(df, eager=False))
         )
         changed = (
             new_labels.alias("n")
@@ -1323,7 +1325,7 @@ def entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs.select(F.col("kb").alias("ka"), F.col("ka").alias("kb"))
         )
         .select(F.col("ka").alias("src"), F.col("kb").alias("dst"))
-        .transform(truncate_lineage)
+        .transform(lambda df: truncate_lineage(df, eager=False))
     )
     labels = connected_components(edges).select(
         F.col("doc_id").alias("entity_key"), F.col("component_id").alias("cluster_id")

@@ -1189,7 +1189,8 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.unix_timestamp("ts")).alias("last_es"),
             F.count("*").alias("freq"),
             F.sum("value").alias("monetary"),
-        )
+        ),
+        eager=False,  # r14: materializes once inside the caller's action
     )
     # three orderings, ONE two-phase cut: long form partitioned by metric
     long = None

@@ -1078,7 +1078,7 @@ def sample_kcenter_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = (
         e.crossJoin(F.broadcast(seed))
         .select("vec_id", "embedding", sq_l2(F.col("embedding"), F.col("ce")).alias("d"))
-        .transform(truncate_lineage)
+        .transform(lambda df: truncate_lineage(df, eager=False))
     )
     picks = [(1, 0, 0.0)]
     for rank in range(2, KCENTER_K + 1):
@@ -1097,7 +1097,7 @@ def sample_kcenter_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "embedding",
                 F.least(F.col("d"), sq_l2(F.col("embedding"), F.col("ce"))).alias("d"),
             )
-            .transform(truncate_lineage)
+            .transform(lambda df: truncate_lineage(df, eager=False))
         )
     rows = [(r, v, float(d)) for r, v, d in picks]
     out = spark.createDataFrame(rows, "rank int, vec_id long, radius double")
@@ -1244,7 +1244,7 @@ def rank_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("rel"), F.asc("vec_id"))
         .limit(MMR_POOL)
-        .transform(truncate_lineage)
+        .transform(lambda df: truncate_lineage(df, eager=False))
     )
     pool = [
         (r.vec_id, r.rel, r.embedding) for r in rel.collect()

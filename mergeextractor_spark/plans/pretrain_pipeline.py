@@ -125,11 +125,14 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multi-consumer lineage-replay shape behind the r4 bench
     # regression, PERFORMANCE.md). Materialize the survivors once; the
     # funnel's selectivity makes the checkpoint smaller than the input.
-    kept = gated.filter(
-        (F.col("en_ratio") > EN_RATIO_MIN)
-        & F.col("n_tokens").between(TOKEN_FLOOR, TOKEN_CEIL)
-        & (F.col("clf_score") > 0.0)
-    ).transform(truncate_lineage)
+    kept = truncate_lineage(
+        gated.filter(
+            (F.col("en_ratio") > EN_RATIO_MIN)
+            & F.col("n_tokens").between(TOKEN_FLOOR, TOKEN_CEIL)
+            & (F.col("clf_score") > 0.0)
+        ),
+        eager=False,  # r14: materializes once inside the caller's action
+    )
     # stage 2: unigram LM over the survivors only
     tok_stream = kept.select("doc_id", F.explode("w").alias("tok"))
     vocab = tok_stream.groupBy("tok").agg(F.count("*").alias("cnt"))
