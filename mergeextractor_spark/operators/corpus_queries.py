@@ -255,6 +255,16 @@ NGRAM_OVERLAP_N = 8  # same shingle width as the decontamination screen
 _OVERLAP_SRCS_MEMO: dict[tuple[str, float], list[str]] = {}
 
 
+def _sql_escape(s: str) -> str:
+    """Escape a string for interpolation into a single-quoted Spark SQL
+    literal: Spark's parser treats backslash as an escape inside single
+    quotes (ADVICE r14: 'a\\b' parses as 'a\\x08', so an unescaped
+    backslash in a source name would silently desync the map/catalog
+    entries from the real column value) — escape backslashes FIRST,
+    then double the quotes.  Round-trip pinned in tests/test_contract.py."""
+    return s.replace("\\", "\\\\").replace("'", "''")
+
+
 def _overlap_sources(spark: SparkSession, sf_dir: str) -> list[str]:
     from .scale_queries import _source_mtime
 
@@ -355,7 +365,7 @@ def agg_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DSL costs ~2000 py4j round trips PER CONSTRUCTION (measured 4.7 s
     # of the key's 4.6 s bench wall; the catalog-as-array-literal rule
     # from the phrase-catalog lesson, applied to the Python boundary)
-    sq = [s.replace("'", "''") for s in srcs]
+    sq = [_sql_escape(s) for s in srcs]
     bit_of = F.expr(
         "CAST(map("
         + ",".join(f"'{s}',{1 << i}L" for i, s in enumerate(sq))

@@ -1860,11 +1860,16 @@ def minhash_store_commit(spark: SparkSession, path: str,
         ],
     )
     existing = minhash_store_read(spark, path).filter(pair_pred)
-    # cluster by the partition key before the write (guide §6): each
-    # write task then owns whole (band, bpfx) groups — one file per
-    # touched partition instead of one per (task x partition) pair
+    # cluster by the partition key BEFORE the distinct (guide §2.4, r15):
+    # hash-partitioning on (band, bpfx) colocates every full-tuple group
+    # (the partition key is a subset of the distinct key), so the
+    # dedup aggregate runs in place on the clustered exchange — ONE
+    # Exchange instead of the r14 distinct-then-repartition pair (plan:
+    # Exchange 2 → 1 in the commit write job) — and each write task
+    # still owns whole (band, bpfx) groups: one file per touched
+    # partition, never one per (task x partition) pair.
     merged = (
-        existing.unionByName(new).distinct().repartition("band", "bpfx")
+        existing.unionByName(new).repartition("band", "bpfx").dropDuplicates()
     )
     staging = f"{path.rstrip('/')}__stage_{os.getpid()}"
     try:
@@ -1873,13 +1878,25 @@ def minhash_store_commit(spark: SparkSession, path: str,
         )
         # same-filesystem directory renames: each touched partition dir
         # swaps in whole (a crash mid-loop is recovered by the replay —
-        # re-commit is idempotent by the DISTINCT union)
-        for r in parts:
+        # re-commit is idempotent by the DISTINCT union).  The loop is
+        # pure driver-side filesystem metadata work on <= bands x 16
+        # independent directories — threaded (r15, VERDICT item 1c: the
+        # serial loop charged one durable-volume round-trip per
+        # partition to the commit's wall).  Band-level parent dirs are
+        # pre-created serially so the workers never race makedirs.
+        for band in {r.band for r in parts}:
+            os.makedirs(os.path.join(path, f"band={band}"), exist_ok=True)
+
+        def _swap(r) -> None:
             rel = os.path.join(f"band={r.band}", f"bpfx={r.bpfx}")
             target = os.path.join(path, rel)
             shutil.rmtree(target, ignore_errors=True)
-            os.makedirs(os.path.dirname(target), exist_ok=True)
             shutil.move(os.path.join(staging, rel), target)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, len(parts))) as pool:
+            list(pool.map(_swap, parts))
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     return len(parts)

@@ -370,25 +370,31 @@ def pipeline_ingest_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineage re-runs the full probe/verify join once per commit action
     near = truncate_lineage(pairs.select("doc_id").distinct())
 
-    # 3. commit the survivors' band keys (partition-scoped, idempotent)
+    # 3+4. commit the survivors' band keys (partition-scoped, idempotent)
+    # OVERLAPPED with the three store-independent summary counts (guide
+    # §2.6 extended to the commit itself — r15: the commit's write job
+    # previously ran as a serial phase before the counts even though
+    # batch/fresh/near never read the store; submitting the commit FIRST
+    # gives it FIFO priority and the counts back-fill its tail).  Only
+    # n_store_docs must wait: it re-reads the POST-COMMIT store, which
+    # the commit's driver-side partition renames are mutating until
+    # f_commit resolves.
     survivors_bands = bands_b.join(near, "doc_id", "left_anti")
-    minhash_store_commit(spark, path, survivors_bands)
-
-    # 4. summary counts — four independent jobs submitted concurrently
-    # (guide §2.6: Spark runs several jobs at once inside one
-    # application; these share no dependency, so the pool overlaps
-    # their scan/join latencies instead of chaining four round-trips)
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=4) as pool:
+        f_commit = pool.submit(
+            minhash_store_commit, spark, path, survivors_bands
+        )
         f_batch = pool.submit(batch.count)
         f_fresh = pool.submit(fresh.count)
         f_near = pool.submit(near.count)
-        f_store = pool.submit(
-            minhash_store_read(spark, path).select("doc_id").distinct().count
-        )
         n_batch, n_fresh = f_batch.result(), f_fresh.result()
-        n_near, n_store_docs = f_near.result(), f_store.result()
+        n_near = f_near.result()
+        f_commit.result()
+        n_store_docs = (
+            minhash_store_read(spark, path).select("doc_id").distinct().count()
+        )
 
     return spark.createDataFrame(
         [(n_batch, n_batch - n_fresh, n_near, n_fresh - n_near, n_store_docs)],

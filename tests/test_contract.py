@@ -268,3 +268,16 @@ def test_every_registered_key_is_in_coverage_map():
     cov = open("/root/repo/COVERAGE.md").read()
     missing = [k for k in load_all() if k not in cov]
     assert not missing, missing
+
+
+def test_sql_escape_roundtrips_backslashes_and_quotes(spark):
+    """ADVICE r14: source names interpolated into SQL literals must
+    survive backslashes (Spark parses backslash escapes inside single
+    quotes) and single quotes. Round-trip each hostile value through a
+    parsed literal and compare to the Python value."""
+    from mergeextractor_spark.operators.corpus_queries import _sql_escape
+
+    hostile = ["a\\b", "it's", "both\\'s", "tab\\t", "plain", "\\\\net"]
+    for v in hostile:
+        got = spark.sql(f"SELECT '{_sql_escape(v)}' AS v").collect()[0].v
+        assert got == v, (v, got)

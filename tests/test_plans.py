@@ -594,3 +594,35 @@ def test_r14_compact_rollup_reads_the_store(spark):
     assert "minhash_commit_store_" in plan
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_r15_plan_audit_detects_single_partition_exchange(spark):
+    """The r14 audit's 'Exchange SinglePartition' regex could never match
+    FORMATTED explain output (the partitioning lives on a separate
+    'Arguments:' detail line), so its '0 SinglePartition' headline was
+    vacuous (VERDICT r14 item 1).  Pin the fixed detector both ways: a
+    seeded DATA-SIZED global window (row_number over an unpartitioned
+    ORDER BY) must be flagged, and a key-partitioned window of the same
+    frame must not."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    from plan_audit import scan_plan
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).withColumn("k", F.col("id") % 7)
+    bad = df.withColumn("rn", F.row_number().over(W.orderBy("id")))
+    plan = bad._sc._jvm.PythonSQLUtils.explainString(
+        bad._jdf.queryExecution(), "formatted"
+    )
+    flags, counts = scan_plan("__seeded_global_window__", plan)
+    assert counts["SinglePartition"] >= 1
+    assert any("SinglePartition" in f and "UNEXPLAINED" in f for f in flags)
+
+    good = df.withColumn("rn", F.row_number().over(W.partitionBy("k").orderBy("id")))
+    plan_good = good._sc._jvm.PythonSQLUtils.explainString(
+        good._jdf.queryExecution(), "formatted"
+    )
+    _, counts_good = scan_plan("__seeded_partitioned_window__", plan_good)
+    assert counts_good["SinglePartition"] == 0

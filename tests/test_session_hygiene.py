@@ -68,3 +68,38 @@ def test_drain_survives_empty_session(spark):
     drain_persistent_rdds(spark)
     assert drain_persistent_rdds(spark) == 0
     assert drain_persistent_rdds(spark, sql_cache=False, gc_sweep=False) == 0
+
+
+def test_scratch_default_falls_back_when_shm_is_small(monkeypatch):
+    """VERDICT r14 item 3: the tmpfs spark.local.dir default must not
+    point shuffle scratch at a nearly-full /dev/shm — below the
+    free-space floor the factory returns None (Spark default), and the
+    SPARK_GRAFT_LOCAL_DIR override always wins."""
+    import shutil
+    from collections import namedtuple
+
+    from mergeextractor_spark.session import _default_local_dir
+
+    usage = namedtuple("usage", "total used free")
+
+    monkeypatch.delenv("SPARK_GRAFT_LOCAL_DIR", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_SCRATCH_MIN_GB", raising=False)
+
+    # plenty of headroom -> tmpfs path
+    monkeypatch.setattr(
+        shutil, "disk_usage", lambda p: usage(64 << 30, 0, 64 << 30)
+    )
+    assert _default_local_dir() == "/dev/shm/spark-local"
+
+    # below the floor -> Spark default, with a warning
+    monkeypatch.setattr(
+        shutil, "disk_usage", lambda p: usage(64 << 30, 63 << 30, 1 << 30)
+    )
+    with pytest.warns(UserWarning, match="GiB free"):
+        assert _default_local_dir() is None
+
+    # explicit override wins regardless of headroom; empty = Spark default
+    monkeypatch.setenv("SPARK_GRAFT_LOCAL_DIR", "/somewhere/nvme")
+    assert _default_local_dir() == "/somewhere/nvme"
+    monkeypatch.setenv("SPARK_GRAFT_LOCAL_DIR", "")
+    assert _default_local_dir() is None
