@@ -356,31 +356,30 @@ _BAND_OFFSETS: tuple[tuple[int, int], ...] = (
 _N_BLOCKS: int = 8
 
 
-def _band_block_entries(phash) -> "F.Column":
+def _band_block_entries(phash_col: str) -> "F.Column":
     """Default 56-key scheme: one packed int per (band, block) combo —
     tag(6b) | band value(10b) | block value(8b), a single narrow
     join/shuffle key instead of three.  ~18-bit value entropy; random
     collisions grow as n²·56/2^18.5 — the measured winner below ~10⁷
-    distinct signatures (PERFORMANCE.md 'width dial')."""
-    return F.array(*[
-        (
-            F.lit((k * _N_BLOCKS + j) << 18).cast("long")
-            + F.shiftleft(
-                F.shiftrightunsigned(phash, off).bitwiseAND(
-                    F.lit((1 << size) - 1).cast("long")
-                ),
-                8,
-            )
-            + F.shiftrightunsigned(phash, 8 * j).bitwiseAND(
-                F.lit(0xFF).cast("long")
-            )
-        ).cast("int")
+    distinct signatures (PERFORMANCE.md 'width dial').
+
+    The 56-entry array arrives as ONE parsed SQL expression (r15): the
+    Column-DSL build cost ~0.87 s of py4j round trips PER CONSTRUCTION
+    (measured — over a third of dedup_image_phash's bench median was
+    driver-side plan construction, guide §1 empirical loop), while the
+    SQL string parses in one trip.  Same arithmetic, same generated
+    code.  ``phash_col`` is the signature column NAME (SQL fragment)."""
+    entries = ",".join(
+        f"CAST({(k * _N_BLOCKS + j) << 18}L"
+        f" + shiftleft(shiftrightunsigned({phash_col}, {off}) & {(1 << size) - 1}L, 8)"
+        f" + (shiftrightunsigned({phash_col}, {8 * j}) & 255L) AS INT)"
         for k, (off, size) in enumerate(_BAND_OFFSETS)
         for j in range(_N_BLOCKS)
-    ])
+    )
+    return F.expr(f"array({entries})")
 
 
-def _band_blockpair_entries(phash) -> "F.Column":
+def _band_blockpair_entries(phash_col: str) -> "F.Column":
     """Wide 196-key scheme — the documented 10⁸⁺-signature escape hatch
     (VERDICT r7 item 6, PERFORMANCE.md 'width dial'): one packed long per
     (band, block-PAIR) combo, 7 × C(8,2) = 196 keys of ~34-bit value
@@ -394,28 +393,15 @@ def _band_blockpair_entries(phash) -> "F.Column":
     past the ~10⁸ distinct-signature crossover.  Recall equivalence with
     the 56-key default is pytest-pinned at both widths."""
     pairs = [(i, j) for i in range(_N_BLOCKS) for j in range(i + 1, _N_BLOCKS)]
-    return F.array(*[
-        (
-            F.lit((k * len(pairs) + p) << 26).cast("long")
-            + F.shiftleft(
-                F.shiftrightunsigned(phash, off).bitwiseAND(
-                    F.lit((1 << size) - 1).cast("long")
-                ),
-                16,
-            )
-            + F.shiftleft(
-                F.shiftrightunsigned(phash, 8 * i).bitwiseAND(
-                    F.lit(0xFF).cast("long")
-                ),
-                8,
-            )
-            + F.shiftrightunsigned(phash, 8 * j).bitwiseAND(
-                F.lit(0xFF).cast("long")
-            )
-        )
+    entries = ",".join(
+        f"({(k * len(pairs) + p) << 26}L"
+        f" + shiftleft(shiftrightunsigned({phash_col}, {off}) & {(1 << size) - 1}L, 16)"
+        f" + shiftleft(shiftrightunsigned({phash_col}, {8 * i}) & 255L, 8)"
+        f" + (shiftrightunsigned({phash_col}, {8 * j}) & 255L))"
         for k, (off, size) in enumerate(_BAND_OFFSETS)
         for p, (i, j) in enumerate(pairs)
-    ])
+    )
+    return F.expr(f"array({entries})")
 
 
 def _banded_hamming_dedup(
@@ -459,7 +445,7 @@ def _banded_hamming_dedup(
     # the stored long is the hash with bit 63 flipped (signed-range
     # shift); the flip is uniform across rows, so band equi-joins and
     # XOR hamming distances are unchanged — no unshift needed
-    entries = entries_builder(F.col("phash"))
+    entries = entries_builder("phash")
     keyed = groups.select(
         "media_id", "phash", F.explode(entries).alias("bkey")
     )
@@ -1189,20 +1175,24 @@ def media_from_documents(docs: DataFrame, w: int = 32, h: int = 16) -> DataFrame
     pixel basis, planting exact-duplicate payloads so the downstream
     dedup exercises the exact-collapse stage at scale."""
     n_blocks = (w * h) // 16  # md5 yields 16 pixel bytes per block
+    # ONE parsed SQL expression for the whole payload (r15): the 32-block
+    # Column-DSL build cost ~0.2 s of py4j round trips per construction
+    # (same class as the band-entry catalog); the SQL string parses in
+    # one trip and generates identical bytes.
     base = (
-        F.when(F.col("doc_id") % 5 == 4, F.col("doc_id") - 1)
-        .otherwise(F.col("doc_id"))
-        .cast("string")
+        "CAST(CASE WHEN doc_id % 5 = 4 THEN doc_id - 1 ELSE doc_id END"
+        " AS STRING)"
     )
-    header = F.lit(FAKE_MAGIC + struct.pack("<II", w, h))
-    blocks = [
-        F.unhex(F.md5(F.concat_ws("|", F.lit("px"), base, F.lit(str(i)))))
+    header = (FAKE_MAGIC + struct.pack("<II", w, h)).hex()
+    blocks = ",".join(
+        f"unhex(md5(concat_ws('|', 'px', {base}, '{i}')))"
         for i in range(n_blocks)
-    ]
+    )
+    payload = F.expr(f"concat(X'{header}', {blocks})")
     return docs.select(
         (F.col("doc_id") + 1_000_000).alias("media_id"),
         F.lit("image").alias("kind"),
-        F.concat(header, *blocks).alias("payload"),
+        payload.alias("payload"),
         F.lit("image/fake").alias("mime"),
     )
 

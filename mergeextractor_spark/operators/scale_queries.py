@@ -78,7 +78,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdots = (
         e.filter(F.col("vec_id") < N_QUERIES)
         .crossJoin(F.broadcast(cents))
-        .select("vec_id", "cid", dot(F.col("embedding"), F.col("ce")).alias("d"))
+        .select("vec_id", "cid", dot("embedding", "ce").alias("d"))
     )
     wq = W.partitionBy("vec_id").orderBy(F.desc("d"), F.asc("cid"))
     qprobe = (
@@ -94,12 +94,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qe = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("q_emb"),
-        l2norm(F.col("embedding")).alias("q_n"),
+        l2norm("embedding").alias("q_n"),
     )
     ce = e.select(
         "vec_id",
         F.col("embedding").alias("c_emb"),
-        l2norm(F.col("embedding")).alias("c_n"),
+        l2norm("embedding").alias("c_n"),
     )
     scored = (
         cand.join(F.broadcast(qe), "qid")
@@ -108,7 +108,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid",
             "vec_id",
             cosine_pre(
-                F.col("c_emb"), F.col("q_emb"), F.col("c_n"), F.col("q_n")
+                "c_emb", "q_emb", "c_n", "q_n"
             ).alias("c"),
         )
     )
@@ -276,7 +276,7 @@ def trained_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdots = (
         e.filter(F.col("vec_id") < N_QUERIES)
         .crossJoin(F.broadcast(cdf))
-        .select("vec_id", "cid", dot(F.col("embedding"), F.col("ce")).alias("d"))
+        .select("vec_id", "cid", dot("embedding", "ce").alias("d"))
     )
     wq = W.partitionBy("vec_id").orderBy(F.desc("d"), F.asc("cid"))
     qprobe = (
@@ -289,12 +289,12 @@ def trained_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qe = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("q_emb"),
-        l2norm(F.col("embedding")).alias("q_n"),
+        l2norm("embedding").alias("q_n"),
     )
     ce = e.select(
         "vec_id",
         F.col("embedding").alias("c_emb"),
-        l2norm(F.col("embedding")).alias("c_n"),
+        l2norm("embedding").alias("c_n"),
     )
     scored = (
         cand.join(F.broadcast(qe), "qid")
@@ -303,7 +303,7 @@ def trained_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid",
             "vec_id",
             cosine_pre(
-                F.col("c_emb"), F.col("q_emb"), F.col("c_n"), F.col("q_n")
+                "c_emb", "q_emb", "c_n", "q_n"
             ).alias("c"),
         )
     )
@@ -435,7 +435,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vdots = (
         vsubs.join(F.broadcast(cents), "sub")
-        .select("vec_id", "sub", "code", dot(F.col("ve"), F.col("ce")).alias("d"))
+        .select("vec_id", "sub", "code", dot("ve", "ce").alias("d"))
     )
     # map-side packed-codebook encode (r14, _encode_codes): vdots below
     # only feeds the query lookup, where the vec_id filter prunes it to
@@ -618,7 +618,7 @@ def _ivf_assign_probe(e: DataFrame) -> tuple[DataFrame, DataFrame]:
     qdots = (
         e.filter(F.col("vec_id") < N_QUERIES)
         .crossJoin(F.broadcast(cents))
-        .select("vec_id", "cid", dot(F.col("embedding"), F.col("ce")).alias("d"))
+        .select("vec_id", "cid", dot("embedding", "ce").alias("d"))
     )
     wq = W.partitionBy("vec_id").orderBy(F.desc("d"), F.asc("cid"))
     qprobe = (
@@ -665,7 +665,7 @@ def _pq_encode_parts(
     )
     vdots = (
         vsubs.join(F.broadcast(pcents), "sub")
-        .select("vec_id", "sub", "code", dot(F.col("ve"), F.col("ce")).alias("d"))
+        .select("vec_id", "sub", "code", dot("ve", "ce").alias("d"))
     )
     codes = _encode_codes(vsubs, pcents)
     return vsubs, pcents, vdots, codes
@@ -687,11 +687,12 @@ def _encode_codes(
     pc = pcents.groupBy("sub").agg(
         F.array_sort(F.collect_list(F.struct("code", "ce"))).alias("__cb")
     )
-    entries = F.transform(
-        F.col("__cb"),
-        lambda c: F.struct(
-            dot(F.col("ve"), c["ce"]).alias("d"), (-c["code"]).alias("nc")
-        ),
+    # one parsed expression (r15) — same rewrite as assign_nearest
+    from .vector_queries import _dot_sql
+
+    entries = F.expr(
+        f"transform(__cb, c -> named_struct("
+        f"'d', {_dot_sql('ve', 'c.ce')}, 'nc', -c.code))"
     )
     return (
         vsubs.join(F.broadcast(pc), "sub")
@@ -738,7 +739,7 @@ def ann_ivf_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ne = e.select("vec_id", F.col("embedding").alias("n_emb"))
     fetched = qe.join(F.broadcast(pool), "qid")
     exact = ne.join(F.broadcast(fetched), "vec_id").select(
-        "qid", "vec_id", dot(F.col("q_emb"), F.col("n_emb")).alias("d")
+        "qid", "vec_id", dot("q_emb", "n_emb").alias("d")
     )
     return _exact_topk(exact)
 
@@ -897,7 +898,7 @@ def ann_ivf_pq_refine_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = fetched.join(
         F.broadcast(qe.join(F.broadcast(pool), "qid")), "vec_id"
-    ).select("qid", "vec_id", dot(F.col("q_emb"), F.col("n_emb")).alias("d"))
+    ).select("qid", "vec_id", dot("q_emb", "n_emb").alias("d"))
     return _exact_topk(exact)
 
 

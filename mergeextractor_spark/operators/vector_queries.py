@@ -17,7 +17,36 @@ from ..registry import register
 from ._util import t, r4, spread, truncate_lineage, golden_path
 
 
-def dot(a: Column, b: Column) -> Column:
+# The vector helpers accept Column | str (r15): a str argument is a SQL
+# fragment (usually a plain column name), and an all-str call arrives as
+# ONE parsed SQL expression instead of ~40 py4j round trips building the
+# zip_with/aggregate lambdas through the Column DSL.  Measured (guide §1
+# empirical loop): each DSL dot()/l2norm() costs ~70 ms of DRIVER-side
+# plan construction, paid per bench sample by every ANN/rank key —
+# construction was a third to half of those keys' bench medians.  The
+# parsed tree is the same arithmetic in the same order (0.0D == lit(0.0),
+# CAST(x AS DOUBLE) == x.cast("double")), so results are bit-identical.
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * "
+        f"CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _l2norm_sql(a: str) -> str:
+    return (
+        f"sqrt(aggregate({a}, 0.0D, "
+        f"(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    )
+
+
+def dot(a: "Column | str", b: "Column | str") -> Column:
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_sql(a, b))
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -25,15 +54,24 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def l2norm(a: Column) -> Column:
+def l2norm(a: "Column | str") -> Column:
+    if isinstance(a, str):
+        return F.expr(_l2norm_sql(a))
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: "Column | str", b: "Column | str") -> Column:
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"{_dot_sql(a, b)} / ({_l2norm_sql(a)} * {_l2norm_sql(b)})"
+        )
     return dot(a, b) / (l2norm(a) * l2norm(b))
 
 
-def cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+def cosine_pre(
+    a: "Column | str", b: "Column | str",
+    na: "Column | str", nb: "Column | str",
+) -> Column:
     """Cosine with PRE-COMPUTED per-side L2 norms: dot(a, b) / (na * nb).
 
     Pair-scoring stages (corpus x queries) recompute both norms per PAIR
@@ -44,6 +82,10 @@ def cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
     so every result — and every oracle hash — is unchanged by construction
     (measured ~2.5x executor-CPU on the bruteforce pair stage,
     OPTIMIZATION_r14.md)."""
+    if all(isinstance(x, str) for x in (a, b, na, nb)):
+        return F.expr(f"{_dot_sql(a, b)} / ({na} * {nb})")
+    na = F.col(na) if isinstance(na, str) else na
+    nb = F.col(nb) if isinstance(nb, str) else nb
     return dot(a, b) / (na * nb)
 
 
@@ -73,12 +115,11 @@ def assign_nearest(
     cb = cands.groupBy().agg(
         F.array_sort(F.collect_list(F.struct("cid", "ce"))).alias("__cb")
     )
-    entries = F.transform(
-        F.col("__cb"),
-        lambda c: F.struct(
-            dot(F.col(emb_col), c["ce"]).alias("d"),
-            (-c["cid"]).alias("nc"),
-        ),
+    # one parsed expression (r15): the transform/struct/dot lambda tree
+    # cost ~0.2 s of py4j per construction across the IVF/PQ family
+    entries = F.expr(
+        f"transform(__cb, c -> named_struct("
+        f"'d', {_dot_sql(emb_col, 'c.ce')}, 'nc', -c.cid))"
     )
     return (
         vecs.crossJoin(F.broadcast(cb))
@@ -114,7 +155,7 @@ _COS_PAIRS_CTE = """
 def math_cosine_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qe"), l2norm(F.col("embedding")).alias("qn")
+        F.col("embedding").alias("qe"), l2norm("embedding").alias("qn")
     )
     return (
         e.crossJoin(F.broadcast(q))
@@ -122,8 +163,8 @@ def math_cosine_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             r4(
                 cosine_pre(
-                    F.col("embedding"), F.col("qe"),
-                    l2norm(F.col("embedding")), F.col("qn"),
+                    "embedding", "qe",
+                    _l2norm_sql("embedding"), "qn",
                 )
             ).alias("cos"),
         )
@@ -227,19 +268,19 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
-        l2norm(F.col("embedding")).alias("qn"),
+        l2norm("embedding").alias("qn"),
     )
     # norms once per side, not per pair (cosine_pre): |Q| x corpus pairs
     # each pay one dot instead of dot + two norms
     scored = (
-        e.select("vec_id", "embedding", l2norm(F.col("embedding")).alias("an"))
+        e.select("vec_id", "embedding", l2norm("embedding").alias("an"))
         .crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
             "vec_id",
             cosine_pre(
-                F.col("embedding"), F.col("qe"), F.col("an"), F.col("qn")
+                "embedding", "qe", "an", "qn"
             ).alias("c"),
         )
     )
@@ -286,7 +327,7 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dots = (
         e.crossJoin(F.broadcast(planes))
-        .select("vec_id", "pid", dot(F.col("embedding"), F.col("pe")).alias("d"))
+        .select("vec_id", "pid", dot("embedding", "pe").alias("d"))
     )
     bit = F.when(F.col("d") >= 0, "1").otherwise("0")
     sig = (
@@ -354,17 +395,17 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same-label pairs and would otherwise recompute its norm per pair
     a = aug.select(
         F.col("vec_id").alias("va"), F.col("label").alias("la"),
-        F.col("embedding").alias("ea"), l2norm(F.col("embedding")).alias("na"),
+        F.col("embedding").alias("ea"), l2norm("embedding").alias("na"),
     )
     b = aug.select(
         F.col("vec_id").alias("vb"), F.col("label").alias("lb"),
-        F.col("embedding").alias("eb"), l2norm(F.col("embedding")).alias("nb"),
+        F.col("embedding").alias("eb"), l2norm("embedding").alias("nb"),
     )
     return (
         a.join(b, (F.col("va") < F.col("vb")) & (F.col("la") == F.col("lb")))
         .select(
             "va", "vb",
-            cosine_pre(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")).alias("c"),
+            cosine_pre("ea", "eb", "na", "nb").alias("c"),
         )
         .filter(F.col("c") > 0.8)
         .select(F.col("va").alias("vec_a"), F.col("vb").alias("vec_b"), r4(F.col("c")).alias("cos"))
@@ -498,17 +539,17 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # norm once per assigned row (cosine_pre), not per within-cluster pair
     a = av.select(
         F.col("vec_id").alias("va"), "cid",
-        F.col("emb").alias("ea"), l2norm(F.col("emb")).alias("na"),
+        F.col("emb").alias("ea"), l2norm("emb").alias("na"),
     )
     b = av.select(
         F.col("vec_id").alias("vb"), F.col("cid").alias("cidb"),
-        F.col("emb").alias("eb"), l2norm(F.col("emb")).alias("nb"),
+        F.col("emb").alias("eb"), l2norm("emb").alias("nb"),
     )
     cos = (
         a.join(b, (F.col("cid") == F.col("cidb")) & (F.col("va") < F.col("vb")))
         .select(
             "va", "vb",
-            cosine_pre(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")).alias("c"),
+            cosine_pre("ea", "eb", "na", "nb").alias("c"),
         )
         .filter(F.col("c") >= SEM_TAU)
     )
@@ -773,7 +814,7 @@ def rank_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     # query norm once on the broadcast side (cosine_pre), not per corpus row
     q = e.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qe"), l2norm(F.col("embedding")).alias("qn")
+        F.col("embedding").alias("qe"), l2norm("embedding").alias("qn")
     )
     dense = (
         e.filter(F.col("vec_id") != 0)
@@ -782,8 +823,8 @@ def rank_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("doc_id"),
             r4(
                 cosine_pre(
-                    F.col("embedding"), F.col("qe"),
-                    l2norm(F.col("embedding")), F.col("qn"),
+                    "embedding", "qe",
+                    _l2norm_sql("embedding"), "qn",
                 )
             ).alias("score"),
         )
@@ -900,14 +941,14 @@ def eval_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
-        l2norm(F.col("embedding")).alias("qn"),
+        l2norm("embedding").alias("qn"),
         l2norm(trunc(F.col("embedding"))).alias("qnt"),
     )
     scored = (
         e.select(
             "vec_id",
             "embedding",
-            l2norm(F.col("embedding")).alias("an"),
+            l2norm("embedding").alias("an"),
             l2norm(trunc(F.col("embedding"))).alias("ant"),
         )
         .crossJoin(F.broadcast(q))
@@ -916,7 +957,7 @@ def eval_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid",
             "vec_id",
             cosine_pre(
-                F.col("embedding"), F.col("qe"), F.col("an"), F.col("qn")
+                "embedding", "qe", "an", "qn"
             ).alias("c_full"),
             cosine_pre(
                 trunc(F.col("embedding")), trunc(F.col("qe")),
@@ -1229,7 +1270,7 @@ def rank_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     # query norm once on the broadcast side (cosine_pre), not per corpus row
     q = e.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qe"), l2norm(F.col("embedding")).alias("qn")
+        F.col("embedding").alias("qe"), l2norm("embedding").alias("qn")
     )
     rel = (
         e.filter(F.col("vec_id") != 0)
@@ -1238,8 +1279,8 @@ def rank_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "embedding",
             cosine_pre(
-                F.col("embedding"), F.col("qe"),
-                l2norm(F.col("embedding")), F.col("qn"),
+                "embedding", "qe",
+                _l2norm_sql("embedding"), "qn",
             ).alias("rel"),
         )
         .orderBy(F.desc("rel"), F.asc("vec_id"))
@@ -1355,7 +1396,7 @@ def eval_retrieval_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     # query norm once on the broadcast side (cosine_pre), not per corpus row
     q = e.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qe"), l2norm(F.col("embedding")).alias("qn")
+        F.col("embedding").alias("qe"), l2norm("embedding").alias("qn")
     )
     dense = (
         e.filter(F.col("vec_id") != 0)
@@ -1364,8 +1405,8 @@ def eval_retrieval_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("doc_id"),
             r4(
                 cosine_pre(
-                    F.col("embedding"), F.col("qe"),
-                    l2norm(F.col("embedding")), F.col("qn"),
+                    "embedding", "qe",
+                    _l2norm_sql("embedding"), "qn",
                 )
             ).alias("score"),
         )
@@ -1445,17 +1486,17 @@ def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
-        l2norm(F.col("embedding")).alias("qn"),
+        l2norm("embedding").alias("qn"),
     )
     scored = (
-        e.select("vec_id", "embedding", l2norm(F.col("embedding")).alias("an"))
+        e.select("vec_id", "embedding", l2norm("embedding").alias("an"))
         .crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
             "vec_id",
             cosine_pre(
-                F.col("embedding"), F.col("qe"), F.col("an"), F.col("qn")
+                "embedding", "qe", "an", "qn"
             ).alias("c"),
         )
     )
@@ -1579,7 +1620,7 @@ def eval_ndcg_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "embedding",
         q8(F.col("embedding")).alias("e8"),
-        l2norm(F.col("embedding")).alias("an"),
+        l2norm("embedding").alias("an"),
         l2norm(q8(F.col("embedding"))).alias("an8"),
     )
     q = ev.filter(F.col("vec_id") < 10).select(
@@ -1596,10 +1637,10 @@ def eval_ndcg_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid",
             "vec_id",
             cosine_pre(
-                F.col("embedding"), F.col("qe"), F.col("an"), F.col("qn")
+                "embedding", "qe", "an", "qn"
             ).alias("c"),
             cosine_pre(
-                F.col("e8"), F.col("qq8"), F.col("an8"), F.col("qn8")
+                "e8", "qq8", "an8", "qn8"
             ).alias("c8"),
         )
     )

@@ -88,6 +88,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # DataFrame-debugging call-site capture costs 1-2 py4j round
+        # trips + a Python stack walk on EVERY DataFrame API call (r15,
+        # guide §1 empirical loop: plan CONSTRUCTION was a third to half
+        # of several ANN/rank keys' bench medians; this conf alone cut
+        # warm construction 25-50% across the suite).  Debug-only
+        # feature — it enriches error messages with the user call site;
+        # results and plans are unchanged.  Flip it back on when
+        # debugging a failing query.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
@@ -106,6 +115,8 @@ def apply_session_tuning(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        # driver-side construction overhead — see get_spark (r15)
+        spark.conf.set("spark.python.sql.dataFrameDebugging.enabled", "false")
     except Exception:
         pass
     return spark
