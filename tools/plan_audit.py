@@ -12,11 +12,14 @@ guide names:
     partitioning lives on a separate detail line ("Arguments:
     SinglePartition, ENSURE_REQUIREMENTS, ..."), never on the operator
     line, so the old `Exchange SinglePartition` pattern could not match
-    anything.  scan_plan() now counts the Arguments lines (and keeps the
-    simple-mode form for robustness); result-sized keyless-aggregate
-    finals are allowlisted per key WITH the reason, and the allowlist is
-    actually consulted (ADVICE r14).  A seeded data-sized global window
-    must be flagged — pinned in tests/test_plans.py.
+    anything.  scan_plan() now attributes each SinglePartition exchange
+    block-accurately to its CHILD node: exchanges fed by a reducing
+    operator (partial/final aggregate, WindowGroupLimit — one row per
+    partition x group crosses) are reported as agg-reduced; any other
+    child is a data-sized global funnel and flags UNEXPLAINED unless the
+    key carries a pinned reason in ALLOW_SINGLE_PARTITION (consulted,
+    ADVICE r14).  A seeded data-sized global window must be flagged —
+    pinned in tests/test_plans.py.
   - ObjectHashAggregate (sort-fallback risk class; report count)
 
 Prints one line per flagged key -> plans_audit_<round>.txt.
@@ -46,63 +49,46 @@ ALLOW = {
     },
 }
 
-# SinglePartition exchanges that are RESULT-SIZED by construction (the
-# final stage of a keyless aggregate over an already-reduced frame, or a
-# window over a <= num_partitions-row offsets frame) — key -> reason.
-# Everything NOT listed here is reported as a red flag.  The r14 audit
-# claimed "0 SinglePartition" because its regex could never match
-# formatted plans; this list is the honest accounting of what actually
-# exists, each entry source-verified result-sized.
+# SinglePartition exchanges that are RESULT-SIZED by construction but
+# whose CHILD is not an aggregate (so the structural rule below cannot
+# prove it) — key -> reason.  Consulted by scan_plan (ADVICE r14).
 ALLOW_SINGLE_PARTITION: dict[str, str] = {}
 
-
-def _allow_sp(reason: str, *keys: str) -> None:
-    for k in keys:
-        ALLOW_SINGLE_PARTITION[k] = reason
-
-
-_allow_sp(
-    "two-phase rank/cumsum offsets: single-partition window over the "
-    "<= num_partitions-row per-pid count aggregate (bounded by partition "
-    "COUNT, never data — _util.global_row_number/global_cumsum)",
-    "agg_rfm_segmentation", "agg_source_gini", "eval_ks_drift",
-    "eval_ndcg_quantized", "sample_anneal_mix", "sample_logprob_bucket",
-    "sample_token_budget", "text_dsir_select", "text_vocab_coverage_curve",
-    "pipeline_pretrain_corpus", "agg_ltv_curve", "events_changepoint_cusum",
-    "text_ttr_percentiles", "sample_pack_interleaved", "agg_percentile_approx",
-    "window_retention_cohort", "text_unigram_logprob",
-)
-_allow_sp(
-    "1-row keyless-aggregate final (codebook packer / grand-total / "
-    "count-if summary) — the exchange moves one row per upstream "
-    "partition into the result stage",
-    "ann_ivf_pq", "ann_ivf_pq_refine", "ann_ivf_pq_refine_probe",
-    "ann_ivf_pq_stored", "ann_ivf_topk", "ann_ivf_trained", "ann_pq_topk",
-    "dedup_semantic_semdedup", "eval_minhash_accuracy",
-    "olap_small_quantity_revenue", "agg_count_total",
-    "eval_tokenizer_fertility", "agg_embedding_covariance",
-    "eval_matryoshka_recall", "eval_retrieval_rank_corr",
-    "agg_vector_mean", "text_zipf_slope", "eval_calibration_bins",
-)
-_allow_sp(
-    "result-sized global top-k / ordered result emit (the frame entering "
-    "the exchange is already reduced to <= k rows or a bounded report)",
-    "agg_org_topk", "olap_top_supplier", "text_ngram_topk",
-    "events_top_paths", "text_bm25_topk", "rank_rrf_fusion",
+# A SinglePartition exchange is result-sized BY CONSTRUCTION when its
+# child already reduced the stream: a partial/final aggregate emits one
+# row per (partition x group), a WindowGroupLimit / partial TakeOrdered
+# emits <= k rows per partition.  Anything else feeding a
+# single-partition exchange (raw scan, project, window output) is a
+# data-sized global funnel — the real red flag.
+_SP_REDUCING_CHILDREN = (
+    "HashAggregate", "ObjectHashAggregate", "SortAggregate",
+    "WindowGroupLimit", "TakeOrderedAndProject", "LocalTableScan",
 )
 
 
 def scan_plan(key: str, plan: str) -> tuple[list[str], dict[str, int]]:
     """Scan ONE formatted physical plan for the red flags; returns
     (flag strings, per-pattern counts).  Pure text function so the
-    detection rules themselves are pytest-pinned (a seeded global-window
-    plan MUST produce a SinglePartition flag — the r14 audit's regex
-    could never match formatted mode and its '0 SinglePartition'
-    headline was vacuous)."""
+    detection rules themselves are pytest-pinned (a seeded data-sized
+    global window MUST produce a SinglePartition flag — the r14 audit's
+    `Exchange SinglePartition` regex could never match formatted mode,
+    where the partitioning lives on an `Arguments:` detail line, so its
+    '0 SinglePartition' headline was vacuous).
+
+    SinglePartition attribution is block-accurate: detail blocks are
+    split per node header, and the exchange's child is node id-1
+    (formatted-mode ids are assigned post-order, so a unary node's child
+    subtree root is always the previous id).  Exchanges whose child is a
+    reducing operator (_SP_REDUCING_CHILDREN) are reported as
+    'agg-reduced' (result-sized by construction — one row per partition
+    x group crosses); every other child means a data-sized global
+    funnel and is flagged UNEXPLAINED unless the key carries a pinned
+    reason in ALLOW_SINGLE_PARTITION."""
     row: list[str] = []
     counts = {k: 0 for k in (
         "BatchEvalPython", "ArrowEvalPython", "CartesianProduct",
         "BroadcastNestedLoopJoin", "SinglePartition", "ObjectHashAggregate",
+        "SinglePartitionUnexplained",
     )}
     for pat in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         n = len(re.findall(rf"\b{pat}\b", plan))
@@ -118,18 +104,46 @@ def scan_plan(key: str, plan: str) -> tuple[list[str], dict[str, int]]:
         dups = {u for u in udfs if udfs.count(u) > 1}
         if dups:
             row.append(f"{pat} duplicated: {sorted(dups)}")
-    # formatted mode: partitioning is an "Arguments:" detail line of the
-    # Exchange node; simple mode: inline "Exchange SinglePartition".
-    # Count both forms (a plan is one mode, so they never double-count).
-    n = len(re.findall(r"Arguments: SinglePartition", plan)) + len(
-        re.findall(r"Exchange SinglePartition", plan)
-    )
-    if n:
-        counts["SinglePartition"] += n
-        if key in ALLOW_SINGLE_PARTITION:
-            row.append(f"SinglePartition x{n} (allowed: result-sized)")
+    # block-accurate SinglePartition attribution (formatted mode), plus
+    # the simple-mode inline form for robustness
+    node_name: dict[int, str] = {}
+    sp_ids: list[int] = []
+    for block in re.split(r"\n(?=\(\d+\) )", plan):
+        m = re.match(r"\((\d+)\) (\S+)", block)
+        if not m:
+            continue
+        nid = int(m.group(1))
+        node_name[nid] = m.group(2)
+        if "Exchange" in m.group(2) and "Arguments: SinglePartition" in block:
+            sp_ids.append(nid)
+    n_simple = len(re.findall(r"Exchange SinglePartition", plan))
+    counts["SinglePartition"] += len(sp_ids) + n_simple
+    benign, hot = [], []
+    for nid in sp_ids:
+        child = node_name.get(nid - 1, "?")
+        if child.split("(")[0] in _SP_REDUCING_CHILDREN:
+            benign.append((nid, child))
         else:
-            row.append(f"SinglePartition x{n} UNEXPLAINED")
+            hot.append((nid, child))
+    if n_simple:
+        hot.append((-1, "simple-mode"))
+    if benign:
+        row.append(
+            f"SinglePartition x{len(benign)} (agg-reduced: "
+            f"{sorted({c for _, c in benign})})"
+        )
+    if hot:
+        if key in ALLOW_SINGLE_PARTITION:
+            row.append(
+                f"SinglePartition x{len(hot)} (allowed: "
+                f"{ALLOW_SINGLE_PARTITION[key]})"
+            )
+        else:
+            counts["SinglePartitionUnexplained"] += len(hot)
+            row.append(
+                f"SinglePartition x{len(hot)} UNEXPLAINED "
+                f"(children: {sorted({c for _, c in hot})})"
+            )
     counts["ObjectHashAggregate"] += len(
         re.findall(r"\bObjectHashAggregate\b", plan)
     )
@@ -150,6 +164,7 @@ def main() -> None:
     counts = {k: 0 for k in (
         "BatchEvalPython", "ArrowEvalPython", "CartesianProduct",
         "BroadcastNestedLoopJoin", "SinglePartition", "ObjectHashAggregate",
+        "SinglePartitionUnexplained",
     )}
     unexplained_sp: list[str] = []
     for key, q in sorted(reg.items()):
